@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Materialization is via the noop sink (full computation, no collect/IO
+skew), so timings measure the distributed plan, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: flagship reconciliation + fingerprint, the composite
+#: analytics, and one of each extension family (dedup / ANN / text /
+#: multimodal / event-time)
+HEADLINE = [
+    "j2_count_reconcile",
+    "a3_table_fingerprint",
+    "a4_deterministic_sample",
+    "q1_pricing_summary",
+    "q2_revenue_by_nation",
+    "x_dedup_fingerprint",
+    "x_dedup_minhash_lsh",
+    "x_ann_brute_topk",
+    "x_text_token_count",
+    "x_multimodal_decode_meta",
+    "x_events_hourly",
+    "x_events_sessionize",
+]
+
+
+def main() -> None:
+    from hive_scripts_spark.plans.registry import QUERIES
+    from hive_scripts_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once (not counted)
+    QUERIES["a1_count_star"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total seconds for 12 headline queries (reconcile, "
+                "fingerprint, TPC-H-ish aggs/joins, dedup, ANN, text, "
+                "multimodal, event-time)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (SURVEY §2.9 — north star).
+
+Model: image/audio/video payloads are **opaque ``binary`` columns** with
+typed metadata alongside (``modality``, byte length, content hash). The
+heavy steps — decode, resize, frame-sample, feature-extract — run as
+Arrow-batched Pandas UDFs over ``mapInPandas`` so each partition streams
+through Python in columnar batches (never row-at-a-time).
+
+The actual codec calls are STUBBED (image/audio libraries are not in this
+container): ``decode_image_meta`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a **deterministic fake decode** (md5-derived
+dimensions) exercises the full Spark-side plumbing — schema, batch shape,
+partitioning — and is reproducible enough to oracle-test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata schema produced by the fake/real decoder.
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def binarize(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Lift a string payload column into the binary multimodal model:
+    ``(id, payload binary, modality, byte_len)``. Real ingestion would
+    read raw bytes (``spark.read.format('binaryFile')``); here utf-8
+    encoding stands in for the byte stream."""
+    payload = F.encode(F.col(payload_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("image").alias("modality"),
+        F.octet_length(F.col(payload_col)).alias("byte_len"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic fake decode: md5-derived (width, height).
+
+    Stands in for a real codec (PIL/libav NOT importable here). The
+    derivation is pure (bytes → md5 → dims) so Spark and a SQL oracle
+    agree on every row.
+    """
+    digest = hashlib.md5(payload).hexdigest()
+    width = 1 + int(digest[:4], 16) % 1024
+    height = 1 + int(digest[4:8], 16) % 1024
+    return digest, width, height
+
+
+def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode image payloads to metadata via Arrow-batched ``mapInPandas``.
+
+    ``fake=False`` is the production path: plug a real codec in place of
+    the stub (signature and batch shape are identical).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires a codec library (PIL/opencv) "
+                    "not present in this environment; use fake=True for the "
+                    "deterministic stub"
+                )
+            metas = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "content_md5": [m[0] for m in metas],
+                    "width": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "height": pd.Series([m[2] for m in metas], dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: emit (doc, frame_index)
+    rows for every ``every_n``-th frame of a fake 100-frame clip. The
+    explode happens JVM-side; the (stubbed) frame extraction would run in
+    a downstream mapInPandas like :func:`decode_image_meta`."""
+    frames = F.sequence(F.lit(0), F.lit(99), F.lit(every_n))
+    return df.select(F.col(id_col), F.explode(frames).alias("frame_index"))

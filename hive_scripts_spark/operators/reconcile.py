@@ -1,0 +1,126 @@
+"""UC#1 — cross-database row-count reconciliation (the flagship).
+
+Reference behavior (``verizon_automation_script.sh:90-183``): for every
+table, enumerate partitions (``show partitions``, ``:104,138``), run one
+``count(*)`` query per partition per side (``:111-122,145-156``), dump
+``table:count[:partition]`` lines to temp files, then
+
+* matched   = ``grep -Fxf source.txt target.txt``  (``:179``, J1)
+* mismatched = ``diff --side-by-side --suppress-common-lines`` (``:170``, J2)
+
+Spark-native design (SURVEY §3.1): per side, **one** ``groupBy(partition
+cols)`` aggregation job replaces the O(partitions) query loop; the two
+tiny count frames meet in a **broadcast full-outer join** keyed on
+``(table, partition)``; matched/mismatched are filters over that joined
+frame. Counts compare as ``bigint``, not text (``07`` vs ``7`` — SURVEY
+§2.8.6 fixed).
+
+Scale posture: the scans aggregate map-side (partial count) so the
+shuffle carries one row per (table, partition); the join input is
+O(partitions), never O(rows). Works identically at sf0.001 and 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: column names of the count-record frame — mirrors the reference's
+#: colon-delimited intermediate schema ``(table, count, partition)``
+#: (``verizon_automation_script.sh:120,154``; SURVEY §2.1).
+COUNT_SCHEMA = ("table_name", "partition_spec", "row_count")
+
+
+def partition_counts(
+    df: DataFrame,
+    partition_cols: list[str] | None,
+    table_name: str = "",
+) -> DataFrame:
+    """A2: per-partition row counts in a single aggregation job.
+
+    ``partition_cols`` empty/None → the unpartitioned branch
+    (``verizon_automation_script.sh:123-126``): one total-count row with a
+    NULL partition spec. Multi-level partitions render as Hive
+    ``k1=v1/k2=v2`` specs (fixing the single-level assumption, SURVEY
+    §2.8.5).
+    """
+    if partition_cols:
+        spec = F.concat_ws(
+            "/",
+            *[
+                F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+                for c in partition_cols
+            ],
+        )
+        out = (
+            df.groupBy(spec.alias("partition_spec"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+        )
+    else:
+        out = df.agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(None).cast("string").alias("partition_spec"), "row_count"
+        )
+    return out.select(
+        F.lit(table_name).alias("table_name"), "partition_spec", "row_count"
+    )
+
+
+def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataFrame:
+    """J1+J2 as one full-outer join on ``(table_name, partition_spec)``.
+
+    Returns one row per key with ``src_count``, ``tgt_count`` and a
+    ``status`` column:
+
+    * ``matched``    — both sides present, counts equal (J1 semantics)
+    * ``mismatched`` — both present, counts differ
+    * ``source_only`` / ``target_only`` — key missing on one side (the
+      ``diff`` ``<``/``>`` rows)
+
+    Count frames are O(tables × partitions) — tiny — so the join is
+    broadcast; the hint is explicit rather than left to thresholds.
+    """
+    src = source_counts.select(
+        "table_name",
+        "partition_spec",
+        F.col("row_count").alias("src_count"),
+    )
+    tgt = target_counts.select(
+        "table_name",
+        "partition_spec",
+        F.col("row_count").alias("tgt_count"),
+    )
+    # null-safe equality on partition_spec: unpartitioned tables carry a
+    # NULL spec, and plain `=` would turn their rows into source_only +
+    # target_only phantoms
+    cond = (src["table_name"] == tgt["table_name"]) & src["partition_spec"].eqNullSafe(
+        tgt["partition_spec"]
+    )
+    joined = src.join(F.broadcast(tgt), cond, "full_outer").select(
+        F.coalesce(src["table_name"], tgt["table_name"]).alias("table_name"),
+        F.coalesce(src["partition_spec"], tgt["partition_spec"]).alias(
+            "partition_spec"
+        ),
+        "src_count",
+        "tgt_count",
+    )
+    status = (
+        F.when(F.col("src_count").isNull(), F.lit("target_only"))
+        .when(F.col("tgt_count").isNull(), F.lit("source_only"))
+        .when(F.col("src_count") == F.col("tgt_count"), F.lit("matched"))
+        .otherwise(F.lit("mismatched"))
+    )
+    return joined.select(
+        "table_name", "partition_spec", "src_count", "tgt_count", status.alias("status")
+    )
+
+
+def matched(reconciled: DataFrame) -> DataFrame:
+    """The ``grep -Fxf`` set — feeds UC#2 (``verizon_automation_script.sh:
+    179,196-202``)."""
+    return reconciled.where(F.col("status") == "matched")
+
+
+def mismatched(reconciled: DataFrame) -> DataFrame:
+    """The ``diff --suppress-common-lines`` set → TableMismatchedData
+    report (``verizon_automation_script.sh:170-175``)."""
+    return reconciled.where(F.col("status") != "matched")

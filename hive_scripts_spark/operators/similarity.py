@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (SURVEY §2.9 — north star).
+
+Input model: ``embeddings(vec_id bigint, embedding array<float>, label int)``
+— embeddings are first-class array columns, no UDT. Two tiers:
+
+* **brute-force cosine top-k** — the exactness baseline: equi-free join of
+  queries × corpus with the dot product as a JVM higher-order-function
+  fold (``zip_with`` + ``aggregate``), ranked per query by a window. The
+  query side is tiny → broadcast; the corpus streams partition-parallel,
+  so cost is O(|queries| × |corpus|) FLOPs but O(|corpus|) shuffle-free
+  scan at any scale.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic seeded hashes, no ``rand()``) bucket the corpus; queries
+  probe only their own bucket(s). Recall/latency trades via bits and
+  probes. An IVF variant (k-means coarse quantizer) can slot in the same
+  bucket-join shape.
+
+All arithmetic is done in **double** with a fixed fold order so results
+are reproducible and oracle-comparable (DuckDB computes the same fold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Sequential-fold dot product (deterministic order, double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a, b):
+    """cosine = dot / (|a| * |b|); computed dot-first, same shape as the
+    DuckDB oracle expression so values match to the ULP (rounded to 6dp
+    at the query surface)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is expected small (it is broadcast). Rank ties break by
+    neighbor id — fully deterministic output. Returns
+    ``(query_id, neighbor_id, cosine_sim, rank)``.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    lsh_tables: int = 4,
+    lsh_bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``use_lsh`` the candidate set is blocked by banded random-
+    hyperplane signatures: ``lsh_tables`` independent tables of
+    ``lsh_bits`` sign bits each; a pair is a candidate if it collides in
+    *any* table (the OR-construction — recall ≈ 1-(1-p^bits)^tables with
+    p = 1-θ/π). This turns the O(n²) cross join into per-(table, bucket)
+    self-joins — shuffle keyed on (table, signature), O(n·tables) rows.
+    Exact cosine verifies every candidate, so precision is exact; recall
+    is the LSH knob.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    if use_lsh:
+        sigs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_signature(
+                    F.col("vec"), bits=lsh_bits, seed_base=t * lsh_bits
+                ).alias("sig"),
+            )
+            for t in range(lsh_tables)
+        ]
+        blocked = base.select(
+            id_col, "vec", F.explode(F.array(*sigs)).alias("ts")
+        ).select(id_col, "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+        a = blocked.toDF("a_id", "a_vec", "tbl", "sig")
+        b = blocked.toDF("b_id", "b_vec", "tbl", "sig")
+        pairs = (
+            a.join(b, ["tbl", "sig"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "a_vec", "b_id", "b_vec")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        a = base.toDF("a_id", "a_vec")
+        b = base.toDF("b_id", "b_vec")
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sim = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplane_signature(vec, bits: int, seed_base: int = 0):
+    """Random-hyperplane LSH signature without rand(): hyperplane h's
+    component for dimension i is a deterministic pseudo-uniform drawn
+    from xxhash64(seed_base + h, i) — reproducible across runs.
+
+    sig bit h = sign(Σ_i vec[i] * g(h, i)) where
+    g(h,i) = ((xxhash64(h,i) % 1000003) / 1000003) - 0.5 (symmetric).
+    """
+    def component(h, i):
+        u = (F.xxhash64(F.lit(h), i) % 1000003 + 1000003) % 1000003
+        return u.cast("double") / 1000003.0 - 0.5
+
+    def _weighted(h):
+        # closure factory: keeps the lambda 2-ary (pyspark infers arity)
+        return lambda x, i: x * component(h, i)
+
+    bit_cols = []
+    for h0 in range(bits):
+        h = seed_base + h0
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _weighted(h)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), h0)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return sig
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: each vector to its max-cosine centroid.
+
+    ``centroids(centroid_id, centroid array<double>)`` is broadcast; at
+    100 TB this is the standard pre-partitioning for ANN — downstream
+    searches probe matching centroid partitions only (partition pruning
+    on ``centroid_id``).
+    """
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    scored = base.join(F.broadcast(centroids)).select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col("vec"), F.col("centroid")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "sim")
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators (SURVEY §2.9 — north-star extension).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting over a ``documents(doc_id, text, ...)`` table.
+All column expressions are built-in Spark functions (JVM, whole-stage
+codegen) — no Python in the hot path — so each operator is one narrow
+projection over the scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.functions.strings import normalize_whitespace
+
+#: tiny per-language stopword anchors for the heuristic language-ID.
+#: Deliberately small + deterministic: this is an n-gram/stopword-hit
+#: heuristic, not a model. Extend per deployment.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_whitespace(c)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy for LLM token budgeting)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish sub-word count via regex segmentation: words, numbers, and
+    punctuation runs count separately (≈ GPT-style pre-tokenizer split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def char_classes(col: Column | str) -> dict[str, Column]:
+    """Character-class counts used by the quality score."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    punct = total - alpha - digit - space
+    return {"n_chars": total, "n_alpha": alpha, "n_digit": digit, "n_space": space, "n_punct": punct}
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features: token count, mean word length, alpha/punct ratios, stopword
+    ratio (any language). ``quality_score`` is a deterministic [0,1]
+    combination — heuristic, tunable, but stable for regression tests.
+    """
+    cc = char_classes(text_col)
+    toks = tokens(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(all_stop)))
+    n_tok = F.size(toks)
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(cc["n_chars"], F.lit(1))
+    alpha_ratio = cc["n_alpha"].cast("double") / safe_chars
+    punct_ratio = cc["n_punct"].cast("double") / safe_chars
+    stop_ratio = stop_hits.cast("double") / safe_tok
+    mean_word_len = (
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / safe_tok
+        )
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            0.4 * alpha_ratio
+            + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
+        ),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hit counts.
+
+    Ties break by language code (deterministic); zero hits → 'und'.
+    One projection — the per-language counts are parallel ``filter``
+    expressions over the token array, no shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(list(words))))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    best = None
+    for lang, hits in hit_cols.items():  # fold: argmax with lang-code tiebreak
+        if best is None:
+            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        else:
+            cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        "doc_id",
+        *[hits.alias(f"hits_{lang}") for lang, hits in hit_cols.items()],
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint of normalized text: portable md5 plus a 64-bit
+    polynomial rolling hash over tokens (xxhash-combined, Spark-side)."""
+    norm = normalize_whitespace(text_col)
+    toks = tokens(text_col)
+    rolling = F.aggregate(
+        toks,
+        F.lit(1469598103934665603).cast("decimal(38,0)"),  # FNV offset basis
+        lambda acc, t: (acc * 31 + F.xxhash64(t)) % F.lit(2305843009213693951).cast("decimal(38,0)"),
+    ).cast("bigint")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

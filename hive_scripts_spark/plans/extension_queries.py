@@ -1,0 +1,408 @@
+"""Named queries for the north-star extensions (SURVEY §2.9): dedup,
+similarity search, text analysis, multimodal plumbing, window/event
+analytics. Prefix ``x_``.
+
+Oracles: everything SQL-expressible gets a DuckDB oracle. The genuinely
+non-SQL ops (MinHash-LSH, SimHash — banded hash blocking) are registered
+without oracles → the driver records the weaker rows-only check, and
+pytest covers their semantics with hand-built fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators import dedup as D
+from hive_scripts_spark.operators import multimodal as M
+from hive_scripts_spark.operators import similarity as S
+from hive_scripts_spark.operators import textstats as X
+from hive_scripts_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+    select min(doc_id) as doc_id, count(*) as n_dups
+    from documents group by text
+    """,
+)
+def x_dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"])
+
+
+@register(
+    "x_dedup_fingerprint",
+    oracle=r"""
+    select min(doc_id) as doc_id,
+           md5(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'),
+                                   '\s+', ' ', 'g'))) as content_hash,
+           count(*) as n_dups
+    from documents
+    group by content_hash
+    """,
+)
+def x_dedup_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.fingerprint_dedup(docs)
+
+
+_NORM = r"trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g'))"
+
+# word-3-gram shingle set per doc, as DuckDB SQL (list comprehension)
+_DUCK_SHINGLES = f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws from documents
+    ), sh as (
+      select doc_id,
+             unnest(list_distinct([
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, greatest(len(ws) - 1, 1))
+             ])) as shingle
+      from toks where len(ws) >= 3
+    )
+"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    common as (
+      select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select a_id, b_id, n_common, sa.n_sh as n_a, sb.n_sh as n_b,
+           round(cast(n_common as double) / (sa.n_sh + sb.n_sh - n_common), 6)
+             as jaccard
+    from common
+    join sizes sa on sa.doc_id = a_id
+    join sizes sb on sb.doc_id = b_id
+    where round(cast(n_common as double) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register("x_dedup_minhash_lsh")  # banded LSH blocking — not SQL-expressible
+def x_dedup_minhash_lsh(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.2)
+
+
+@register("x_dedup_simhash")  # bit-level blocking — not SQL-expressible
+def x_dedup_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_COSINE = """
+    list_dot_product(cast(a.embedding as double[]), cast(b.embedding as double[]))
+    / (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[])))
+       * sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[]))))
+"""
+
+
+@register(
+    "x_ann_brute_topk",
+    oracle=f"""
+    with scored as (
+      select a.vec_id as query_id, b.vec_id as neighbor_id,
+             round({_DUCK_COSINE}, 6) as cosine_sim
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where a.vec_id < 10
+    ), ranked as (
+      select *, row_number() over (
+        partition by query_id order by cosine_sim desc, neighbor_id) as rank
+      from scored
+    )
+    select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
+    """,
+)
+def x_ann_brute_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "x_embed_near_dup",
+    oracle=f"""
+    select a.vec_id as a_id, b.vec_id as b_id,
+           round({_DUCK_COSINE}, 6) as cosine_sim
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where round({_DUCK_COSINE}, 6) >= 0.35
+    """,
+)
+def x_embed_near_dup(spark, sf_dir):
+    # threshold 0.35 ≈ p99.9 of the testdata's cosine distribution — the
+    # synthetic embeddings are near-random, so a "duplicate"-grade 0.95
+    # threshold would make the test vacuous (0 rows)
+    return S.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.35, use_lsh=False
+    )
+
+
+@register("x_ann_lsh_pairs")  # hyperplane-LSH blocking — not SQL-expressible
+def x_ann_lsh_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.35, use_lsh=True)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_token_count",
+    oracle=f"""
+    select doc_id,
+           case when length({_NORM}) = 0 then 0
+                else len(string_split({_NORM}, ' ')) end as n_tokens
+    from documents
+    """,
+)
+def x_text_token_count(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "x_text_bpe_token_count",
+    oracle=r"""
+    select doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             as n_bpe_tokens
+    from documents
+    """,
+)
+def x_text_bpe_token_count(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "x_doc_fingerprint",
+    oracle=f"select doc_id, md5({_NORM}) as content_md5 from documents",
+)
+def x_doc_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return X.doc_fingerprint(docs).select("doc_id", "content_md5")
+
+
+@register("x_doc_rolling_hash")  # xxhash64-based — not portable to DuckDB
+def x_doc_rolling_hash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return X.doc_fingerprint(docs).select("doc_id", "rolling_hash")
+
+
+@register(
+    "x_text_quality",
+    oracle=None,  # composed below — see _QUALITY_ORACLE
+)
+def x_text_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return X.quality_features(docs)
+
+
+@register("x_text_langid")
+def x_text_langid(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return X.language_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_decode_meta",
+    oracle="""
+    select doc_id,
+           strlen(text) as byte_len,
+           md5(text) as content_md5,
+           cast(1 + cast(('0x' || substr(md5(text), 1, 4)) as int) % 1024 as int)
+             as width,
+           cast(1 + cast(('0x' || substr(md5(text), 5, 4)) as int) % 1024 as int)
+             as height
+    from documents
+    """,
+)
+def x_multimodal_decode_meta(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return M.decode_image_meta(M.binarize(docs, "text"), fake=True)
+
+
+@register(
+    "x_multimodal_frame_plan",
+    oracle="""
+    select doc_id, unnest(range(0, 100, 10)) as frame_index
+    from documents where doc_id < 50
+    """,
+)
+def x_multimodal_frame_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return M.frame_sample_plan(docs, every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# event-time / window analytics (events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_events_hourly",
+    oracle="""
+    select date_trunc('hour', ts) as window_start,
+           event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) as total_value
+    from events group by all
+    """,
+)
+def x_events_hourly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "x_window_top_orders_per_cust",
+    oracle="""
+    with ranked as (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (
+               partition by o_custkey
+               order by o_totalprice desc, o_orderkey) as rank
+      from orders
+    )
+    select o_custkey, o_orderkey, o_totalprice, rank
+    from ranked where rank <= 3
+    """,
+)
+def x_window_top_orders_per_cust(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "x_events_sessionize",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select user_id, ts,
+             sum(new_session) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row) as session_id
+      from marked
+    )
+    select user_id, session_id, count(*) as n_events,
+           min(ts) as session_start, max(ts) as session_end
+    from numbered group by user_id, session_id
+    """,
+)
+def x_events_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization via window functions (the batch twin
+    of the streaming session-window operator)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (engine completeness: UNION / INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_set_ops",
+    oracle="""
+    select n_nationkey, 'both' as side from (
+      select distinct c_nationkey as n_nationkey from customer
+      intersect
+      select distinct s_nationkey from supplier)
+    union all
+    select n_nationkey, 'customer_only' as side from (
+      select distinct c_nationkey as n_nationkey from customer
+      except
+      select distinct s_nationkey from supplier)
+    """,
+)
+def x_set_ops(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    only = cust.exceptAll(supp).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only)

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference issues Hive tuning flags (``hive.cbo.enable`` etc.,
+``verizon_automation_script.sh:99-103``) that never reach its queries
+(SURVEY §2.8.7). Here the equivalents — AQE, CBO-ish runtime re-planning,
+Arrow transfers — are applied once, on the session, where they actually
+take effect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitioning: sized for local[32] test runs; on a real cluster the
+# env knobs (or spark-submit conf) override these. AQE coalesces down at
+# runtime, so err on the high side for the 100 TB posture.
+_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    Defaults chosen for the 100 TB posture:
+
+    * **AQE on** (coalesce post-shuffle partitions, runtime broadcast
+      conversion, skew-join splitting) — replaces the reference's
+      ineffective Hive CBO flags.
+    * **Arrow on** for any Pandas-UDF path (the only Python hot paths we
+      allow are Arrow-batched).
+    * **ANSI on** (Spark 4 default kept): typed errors over silent wrap.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata's events.parquet carries TIMESTAMP(NANOS) which Spark has
+        # no native type for; read as long and convert (see plans.registry.table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+    return builder.getOrCreate()

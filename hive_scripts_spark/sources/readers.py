@@ -1,0 +1,90 @@
+"""Readers (SURVEY §2.1): line files, delimited text, parquet tables.
+
+Spark-native replacements for the reference's scan surface:
+
+* S1 line-file scan — ``while read line ... done < file.txt``
+  (``compare_tables.sh:3-9``) → :func:`read_lines`.
+* S2 delimited-text scan — ``awk -F| '{print $N}'``
+  (``compare_tables.sh:5-7``) → :func:`read_delimited`.
+* S4 Hive table scan — ``use $db; SELECT ... from $tbl``
+  (``verizon_automation_script.sh:119,124``) → :func:`load_table` over a
+  path-prefix "database" of parquet files (or ``spark.table`` for a real
+  metastore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1: one string column ``value`` per input line."""
+    return spark.read.text(path)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    sep: str = "|",
+    num_fields: int = 3,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """S2/P1: positional split of delimited lines into string columns.
+
+    Matches the awk behavior verified in SURVEY §3.3: rows with fewer than
+    ``num_fields`` fields yield empty strings for the missing positions
+    (``file.txt:1-2`` → ``("source", "", "")``), and blank lines yield all
+    empty strings. ``split()`` + ``getItem`` would yield NULLs for missing
+    positions, so missing items are coalesced to ``''``.
+    """
+    names = names or [f"c{i + 1}" for i in range(num_fields)]
+    lines = spark.read.text(path)
+    # split on the literal separator; escape regex metacharacters
+    import re as _re
+
+    pattern = _re.escape(sep)
+    parts = F.split(F.col("value"), pattern)
+    # F.get (not getItem): missing positions yield NULL (→ '') under ANSI
+    cols = [
+        F.coalesce(F.get(parts, i), F.lit("")).alias(names[i])
+        for i in range(num_fields)
+    ]
+    return lines.select(*cols)
+
+
+def reformat_delimited(df: DataFrame, joiner: str = " ") -> DataFrame:
+    """Entry point 3 (``compare_tables.sh``): re-emit the split fields
+    joined by ``joiner`` — ``echo "$var1 $var2 $var3"``."""
+    return df.select(F.concat_ws(joiner, *df.columns).alias("line"))
+
+
+def load_table(spark: SparkSession, db_path: str, name: str) -> DataFrame:
+    """S4: read one named table from a path-prefix database.
+
+    ``db_path`` is a directory holding ``<name>.parquet`` (the engine's
+    stand-in for the reference's ``use $db``); a fully-qualified
+    metastore name also works via ``spark.table`` when ``db_path`` is
+    empty.
+    """
+    if not db_path:
+        return spark.table(name)
+    return spark.read.parquet(f"{db_path}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, db_path: str, names=TESTDATA_TABLES):
+    """Load several tables as ``{name: DataFrame}``."""
+    return {name: load_table(spark, db_path, name) for name in names}

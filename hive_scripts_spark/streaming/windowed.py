@@ -1,0 +1,80 @@
+"""Streaming event analytics: tumbling-window aggregation with watermarks.
+
+Batch/stream parity: :func:`hourly_event_counts` produces the same result
+schema as the batch ``x_events_hourly`` query, so the correctness test
+runs the stream with ``availableNow`` over the same files and asserts
+equality against the batch plan — the Structured Streaming contract
+(incremental execution of the same logical plan) makes this exact.
+
+Scale posture: state is bounded by the watermark (late rows beyond
+``delay`` are dropped deterministically); the shuffle is keyed on
+(window, event_type) with map-side partial aggregation, identical to the
+batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: on-disk schema of the events table (ts stored as TIMESTAMP(NANOS) →
+#: long under nanosAsLong; converted on read).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet directory."""
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .format("parquet")
+        .option("path", path)
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event type, late data
+    bounded by ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_partition_counts(
+    events: DataFrame, partition_col: str = "event_type", watermark: str = "2 hours"
+) -> DataFrame:
+    """Micro-batch twin of UC#1's per-partition counts: running row counts
+    per partition value over the stream (append-mode windowless counts
+    require complete/update mode; windowed form keeps append semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col(partition_col))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.col("w.start").alias("window_start"), partition_col, "row_count"
+        )
+    )

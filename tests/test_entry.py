@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() keys
+line up, every query produces a stable schema at sf0.001."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {
+        "table_name",
+        "partition_spec",
+        "src_count",
+        "tgt_count",
+        "status",
+    }
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 35
+    # the reference surface must be fully oracle-checked
+    unoracled = {k for k in q if k not in o}
+    assert all(k.startswith("x_") for k in unoracled), unoracled

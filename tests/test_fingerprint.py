@@ -1,0 +1,75 @@
+"""Canonical fingerprint properties (SURVEY §5.4): order/partitioning
+invariance, perturbation sensitivity, deterministic sampling."""
+
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.functions.canonical import (
+    deterministic_sample,
+    table_fingerprint,
+)
+from hive_scripts_spark.operators.fingerprint import (
+    fingerprint_reconcile,
+    sampled_fingerprint,
+)
+
+
+def _df(spark, mutate=False, shuffle=False):
+    rows = [(i, f"v{i}", float(i) * 1.5, i % 4) for i in range(200)]
+    if mutate:
+        rows[17] = (17, "v17", 999.75, 1)
+    if shuffle:
+        rows = rows[::-1]
+    df = spark.createDataFrame(rows, "id long, s string, x double, p int")
+    return df.repartition(7 if shuffle else 3)
+
+
+def test_fingerprint_order_and_partition_invariant(spark):
+    a = table_fingerprint(_df(spark)).collect()[0]
+    b = table_fingerprint(_df(spark, shuffle=True)).collect()[0]
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["row_count"] == b["row_count"] == 200
+
+
+def test_fingerprint_detects_single_value_change(spark):
+    a = table_fingerprint(_df(spark)).collect()[0]
+    b = table_fingerprint(_df(spark, mutate=True)).collect()[0]
+    assert a["fingerprint"] != b["fingerprint"]
+    assert a["row_count"] == b["row_count"]  # same cardinality, caught by content
+
+
+def test_fingerprint_null_vs_empty_distinct(spark):
+    e = spark.createDataFrame([(1, "")], "id long, s string")
+    n = spark.createDataFrame([(1, None)], "id long, s string")
+    assert (
+        table_fingerprint(e).collect()[0]["fingerprint"]
+        != table_fingerprint(n).collect()[0]["fingerprint"]
+    )
+
+
+def test_deterministic_sample_stable_and_aligned(spark):
+    s1 = {r["id"] for r in deterministic_sample(_df(spark), ["id"], 0.2).select("id").collect()}
+    s2 = {
+        r["id"]
+        for r in deterministic_sample(_df(spark, shuffle=True), ["id"], 0.2)
+        .select("id")
+        .collect()
+    }
+    assert s1 == s2  # same logical rows regardless of layout
+    assert 10 <= len(s1) <= 80  # ~20% of 200, loose bounds
+
+
+def test_sampled_fingerprint_reconcile_flags_only_mutated_partition(spark):
+    src = sampled_fingerprint(_df(spark), ["id"], "t", ["p"], fraction=1.0)
+    tgt = sampled_fingerprint(_df(spark, mutate=True), ["id"], "t", ["p"], fraction=1.0)
+    rec = fingerprint_reconcile(src, tgt)
+    status = {r["partition_spec"]: r["status"] for r in rec.collect()}
+    assert status["p=1"] == "inconsistent"  # row 17 lives in p=1
+    assert all(v == "consistent" for k, v in status.items() if k != "p=1")
+
+
+def test_reordered_rows_not_flagged(spark):
+    # the marks-table scenario (FIXTURES.md): same content, different order
+    src = sampled_fingerprint(_df(spark), ["id"], "t", ["p"], fraction=1.0)
+    tgt = sampled_fingerprint(_df(spark, shuffle=True), ["id"], "t", ["p"], fraction=1.0)
+    rec = fingerprint_reconcile(src, tgt)
+    assert {r["status"] for r in rec.collect()} == {"consistent"}

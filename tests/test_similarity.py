@@ -1,0 +1,64 @@
+"""Similarity-search operator tests on vectors with known geometry."""
+
+import math
+
+import pytest
+
+from hive_scripts_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),  # ~0.999 cosine with 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),  # 45° from 0 and 2
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = S.brute_force_topk(vecs, vecs.where("vec_id = 0"), k=4)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 4, 2, 3]  # by descending cosine to vector 0
+    sims = {r["neighbor_id"]: r["cosine_sim"] for r in out.collect()}
+    assert abs(sims[4] - math.cos(math.pi / 4)) < 1e-3
+    assert sims[2] == 0.0 and sims[3] == -1.0
+
+
+def test_near_dup_exact_pairs(vecs):
+    pairs = {
+        (r["a_id"], r["b_id"]) for r in S.embedding_near_dup_pairs(
+            vecs, threshold=0.99, use_lsh=False
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_pairs_subset_of_exact_with_exact_sims(vecs):
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in S.embedding_near_dup_pairs(vecs, 0.5, use_lsh=False).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in S.embedding_near_dup_pairs(vecs, 0.5, use_lsh=True).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision is exact (verified candidates)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    assert (0, 1) in lsh  # near-identical vectors must collide
+
+
+def test_ivf_assign(vecs, spark):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = {r["vec_id"]: r["centroid_id"] for r in S.ivf_assign(vecs, centroids).collect()}
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 1
+    assert out[4] in (0, 1)  # equidistant — deterministic tie-break by id
+    assert out[4] == 0

@@ -1,0 +1,59 @@
+"""Text-analysis operator tests: tokenization edge cases, language-ID on
+clear-cut sentences, quality-score behavior."""
+
+import pytest
+
+from hive_scripts_spark.operators import textstats as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog are in the house"),  # clear English
+        (1, "el perro y el gato en la casa de los abuelos"),  # clear Spanish
+        (2, "der Hund und die Katze sind nicht im Haus"),  # clear German
+        (3, ""),  # empty
+        (4, "    "),  # whitespace only
+        (5, "!!! ??? ;;; ***"),  # punctuation soup
+        (6, "word"),  # single token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_edges(docs):
+    out = {r["doc_id"]: r["n"] for r in docs.select("doc_id", X.token_count("text").alias("n")).collect()}
+    assert out[0] == 9
+    assert out[3] == 0 and out[4] == 0
+    assert out[6] == 1
+
+
+def test_bpe_ish_token_count(docs, spark):
+    df = spark.createDataFrame([(0, "hello, world42!")], "doc_id long, text string")
+    n = df.select(X.bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # hello , world 42 ! → 5 pieces
+    assert n == 5
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in X.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "und" and out[5] == "und"
+
+
+def test_quality_score_ordering(docs):
+    out = {r["doc_id"]: r for r in X.quality_features(docs).collect()}
+    assert out[0]["quality_score"] > out[5]["quality_score"]  # prose > punct soup
+    assert out[3]["n_tokens"] == 0 and out[3]["quality_score"] <= 0.5
+    assert out[5]["punct_ratio"] > 0.5
+    assert 0.0 <= out[0]["stopword_ratio"] <= 1.0
+
+
+def test_doc_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "a  b\tc"), (1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["content_md5"], r["rolling_hash"]) for r in X.doc_fingerprint(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]

@@ -65,7 +65,13 @@ def fingerprint_dedup(
 
 def word_ngrams(text_col, n: int = 3):
     """Array of word n-grams of normalized text (space-joined). Empty/short
-    docs yield an empty array."""
+    docs yield an empty array.
+
+    NOTE: this is a raw Column expression — embedding it (or its result)
+    multiple times in one projection re-evaluates the whole split per
+    reference. Use :func:`shingle_sets` for anything performance-
+    sensitive; it stages the token array so each step runs once per row.
+    """
     toks = F.split(normalize_whitespace(text_col), " ")
     # slice windows [i, i+n) for i in 1..len-n+1 (1-based F.slice)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
@@ -76,14 +82,46 @@ def word_ngrams(text_col, n: int = 3):
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """``(id, shingles array<string>)`` — distinct word n-grams per doc.
+
+    Built as a **staged pipeline** (tokenize → ngram → distinct), each
+    stage a separate projection so CollapseProject cannot inline an
+    expensive expression into multiple call sites (that duplication costs
+    ~30× on this path — see project memory / PLANS.md). Map-only: no
+    shuffle, no explode.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(normalize_whitespace(text_col), " ").alias("__toks")
+    )
+    # docs shorter than n tokens have no shingles — filter HERE, on the
+    # cheap token count: a filter on the final shingle array would be
+    # predicate-pushed below the staging projections with full expression
+    # substitution, re-evaluating the whole ngram chain (measured ~20×)
+    t = F.col("__toks")
+    ngrams = toks.where(F.size(t) >= n).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
+        ).alias("__ngrams"),
+    )
+    return ngrams.select(
+        F.col(id_col), F.array_distinct(F.col("__ngrams")).alias("shingles")
+    )
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Exploded distinct (id, shingle) pairs — the input of both the
-    Jaccard join and MinHash."""
-    return (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
-        .distinct()
+    """Exploded distinct (id, shingle) pairs — the input of the Jaccard
+    shingle-equi-join. (explode_outer: see minhash_band_buckets — avoids
+    the InferFiltersFromGenerate fold-recompute; short docs are already
+    filtered so the arrays are non-empty.)"""
+    return shingle_sets(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -146,19 +184,94 @@ def _shingle_hash(seed: int):
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
-    functions, the min hash over the doc's shingles.
+    functions, the min hash over the doc's shingle set.
 
-    One aggregation job: the k mins compute as k parallel ``min``
-    aggregates in the same groupBy (map-side partial agg → shuffle carries
-    k longs per doc)."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    **Map-only**: the shingle array never explodes — each signature slot
+    is ``array_min(transform(shingles, s -> xxhash64(seed, s)))``, a JVM
+    higher-order-function projection. Zero shuffle; at 100 TB the
+    signature stage costs one scan. (The exploded-groupBy formulation
+    shuffles every (doc, shingle) pair — ~50× more bytes.)
+
+    Docs with no shingles (shorter than ``n`` tokens) are dropped (they
+    cannot near-dup by shingle overlap).
+
+    Returns ``(id, minhash array<long>)`` — kept as one array column:
+    extracting 32 scalar columns would let CollapseProject inline the
+    fold 32× (array extraction counts as "cheap"), re-running it per
+    slot. Callers needing per-band buckets use
+    :func:`minhash_band_buckets`, which derives them inside the fold's
+    ``finish`` lambda where the accumulator is a variable, not a
+    re-evaluated expression.
+    """
+    sets = shingle_sets(df, text_col, id_col, n)  # already drops shingle-less docs
+    return sets.select(
+        F.col(id_col), _minhash_fold(F.col("shingles"), num_hashes).alias("minhash")
+    )
+
+
+def _minhash_fold(shingles, num_hashes: int, finish=None):
+    """Single-pass MinHash fold: per shingle, hash under all seeds at once
+    and fold the running minima with zip_with."""
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(seed), s) for seed in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+        *( [finish] if finish is not None else [] ),
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """``(id, band, bucket)`` rows: the LSH blocking keys.
+
+    The band buckets are computed in the fold's ``finish`` lambda —
+    ``acc`` there is a lambda variable, so hashing it per band costs one
+    array read, not one fold re-evaluation (the CollapseProject trap).
+    """
+    rows_per_band = num_hashes // bands
+
+    def finish(acc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                b,
+                *[
+                    F.element_at(acc, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            ),
+        )
+
+    sets = shingle_sets(df, text_col, id_col, n)  # already drops shingle-less docs
+    bucketed = sets.select(
+        F.col(id_col),
+        _minhash_fold(F.col("shingles"), num_hashes, finish).alias("__buckets"),
+    )
+    # posexplode_OUTER: InferFiltersFromGenerate adds a pushed-down
+    # `size(__buckets) > 0` guard for non-outer generators, substituting
+    # the whole fold into the filter (≈3× recompute). The outer variant is
+    # exempt, and the bucket array is always exactly `bands` long anyway.
+    return bucketed.select(
+        F.col(id_col), F.posexplode_outer("__buckets").alias("band", "bucket")
+    )
 
 
 def minhash_lsh_pairs(
@@ -184,28 +297,7 @@ def minhash_lsh_pairs(
     candidate semi-join, so verification cost is O(candidates), not
     O(docs²).
     """
-    rows_per_band = num_hashes // bands
-    sh = shingle_table(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_cols[b].alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
+    banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (
@@ -215,30 +307,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: Jaccard over shingles, restricted to candidates
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.toDF("a_id", "shingle")
-    b = sh.toDF("b_id", "shingle")
-    common = (
-        candidates.join(a, "a_id")  # (a_id, b_id, shingle of a)
-        .join(b, ["b_id", "shingle"])  # keep shingles present in b too
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(sizes.toDF("a_id", "n_a"), "a_id")
-        .join(sizes.toDF("b_id", "n_b"), "b_id")
-        .withColumn(
-            "jaccard",
+    # exact verify: Jaccard via array_intersect on the candidates only —
+    # the shingle sets join onto the (small) candidate pair set, so no
+    # (doc, shingle) explode ever shuffles
+    sets = shingle_sets(df, text_col, id_col, n)
+    verified = (
+        candidates.join(sets.toDF("a_id", "a_sh"), "a_id")
+        .join(sets.toDF("b_id", "b_sh"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
             F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+                / F.size(F.array_union("a_sh", "b_sh")),
                 6,
-            ),
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out.select("a_id", "b_id", "jaccard")
+    return verified
 
 
 def dedup_keep_min(pairs: DataFrame, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -262,31 +349,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     ``sum over tokens of (bit_i ? +1 : -1)``. Expressed as one projection:
     the per-bit sums are a fold over the token array (JVM higher-order
     functions, no UDF, no shuffle)."""
-    toks = F.split(normalize_whitespace(text_col), " ")
-    # fold token hashes into a `bits`-slot sum vector; shift amounts must
-    # be static ints (shiftright does not take a Column), so the per-bit
-    # extraction is an unrolled array of `bits` expressions
-    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-
-    def _bit_vector(t):
-        h = F.xxhash64(t)
-        return F.array(
-            *[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") for i in range(bits)]
-        )
-
-    sums = F.aggregate(
-        toks,
-        zeros,
-        lambda acc, t: F.zip_with(acc, _bit_vector(t), lambda a, bit: a + (bit * 2 - 1)),
+    # staged: tokenize once, hash each token once, THEN fold bit-sums.
+    # (hashing inside the per-bit extraction would re-run xxhash64 `bits`
+    # times per token — the expression-duplication trap, see shingle_sets)
+    toks = df.select(
+        F.col(id_col), F.split(normalize_whitespace(text_col), " ").alias("__toks")
     )
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda w: F.xxhash64(w)).alias("__h"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    # `h` is a lambda variable (cheap reference) — the unrolled shiftrights
+    # read it, they don't recompute it. Shift amounts must be static ints.
+    sums_col = F.aggregate(
+        F.col("__h"),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, bit: a + (bit * 2 - 1),
+        ),
+    )
+    staged = hashed.select(F.col(id_col), sums_col.alias("__sums"))
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseOR(
             F.when(
-                F.get(sums, i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.get(F.col("__sums"), i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

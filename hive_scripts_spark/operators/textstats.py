@@ -66,8 +66,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio (any language). ``quality_score`` is a deterministic [0,1]
     combination — heuristic, tunable, but stable for regression tests.
     """
-    cc = char_classes(text_col)
-    toks = tokens(text_col)
+    # stage the token array once — it feeds 3+ expressions below, and an
+    # unstaged Column would re-tokenize per reference (see dedup.shingle_sets)
+    staged = df.select("doc_id", F.col(text_col).alias("__text"), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    cc = char_classes(F.col("__text"))
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(all_stop)))
     n_tok = F.size(toks)
@@ -93,7 +96,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         6,
     )
-    return df.select(
+    return staged.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
@@ -111,22 +114,36 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     One projection — the per-language counts are parallel ``filter``
     expressions over the token array, no shuffle, no UDF.
     """
-    toks = tokens(text_col)
-    hit_cols = {
-        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(list(words))))
-        for lang, words in sorted(LANG_STOPWORDS.items())
-    }
-    best = None
-    for lang, hits in hit_cols.items():  # fold: argmax with lang-code tiebreak
-        if best is None:
-            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        else:
-            cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.select(
+    # stage 1: tokenize once; stage 2: per-language hit counts (each a
+    # cheap filter over the staged array); stage 3: argmax over the hit
+    # attributes (cheap references — no re-count per comparison)
+    staged = df.select("doc_id", F.lower(F.col(text_col)).alias("__lower"))
+    toked = staged.select(
         "doc_id",
-        *[hits.alias(f"hits_{lang}") for lang, hits in hit_cols.items()],
+        F.when(
+            F.length(F.trim(F.col("__lower"))) == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split(F.trim(F.regexp_replace("__lower", r"\s+", " ")), " "))
+        .alias("__toks"),
+    )
+    langs = sorted(LANG_STOPWORDS)
+
+    def _hits(words):
+        # closure factory keeps the lambda 1-ary (pyspark infers arity)
+        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(list(words))))
+
+    counted = toked.select(
+        "doc_id",
+        *[_hits(LANG_STOPWORDS[lang]).alias(f"hits_{lang}") for lang in langs],
+    )
+    best = None
+    for lang in langs:  # fold: argmax with lang-code tiebreak
+        cand = F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return counted.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in langs],
         pred.alias("predicted_lang"),
     )
 

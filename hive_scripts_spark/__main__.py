@@ -1,0 +1,118 @@
+"""CLI face of the engine — the Spark-native twin of running
+``verizon_automation_script.sh`` (SURVEY §3.1-3.2).
+
+Usage::
+
+    python -m hive_scripts_spark validate CONFIG_FILE [--output DIR]
+        run UC#1 (count reconciliation) + UC#2 (sampled fingerprints)
+        for the tables listed in the INI config; writes the three CSV
+        reports (MatchedData, TableMismatchedData, TableDataNotConsistent)
+        under a dated run directory.
+
+    python -m hive_scripts_spark reformat INPUT_FILE [--sep '|'] [--fields 3]
+        the compare_tables.sh pipeline: split delimited lines
+        positionally, re-emit space-joined (SURVEY §3.3).
+
+    python -m hive_scripts_spark bench
+        run the headline benchmark (same as bench.py).
+
+Config extensions over the reference format: each of ``[Source]`` /
+``[Target]`` takes a ``Path:<dir>`` pointing at a directory of
+``<table>.parquet`` files; optional ``[Partitions]`` lines of the form
+``table:col1,col2`` declare partition columns (the reference reads these
+from the Hive metastore, which a path database does not have).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hive_scripts_spark.config import JobConfig, parse_sections, split_kv
+from hive_scripts_spark.pipeline import TableSpec, run_validation
+from hive_scripts_spark.session import get_spark
+
+
+def _table_specs(config_text: str, cfg: JobConfig) -> list[TableSpec]:
+    sections = parse_sections(config_text)
+    parts: dict[str, list[str]] = {}
+    for line in sections.get("Partitions", []):
+        tbl, cols = split_kv(line)
+        parts[tbl] = [c for c in cols.split(",") if c]
+    return [TableSpec(name, partition_cols=parts.get(name, [])) for name in cfg.tables]
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from pathlib import Path
+
+    cfg_path = Path(args.config)
+    if not cfg_path.is_file():
+        print(f"error: config file not found: {cfg_path}", file=sys.stderr)
+        return 2
+    text = cfg_path.read_text()
+    cfg = JobConfig.from_text(text)
+    if not cfg.source.path or not cfg.target.path:
+        print(
+            "error: config needs Path:<dir> under [Source] and [Target]",
+            file=sys.stderr,
+        )
+        return 2
+    if not cfg.tables:
+        print("error: config lists no tables under [Tables]", file=sys.stderr)
+        return 2
+    spark = get_spark("hive-scripts-spark-validate")
+    result = run_validation(
+        spark,
+        cfg,
+        _table_specs(text, cfg),
+        output_dir=args.output,
+        sample_fraction=cfg.sample_size / 100.0
+        if cfg.sample_mode == "hash"
+        else 0.10,
+    )
+    print("== UC#1 count reconciliation ==")
+    result.reconciled.orderBy("table_name", "partition_spec").show(100, truncate=False)
+    if result.consistency is not None:
+        print("== UC#2 sampled-content consistency ==")
+        result.consistency.orderBy("table_name", "partition_spec").show(
+            100, truncate=False
+        )
+    n_bad = result.mismatched.count()
+    print(f"{'FAIL' if n_bad else 'OK'}: {n_bad} mismatched table/partition(s)")
+    return 1 if n_bad else 0
+
+
+def cmd_reformat(args: argparse.Namespace) -> int:
+    from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
+
+    spark = get_spark("hive-scripts-spark-reformat")
+    df = read_delimited(spark, args.input, sep=args.sep, num_fields=args.fields)
+    for row in reformat_delimited(df).collect():
+        print(row["line"])
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hive_scripts_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="UC#1+UC#2 cross-database validation")
+    v.add_argument("config", help="INI config (reference format + Path keys)")
+    v.add_argument("--output", default=None, help="report output directory")
+    v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("reformat", help="delimited-text reformatter")
+    r.add_argument("input", help="delimited text file")
+    r.add_argument("--sep", default="|")
+    r.add_argument("--fields", type=int, default=3)
+    r.set_defaults(fn=cmd_reformat)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

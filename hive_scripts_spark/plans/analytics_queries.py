@@ -1,0 +1,362 @@
+"""Extended analytics surface: multi-dimensional aggregation (rollup /
+cube / grouping sets / pivot), statistics (percentiles), semi-structured
+extraction (JSON), temporal joins (as-of, range), and global top-k.
+
+The reference delegates all SQL to Hive (SURVEY §0); these queries
+demonstrate the full Spark SQL surface the engine exposes in its place,
+each with a DuckDB oracle. Prefix ``g_``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators.asof import asof_join, range_join_buckets
+from hive_scripts_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_rollup_pricing",
+    oracle="""
+    select l_returnflag, l_linestatus,
+           count(*) as n_items,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+    from lineitem
+    group by rollup(l_returnflag, l_linestatus)
+    """,
+)
+def g_rollup_pricing(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "g_cube_order_status",
+    oracle="""
+    select o_orderstatus, o_orderpriority, count(*) as n_orders
+    from orders
+    group by cube(o_orderstatus, o_orderpriority)
+    """,
+)
+def g_cube_order_status(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "g_grouping_sets",
+    oracle="""
+    select l_returnflag, l_linestatus, count(*) as n_items
+    from lineitem
+    group by grouping sets ((l_returnflag), (l_linestatus))
+    """,
+)
+def g_grouping_sets(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        select l_returnflag, l_linestatus, count(*) as n_items
+        from __gs_lineitem
+        group by grouping sets ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "g_pivot_status_by_priority",
+    oracle="""
+    select o_orderpriority,
+           count(*) filter (where o_orderstatus = 'F') as n_f,
+           count(*) filter (where o_orderstatus = 'O') as n_o,
+           count(*) filter (where o_orderstatus = 'P') as n_p
+    from orders group by o_orderpriority
+    """,
+)
+def g_pivot_status_by_priority(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+        # pivot leaves NULL for empty cells; the filtered-count oracle says 0
+        .fillna(0, subset=["n_f", "n_o", "n_p"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_percentiles",
+    oracle="""
+    select o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) as p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) as p90,
+           round(min(o_totalprice), 4) as min_price,
+           round(max(o_totalprice), 4) as max_price
+    from orders group by o_orderstatus
+    """,
+)
+def g_percentiles(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register("g_approx_distinct")  # HLL sketch — engine-specific, rows-only
+def g_approx_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_json_extract",
+    oracle="""
+    select event_id, json_extract_string(props, '$.k') as k_value
+    from events
+    """,
+)
+def g_json_extract(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_value")
+    )
+
+
+@register(
+    "g_json_agg",
+    oracle="""
+    select event_type,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint)
+             as k_total
+    from events group by event_type
+    """,
+)
+def g_json_agg(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_asof_last_error",
+    oracle="""
+    select c.event_id, c.ts, c.user_id,
+           e.ts as matched_ts, e.event_id as r_event_id
+    from (select * from events where event_type = 'click') c
+    asof left join (select event_id, ts, user_id from events
+                    where event_type = 'error') e
+      on c.user_id = e.user_id and c.ts >= e.ts
+    """,
+)
+def g_asof_last_error(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    return asof_join(clicks, errors, key="user_id", ts="ts", right_cols=["event_id"])
+
+
+@register(
+    "g_range_join",
+    oracle="""
+    select l.event_id as l_id, r.event_id as r_id,
+           epoch_us(l.ts) - epoch_us(r.ts) as delta_us
+    from (select * from events where event_type = 'purchase') l
+    join (select * from events where event_type = 'click') r
+      on l.user_id = r.user_id
+     and epoch_us(l.ts) - epoch_us(r.ts) between 0 and 3600000000
+    """,
+)
+def g_range_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    # per-user range join: bucket by user too — compose the bucketed range
+    # join with the key equi-join by prefixing the bucket with the user
+    l = purchases.select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.unix_micros("ts").alias("l_us"),
+    )
+    r = clicks.select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        F.unix_micros("ts").alias("r_us"),
+    )
+    w = 3_600_000_000
+    lb = F.floor(F.col("l_us") / w).cast("long")
+    l_exp = l.select(
+        "l_id", "user_id", "l_us", F.explode(F.array(lb, lb - 1)).alias("bucket")
+    )
+    r_b = r.withColumn("bucket", F.floor(F.col("r_us") / w).cast("long"))
+    return (
+        l_exp.join(r_b, ["user_id", "bucket"])
+        .where((F.col("l_us") - F.col("r_us")).between(0, w))
+        .select("l_id", "r_id", (F.col("l_us") - F.col("r_us")).alias("delta_us"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordering / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_global_topk",
+    oracle="""
+    select o_orderkey, o_totalprice from orders
+    order by o_totalprice desc, o_orderkey limit 25
+    """,
+)
+def g_global_topk(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "g_q3_shipping_priority",
+    oracle="""
+    select l.l_orderkey,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                         as decimal(28,6))) as double) as revenue,
+           o.o_orderdate
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < timestamp '1998-03-15'
+      and l.l_shipdate  > timestamp '1998-03-15'
+    group by l.l_orderkey, o.o_orderdate
+    order by revenue desc, l.l_orderkey limit 10
+    """,
+)
+def g_q3_shipping_priority(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "g_q6_forecast_revenue",
+    oracle="""
+    select cast(sum(cast(l_extendedprice * l_discount as decimal(28,6)))
+                as double) as revenue
+    from lineitem
+    where l_shipdate >= timestamp '1997-01-01'
+      and l_shipdate <  timestamp '1998-01-01'
+      and l_discount between 0.03 and 0.05
+      and l_quantity < 24
+    """,
+)
+def g_q6_forecast_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# string-function batch (upper/lower/lpad/like/locate — SURVEY §2.5 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_string_functions",
+    oracle="""
+    select p_partkey,
+           upper(p_brand) as brand_upper,
+           lower(p_type) as type_lower,
+           lpad(cast(p_size as varchar), 4, '0') as size_padded,
+           (p_name like '%red%') as is_red,
+           strpos(p_name, 'widget') as widget_pos
+    from part
+    """,
+)
+def g_string_functions(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.col("p_name").like("%red%").alias("is_red"),
+        F.locate("widget", F.col("p_name")).alias("widget_pos"),
+    )

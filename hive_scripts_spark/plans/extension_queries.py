@@ -209,16 +209,87 @@ def x_doc_rolling_hash(spark, sf_dir):
     return X.doc_fingerprint(docs).select("doc_id", "rolling_hash")
 
 
-@register(
-    "x_text_quality",
-    oracle=None,  # composed below — see _QUALITY_ORACLE
-)
+def _duck_stoplist(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _quality_oracle() -> str:
+    from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
+
+    all_stop = _duck_stoplist({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return f"""
+    with toks as (
+      select doc_id, text,
+             case when length({_NORM}) = 0 then cast([] as varchar[])
+                  else string_split({_NORM}, ' ') end as t
+      from documents
+    ), feat as (
+      select doc_id,
+             len(t) as n_tokens,
+             case when len(t) = 0 then 0.0
+                  else cast(list_sum(list_transform(t, w -> length(w))) as double)
+                       / greatest(len(t), 1) end as mean_word_len,
+             cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+               / greatest(length(text), 1) as alpha_ratio,
+             cast(length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  - length(regexp_replace(text, '[^\\s]', '', 'g')) as double)
+               / greatest(length(text), 1) as punct_ratio,
+             cast(len(list_filter(t, w -> list_contains({all_stop}, lower(w))))
+                  as double) / greatest(len(t), 1) as stopword_ratio
+      from toks
+    )
+    select doc_id, n_tokens,
+           round(mean_word_len, 6) as mean_word_len,
+           round(alpha_ratio, 6) as alpha_ratio,
+           round(punct_ratio, 6) as punct_ratio,
+           round(stopword_ratio, 6) as stopword_ratio,
+           round(least(1.0, 0.4 * alpha_ratio
+                            + 0.3 * least(stopword_ratio * 5, 1.0)
+                            + 0.3 * (1 - least(punct_ratio * 10, 1.0))), 6)
+             as quality_score
+    from feat
+    """
+
+
+def _langid_oracle() -> str:
+    from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    norm_lower = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    hit_exprs = ",\n             ".join(
+        f"len(list_filter(t, w -> list_contains({_duck_stoplist(LANG_STOPWORDS[lang])}, w)))"
+        f" as hits_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    first_max = " ".join(
+        f"when hits_{lang} = {m} then '{lang}'" for lang in langs
+    )
+    return f"""
+    with toks as (
+      select doc_id,
+             case when length(trim(lower(text))) = 0 then cast([] as varchar[])
+                  else string_split({norm_lower}, ' ') end as t
+      from documents
+    ), hits as (
+      select doc_id,
+             {hit_exprs}
+      from toks
+    )
+    select doc_id, {", ".join(f"hits_{lang}" for lang in langs)},
+           case when {m} = 0 then 'und' {first_max} end as predicted_lang
+    from hits
+    """
+
+
+@register("x_text_quality", oracle=_quality_oracle())
 def x_text_quality(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return X.quality_features(docs)
 
 
-@register("x_text_langid")
+@register("x_text_langid", oracle=_langid_oracle())
 def x_text_langid(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return X.language_id(docs)

@@ -61,6 +61,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_all() -> None:
     # populate the registry (import side effects)
+    from hive_scripts_spark.plans import analytics_queries  # noqa: F401
     from hive_scripts_spark.plans import extension_queries  # noqa: F401
     from hive_scripts_spark.plans import reference_queries  # noqa: F401
 

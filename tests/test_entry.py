@@ -21,6 +21,8 @@ def test_oracle_keys_subset_of_queries():
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 35
-    # the reference surface must be fully oracle-checked
+    # the reference surface (s/p/j/a/f/q prefixes) must be fully
+    # oracle-checked; only extension ops (x_/g_ sketches, LSH blocking,
+    # xxhash64 paths) may be rows-only
     unoracled = {k for k in q if k not in o}
-    assert all(k.startswith("x_") for k in unoracled), unoracled
+    assert all(k.startswith(("x_", "g_")) for k in unoracled), unoracled

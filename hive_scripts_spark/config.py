@@ -39,7 +39,9 @@ def parse_sections(text: str) -> dict[str, list[str]]:
     """
     sections: dict[str, list[str]] = {}
     current: list[str] | None = None
-    for raw in text.splitlines():
+    # split on \n only (not str.splitlines(), which also splits on \x1c-\x1e,
+    # \x85,  … — the reference's sed pipeline treats those as content)
+    for raw in text.split("\n"):
         line = raw.strip().rstrip("\r").strip()
         if not line:
             continue

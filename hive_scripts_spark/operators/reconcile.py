@@ -10,7 +10,7 @@ table, enumerate partitions (``show partitions``, ``:104,138``), run one
 
 Spark-native design (SURVEY §3.1): per side, **one** ``groupBy(partition
 cols)`` aggregation job replaces the O(partitions) query loop; the two
-tiny count frames meet in a **broadcast full-outer join** keyed on
+tiny count frames meet in a full-outer join keyed on
 ``(table, partition)``; matched/mismatched are filters over that joined
 frame. Counts compare as ``bigint``, not text (``07`` vs ``7`` — SURVEY
 §2.8.6 fixed).
@@ -76,8 +76,10 @@ def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataF
     * ``source_only`` / ``target_only`` — key missing on one side (the
       ``diff`` ``<``/``>`` rows)
 
-    Count frames are O(tables × partitions) — tiny — so the join is
-    broadcast; the hint is explicit rather than left to thresholds.
+    Count frames are O(tables × partitions) — tiny — so the
+    full-outer join runs on trivially small inputs. (Spark cannot
+    broadcast a full-outer join — the hint downgrades to a sort-merge
+    join of O(partitions) rows, which is the right plan here.)
     """
     src = source_counts.select(
         "table_name",

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These are the operators Structured Streaming's built-ins don't express:
+arbitrary per-key state evolved across micro-batches, with Arrow-batched
+Python logic. State is partitioned by key across executors and bounded by
+timeouts — the 100 TB posture is the same as any keyed shuffle, plus
+store size ∝ live keys.
+
+Provided:
+
+* :func:`running_user_totals` — per-user running event count / value sum
+  (the micro-batch twin of a `groupBy(user).agg(...)` that never ends).
+* :func:`streaming_dedup` — cross-batch exact dedup on an id column with
+  TTL state, for at-least-once sources (the streaming face of
+  ``operators.dedup.exact_dedup``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals across all micro-batches (update mode).
+
+    State: one (count, sum) pair per user — O(users), partitioned by the
+    grouping key. No timeout: totals live for the stream's lifetime; add
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+    for TTL eviction when the key space is unbounded.
+
+    The update function is a closure (not module-level) on purpose:
+    cloudpickle ships closures by value, so Python workers don't need
+    this package importable — module-level functions pickle by reference
+    and break when the driver runs outside the repo.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Exact cross-batch dedup on ``event_id``: the first occurrence wins,
+    replays are dropped. State is one boolean per seen id — pair with a
+    timeout matching the source's replay horizon to bound it.
+    (Closure for the same pickling reason as :func:`running_user_totals`.)
+    """
+
+    def emit_first_only(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        first_batch = None
+        for pdf in batches:
+            if first_batch is None and len(pdf):
+                first_batch = pdf
+        if state.exists or first_batch is None:
+            return  # already emitted in an earlier batch (or empty group)
+        state.update((True,))
+        row = first_batch.sort_values("ts").iloc[:1]
+        yield row[["event_id", "user_id", "event_type", "value"]]
+
+    return events.groupBy("event_id").applyInPandasWithState(
+        emit_first_only,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

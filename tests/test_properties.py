@@ -1,0 +1,113 @@
+"""Property tests (SURVEY §5.4): fingerprint invariance under reordering
+and repartitioning; deterministic-sample stability; config round-trips.
+
+Hypothesis drives the row content; Spark jobs are kept small (one
+settings profile with few examples) since each example is a Spark job.
+"""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hive_scripts_spark.config import JobConfig, parse_sections
+from hive_scripts_spark.functions.canonical import (
+    FINGERPRINT_MOD,
+    deterministic_sample,
+    table_fingerprint,
+)
+
+SMALL = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),
+        st.one_of(st.none(), st.text(max_size=12)),
+        st.one_of(
+            st.none(),
+            st.floats(
+                allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@SMALL
+@given(rows=rows_strategy, seed=st.integers(0, 2**16))
+def test_fingerprint_invariant_under_layout(spark, rows, seed):
+    import random
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = spark.createDataFrame(rows, "id long, s string, x double").repartition(3)
+    b = spark.createDataFrame(shuffled, "id long, s string, x double").repartition(7)
+    fa = table_fingerprint(a).collect()[0]
+    fb = table_fingerprint(b).collect()[0]
+    assert fa["fingerprint"] == fb["fingerprint"]
+    assert fa["row_count"] == fb["row_count"] == len(rows)
+    assert 0 <= fa["fingerprint"] < FINGERPRINT_MOD
+
+
+@SMALL
+@given(rows=rows_strategy)
+def test_fingerprint_changes_on_any_mutation(spark, rows, ):
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    base = table_fingerprint(df).collect()[0]["fingerprint"]
+    mutated_rows = [(rows[0][0], "MUTATED-VALUE-XYZ", rows[0][2])] + rows[1:]
+    if mutated_rows[0][1] == rows[0][1]:
+        return
+    mutated = spark.createDataFrame(mutated_rows, "id long, s string, x double")
+    assert table_fingerprint(mutated).collect()[0]["fingerprint"] != base
+
+
+@SMALL
+@given(rows=rows_strategy, frac=st.sampled_from([0.1, 0.3, 0.7]))
+def test_sample_deterministic_and_subset(spark, rows, frac):
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    s1 = {r["id"] for r in deterministic_sample(df, ["id"], frac).select("id").collect()}
+    s2 = {
+        r["id"]
+        for r in deterministic_sample(df.repartition(5), ["id"], frac)
+        .select("id")
+        .collect()
+    }
+    assert s1 == s2  # layout-independent
+    all_ids = {r[0] for r in rows}
+    assert s1 <= all_ids
+    # monotone: a larger fraction contains the smaller one
+    s_big = {
+        r["id"] for r in deterministic_sample(df, ["id"], 1.0).select("id").collect()
+    }
+    assert s1 <= s_big and s_big == all_ids
+
+
+@given(
+    keys=st.dictionaries(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll")), min_size=1, max_size=8
+        ),
+        st.text(
+            alphabet=st.characters(blacklist_characters="[]\r\n:", blacklist_categories=("Cs",)),
+            max_size=12,
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_config_section_roundtrip(keys):
+    body = "\n".join(f"{k}:{v}" for k, v in keys.items())
+    text = f"[S]\n{body}\n[END]\n"
+    sections = parse_sections(text)
+    parsed = dict(
+        tuple(line.split(":", 1)) if ":" in line else (line, "")
+        for line in sections.get("S", [])
+    )
+    for k, v in keys.items():
+        assert parsed.get(k.strip(), "").strip() == v.strip()

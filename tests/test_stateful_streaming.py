@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators: state must carry across
+micro-batches (two-file source, maxFilesPerTrigger=1 forces two batches)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.streaming.stateful import (
+    running_user_totals,
+    streaming_dedup,
+)
+from hive_scripts_spark.streaming.windowed import read_event_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def two_batch_dir(spark, tmp_path):
+    # split events into two files so the stream runs two micro-batches
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 = 1")
+    # duplicate some of batch A's rows into batch B to exercise dedup
+    b = b.unionByName(a.limit(50))
+    d = tmp_path / "stream_src"
+    a.coalesce(1).write.parquet(str(d / "f0"))
+    b.coalesce(1).write.parquet(str(d / "f1"))
+    # flatten: file source wants files in one dir
+    import glob
+
+    out = tmp_path / "flat"
+    out.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(f, out / f"batch-{i}.parquet")
+    return str(out)
+
+
+def test_running_totals_accumulate_across_batches(spark, two_batch_dir, tmp_path):
+    stream = read_event_stream(spark, two_batch_dir).withColumn(
+        "ts_long", F.unix_micros("ts")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    # last update per user must equal the full batch aggregate
+    latest = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest.collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dup = ev.where("event_id % 2 = 0").limit(50)
+    full = ev.unionByName(dup)
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for u in expect:
+        assert got[u][0] == expect[u][0]
+        assert abs(got[u][1] - expect[u][1]) < 0.05  # per-batch rounding drift
+
+
+def test_streaming_dedup_drops_replays(spark, two_batch_dir, tmp_path):
+    stream = read_event_stream(spark, two_batch_dir)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.table("dedup_out")
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == n_events  # replayed 50 rows deduplicated away
+    assert out.select("event_id").distinct().count() == n_events

@@ -1,0 +1,69 @@
+"""Physical-plan audit: summarize join strategies, exchanges, pushdown,
+and partial aggregation for the headline queries (PLANS.md source).
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+AUDITED = [
+    "j2_count_reconcile",
+    "a3_table_fingerprint",
+    "a4_deterministic_sample",
+    "q1_pricing_summary",
+    "q2_revenue_by_nation",
+    "g_asof_last_error",
+    "x_ann_brute_topk",
+    "x_events_hourly",
+    "x_dedup_minhash_lsh",
+]
+
+
+def main() -> None:
+    from hive_scripts_spark.plans.registry import QUERIES
+    from hive_scripts_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or AUDITED
+    spark = get_spark("audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        physical = qe.executedPlan().toString()
+        formatted = qe.explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        joins = sorted(
+            set(
+                re.findall(
+                    r"(\w+(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct)\w*)",
+                    physical,
+                )
+            )
+        )
+        exchanges = len(re.findall(r"Exchange (hash|range|single)", physical))
+        pushed = [
+            line.strip()[:110]
+            for line in formatted.splitlines()
+            if "PushedFilters" in line and "[]" not in line
+        ]
+        print(f"\n===== {name} =====")
+        print("joins:     ", joins or "none")
+        print("exchanges: ", exchanges)
+        print("partial agg:", "partial_" in formatted)
+        for p in pushed[:4]:
+            print("pushed:    ", p)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Skew-mitigation helpers (SURVEY §2.9 — 100 TB posture).
+
+AQE's skew-join splitting (on in the session factory) handles most skew
+at runtime; these helpers cover the two cases it doesn't:
+
+* **salted aggregation** — a groupBy whose key distribution is so hot
+  that even partial aggregation leaves one reducer with most of the
+  data (e.g. count by language where 90% is English). Two-phase:
+  aggregate on (key, salt) first, then re-aggregate on key — the hot
+  key's load spreads over ``salts`` reducers.
+* **salted broadcast-side join** — a large⋈small join where the large
+  side's key is hot AND the join must shuffle (e.g. the small side is
+  too big to broadcast). The small side replicates ``salts`` ways, the
+  large side picks a deterministic salt per row.
+
+Salts are deterministic (hash of the row's other columns / a row id),
+never ``rand()`` — reruns produce identical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(deterministic_from: Column | str, salts: int = 16) -> Column:
+    """A stable salt in [0, salts) derived from an existing column."""
+    c = F.col(deterministic_from) if isinstance(deterministic_from, str) else deterministic_from
+    return F.pmod(F.xxhash64(c), F.lit(salts)).cast("int")
+
+
+def salted_count(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_from: str,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase count: groupBy(key, salt) → groupBy(key). Same result as
+    a plain count, but the hot key's first-phase load spreads over
+    ``salts`` reducers. Returns ``(*group_cols, row_count)``."""
+    phase1 = (
+        df.withColumn("__salt", salt_column(salt_from, salts))
+        .groupBy(*group_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return phase1.groupBy(*group_cols).agg(
+        F.sum("__partial").cast("bigint").alias("row_count")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_from: str,
+    aggs: dict[str, tuple],
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase sum/count/min/max aggregation under salting.
+
+    ``aggs`` maps output name → ("sum"|"count"|"min"|"max", column).
+    (avg is expressible as sum+count downstream; order-sensitive
+    aggregates don't belong under salting.)
+    """
+    phase1_exprs, phase2_exprs = [], []
+    for out, (kind, col) in aggs.items():
+        p = f"__p_{out}"
+        if kind == "count":
+            phase1_exprs.append(F.count(F.col(col)).alias(p))
+            phase2_exprs.append(F.sum(p).cast("bigint").alias(out))
+        elif kind == "sum":
+            phase1_exprs.append(F.sum(F.col(col)).alias(p))
+            phase2_exprs.append(F.sum(p).alias(out))
+        elif kind == "min":
+            phase1_exprs.append(F.min(F.col(col)).alias(p))
+            phase2_exprs.append(F.min(p).alias(out))
+        elif kind == "max":
+            phase1_exprs.append(F.max(F.col(col)).alias(p))
+            phase2_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"unsupported salted aggregate: {kind}")
+    phase1 = (
+        df.withColumn("__salt", salt_column(salt_from, salts))
+        .groupBy(*group_cols, "__salt")
+        .agg(*phase1_exprs)
+    )
+    return phase1.groupBy(*group_cols).agg(*phase2_exprs)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_from: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: large side salts deterministically, small
+    side replicates across all salts, join key becomes (key, salt)."""
+    l = large.withColumn("__salt", salt_column(salt_from, salts))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return l.join(s, [on, "__salt"], how).drop("__salt")

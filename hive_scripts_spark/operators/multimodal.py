@@ -91,6 +91,94 @@ def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target: tuple[int, int] = (224, 224), fake: bool = True
+) -> DataFrame:
+    """Resize stub: same Arrow-batched shape as a real PIL/opencv resize.
+
+    The fake path emits the target dims plus a deterministic pseudo
+    "resized content" hash (md5 of payload + dims) so downstream plumbing
+    (schema, joins on doc_id, dedup of resized content) is fully
+    exercisable without a codec.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL/opencv (not in this environment)"
+                )
+            tag = f"{target[0]}x{target[1]}".encode()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([target[0]] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target[1]] * len(pdf), dtype="int32"),
+                    "resized_md5": [
+                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms_energy", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, sample_rate: int = 16000, fake: bool = True) -> DataFrame:
+    """Audio feature-extraction stub (librosa/soundfile not available).
+
+    Fake path treats the payload bytes as 8-bit PCM: n_samples = byte
+    length, duration = n/sr, RMS energy over the byte values —
+    deterministic, vectorized in numpy per Arrow batch, and shaped
+    exactly like a real decoder (same schema, same batch flow).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/soundfile"
+                )
+            n = pdf["payload"].map(len).astype("int64")
+            rms = [
+                float(np.sqrt(np.mean(np.frombuffer(bytes(p), dtype=np.uint8).astype("f8") ** 2)))
+                if len(p)
+                else 0.0
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": n,
+                    "duration_s": (n / sample_rate).round(6),
+                    "rms_energy": pd.Series(rms).round(6),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -319,6 +319,68 @@ def x_multimodal_decode_meta(spark, sf_dir):
 
 
 @register(
+    "x_multimodal_resize",
+    oracle="""
+    select doc_id,
+           cast(224 as int) as width,
+           cast(224 as int) as height,
+           md5(text || '224x224') as resized_md5
+    from documents
+    """,
+)
+def x_multimodal_resize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return M.resize_images(M.binarize(docs, "text"), target=(224, 224))
+
+
+@register("x_multimodal_audio")  # RMS over bytes — not practical in SQL
+def x_multimodal_audio(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return M.audio_features(M.binarize(docs, "text"))
+
+
+@register(
+    "x_ann_ivf_assign",
+    oracle=f"""
+    with centroids as (
+      select vec_id as centroid_id, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), scored as (
+      select e.vec_id, c.centroid_id,
+             round(list_dot_product(cast(e.embedding as double[]), c.c)
+                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
+                                            cast(e.embedding as double[])))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from embeddings e cross join centroids c
+    ), ranked as (
+      select *, row_number() over (
+        partition by vec_id order by sim desc, centroid_id) as rn
+      from scored
+    )
+    select vec_id, centroid_id, sim from ranked where rn = 1
+    """,
+)
+def x_ann_ivf_assign(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return S.ivf_assign(emb, centroids)
+
+
+@register(
+    "x_skew_salted_count",
+    oracle="select lang, count(*) as row_count from documents group by lang",
+)
+def x_skew_salted_count(spark, sf_dir):
+    from hive_scripts_spark.functions.skew import salted_count
+
+    docs = table(spark, sf_dir, "documents")
+    return salted_count(docs, ["lang"], salt_from="doc_id", salts=16)
+
+
+@register(
     "x_multimodal_frame_plan",
     oracle="""
     select doc_id, unnest(range(0, 100, 10)) as frame_index

@@ -263,6 +263,19 @@ def a4_limit_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P2 — project-all (SELECT * — the UC#2 sample-export projection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_project_all",
+    oracle="select * from nation",
+)
+def p2_project_all(spark, sf_dir):
+    return table(spark, sf_dir, "nation").select("*")
+
+
+# ---------------------------------------------------------------------------
 # P3 — first-delimiter key/value split (cut -d: -f1/-f2 semantics)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,77 @@
+"""Connected-components clustering for transitive near-dup resolution.
+
+``dedup_keep_min`` (operators.dedup) drops docs that pair with a smaller
+id — correct for pairs but not transitive chains (A~B, B~C, A≁C keeps C
+if only (A,B),(B,C) were found and C < B's partner logic misfires).
+This module resolves pair sets into full components via iterated
+min-label propagation — the standard large-graph approach (alternating
+large/small-star in the limit; plain propagation suffices for the
+shallow components near-dup graphs produce).
+
+Scale: each iteration is one groupBy(min) + one join, all on
+``(node, label)`` long pairs; iterations ≈ component diameter (near-dup
+chains are short). Driver loop is over *iterations*, never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Resolve an undirected edge list into ``(node, component)`` where
+    ``component`` is the min node id reachable from ``node``.
+
+    Converges when an iteration changes no labels (checked with one
+    tiny aggregate per round).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    # label(node) = min(node, min neighbor) to start
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label")).select(
+        F.col("u").alias("node"), "label"
+    )
+    for _ in range(max_iterations):
+        # propagate: new label = min(label(node), min over neighbors of label(neighbor))
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("node"), "nbr_label")
+        )
+        updated = (
+            labels.join(neighbor_labels, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = updated.where(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one survivor (min id) per connected near-dup component —
+    transitive-closure-correct, unlike single-pass pair dropping."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

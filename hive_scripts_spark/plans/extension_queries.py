@@ -393,6 +393,164 @@ def x_multimodal_frame_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# row-level content reconciliation (full-fidelity UC#2 upgrade)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_row_diff",
+    oracle="""
+    with src as (select * from orders),
+    tgt as (
+      select o_orderkey, o_custkey, o_orderstatus,
+             case when o_orderkey % 501 = 0 then o_totalprice + 1.0
+                  else o_totalprice end as o_totalprice,
+             o_orderdate, o_orderpriority
+      from orders where o_orderkey % 997 <> 0
+    )
+    select coalesce(s.o_orderkey, t.o_orderkey) as o_orderkey,
+           case when t.o_orderkey is null then 'source_only'
+                when s.o_orderkey is null then 'target_only'
+                else 'changed' end as diff_status
+    from src s full outer join tgt t on s.o_orderkey = t.o_orderkey
+    where t.o_orderkey is null or s.o_orderkey is null
+       or s.o_custkey      is distinct from t.o_custkey
+       or s.o_orderstatus  is distinct from t.o_orderstatus
+       or s.o_totalprice   is distinct from t.o_totalprice
+       or s.o_orderdate    is distinct from t.o_orderdate
+       or s.o_orderpriority is distinct from t.o_orderpriority
+    """,
+)
+def x_row_diff(spark, sf_dir):
+    from hive_scripts_spark.operators.rowdiff import row_diff
+
+    orders = table(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 501 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return row_diff(orders, target, key_cols=["o_orderkey"])
+
+
+@register("x_dedup_components")  # iterative min-label propagation — rows-only
+def x_dedup_components(spark, sf_dir):
+    from hive_scripts_spark.operators.cluster import connected_components
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: tf-idf, top terms, label centroids
+# ---------------------------------------------------------------------------
+
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "x_tfidf",
+    oracle=f"""
+    with toks as (
+      select doc_id, unnest({_TOKS}) as term from documents
+      where length({_NORM}) > 0
+    ), tf as (
+      select doc_id, term, count(*) as n_term from toks group by all
+    ), dlen as (
+      select doc_id, count(*) as n_doc from toks group by doc_id
+    ), df as (
+      select term, count(distinct doc_id) as doc_freq from toks group by term
+    ), n as (select count(*) as n_docs from documents)
+    select tf.doc_id, tf.term,
+           round((cast(n_term as double) / n_doc)
+                 * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 6) as tfidf
+    from tf join dlen using (doc_id) join df using (term) cross join n
+    """,
+)
+def x_tfidf(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar (table stat), not a data-path collect
+    toks = docs.select(
+        "doc_id", F.explode_outer(X.tokens("text")).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_term"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    return (
+        tf.join(dlen, "doc_id")
+        .join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_term").cast("double") / F.col("n_doc"))
+                * (
+                    F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "x_top_terms_per_lang",
+    oracle=f"""
+    with toks as (
+      select lang, unnest({_TOKS}) as term from documents
+      where length({_NORM}) > 0
+    ), counted as (
+      select lang, term, count(*) as n from toks group by all
+    ), ranked as (
+      select *, row_number() over (
+        partition by lang order by n desc, term) as rank
+      from counted
+    )
+    select lang, term, n, rank from ranked where rank <= 5
+    """,
+)
+def x_top_terms_per_lang(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode_outer(X.tokens("text")).alias("term")
+    ).where(F.col("term").isNotNull())
+    counted = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "term", "n", "rank")
+    )
+
+
+@register(
+    "x_label_centroids",
+    oracle="""
+    select label, cast(pos - 1 as int) as dim,
+           round(avg(cast(v as double)), 6) as centroid_val
+    from (select label, unnest(embedding) as v,
+                 generate_subscripts(embedding, 1) as pos
+          from embeddings)
+    group by label, pos
+    """,
+)
+def x_label_centroids(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode_outer("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val")
+    )
+
+
+# ---------------------------------------------------------------------------
 # event-time / window analytics (events table)
 # ---------------------------------------------------------------------------
 

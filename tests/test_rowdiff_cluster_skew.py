@@ -1,0 +1,80 @@
+"""Row-level diff, connected-components clustering, skew helpers."""
+
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.functions.skew import salted_agg, salted_count, salted_join
+from hive_scripts_spark.operators.cluster import connected_components, dedup_components
+from hive_scripts_spark.operators.rowdiff import content_diff_counts, row_diff
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)], "id long, s string, x double"
+    )
+
+
+def test_row_diff_statuses(spark):
+    src = _base(spark)
+    tgt = (
+        src.where("id != 7")  # 7 → source_only
+        .withColumn("x", F.when(F.col("id") == 3, 999.0).otherwise(F.col("x")))  # changed
+        .unionByName(spark.createDataFrame([(1000, "new", 0.0)], src.schema))  # target_only
+    )
+    out = {r["id"]: r["diff_status"] for r in row_diff(src, tgt, ["id"]).collect()}
+    assert out == {7: "source_only", 3: "changed", 1000: "target_only"}
+
+
+def test_row_diff_empty_on_identical(spark):
+    src = _base(spark)
+    assert row_diff(src, _base(spark).repartition(5), ["id"]).count() == 0
+
+
+def test_content_diff_counts(spark):
+    src = _base(spark)
+    tgt = src.where("id >= 10")
+    got = {r["diff_status"]: r["n_rows"] for r in content_diff_counts(src, tgt, ["id"]).collect()}
+    assert got == {"source_only": 10}
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3 plus isolated pair 10-11; transitive closure required
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_components_transitive(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    kept = {r["doc_id"] for r in dedup_components(docs, pairs).collect()}
+    # 2 AND 3 both collapse into component 1 (single-pass pair-dropping
+    # would have kept 3 if only (2,3) named it with 2 already dropped)
+    assert kept == {0, 1, 4, 5}
+
+
+def test_salted_ops_match_plain(spark):
+    skewed = spark.range(5000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 3))
+        .alias("k"),
+        F.col("id"),
+    )
+    plain = {r["k"]: r["c"] for r in skewed.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    salted = {r["k"]: r["row_count"] for r in salted_count(skewed, ["k"], "id").collect()}
+    assert salted == plain
+
+    agg = {
+        r["k"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            skewed, ["k"], "id", {"n": ("count", "id"), "mx": ("max", "id")}
+        ).collect()
+    }
+    assert agg["HOT"] == (plain["HOT"], 4999)
+
+    dim = spark.createDataFrame(
+        [("HOT", "h")] + [(f"k{i}", f"d{i}") for i in range(3)], "k string, v string"
+    )
+    assert salted_join(skewed, dim, "k", "id").count() == skewed.join(dim, "k").count()

@@ -333,6 +333,120 @@ def g_q6_forecast_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "g_q4_order_priority",
+    oracle="""
+    select o_orderpriority, count(*) as order_count
+    from orders o
+    where o.o_orderdate >= timestamp '1997-01-01'
+      and o.o_orderdate <  timestamp '1997-04-01'
+      and exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey
+                    and l.l_shipdate > o.o_orderdate)
+    group by o_orderpriority
+    """,
+)
+def g_q4_order_priority(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    window_orders = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    # EXISTS with a correlated inequality → semi-join on key + predicate
+    late = window_orders.join(
+        li,
+        (window_orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > window_orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "g_q14_promo_share",
+    oracle="""
+    select round(
+             100.0 * cast(sum(case when p.p_type = 'PROMO'
+                 then cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6))
+                 else cast(0 as decimal(28,6)) end) as double)
+             / cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                             as decimal(28,6))) as double), 6) as promo_share_pct
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    where l.l_shipdate >= timestamp '1997-06-01'
+      and l.l_shipdate <  timestamp '1997-07-01'
+    """,
+)
+def g_q14_promo_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "g_having_big_customers",
+    oracle="""
+    select o_custkey, count(*) as n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_spend
+    from orders
+    group by o_custkey
+    having count(*) >= 15
+    """,
+)
+def g_having_big_customers(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "g_scalar_subquery_above_avg",
+    oracle="""
+    select count(*) as n_above_avg from orders
+    where o_totalprice > (select avg(o_totalprice) from orders)
+    """,
+)
+def g_scalar_subquery_above_avg(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        select count(*) as n_above_avg from __sq_orders
+        where o_totalprice > (select avg(o_totalprice) from __sq_orders)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # string-function batch (upper/lower/lpad/like/locate — SURVEY §2.5 family)
 # ---------------------------------------------------------------------------

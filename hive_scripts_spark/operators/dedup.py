@@ -282,6 +282,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     Jaccard over shingles.
@@ -297,6 +298,13 @@ def minhash_lsh_pairs(
     candidate semi-join, so verification cost is O(candidates), not
     O(docs²).
     """
+    # signature computation is CPU-dense per row; when the source has
+    # fewer input splits than cores (single-row-group files — the local
+    # testdata case), a pre-repartition buys full-core parallelism. On a
+    # real many-file lake leave parallelism=None: scans are already wide
+    # and the extra shuffle would only move bytes.
+    if parallelism:
+        df = df.repartition(parallelism)
     banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")

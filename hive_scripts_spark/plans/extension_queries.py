@@ -95,7 +95,9 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 @register("x_dedup_minhash_lsh")  # banded LSH blocking — not SQL-expressible
 def x_dedup_minhash_lsh(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, threshold=0.2)
+    return D.minhash_lsh_pairs(
+        docs, threshold=0.2, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 @register("x_dedup_simhash")  # bit-level blocking — not SQL-expressible

@@ -51,9 +51,12 @@ def cmd_validate(args: argparse.Namespace) -> int:
         return 2
     text = cfg_path.read_text()
     cfg = JobConfig.from_text(text)
-    if not cfg.source.path or not cfg.target.path:
+    if not (cfg.source.path or cfg.source.db_name) or not (
+        cfg.target.path or cfg.target.db_name
+    ):
         print(
-            "error: config needs Path:<dir> under [Source] and [Target]",
+            "error: config needs Path:<dir> or DBName:<db> under [Source] "
+            "and [Target]",
             file=sys.stderr,
         )
         return 2

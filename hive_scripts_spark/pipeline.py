@@ -73,9 +73,13 @@ def run_validation(
     targets: dict[str, DataFrame] = {}
     specs = {s.name: s for s in table_specs}
 
+    # path-prefix lake if configured, else the metastore database named
+    # in the reference-format DBName key
+    src_db = config.source.path or config.source.db_name
+    tgt_db = config.target.path or config.target.db_name
     for spec in table_specs:
-        src = load_table(spark, config.source.path, spec.name)
-        tgt = load_table(spark, config.target.path, spec.name)
+        src = load_table(spark, src_db, spec.name)
+        tgt = load_table(spark, tgt_db, spec.name)
         sources[spec.name], targets[spec.name] = src, tgt
         src_counts.append(partition_counts(src, spec.partition_cols, spec.name))
         tgt_counts.append(partition_counts(tgt, spec.partition_cols, spec.name))

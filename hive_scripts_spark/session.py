@@ -53,4 +53,10 @@ def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+    # SPARK_GRAFT_HIVE=1 → persistent Hive metastore (derby locally, a
+    # real metastore on a cluster): databases survive across processes —
+    # the reference's deployment model (`use $db`); off by default since
+    # the in-memory catalog is faster for tests.
+    if os.environ.get("SPARK_GRAFT_HIVE"):
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()

@@ -72,17 +72,25 @@ def reformat_delimited(df: DataFrame, joiner: str = " ") -> DataFrame:
     return df.select(F.concat_ws(joiner, *df.columns).alias("line"))
 
 
-def load_table(spark: SparkSession, db_path: str, name: str) -> DataFrame:
-    """S4: read one named table from a path-prefix database.
+def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
+    """S4: read one named table from a "database".
 
-    ``db_path`` is a directory holding ``<name>.parquet`` (the engine's
-    stand-in for the reference's ``use $db``); a fully-qualified
-    metastore name also works via ``spark.table`` when ``db_path`` is
-    empty.
+    Three addressing modes, mirroring the reference's ``use $db; ...
+    from $tbl`` (``verizon_automation_script.sh:119``):
+
+    * ``db`` contains a path separator → directory of ``<name>.parquet``
+      files (the engine's file-lake mode);
+    * ``db`` is a bare name → metastore database, read via
+      ``spark.table("db.name")`` (the reference's actual model — works
+      against Hive with ``enableHiveSupport`` or the session catalog);
+    * ``db`` empty → unqualified ``spark.table(name)`` (current
+      database).
     """
-    if not db_path:
+    if not db:
         return spark.table(name)
-    return spark.read.parquet(f"{db_path}/{name}.parquet")
+    if "/" in db or db.startswith("file:") or db.startswith("s3"):
+        return spark.read.parquet(f"{db.rstrip('/')}/{name}.parquet")
+    return spark.table(f"{db}.{name}")
 
 
 def load_tables(spark: SparkSession, db_path: str, names=TESTDATA_TABLES):

@@ -163,6 +163,43 @@ def x_ann_lsh_pairs(spark, sf_dir):
     return S.embedding_near_dup_pairs(emb, threshold=0.35, use_lsh=True)
 
 
+@register(
+    "x_embed_normalize",
+    oracle="""
+    select vec_id,
+           round(sqrt(list_dot_product(cast(embedding as double[]),
+                                       cast(embedding as double[]))), 6)
+             as l2_norm,
+           round(list_dot_product(cast(embedding as double[]),
+                                  cast(embedding as double[]))
+                 / (sqrt(list_dot_product(cast(embedding as double[]),
+                                          cast(embedding as double[])))
+                    * sqrt(list_dot_product(cast(embedding as double[]),
+                                            cast(embedding as double[])))), 6)
+             as self_cosine
+    from embeddings
+    """,
+)
+def x_embed_normalize(spark, sf_dir):
+    # vector-transform op: L2 norm + self-cosine (≡1) as the portable
+    # checksum that normalization math matches the oracle engine's
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", vec.alias("__v"))
+    v = F.col("__v")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    staged2 = staged.select("vec_id", dot.alias("__dot"))
+    return staged2.select(
+        "vec_id",
+        F.round(F.sqrt("__dot"), 6).alias("l2_norm"),
+        F.round(F.col("__dot") / (F.sqrt("__dot") * F.sqrt("__dot")), 6).alias(
+            "self_cosine"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

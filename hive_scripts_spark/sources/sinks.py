@@ -29,6 +29,19 @@ def write_delimited_dir(df: DataFrame, path: str, sep: str = ",") -> None:
     df.write.mode("overwrite").option("sep", sep).csv(path)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet layout (``k1=v1/k2=v2`` directories
+    — the on-disk shape the reference's ``SHOW PARTITIONS`` world assumes).
+
+    Reads of this layout get **directory-level partition pruning**: a
+    filter on a partition column skips whole directories at planning
+    time (``PartitionFilters`` in the scan node), independent of parquet
+    row-group stats. This is the 100 TB layout for the validation
+    pipeline's big fact tables.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_report_csv(
     df: DataFrame,
     path: str,

@@ -708,6 +708,69 @@ def x_events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# column profiling / drift (the migration-validation third axis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_profile_table",
+    oracle="""
+    select 'o_custkey' as "column", count(*) as n_rows,
+           count(*) filter (where o_custkey is null) as n_nulls,
+           count(distinct o_custkey) as n_distinct,
+           min(cast(o_custkey as varchar)) as min_value,
+           max(cast(o_custkey as varchar)) as max_value
+    from orders
+    union all
+    select 'o_orderstatus', count(*),
+           count(*) filter (where o_orderstatus is null),
+           count(distinct o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    from orders
+    union all
+    select 'o_totalprice', count(*),
+           count(*) filter (where o_totalprice is null),
+           count(distinct o_totalprice),
+           min(cast(o_totalprice as varchar)), max(cast(o_totalprice as varchar))
+    from orders
+    """,
+)
+def x_profile_table(spark, sf_dir):
+    from hive_scripts_spark.operators.profile import profile_table
+
+    orders = table(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@register("x_profile_drift")  # string-flag comparison — tested in pytest
+def x_profile_drift(spark, sf_dir):
+    from hive_scripts_spark.operators.profile import profile_drift
+
+    orders = table(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 1501 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return profile_drift(orders, target)
+
+
+@register(
+    "f4_regexp_extract",
+    oracle="""
+    select event_id, regexp_extract(props, '[0-9]+') as first_number
+    from events
+    """,
+)
+def f4_regexp_extract(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.regexp_extract("props", "[0-9]+", 0).alias("first_number")
+    )
+
+
+# ---------------------------------------------------------------------------
 # set operations (engine completeness: UNION / INTERSECT / EXCEPT)
 # ---------------------------------------------------------------------------
 

@@ -21,7 +21,6 @@ are reproducible and oracle-comparable (DuckDB computes the same fold).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

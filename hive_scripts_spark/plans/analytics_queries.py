@@ -9,10 +9,9 @@ each with a DuckDB oracle. Prefix ``g_``.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hive_scripts_spark.operators.asof import asof_join, range_join_buckets
+from hive_scripts_spark.operators.asof import asof_join
 from hive_scripts_spark.plans.registry import register, table
 
 # ---------------------------------------------------------------------------

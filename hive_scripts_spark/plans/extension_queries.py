@@ -708,6 +708,100 @@ def x_events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# the composite curation pipeline (the LLM-data showcase: every stage is
+# an already-oracle-verified operator, composed end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_exprs = ",\n             ".join(
+        f"len(list_filter(lt, w -> list_contains({_duck_stoplist(LANG_STOPWORDS[lang])}, w)))"
+        f" as hits_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    first_max = " ".join(f"when hits_{lang} = {m} then '{lang}'" for lang in langs)
+    norm_lower = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+    with base as (
+      -- stage 1: exact dedup on normalized content (min doc_id survives,
+      -- and its raw text — arg_min keeps the survivor's own payload)
+      select min(doc_id) as doc_id, arg_min(text, doc_id) as text
+      from documents
+      group by md5({_NORM})
+    ), toks as (
+      select doc_id, text,
+             case when length({_NORM}) = 0 then cast([] as varchar[])
+                  else string_split({_NORM}, ' ') end as t,
+             case when length(trim(lower(text))) = 0 then cast([] as varchar[])
+                  else string_split({norm_lower}, ' ') end as lt
+      from base
+    ), feat as (
+      -- stage 2: quality gate (alpha ratio ≥ 0.5 and ≥ 10 tokens)
+      select doc_id, t, lt,
+             cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+               / greatest(length(text), 1) as alpha_ratio
+      from toks
+    ), gated as (
+      select * from feat where alpha_ratio >= 0.5 and len(t) >= 10
+    ), lang as (
+      -- stage 3: language-ID
+      select doc_id, len(t) as n_tokens,
+             {hit_exprs}
+      from gated
+    )
+    select case when {m} = 0 then 'und' {first_max} end as predicted_lang,
+           count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens
+    from lang
+    group by all
+    """
+
+
+@register("x_curation_pipeline", oracle=_curation_oracle())
+def x_curation_pipeline(spark, sf_dir):
+    """Filter → dedup → language-partition → token budget, end to end.
+
+    Every stage is partition-parallel: dedup is a hash-groupBy on the
+    content hash; the quality gate and language-ID are projections; the
+    final rollup is one aggregation. At 100 TB this is two shuffles
+    total (dedup, final groupBy).
+    """
+    docs = table(spark, sf_dir, "documents")
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    # stage 1: exact dedup (min doc_id per normalized-content hash)
+    deduped = (
+        docs.select("doc_id", "text", F.md5(normalize_whitespace("text")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("__r"))
+        .select(F.col("__r.doc_id").alias("doc_id"), F.col("__r.text").alias("text"))
+    )
+    # stage 2: quality gate
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    toked = deduped.select(
+        "doc_id", "text", X.tokens("text").alias("__t"), alpha.alias("__alpha")
+    )
+    gated = toked.where((F.col("__alpha") >= 0.5) & (F.size("__t") >= 10))
+    # stage 3: language-ID + rollup
+    lang = X.language_id(gated).select("doc_id", "predicted_lang")
+    budget = gated.select("doc_id", F.size("__t").alias("n_tokens"))
+    return (
+        lang.join(budget, "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # column profiling / drift (the migration-validation third axis)
 # ---------------------------------------------------------------------------
 

@@ -473,3 +473,193 @@ def g_string_functions(spark, sf_dir):
         F.col("p_name").like("%red%").alias("is_red"),
         F.locate("widget", F.col("p_name")).alias("widget_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-derived batch 2 (q6/q10/q17/q18 adapted to the testdata schema —
+# no shipmode/commitdate columns, so filters use the columns that exist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_q6_forecast_revenue",
+    oracle="""
+    select cast(sum(cast(l_extendedprice * l_discount as decimal(28,6))) as double)
+             as revenue,
+           count(*) as n_lines
+    from lineitem
+    where l_shipdate >= timestamp '1997-01-01 00:00:00'
+      and l_shipdate <  timestamp '1998-01-01 00:00:00'
+      and l_discount between 0.03 and 0.07
+      and l_quantity < 24
+    """,
+)
+def g_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: single-scan filter + global agg. All four predicates push
+    down to the parquet scan; the agg is a map-side partial + 1-row merge,
+    so at 100 TB this is scan-bound with no shuffle of row data."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "g_q10_returned_items",
+    oracle="""
+    select c.c_custkey, c.c_name, n.n_name as nation,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6)))
+                as double) as revenue
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    where o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+      and o.o_orderdate <  timestamp '1997-04-01 00:00:00'
+      and l.l_returnflag = 'R'
+    group by c.c_custkey, c.c_name, n.n_name
+    order by revenue desc, c.c_custkey
+    limit 20
+    """,
+)
+def g_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer, top 20.
+
+    Scale shape: the orders date filter pushes to the scan, the
+    customer/nation dims broadcast, and the final top-20 is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads — no global sort). Tiebreak on c_custkey keeps the row SET
+    deterministic for the oracle compare.
+    """
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "g_q17_small_quantity_revenue",
+    oracle="""
+    with pa as (
+      select l_partkey,
+             sum(cast(l_quantity as decimal(18,2))) as qsum,
+             count(*) as qcnt
+      from lineitem group by l_partkey
+    )
+    select cast(cast(sum(cast(l.l_extendedprice as decimal(28,6))) as double) / 7.0
+                as double) as avg_yearly,
+           count(*) as n_lines
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    join pa on pa.l_partkey = l.l_partkey
+    where p.p_brand = 'Brand#4'
+      and cast(l.l_quantity as decimal(18,2)) * 5 * pa.qcnt < pa.qsum
+    """,
+)
+def g_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: lines below 20% of the part's average quantity.
+
+    The correlated aggregate subquery is decorrelated explicitly: one
+    groupBy(l_partkey) per-part aggregate, re-joined on the key — the
+    same plan Catalyst produces for the correlated SQL, expressed
+    declaratively. The threshold compare is kept in exact decimals
+    (l_quantity*5*cnt < sum) so the boundary set is engine-independent —
+    a double `avg()` differs in the last ulp between engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsum"),
+        F.count(F.lit(1)).alias("qcnt"),
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pa_key"), F.col("l_partkey") == F.col("pa_key"))
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("qcnt")
+            < F.col("qsum")
+        )
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "g_q18_large_volume_customer",
+    oracle="""
+    select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           cast(o.o_totalprice as double) as totalprice,
+           cast(sum(cast(l.l_quantity as decimal(18,2))) as double) as sum_qty
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    where o.o_orderkey in (
+      select l_orderkey from lineitem
+      group by l_orderkey
+      having sum(cast(l_quantity as decimal(18,2))) > 300
+    )
+    group by c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def g_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds 300.
+
+    The IN-subquery is a semi-join against a pre-aggregated key set; the
+    HAVING filter shrinks it to a handful of keys, so it broadcasts and
+    the big tables never shuffle for the membership test. The outer
+    re-aggregation groups by orderkey — same key as the semi-join, so AQE
+    coalesces rather than re-shuffles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dq).alias("__qty"))
+        .where(F.col("__qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "__big_key")),
+                F.col("l_orderkey") == F.col("__big_key"), "inner")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dq).cast("double").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("totalprice"), "sum_qty",
+        )
+    )

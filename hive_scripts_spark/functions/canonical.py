@@ -12,8 +12,11 @@ here fixes all three:
   their ISO cast, NULL via an explicit sentinel) and joined with ``\\x01``;
 * **order-insensitive aggregation**: per-row md5 → 60-bit int → modular
   SUM (commutative + associative, so partitioning and row order are
-  irrelevant; the modulus keeps the running sum inside ``decimal(38,0)``
-  at any scale — 2^125/2^61 ≈ 10^19 rows before wrap issues);
+  irrelevant). The sum runs in three 20-bit **bigint lanes** (cheap
+  whole-stage-codegen long adds, no per-row decimal allocation) and is
+  recombined mod 2^61-1 in one ``decimal(38,0)`` expression per group —
+  value-identical to a direct decimal sum, lane-overflow-safe to
+  2^43 ≈ 8.8×10^12 rows per group;
 * **cross-engine reproducible**: the same fingerprint is expressible in
   ANSI SQL (DuckDB oracle) — verified byte-identical in tests.
 
@@ -60,15 +63,16 @@ def canonical_row_string(df: DataFrame, cols: list[str] | None = None) -> Column
 
 
 def row_hash(df: DataFrame, cols: list[str] | None = None, portable: bool = True) -> Column:
-    """Per-row 60-bit hash of the canonical row string.
+    """Per-row hash of the canonical row string, as ``bigint``.
 
-    ``portable=True`` → md5-prefix (reproducible in any engine with md5);
-    ``portable=False`` → ``xxhash64`` (faster, Spark-only).
+    ``portable=True`` → md5-prefix, 60-bit (reproducible in any engine
+    with md5 — 15 hex chars < 2^60 always fit a bigint);
+    ``portable=False`` → ``abs(xxhash64)``, 63-bit (faster, Spark-only).
     """
     s = canonical_row_string(df, cols)
     if portable:
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
-    return F.abs(F.xxhash64(s)).cast("decimal(38,0)")
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return F.abs(F.xxhash64(s))
 
 
 def table_fingerprint(
@@ -76,6 +80,7 @@ def table_fingerprint(
     cols: list[str] | None = None,
     group_by: list[str] | None = None,
     portable: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Order-insensitive content fingerprint, optionally per group.
 
@@ -83,14 +88,43 @@ def table_fingerprint(
     aggregation is a modular sum of per-row hashes — commutative, so the
     result is independent of row order, partition count, and physical
     plan (SURVEY §2.8.2 fix). One shuffle-free map + one (tiny) agg.
+
+    The per-row hash is decomposed into three 20-bit lanes summed as
+    plain bigints (value-identical to a decimal sum of the full hash —
+    ``h = p2·2^40 + p1·2^20 + p0`` — but codegen-friendly: long adds
+    instead of a per-row BigDecimal). One decimal recombine per group.
+    Lane sums stay inside bigint up to 2^43 ≈ 8.8e12 rows per group.
+
+    Hashing is CPU-dense per row; when the source has fewer input splits
+    than cores (single-row-group files — the local testdata case), pass
+    ``parallelism`` to pre-repartition. On a many-file lake leave it
+    ``None``: scans are already wide and the shuffle would only move
+    bytes.
     """
-    h = row_hash(df, cols, portable=portable).alias("__h")
+    if parallelism:
+        df = df.repartition(parallelism)
+    h = row_hash(df, cols, portable=portable)
+    lane_mask = F.lit((1 << 20) - 1)
+    projected = df.select(
+        *(group_by or []),
+        F.shiftright(h, 40).alias("__p2"),
+        F.shiftright(h, 20).bitwiseAND(lane_mask).alias("__p1"),
+        h.bitwiseAND(lane_mask).alias("__p0"),
+    )
     mod = F.lit(FINGERPRINT_MOD).cast("decimal(38,0)")
+    dec = lambda c: F.sum(F.col(c)).cast("decimal(38,0)")  # noqa: E731
+    fingerprint = (
+        (
+            dec("__p2") * F.lit(1 << 40).cast("decimal(38,0)")
+            + dec("__p1") * F.lit(1 << 20).cast("decimal(38,0)")
+            + dec("__p0")
+        )
+        % mod
+    ).cast("bigint")
     aggs = [
-        (F.sum(F.col("__h")) % mod).cast("bigint").alias("fingerprint"),
+        fingerprint.alias("fingerprint"),
         F.count(F.lit(1)).alias("row_count"),
     ]
-    projected = df.select(*(group_by or []), h)
     if group_by:
         return projected.groupBy(*group_by).agg(*aggs)
     return projected.agg(*aggs)
@@ -115,7 +149,9 @@ def deterministic_sample(
     into the scan's post-filter, and samples every partition uniformly.
     """
     key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
-    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("decimal(38,0)") % buckets
+    # 15 hex chars < 2^60 — bigint arithmetic (a decimal(38,0) modulo here
+    # costs ~2.5x: per-row BigDecimal allocation outside codegen long math)
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % buckets
     return df.where(bucket < int(fraction * buckets))
 
 

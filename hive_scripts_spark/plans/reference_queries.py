@@ -219,7 +219,13 @@ _ORDERS_COLS = [
 )
 def a3_table_fingerprint(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
-    return table_fingerprint(orders, group_by=["o_orderstatus"])
+    # md5 canonicalization is CPU-dense; single-row-group testdata scans
+    # otherwise run it on one core (see table_fingerprint docstring)
+    return table_fingerprint(
+        orders,
+        group_by=["o_orderstatus"],
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -107,19 +107,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
     """Heuristic language-ID: argmax of per-language stopword hit counts.
 
     Ties break by language code (deterministic); zero hits → 'und'.
     One projection — the per-language counts are parallel ``filter``
     expressions over the token array, no shuffle, no UDF.
+
+    ``keep_cols`` are carried through the projection so downstream
+    stages don't need a re-join on ``doc_id`` (which at scale is a full
+    shuffle of two frames derived from the same scan).
     """
+    keep = keep_cols or []
     # stage 1: tokenize once; stage 2: per-language hit counts (each a
     # cheap filter over the staged array); stage 3: argmax over the hit
     # attributes (cheap references — no re-count per comparison)
-    staged = df.select("doc_id", F.lower(F.col(text_col)).alias("__lower"))
+    staged = df.select("doc_id", *keep, F.lower(F.col(text_col)).alias("__lower"))
     toked = staged.select(
         "doc_id",
+        *keep,
         F.when(
             F.length(F.trim(F.col("__lower"))) == 0, F.array().cast("array<string>")
         )
@@ -134,6 +142,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     counted = toked.select(
         "doc_id",
+        *keep,
         *[_hits(LANG_STOPWORDS[lang]).alias(f"hits_{lang}") for lang in langs],
     )
     best = None
@@ -143,6 +152,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     return counted.select(
         "doc_id",
+        *keep,
         *[f"hits_{lang}" for lang in langs],
         pred.alias("predicted_lang"),
     )

@@ -788,12 +788,14 @@ def x_curation_pipeline(spark, sf_dir):
         "doc_id", "text", X.tokens("text").alias("__t"), alpha.alias("__alpha")
     )
     gated = toked.where((F.col("__alpha") >= 0.5) & (F.size("__t") >= 10))
-    # stage 3: language-ID + rollup
-    lang = X.language_id(gated).select("doc_id", "predicted_lang")
-    budget = gated.select("doc_id", F.size("__t").alias("n_tokens"))
+    # stage 3: language-ID + rollup. n_tokens rides through language_id's
+    # projection (keep_cols) — a separate budget frame would need a
+    # doc_id re-join, i.e. a third shuffle at scale
+    lang = X.language_id(
+        gated.withColumn("n_tokens", F.size("__t")), keep_cols=["n_tokens"]
+    )
     return (
-        lang.join(budget, "doc_id")
-        .groupBy("predicted_lang")
+        lang.groupBy("predicted_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),

@@ -47,6 +47,14 @@ def main() -> None:
     QUERIES["a1_count_star"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python worker pool + Arrow/pandas imports (not counted):
+    # the first pandas-UDF task otherwise pays ~1.5s of interpreter
+    # startup that has nothing to do with the measured plan
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -55,6 +55,11 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     Stands in for a real codec (PIL/libav NOT importable here). The
     derivation is pure (bytes → md5 → dims) so Spark and a SQL oracle
     agree on every row.
+
+    NOTE: kept for direct use/tests, but ``decode_image_meta`` inlines
+    this logic in its closure — a module-level function referenced from a
+    ``mapInPandas`` closure is pickled BY REFERENCE, and the driver's
+    Python workers (cwd outside this repo) cannot import the module.
     """
     digest = hashlib.md5(payload).hexdigest()
     width = 1 + int(digest[:4], 16) % 1024
@@ -62,14 +67,33 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return digest, width, height
 
 
-def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, fake: bool = True, parallelism: int | None = None
+) -> DataFrame:
     """Decode image payloads to metadata via Arrow-batched ``mapInPandas``.
 
     ``fake=False`` is the production path: plug a real codec in place of
     the stub (signature and batch shape are identical).
+
+    Decode is CPU-dense per payload and ``mapInPandas`` runs one Python
+    worker per input split; when the source has fewer splits than cores
+    (single-row-group files — the local testdata case) pass
+    ``parallelism`` to pre-repartition. Leave ``None`` on a many-file
+    lake: scans are already wide.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: no references to module-level names
+        # (those pickle by reference → ModuleNotFoundError on workers
+        # whose cwd is outside this repo — the driver's setup)
+        import hashlib as _hl
+
+        def fake_decode(payload: bytes) -> tuple[str, int, int]:
+            digest = _hl.md5(payload).hexdigest()
+            return digest, 1 + int(digest[:4], 16) % 1024, 1 + int(digest[4:8], 16) % 1024
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
@@ -77,7 +101,7 @@ def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
                     "not present in this environment; use fake=True for the "
                     "deterministic stub"
                 )
-            metas = [_fake_decode(p) for p in pdf["payload"]]
+            metas = [fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -102,15 +126,21 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(
-    df: DataFrame, target: tuple[int, int] = (224, 224), fake: bool = True
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    fake: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Resize stub: same Arrow-batched shape as a real PIL/opencv resize.
+    (``parallelism``: see :func:`decode_image_meta`.)
 
     The fake path emits the target dims plus a deterministic pseudo
     "resized content" hash (md5 of payload + dims) so downstream plumbing
     (schema, joins on doc_id, dedup of resized content) is fully
     exercisable without a codec.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -143,14 +173,22 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def audio_features(df: DataFrame, sample_rate: int = 16000, fake: bool = True) -> DataFrame:
+def audio_features(
+    df: DataFrame,
+    sample_rate: int = 16000,
+    fake: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
     """Audio feature-extraction stub (librosa/soundfile not available).
+    (``parallelism``: see :func:`decode_image_meta`.)
 
     Fake path treats the payload bytes as 8-bit PCM: n_samples = byte
     length, duration = n/sr, RMS energy over the byte values —
     deterministic, vectorized in numpy per Arrow batch, and shaped
     exactly like a real decoder (same schema, same batch flow).
     """
+    if parallelism:
+        df = df.repartition(parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

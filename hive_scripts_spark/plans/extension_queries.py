@@ -354,7 +354,11 @@ def x_text_langid(spark, sf_dir):
 )
 def x_multimodal_decode_meta(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return M.decode_image_meta(M.binarize(docs, "text"), fake=True)
+    return M.decode_image_meta(
+        M.binarize(docs, "text"),
+        fake=True,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
 
 
 @register(
@@ -369,13 +373,20 @@ def x_multimodal_decode_meta(spark, sf_dir):
 )
 def x_multimodal_resize(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return M.resize_images(M.binarize(docs, "text"), target=(224, 224))
+    return M.resize_images(
+        M.binarize(docs, "text"),
+        target=(224, 224),
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
 
 
 @register("x_multimodal_audio")  # RMS over bytes — not practical in SQL
 def x_multimodal_audio(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return M.audio_features(M.binarize(docs, "text"))
+    return M.audio_features(
+        M.binarize(docs, "text"),
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
 
 
 @register(

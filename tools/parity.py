@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -47,9 +48,24 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from hive_scripts_spark.session import get_spark
 
-    spark = get_spark("parity")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-faithful mode: a bare session with NONE of session.py's
+        # configs — catches anything that silently depends on them
+        # (nanosAsLong is set at runtime by plans.registry.table)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .appName("parity-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from hive_scripts_spark.session import get_spark
+
+        spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -1,0 +1,87 @@
+"""Streaming count reconciliation — SURVEY §7 item 9, the micro-batch
+variant of UC#1 (``verizon_automation_script.sh:104-183``'s count loop,
+re-expressed over a live stream).
+
+Shape: the source side is a stream of windowed per-partition counts
+(:func:`hive_scripts_spark.streaming.windowed.streaming_partition_counts`);
+the target side is a static (batch) count frame with the same keys. Each
+micro-batch reconciles ONLY the windows the watermark has finalized —
+``foreachBatch`` receives exactly those rows in append mode, so no
+window is ever reconciled twice and none is reconciled early.
+
+Scale posture: the stream side's state is bounded by the watermark; the
+per-batch join touches O(finalized windows × partition values) rows —
+tiny — and the target side is broadcast. The heavy work (counting) is
+the streaming agg itself, map-side partial like its batch twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators.reconcile import count_reconcile
+
+
+def _spec(partition_col: str) -> F.Column:
+    """Render (window_start, partition value) as a reference-style
+    partition spec string, e.g. ``window_start=2024-01-01 00:00:00/
+    event_type=click`` (multi-level spec per SURVEY §2.8.5)."""
+    return F.concat_ws(
+        "/",
+        F.concat(F.lit("window_start="), F.col("window_start").cast("string")),
+        F.concat(F.lit(f"{partition_col}="), F.col(partition_col).cast("string")),
+    )
+
+
+def as_count_frame(
+    counts: DataFrame, partition_col: str, table_name: str = "events"
+) -> DataFrame:
+    """Lift a ``(window_start, <partition_col>, row_count)`` frame into the
+    ``count_reconcile`` contract: ``(table_name, partition_spec,
+    row_count)``."""
+    return counts.select(
+        F.lit(table_name).alias("table_name"),
+        _spec(partition_col).alias("partition_spec"),
+        F.col("row_count"),
+    )
+
+
+def streaming_count_reconcile(
+    stream_counts: DataFrame,
+    target_counts: DataFrame,
+    partition_col: str = "event_type",
+    table_name: str = "events",
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """Reconcile a streaming count frame against a static target.
+
+    ``stream_counts``: streaming ``(window_start, <partition_col>,
+    row_count)`` (append mode — watermark-finalized windows only).
+    ``target_counts``: static frame with the same columns (the "other
+    side" — e.g. the migration target's counts).
+
+    Returns a function suitable for ``writeStream.foreachBatch``; if
+    ``on_batch`` is given it is invoked with ``(reconciled_df, batch_id)``
+    per micro-batch (sink the frame, alert on mismatches, …).
+
+    The target is restricted to the micro-batch's finalized keys by the
+    inner/semi structure of the join itself: a window absent from the
+    batch simply contributes no rows, so unfinalized windows never show
+    up as phantom ``target_only`` rows.
+    """
+    tgt = as_count_frame(target_counts, partition_col, table_name)
+
+    def reconcile_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = as_count_frame(batch_df, partition_col, table_name)
+        # target rows only for keys this batch finalized (leftsemi), then
+        # the standard full-outer count reconcile on the pair
+        keys = src.select("table_name", "partition_spec")
+        tgt_batch = tgt.join(F.broadcast(keys), ["table_name", "partition_spec"], "leftsemi")
+        reconciled = count_reconcile(src, tgt_batch)
+        if on_batch is not None:
+            on_batch(reconciled, batch_id)
+
+    return reconcile_batch

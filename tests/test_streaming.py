@@ -85,3 +85,62 @@ def test_streaming_partition_counts(spark, tmp_path):
     }
     for r in got.collect():
         assert batch[(r["window_start"], r["event_type"])] == r["row_count"]
+
+
+def test_streaming_count_reconcile(spark, tmp_path):
+    """SURVEY §7.9: the full micro-batch reconciliation — streaming counts
+    vs a perturbed static target; mismatches localize to the perturbation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.plans.registry import table as load
+    from hive_scripts_spark.streaming.reconcile import streaming_count_reconcile
+    from hive_scripts_spark.streaming.windowed import streaming_partition_counts
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "f0.parquet")
+
+    ev = load(spark, SF_DIR, "events")
+    # target = source minus every 7th 'click' row → those windows mismatch
+    perturbed = ev.where(
+        (F.col("event_type") != "click") | (F.col("event_id") % 7 != 0)
+    )
+    target_counts = perturbed.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+
+    batches: list = []
+    handler = streaming_count_reconcile(
+        streaming_partition_counts(read_event_stream(spark, str(d))),
+        target_counts,
+        on_batch=lambda df, bid: batches.append(df.collect()),
+    )
+    q = (
+        streaming_partition_counts(read_event_stream(spark, str(d)))
+        .writeStream.foreachBatch(handler)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    rows = [r for b in batches for r in b]
+    assert rows, "reconcile emitted output"
+    statuses = {r["partition_spec"]: r["status"] for r in rows}
+    # no phantom target_only (unfinalized windows never reconcile early)
+    assert "target_only" not in set(statuses.values())
+    # every mismatched spec is a click window; non-click specs all match
+    for spec, status in statuses.items():
+        if "event_type=click" in spec:
+            # a window whose clicks were ALL dropped shows as source_only
+            assert status in ("matched", "mismatched", "source_only")
+        else:
+            assert status == "matched", spec
+    assert any(
+        s == "mismatched" for spec, s in statuses.items() if "event_type=click" in spec
+    )
+    # counts agree with the batch-side truth for a mismatched window
+    mism = [r for b in batches for r in b if r["status"] == "mismatched"][0]
+    assert mism["src_count"] > mism["tgt_count"]

@@ -302,37 +302,6 @@ def g_q3_shipping_priority(spark, sf_dir):
 
 
 @register(
-    "g_q6_forecast_revenue",
-    oracle="""
-    select cast(sum(cast(l_extendedprice * l_discount as decimal(28,6)))
-                as double) as revenue
-    from lineitem
-    where l_shipdate >= timestamp '1997-01-01'
-      and l_shipdate <  timestamp '1998-01-01'
-      and l_discount between 0.03 and 0.05
-      and l_quantity < 24
-    """,
-)
-def g_q6_forecast_revenue(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.03, 0.05)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)")
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-@register(
     "g_q4_order_priority",
     oracle="""
     select o_orderpriority, count(*) as order_count

@@ -32,6 +32,12 @@ def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional oracle SQL) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} (a second "
+                "register() would silently shadow the first in the "
+                "driver's queries() dict)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -632,3 +632,99 @@ def g_q18_large_volume_customer(spark, sf_dir):
             F.col("o_totalprice").cast("double").alias("totalprice"), "sum_qty",
         )
     )
+
+
+@register(
+    "g_q19_disjunctive_revenue",
+    oracle="""
+    select cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6)))
+                as double) as revenue,
+           count(*) as n_lines
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    where (p.p_brand = 'Brand#1' and p.p_size between 1 and 15
+           and l.l_quantity between 1 and 11)
+       or (p.p_brand = 'Brand#2' and p.p_size between 1 and 25
+           and l.l_quantity between 10 and 20)
+       or (p.p_brand = 'Brand#3' and p.p_size between 1 and 35
+           and l.l_quantity between 20 and 30)
+    """,
+)
+def g_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunction of (brand, size, quantity) triads.
+
+    The OR spans both join sides, so no single conjunct pushes to either
+    scan — the filter evaluates post-join. Catalyst still derives the
+    common implied predicates (p_size >= 1, quantity bounds) and the part
+    side broadcasts; at scale the join stays shuffle-free for lineitem.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    triad = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.where(
+        triad("Brand#1", 15, 1, 11)
+        | triad("Brand#2", 25, 10, 20)
+        | triad("Brand#3", 35, 20, 30)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "g_q15_top_supplier",
+    oracle="""
+    with rev as (
+      select l_suppkey,
+             sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6)))
+               as total_rev
+      from lineitem
+      where l_shipdate >= timestamp '1997-01-01 00:00:00'
+        and l_shipdate <  timestamp '1997-04-01 00:00:00'
+      group by l_suppkey
+    )
+    select s.s_suppkey, s.s_name, cast(r.total_rev as double) as total_revenue
+    from supplier s
+    join rev r on s.s_suppkey = r.l_suppkey
+    where r.total_rev = (select max(total_rev) from rev)
+    """,
+)
+def g_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The revenue CTE aggregates once; the scalar max is a 1-row broadcast
+    equi-joined back on the (exact decimal) revenue value — ties all
+    surface, like the SQL. The comparison stays in decimal: a double max
+    could diverge between engines in the last ulp.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("__max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )

@@ -653,10 +653,11 @@ def g_q18_large_volume_customer(spark, sf_dir):
 def g_q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19: disjunction of (brand, size, quantity) triads.
 
-    The OR spans both join sides, so no single conjunct pushes to either
-    scan — the filter evaluates post-join. Catalyst still derives the
-    common implied predicates (p_size >= 1, quantity bounds) and the part
-    side broadcasts; at scale the join stays shuffle-free for lineitem.
+    The OR spans both join sides, so the exact filter evaluates
+    post-join — but Catalyst pushes each side's OR *envelope* to its scan
+    (the quantity-range disjunction to lineitem, the brand/size
+    disjunction to part: both appear in PushedFilters). The part side
+    broadcasts, so lineitem never shuffles.
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")

@@ -906,3 +906,57 @@ def x_set_ops(spark, sf_dir):
     both = cust.intersect(supp).withColumn("side", F.lit("both"))
     only = cust.exceptAll(supp).withColumn("side", F.lit("customer_only"))
     return both.unionByName(only)
+
+
+@register(
+    "x_token_budget_pack",
+    oracle=f"""
+    with toks as (
+      select doc_id, lang,
+             case when length({_NORM}) = 0 then 0
+                  else len(string_split({_NORM}, ' ')) end as n_tokens
+      from documents
+    ), packed as (
+      select lang, n_tokens,
+             cast(floor((sum(n_tokens) over (partition by lang order by doc_id
+                                             rows unbounded preceding)
+                         - n_tokens) / 512.0) as bigint) as pack_id
+      from toks
+    )
+    select lang, pack_id, count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as pack_tokens
+    from packed
+    group by lang, pack_id
+    """,
+)
+def x_token_budget_pack(spark, sf_dir):
+    """Token-budget sequence packing: assign documents to fixed-budget
+    packs (~512 tokens) per language — the training-data prep step that
+    turns a curated corpus into model-ready groups.
+
+    ``pack_id = floor(offset / budget)`` where offset is the running
+    token count before the doc (deterministic offset packing; docs may
+    straddle a boundary — the trainer's concat+split semantics). The
+    window is partitioned by ``lang``, so packing parallelizes across
+    languages; within a language the running sum needs that language's
+    docs ordered — at 100 TB shard the stream first (e.g. partition by
+    ``(lang, pmod(doc_id, shards))``) and pack per shard: packing only
+    requires *an* order, not a global one.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toked = docs.select("doc_id", "lang", X.token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = toked.select(
+        "lang", "n_tokens", F.floor(offset / 512.0).cast("bigint").alias("pack_id")
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )

@@ -520,3 +520,42 @@ def j_semi_nations_with_suppliers(spark, sf_dir):
     return nation.join(
         supp, nation.n_nationkey == supp.s_nationkey, "left_semi"
     ).select("n_nationkey", "n_name")
+
+
+_CUST_KEY = "cast(c_custkey as varchar)"
+
+
+@register(
+    "a4_stratified_sample",
+    oracle=f"""
+    select c_mktsegment, count(*) as n_sampled,
+           count(distinct c_custkey) as n_customers
+    from customer
+    where {duck_hash_bucket(_CUST_KEY)} <
+          case c_mktsegment when 'BUILDING' then 200 else 100 end
+    group by c_mktsegment
+    """,
+)
+def a4_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum fractions (the
+    ``df.sampleBy`` intent, made engine-reproducible).
+
+    Same hash-mod machinery as ``deterministic_sample`` but the bucket
+    threshold varies per stratum — here 20% of BUILDING customers, 10%
+    of every other segment. Still a pure narrow filter: no shuffle, no
+    rand(), the same logical rows selected on any engine or run.
+    """
+    from hive_scripts_spark.functions.canonical import FIELD_SEP
+
+    cust = table(spark, sf_dir, "customer")
+    key = F.concat_ws(FIELD_SEP, F.col("c_custkey").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % 1000
+    threshold = F.when(F.col("c_mktsegment") == "BUILDING", 200).otherwise(100)
+    return (
+        cust.where(bucket < threshold)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )

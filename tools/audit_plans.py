@@ -16,12 +16,22 @@ AUDITED = [
     "j2_count_reconcile",
     "a3_table_fingerprint",
     "a4_deterministic_sample",
+    "a4_stratified_sample",
     "q1_pricing_summary",
     "q2_revenue_by_nation",
+    "g_q6_forecast_revenue",
+    "g_q10_returned_items",
+    "g_q15_top_supplier",
+    "g_q17_small_quantity_revenue",
+    "g_q18_large_volume_customer",
+    "g_q19_disjunctive_revenue",
     "g_asof_last_error",
     "x_ann_brute_topk",
     "x_events_hourly",
     "x_dedup_minhash_lsh",
+    "x_curation_pipeline",
+    "x_token_budget_pack",
+    "x_multimodal_decode_meta",
 ]
 
 

@@ -212,3 +212,98 @@ def ivf_assign(
         .where(F.col("rn") == 1)
         .select(id_col, "centroid_id", "sim")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k search: probe the ``nprobe`` nearest cells per query and
+    rank candidates only within them — the ANN scale path beyond
+    :func:`brute_force_topk`.
+
+    ``centroids`` are **collected model parameters** (a coarse quantizer
+    is small by definition) embedded as plan literals, so cell
+    assignment is a pure projection: the corpus is NEVER shuffled for
+    assignment (``F.array_max`` over a literal centroid array — the
+    same fold/argmax shape as ``textstats.language_id``; Catalyst
+    constant-folds each centroid's self-norm at plan time). The only
+    exchange in the whole search is the final per-query top-k window
+    over candidates. With a pre-partitioned corpus (``partitionBy(
+    cell)`` layout on disk) the probe join also prunes partitions.
+
+    For very large quantizers (plan-literal blowup), swap the literal
+    array for a broadcast join + ``max_by`` — one corpus shuffle.
+
+    Ties break by cell id / neighbor id everywhere — deterministic and
+    oracle-comparable. Returns ``(query_id, neighbor_id, cosine_sim,
+    rank)``; approximate by design (recall < 1 when the true neighbor
+    lives in an unprobed cell).
+    """
+    from pyspark.sql import Window
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)).cast("double") for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+    def cell_sims(vec):
+        # (sim, -cid) structs: array_max / desc sort give sim-desc with
+        # cid-asc tiebreak; round(…,6) BEFORE ranking mirrors the oracle
+        return F.transform(
+            cells,
+            lambda s: F.struct(
+                F.round(cosine(vec, s["c"]), 6).alias("sim"),
+                (-s["cid"]).alias("neg_cid"),
+            ),
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    corpus_cells = corpus.select(
+        "neighbor_id",
+        "c_vec",
+        (-F.array_max(cell_sims(F.col("c_vec")))["neg_cid"]).alias("cell"),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.slice(F.sort_array(cell_sims(F.col("q_vec")), asc=False), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", "q_vec", (-F.col("p")["neg_cid"]).alias("cell"))
+    )
+
+    cand = corpus_cells.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

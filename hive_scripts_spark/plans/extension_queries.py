@@ -960,3 +960,52 @@ def x_token_budget_pack(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "x_ann_ivf_topk",
+    oracle=f"""
+    with centroids as (
+      select vec_id as cid, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), corpus as (
+      select vec_id, cast(embedding as double[]) as v from embeddings
+    ), corpus_scored as (
+      select e.vec_id, c.cid,
+             round(list_dot_product(e.v, c.c)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from corpus e cross join centroids c
+    ), assign as (
+      select vec_id as neighbor_id, cid as cell from (
+        select *, row_number() over (
+          partition by vec_id order by sim desc, cid) as rn
+        from corpus_scored) where rn = 1
+    ), probes as (
+      select vec_id as query_id, cid as cell from (
+        select *, row_number() over (
+          partition by vec_id order by sim desc, cid) as rn
+        from corpus_scored where vec_id < 10) where rn <= 2
+    ), cand as (
+      select p.query_id, a.neighbor_id,
+             round({_DUCK_COSINE}, 6) as cosine_sim
+      from probes p
+      join assign a on a.cell = p.cell and a.neighbor_id <> p.query_id
+      join embeddings a2 on a2.vec_id = p.query_id
+      join embeddings b on b.vec_id = a.neighbor_id
+    ), ranked as (
+      select query_id, neighbor_id, cosine_sim, row_number() over (
+        partition by query_id order by cosine_sim desc, neighbor_id) as rank
+      from cand
+    )
+    select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
+    """.replace("a.embedding", "a2.embedding"),
+)
+def x_ann_ivf_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, cents, queries, k=5, nprobe=2)

@@ -729,3 +729,431 @@ def g_q15_top_supplier(spark, sf_dir):
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-derived batch 3 (q5/q7/q8/q9/q12/q13/q21/q22 adapted to the testdata
+# schema — no partsupp/shipmode/commitdate/phone, so the joins, correlation
+# shapes and conditional aggregations are preserved over the columns that
+# exist; reference delegates all SQL to Hive, verizon_automation_script.sh:119)
+# ---------------------------------------------------------------------------
+
+_REV = lambda: (  # noqa: E731
+    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+)
+
+
+@register(
+    "g_q5_local_supplier_volume",
+    oracle="""
+    select n.n_name as nation,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6)))
+                as double) as revenue
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+                   and c.c_nationkey = s.s_nationkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    where r.r_name = 'ASIA'
+      and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+    group by n.n_name
+    """,
+)
+def g_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue from local (same-nation) supplier-customer pairs
+    within one region/year — a 6-way join.
+
+    Scale shape: lineitem is the only big table; orders carries the
+    pushed-down date filter, supplier/customer rows only matter through
+    their nationkey, and nation⋈region prunes suppliers to one region
+    BEFORE the big join (the region filter is applied to the supplier dim,
+    not post-join). All four dims broadcast, so lineitem shuffles once —
+    for the orders equi-join — and the same-nation condition evaluates as
+    a cheap post-broadcast filter.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_REV()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "g_q7_volume_shipping",
+    oracle="""
+    select n1.n_name as supp_nation, n2.n_name as cust_nation,
+           year(l.l_shipdate) as l_year,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6)))
+                as double) as revenue
+    from lineitem l
+    join orders o on o.o_orderkey = l.l_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n1 on n1.n_nationkey = s.s_nationkey
+    join nation n2 on n2.n_nationkey = c.c_nationkey
+    where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+       or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+    group by n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def g_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: shipping volume between two nations by year — the nation
+    table joins twice under different roles (supplier side / customer
+    side) with a cross-role disjunction.
+
+    The two-nation filter is applied per-role BEFORE the fact join (each
+    side's dim shrinks to 2 rows), so the disjunction that spans roles
+    only evaluates over lineitems whose both ends are already in the
+    2-nation set — a tiny fraction of the fact table survives to the
+    group-by.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_REV()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "g_q8_market_share",
+    oracle="""
+    with vol as (
+      select year(o.o_orderdate) as o_year,
+             cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6)) as volume,
+             s.s_nationkey
+      from lineitem l
+      join orders o on o.o_orderkey = l.l_orderkey
+      join customer c on c.c_custkey = o.o_custkey
+      join nation n on n.n_nationkey = c.c_nationkey
+      join region r on r.r_regionkey = n.n_regionkey
+      join supplier s on s.s_suppkey = l.l_suppkey
+      join part p on p.p_partkey = l.l_partkey
+      where r.r_name = 'AMERICA' and p.p_type = 'ECONOMY'
+    )
+    select o_year,
+           cast(cast(sum(case when s_nationkey = 1 then volume else cast(0 as decimal(28,6)) end) as double)
+                / cast(sum(volume) as double) as double) as mkt_share,
+           cast(sum(volume) as double) as total_volume
+    from vol group by o_year
+    """,
+)
+def g_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of regional market volume by year —
+    conditional aggregation as a ratio of two sums.
+
+    Cross-engine float rule: both sums accumulate in exact decimal; the
+    ratio divides the two DOUBLES (one IEEE op, bit-identical on any
+    engine) rather than dividing decimals (scale rules differ between
+    engines). Region/part filters shrink their dims before broadcast;
+    lineitem shuffles only for the orders join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _REV().alias("volume"),
+            "s_nationkey",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("s_nationkey") == 1, F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "g_q9_product_profit",
+    oracle="""
+    select n.n_name as nation, year(o.o_orderdate) as o_year,
+           cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,6))
+                    - cast(l.l_quantity * p.p_retailprice * 0.5 as decimal(28,6)))
+                as double) as profit
+    from lineitem l
+    join orders o on o.o_orderkey = l.l_orderkey
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n on n.n_nationkey = s.s_nationkey
+    join part p on p.p_partkey = l.l_partkey
+    where p.p_name like '%red%'
+    group by n.n_name, year(o.o_orderdate)
+    """,
+)
+def g_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9: profit (revenue minus cost) by supplier nation and year,
+    over parts matching a name pattern. No partsupp table in the testdata,
+    so supply cost is modeled as half the part's retail price — the join
+    graph and agg shape are Q9's.
+
+    The LIKE filter can't push below the part scan as a range, but it
+    prunes the broadcast side to a fraction before the fact join; both
+    profit terms accumulate in exact decimal (same double expression text
+    on both engines, so the pre-cast double products are bit-identical).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = table(spark, sf_dir, "nation")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit_term = _REV() - (
+        F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.5)
+    ).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "g_q12_priority_shipping",
+    oracle="""
+    select l.l_linestatus as linestatus,
+           sum(case when o.o_orderpriority in ('1-URGENT','2-HIGH')
+                    then 1 else 0 end) as high_line_count,
+           sum(case when o.o_orderpriority not in ('1-URGENT','2-HIGH')
+                    then 1 else 0 end) as low_line_count
+    from orders o
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    where l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+      and l.l_shipdate <  timestamp '1998-01-01 00:00:00'
+    group by l.l_linestatus
+    """,
+)
+def g_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 (shipmode → linestatus): count urgent vs non-urgent
+    order lines shipped in a year, bucketed by line status.
+
+    The date range pushes to the lineitem scan; the conditional counts
+    are map-side partial aggregates, so the only full-width exchange is
+    the orders equi-join — and the 2-row result means AQE coalesces the
+    post-agg partitions to one.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "g_q13_order_distribution",
+    oracle="""
+    select c_count, count(*) as custdist from (
+      select c.c_custkey, count(o.o_orderkey) as c_count
+      from customer c
+      left join (select * from orders
+                 where o_orderpriority <> '1-URGENT') o
+        on c.c_custkey = o.o_custkey
+      group by c.c_custkey
+    ) group by c_count
+    """,
+)
+def g_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of non-urgent order counts per customer —
+    LEFT OUTER join so zero-order customers land in the c_count=0 bucket,
+    then an aggregate OF an aggregate.
+
+    The priority filter lives on the orders side of the outer join (not a
+    post-join WHERE, which would silently drop the NULL rows and turn the
+    outer join inner). First agg shuffles on custkey; the second input is
+    one row per customer and its key space is tiny (distinct counts), so
+    AQE collapses it to a near-free exchange.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "g_q21_waiting_suppliers",
+    oracle="""
+    select s.s_name, count(distinct l1.l_orderkey) as numwait
+    from supplier s
+    join lineitem l1 on s.s_suppkey = l1.l_suppkey
+    join orders o on o.o_orderkey = l1.l_orderkey
+    where o.o_orderstatus = 'F'
+      and l1.l_returnflag = 'R'
+      and exists (select 1 from lineitem l2
+                  where l2.l_orderkey = l1.l_orderkey
+                    and l2.l_suppkey <> l1.l_suppkey)
+      and not exists (select 1 from lineitem l3
+                      where l3.l_orderkey = l1.l_orderkey
+                        and l3.l_suppkey <> l1.l_suppkey
+                        and l3.l_returnflag = 'R')
+    group by s.s_name
+    """,
+)
+def g_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (commitdate → returnflag): suppliers who were the SOLE
+    supplier with returned lines on a finished multi-supplier order —
+    EXISTS plus NOT EXISTS, both correlated on the same key.
+
+    Decorrelated explicitly instead of via temp-view SQL: one
+    groupBy(l_orderkey) pass computes n_supp (distinct suppliers) and
+    n_ret_supp (distinct suppliers with a return); the pair of correlated
+    subqueries then becomes `n_supp > 1 AND n_ret_supp = 1` on the
+    re-join — the fact table is scanned twice total instead of three
+    times, and there is no per-row subquery at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    order_stats = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(order_stats, F.col("l_orderkey") == F.col("__ok"))
+        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@register(
+    "g_q22_dormant_customers",
+    oracle="""
+    with pos as (
+      select sum(cast(c_acctbal as decimal(18,2))) as total, count(*) as n
+      from customer where c_acctbal > 0.0
+    )
+    select c.c_nationkey as cntrycode, count(*) as numcust,
+           cast(sum(cast(c.c_acctbal as decimal(18,2))) as double) as totacctbal
+    from customer c, pos
+    where cast(c.c_acctbal as decimal(18,2)) * pos.n > pos.total
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_orderdate >= timestamp '2000-01-01 00:00:00')
+    group by c.c_nationkey
+    """,
+)
+def g_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 (phone prefix → nationkey): customers with above-average
+    account balance and no recent orders — scalar aggregate threshold plus
+    anti-join. Every testdata customer has SOME order, so "never ordered"
+    is scoped to orders placed since 2000.
+
+    The above-average compare is cross-multiplied into exact decimals
+    (bal * n > total) exactly like q17 — an avg() double threshold
+    differs in the last ulp across engines and flips boundary rows. The
+    1-row aggregate broadcasts as a literal-like dimension; the anti-join
+    key set (customers with recent orders) is date-pruned before the
+    shuffle.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(pos))
+        .where(bal * F.col("n") > F.col("total"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )

@@ -25,6 +25,10 @@ AUDITED = [
     "g_q17_small_quantity_revenue",
     "g_q18_large_volume_customer",
     "g_q19_disjunctive_revenue",
+    "g_q5_local_supplier_volume",
+    "g_q8_market_share",
+    "g_q13_order_distribution",
+    "g_q21_waiting_suppliers",
     "g_asof_last_error",
     "x_ann_brute_topk",
     "x_events_hourly",

@@ -160,3 +160,22 @@ def limit_sample(df: DataFrame, n: int, order_cols: list[str] | None = None) -> 
     script.sh:220``), made deterministic by an explicit sort when
     ``order_cols`` is given. Prefer :func:`deterministic_sample`."""
     return (df.orderBy(*order_cols) if order_cols else df).limit(n)
+
+
+def shard_by_hash(
+    df: DataFrame, key_cols: list[str], n_shards: int = 16
+) -> DataFrame:
+    """Deterministic training-shard assignment: adds a ``shard`` column
+    ``md5(key) % n_shards`` — the export-side twin of
+    :func:`deterministic_sample` (same 60-bit md5-prefix bigint idiom).
+
+    Unlike ``repartition(n)`` (round-robin, run-dependent) the assignment
+    is a pure function of the row's key: re-running the export, adding
+    machines, or changing input split sizes never moves a document to a
+    different shard, so downstream training jobs can resume/diff shards.
+    Narrow dependency — the physical write stays one
+    ``partitionBy('shard')`` pass with no extra shuffle beyond the sink's.
+    """
+    key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
+    shard = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % n_shards
+    return df.withColumn("shard", shard)

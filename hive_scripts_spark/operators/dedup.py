@@ -431,3 +431,41 @@ def simhash_near_pairs(
     return pairs.select("a_id", "b_id", hamming.alias("hamming")).where(
         F.col("hamming") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document count of distinct word-``n``-grams shared with a
+    benchmark/eval set — the standard train-set decontamination check
+    (docs with any overlap get dropped or audited before training).
+
+    Returns ``(id, n_shared_grams)`` for corpus docs with ≥1 shared gram.
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of docs, the corpus is billions), so its distinct gram set
+    **broadcasts** and the corpus side stays map-only through tokenize →
+    ngram → explode → broadcast-semi — the only exchange is the final
+    per-doc count, keyed on ``id``. Both shingle pipelines reuse
+    :func:`shingle_sets`'s staged projections (Catalyst-trap-safe).
+    """
+    bench_grams = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = shingle_table(corpus, text_col, id_col, n)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -1009,3 +1009,63 @@ def x_ann_ivf_topk(spark, sf_dir):
     ]
     queries = emb.where(F.col("vec_id") < 10)
     return S.ivf_topk(emb, cents, queries, k=5, nprobe=2)
+
+
+@register(
+    "x_decontaminate",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws from documents
+    ), sh as (
+      select doc_id,
+             unnest(list_distinct([
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, greatest(len(ws) - 1, 1))
+             ])) as shingle
+      from toks where len(ws) >= 3
+    ), bench as (
+      select distinct shingle from sh where doc_id % 23 = 0
+    )
+    select s.doc_id, count(*) as n_shared_grams
+    from sh s join bench b on s.shingle = b.shingle
+    where s.doc_id % 23 <> 0
+    group by s.doc_id
+    """,
+)
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word-3-gram
+    with the (deterministic ~4%) benchmark slice. Benchmark gram set
+    broadcasts; corpus side is map-only until the per-doc count."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return D.contamination_overlap(corpus, bench)
+
+
+@register(
+    "x_shard_assign",
+    oracle="""
+    select (cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)
+            % 16) as shard,
+           count(*) as n_docs,
+           sum(n_chars) as sum_chars
+    from documents
+    group by 1
+    """,
+)
+def x_shard_assign(spark, sf_dir):
+    """Deterministic shard assignment for training-data export: shard
+    sizes stay balanced (hash-uniform) and stable across runs/cluster
+    sizes — the audit query a 100 TB export job runs before writing
+    ``partitionBy('shard')``."""
+    from hive_scripts_spark.functions.canonical import shard_by_hash
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        shard_by_hash(docs, ["doc_id"], n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

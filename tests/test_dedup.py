@@ -81,3 +81,40 @@ def test_dedup_keep_min(docs, spark):
     kept = {r["doc_id"] for r in D.dedup_keep_min(pairs, docs).collect()}
     assert 0 in kept and 3 in kept
     assert 1 not in kept and 4 not in kept
+
+
+def test_contamination_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "xx alpha beta gamma yy"),      # shares 1 trigram
+            (1, "alpha beta gamma delta zz"),   # shares 2 trigrams
+            (2, "totally unrelated words here"),
+            (3, "too short"),                   # < 3 tokens after norm? 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in D.contamination_overlap(corpus, bench).collect()
+    }
+    assert out == {0: 1, 1: 2}
+
+
+def test_shard_by_hash_deterministic_and_balanced(spark):
+    from hive_scripts_spark.functions.canonical import shard_by_hash
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shard"] for r in shard_by_hash(df, ["doc_id"], 16).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_hash(df.repartition(7), ["doc_id"], 16).collect()
+    }
+    assert a == b  # pure function of the key, not of partitioning
+    assert set(a.values()) <= set(range(16))
+    import collections
+
+    sizes = collections.Counter(a.values()).values()
+    assert min(sizes) > 2000 / 16 * 0.6  # hash-uniform, no empty/hot shard

@@ -1157,3 +1157,148 @@ def g_q22_dormant_customers(spark, sf_dir):
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "g_q11_value_concentration",
+    oracle="""
+    with val as (
+      select l_partkey,
+             cast(sum(cast(l_extendedprice as decimal(28,6))) as decimal(28,6)) as v
+      from lineitem group by l_partkey
+    )
+    select l_partkey as partkey, cast(v as double) as value
+    from val, (select sum(v) as total, count(*) as n from val)
+    where v * n * 4 > total * 5
+    """,
+)
+def g_q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 (partsupp value → lineitem revenue): parts whose revenue
+    exceeds 1.25× the mean part revenue — HAVING against a scalar
+    aggregate OF the same aggregation. (Q11's literal `fraction of the
+    grand total` threshold is scale-VARIANT — the qualifying set shrinks
+    to empty as the corpus grows — so the adapted threshold is relative
+    to the mean, which selects a stable tail at any SF.)
+
+    The per-part aggregate is computed ONCE and reused for both the total
+    and the filter (one fact scan; the total is a 1-row broadcast). The
+    mean compare is cross-multiplied in exact decimal (`v·n·4 >
+    total·5`) — dividing doubles would make boundary parts
+    engine-dependent.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("v")
+    )
+    total = val.agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("v") * F.col("n") * 4 > F.col("total") * 5)
+        .select(
+            F.col("l_partkey").alias("partkey"), F.col("v").cast("double").alias("value")
+        )
+    )
+
+
+@register(
+    "g_q16_supplier_diversity",
+    oracle="""
+    select p.p_brand, p.p_type, p.p_size,
+           count(distinct l.l_suppkey) as supplier_cnt
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    where p.p_brand <> 'Brand#1'
+      and p.p_type not like 'PROMO%'
+      and p.p_size in (1, 5, 9, 13, 17, 21, 25, 29)
+      and l.l_suppkey not in
+          (select s_suppkey from supplier where s_acctbal < 0)
+    group by p.p_brand, p.p_type, p.p_size
+    """,
+)
+def g_q16_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 (partsupp → lineitem pairs): distinct supplier count per
+    part attribute triple, excluding a NOT-IN supplier denylist
+    (complaints → negative balance).
+
+    NOT IN compiles to a broadcast left_anti (safe here: s_suppkey is
+    non-null; a nullable NOT-IN column needs null-aware anti-join, which
+    Spark plans as BroadcastNestedLoopJoin — avoid by filtering nulls
+    first). The attribute filters prune the broadcast part dim; distinct
+    counting shuffles (triple, suppkey) once before the partial count.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "g_q20_excess_shippers",
+    oracle="""
+    with mv as (
+      select l.l_suppkey, sum(cast(l.l_quantity as decimal(18,2))) as q
+      from lineitem l
+      join part p on p.p_partkey = l.l_partkey
+      where p.p_name like '%red%'
+        and l.l_shipdate >= timestamp '1997-01-01 00:00:00'
+        and l.l_shipdate <  timestamp '1998-01-01 00:00:00'
+      group by l.l_suppkey
+    )
+    select s.s_name, s.s_nationkey
+    from supplier s
+    where s.s_suppkey in (
+      select l_suppkey from mv, (select sum(q) as total, count(*) as n from mv)
+      where q * n * 5 > total * 6
+    ) and s.s_nationkey < 20
+    """,
+)
+def g_q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 (availqty → shipped volume): suppliers who moved more
+    than 1.2× the mean shipped quantity of pattern-matched parts in a
+    year — an IN over a grouped-HAVING subquery, intersected with a dim
+    filter. (The mean-relative threshold keeps the qualifying tail stable
+    at any SF, same rationale as q11.)
+
+    The subquery aggregates the date+part-pruned fact slice by suppkey;
+    its HAVING output is a small key set that broadcast-semi-joins the
+    supplier dim — the fact table feeds the membership test without ever
+    shuffling full-width rows. Threshold cross-multiplied in exact
+    decimal.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    mv = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    tot = mv.agg(F.sum("q").alias("total"), F.count(F.lit(1)).alias("n"))
+    movers = (
+        mv.join(F.broadcast(tot))
+        .where(F.col("q") * F.col("n") * 5 > F.col("total") * 6)
+        .select("l_suppkey")
+    )
+    sup = table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 20)
+    return sup.join(
+        F.broadcast(movers), sup.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_name", "s_nationkey")

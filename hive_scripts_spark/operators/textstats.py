@@ -173,3 +173,71 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("content_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style within-document repetition features over word
+    ``n``-grams: the fraction of gram occurrences that are duplicates and
+    the share claimed by the single most-frequent gram. High values mark
+    boilerplate / degenerate text a curation pipeline drops.
+
+    Computed entirely map-side: grams are sorted per-doc and run-length
+    encoded by ONE ``F.aggregate`` fold (struct accumulator: previous
+    gram, current run, best run, distinct-so-far) — no explode, no
+    shuffle, no per-doc groupBy. The naïve formulation (explode →
+    groupBy(doc, gram) → max) shuffles O(total tokens) rows; this one
+    shuffles nothing at any corpus size.
+
+    Each stage (tokens → grams → sorted) is its own projection and the
+    fold's accumulator fields are read as lambda *variables* — the
+    staged-projection / no-re-extraction rules from PLANS.md's Catalyst
+    traps.
+    """
+    t = F.col("__toks")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).where(
+        F.size(t) >= n
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
+        ).alias("__grams"),
+    )
+    srt = grams.select(
+        F.col(id_col),
+        F.size("__grams").alias("n_grams"),
+        F.array_sort("__grams").alias("__sorted"),
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("n_distinct"),
+    )
+    fold = F.aggregate(
+        F.col("__sorted"),
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(acc["best"], F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))).alias("best"),
+            F.when(x == acc["prev"], acc["n_distinct"]).otherwise(acc["n_distinct"] + 1).alias("n_distinct"),
+        ),
+        lambda acc: F.struct(acc["best"].alias("best"), acc["n_distinct"].alias("n_distinct")),
+    )
+    out = srt.select(
+        F.col(id_col), "n_grams", fold.alias("__f")
+    ).select(
+        F.col(id_col),
+        "n_grams",
+        F.col("__f.n_distinct").alias("n_distinct"),
+        # exact-int inputs → one IEEE double divide each: bit-identical on
+        # any engine, no rounding needed
+        ((F.col("n_grams") - F.col("__f.n_distinct")).cast("double") / F.col("n_grams").cast("double")).alias("dup_gram_frac"),
+        (F.col("__f.best").cast("double") / F.col("n_grams").cast("double")).alias("top_gram_frac"),
+    )
+    return out

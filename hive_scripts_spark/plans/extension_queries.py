@@ -1069,3 +1069,32 @@ def x_shard_assign(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "x_text_repetition",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws from documents
+    ), grams as (
+      select doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) as g
+      from toks where len(ws) >= 2
+    ), counts as (
+      select doc_id, g, count(*) as c from grams group by doc_id, g
+    )
+    select doc_id,
+           sum(c) as n_grams,
+           count(*) as n_distinct,
+           cast(sum(c) - count(*) as double) / cast(sum(c) as double)
+             as dup_gram_frac,
+           cast(max(c) as double) / cast(sum(c) as double) as top_gram_frac
+    from counts group by doc_id
+    """,
+)
+def x_text_repetition(spark, sf_dir):
+    """Within-doc 2-gram repetition (Gopher quality signals), map-only
+    run-length fold — the oracle takes the explode+groupBy road and must
+    agree exactly."""
+    docs = table(spark, sf_dir, "documents")
+    return X.repetition_signals(docs)

@@ -57,3 +57,25 @@ def test_doc_fingerprint_whitespace_invariant(spark):
     out = {r["doc_id"]: (r["content_md5"], r["rolling_hash"]) for r in X.doc_fingerprint(df).collect()}
     assert out[0] == out[1]
     assert out[0] != out[2]
+
+
+def test_repetition_signals(spark):
+    from hive_scripts_spark.operators import textstats as X
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # grams: ab,ba,ab,ba,ab -> top ab=3/5
+            (1, "w x y z"),              # all 3 grams distinct
+            (2, "solo"),                 # 1 token -> filtered out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.repetition_signals(df).collect()}
+    assert 2 not in out
+    r0 = out[0]
+    assert r0["n_grams"] == 5 and r0["n_distinct"] == 2
+    assert abs(r0["top_gram_frac"] - 3 / 5) < 1e-12
+    assert abs(r0["dup_gram_frac"] - 3 / 5) < 1e-12
+    r1 = out[1]
+    assert r1["n_grams"] == 3 and r1["n_distinct"] == 3
+    assert r1["dup_gram_frac"] == 0.0 and abs(r1["top_gram_frac"] - 1 / 3) < 1e-12

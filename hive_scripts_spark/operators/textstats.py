@@ -176,7 +176,11 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher/C4-style within-document repetition features over word
     ``n``-grams: the fraction of gram occurrences that are duplicates and
@@ -193,14 +197,18 @@ def repetition_signals(
     Each stage (tokens → grams → sorted) is its own projection and the
     fold's accumulator fields are read as lambda *variables* — the
     staged-projection / no-re-extraction rules from PLANS.md's Catalyst
-    traps.
+    traps. ``keep_cols`` ride through every projection (same rationale
+    as ``language_id(keep_cols=…)`` — a downstream re-join on id would be
+    a full extra shuffle at scale).
     """
+    keep = [F.col(c) for c in (keep_cols or [])]
     t = F.col("__toks")
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).where(
+    toks = df.select(F.col(id_col), *keep, tokens(text_col).alias("__toks")).where(
         F.size(t) >= n
     )
     grams = toks.select(
         F.col(id_col),
+        *keep,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
@@ -208,6 +216,7 @@ def repetition_signals(
     )
     srt = grams.select(
         F.col(id_col),
+        *keep,
         F.size("__grams").alias("n_grams"),
         F.array_sort("__grams").alias("__sorted"),
     )
@@ -230,9 +239,10 @@ def repetition_signals(
         lambda acc: F.struct(acc["best"].alias("best"), acc["n_distinct"].alias("n_distinct")),
     )
     out = srt.select(
-        F.col(id_col), "n_grams", fold.alias("__f")
+        F.col(id_col), *keep, "n_grams", fold.alias("__f")
     ).select(
         F.col(id_col),
+        *keep,
         "n_grams",
         F.col("__f.n_distinct").alias("n_distinct"),
         # exact-int inputs → one IEEE double divide each: bit-identical on

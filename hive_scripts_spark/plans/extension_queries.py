@@ -1098,3 +1098,122 @@ def x_text_repetition(spark, sf_dir):
     agree exactly."""
     docs = table(spark, sf_dir, "documents")
     return X.repetition_signals(docs)
+
+
+def _curation_full_oracle() -> str:
+    from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_exprs = ",\n             ".join(
+        f"len(list_filter(lt, w -> list_contains({_duck_stoplist(LANG_STOPWORDS[lang])}, w)))"
+        f" as hits_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    first_max = " ".join(f"when hits_{lang} = {m} then '{lang}'" for lang in langs)
+    norm_lower = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    four = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+    return f"""
+    with corpus as (
+      select * from documents where doc_id % 23 <> 0
+    ), base as (
+      -- stage 1: exact dedup on normalized content
+      select min(doc_id) as doc_id, arg_min(text, doc_id) as text
+      from corpus group by md5({_NORM})
+    ), bsh as (
+      -- stage 2: benchmark 4-gram set
+      select distinct unnest([{four} for i in range(1, greatest(len(ws) - 2, 1))]) as g
+      from (select string_split({_NORM}, ' ') as ws
+            from documents where doc_id % 23 = 0)
+      where len(ws) >= 4
+    ), csh as (
+      select doc_id,
+             unnest(list_distinct([{four} for i in range(1, greatest(len(ws) - 2, 1))])) as g
+      from (select doc_id, string_split({_NORM}, ' ') as ws from base)
+      where len(ws) >= 4
+    ), flagged as (
+      select distinct c.doc_id from csh c join bsh b on c.g = b.g
+    ), clean as (
+      select * from base where doc_id not in (select doc_id from flagged)
+    ), grams2 as (
+      -- stage 3: within-doc 2-gram repetition
+      select doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) as g
+      from (select doc_id, string_split({_NORM}, ' ') as ws from clean)
+      where len(ws) >= 2
+    ), rep as (
+      select doc_id,
+             cast(sum(c) - count(*) as double) / cast(sum(c) as double) as dup_frac
+      from (select doc_id, g, count(*) as c from grams2 group by doc_id, g)
+      group by doc_id
+    ), kept as (
+      select cl.doc_id, cl.text from clean cl
+      join rep on rep.doc_id = cl.doc_id and rep.dup_frac <= 0.10
+    ), toks as (
+      select doc_id, text,
+             case when length({_NORM}) = 0 then cast([] as varchar[])
+                  else string_split({_NORM}, ' ') end as t,
+             case when length(trim(lower(text))) = 0 then cast([] as varchar[])
+                  else string_split({norm_lower}, ' ') end as lt
+      from kept
+    ), gated as (
+      -- stage 4: quality gate
+      select doc_id, t, lt from toks
+      where cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+              / greatest(length(text), 1) >= 0.5
+        and len(t) >= 10
+    ), lang as (
+      select doc_id, len(t) as n_tokens,
+             {hit_exprs}
+      from gated
+    )
+    select case when {m} = 0 then 'und' {first_max} end as predicted_lang,
+           count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens
+    from lang
+    group by all
+    """
+
+
+@register("x_curation_full", oracle=_curation_full_oracle())
+def x_curation_full(spark, sf_dir):
+    """The complete training-data curation pipeline: exact dedup →
+    benchmark decontamination (4-gram overlap) → repetition gate
+    (dup-2-gram fraction ≤ 0.10) → quality gate (alpha ratio, length) →
+    language-ID token rollup.
+
+    Shuffle budget at any scale: dedup groupBy, the decontamination gram
+    join's per-doc count, the repetition metric's none (map-only fold),
+    and the final rollup — the contamination flag set and the benchmark
+    gram set broadcast, and `repetition_signals(keep_cols=['text'])`
+    carries the payload through instead of re-joining on doc_id.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    deduped = (
+        corpus.select("doc_id", "text", F.md5(normalize_whitespace("text")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("__r"))
+        .select(F.col("__r.doc_id").alias("doc_id"), F.col("__r.text").alias("text"))
+    )
+    flags = D.contamination_overlap(deduped, bench, n=4).select("doc_id")
+    clean = deduped.join(F.broadcast(flags), "doc_id", "left_anti")
+    kept = X.repetition_signals(clean, keep_cols=["text"]).where(
+        F.col("dup_gram_frac") <= 0.10
+    )
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    toked = kept.select(
+        "doc_id", "text", X.tokens("text").alias("__t"), alpha.alias("__alpha")
+    )
+    gated = toked.where((F.col("__alpha") >= 0.5) & (F.size("__t") >= 10))
+    lang = X.language_id(
+        gated.withColumn("n_tokens", F.size("__t")), keep_cols=["n_tokens"]
+    )
+    return lang.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -34,6 +34,9 @@ AUDITED = [
     "x_events_hourly",
     "x_dedup_minhash_lsh",
     "x_curation_pipeline",
+    "x_curation_full",
+    "x_decontaminate",
+    "x_text_repetition",
     "x_token_budget_pack",
     "x_multimodal_decode_meta",
 ]

@@ -849,8 +849,53 @@ def x_profile_table(spark, sf_dir):
     return profile_table(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
 
 
-@register("x_profile_drift")  # string-flag comparison — tested in pytest
+_PROFILE_COLS = ("o_custkey", "o_orderpriority", "o_totalprice")
+
+
+def _duck_profile(src: str) -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+      select '{c}' as "column", count(*) as n_rows,
+             count(*) filter (where {c} is null) as n_nulls,
+             count(distinct {c}) as n_distinct,
+             min(cast({c} as varchar)) as min_value,
+             max(cast({c} as varchar)) as max_value
+      from {src}""")
+    return " union all ".join(parts)
+
+
+@register(
+    "x_profile_drift",
+    oracle=f"""
+    with tgt_orders as (
+      select o_custkey, o_totalprice,
+             case when o_orderkey % 1501 = 0 then null
+                  else o_orderpriority end as o_orderpriority
+      from orders where o_orderkey % 997 <> 0
+    ), sp as ({_duck_profile("orders")}), tp as ({_duck_profile("tgt_orders")})
+    select sp."column",
+           sp.n_rows as src_n_rows, sp.n_nulls as src_n_nulls,
+           sp.n_distinct as src_n_distinct, sp.min_value as src_min_value,
+           sp.max_value as src_max_value,
+           tp.n_rows as tgt_n_rows, tp.n_nulls as tgt_n_nulls,
+           tp.n_distinct as tgt_n_distinct, tp.min_value as tgt_min_value,
+           tp.max_value as tgt_max_value,
+           concat_ws(',',
+             case when sp.n_rows     is distinct from tp.n_rows     then 'n_rows' end,
+             case when sp.n_nulls    is distinct from tp.n_nulls    then 'n_nulls' end,
+             case when sp.n_distinct is distinct from tp.n_distinct then 'n_distinct' end,
+             case when sp.min_value  is distinct from tp.min_value  then 'min_value' end,
+             case when sp.max_value  is distinct from tp.max_value  then 'max_value' end
+           ) as drift
+    from sp join tp on sp."column" = tp."column"
+    """,
+)
 def x_profile_drift(spark, sf_dir):
+    """Cross-database drift localization: the per-column metric-flag
+    report UC#2 consumers read — verified against a DuckDB twin of both
+    profiles (row-drop drift on custkey/totalprice, null-injection drift
+    on orderpriority)."""
     from hive_scripts_spark.operators.profile import profile_drift
 
     orders = table(spark, sf_dir, "orders")
@@ -860,7 +905,7 @@ def x_profile_drift(spark, sf_dir):
             F.col("o_orderpriority")
         ),
     )
-    return profile_drift(orders, target)
+    return profile_drift(orders, target, list(_PROFILE_COLS))
 
 
 @register(
@@ -1217,3 +1262,45 @@ def x_curation_full(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "x_dedup_components_exact",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    common as (
+      select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    ), pairs as (
+      select a_id, b_id from common
+      join sizes sa on sa.doc_id = a_id
+      join sizes sb on sb.doc_id = b_id
+      where round(cast(n_common as double)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    ), edges as (
+      select a_id as u, b_id as v from pairs
+      union select b_id, a_id from pairs
+    ), reach as (
+      -- transitive closure by recursion: component = min reachable id
+      with recursive r(node, root) as (
+        select u, u from edges
+        union
+        select e.u, r.root from edges e join r on r.node = e.v
+      )
+      select node, min(root) as component from r group by node
+    )
+    select node, component from reach
+    """,
+)
+def x_dedup_components_exact(spark, sf_dir):
+    """Connected components over exact-Jaccard near-dup edges — the
+    iterative min-label propagation checked against a DuckDB recursive-CTE
+    transitive closure (the `x_dedup_components` minhash variant stays
+    rows-only because xxhash64 blocking is engine-specific)."""
+    from hive_scripts_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2).select("a_id", "b_id")
+    return connected_components(pairs)

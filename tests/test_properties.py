@@ -111,3 +111,39 @@ def test_config_section_roundtrip(keys):
     )
     for k, v in keys.items():
         assert parsed.get(k.strip(), "").strip() == v.strip()
+
+
+# --- repetition fold vs pure-Python counter (differential property) ---
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e1"]), min_size=0, max_size=24
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SMALL
+@given(docs=docs_strategy)
+def test_repetition_fold_matches_counter(spark, docs):
+    """The zero-shuffle RLE fold must agree with an explicit Counter
+    over 2-grams for arbitrary token sequences."""
+    from collections import Counter
+
+    from hive_scripts_spark.operators.textstats import repetition_signals
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if len(grams) == 0:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_distinct"] == len(c)
+        assert r["dup_gram_frac"] == (len(grams) - len(c)) / len(grams)
+        assert r["top_gram_frac"] == max(c.values()) / len(grams)

@@ -1302,3 +1302,47 @@ def g_q20_excess_shippers(spark, sf_dir):
     return sup.join(
         F.broadcast(movers), sup.s_suppkey == movers.l_suppkey, "left_semi"
     ).select("s_name", "s_nationkey")
+
+
+@register(
+    "g_window_lead_lag_ntile",
+    oracle="""
+    select o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) over w,
+                     o_orderdate) as days_since_prev,
+           date_diff('day',
+                     o_orderdate,
+                     lead(o_orderdate) over w) as days_until_next,
+           ntile(4) over (partition by o_custkey
+                          order by o_totalprice, o_orderkey) as price_quartile
+    from orders
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+    """,
+)
+def g_window_lead_lag_ntile(spark, sf_dir):
+    """Navigation + distribution window functions: per-customer order
+    cadence (lag/lead day gaps) and price quartile (ntile).
+
+    Both windows key on o_custkey, so the plan is ONE hash exchange and
+    two sorts over the same partitioning (Catalyst reuses the exchange
+    across window specs with the same partition keys). Tie-breaking on
+    o_orderkey in every ORDER BY makes lag/lead/ntile assignments — not
+    just the row set — engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").alias(
+            "days_until_next"
+        ),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )

@@ -981,10 +981,10 @@ def g_q9_product_profit(spark, sf_dir):
     "g_q12_priority_shipping",
     oracle="""
     select l.l_linestatus as linestatus,
-           sum(case when o.o_orderpriority in ('1-URGENT','2-HIGH')
-                    then 1 else 0 end) as high_line_count,
-           sum(case when o.o_orderpriority not in ('1-URGENT','2-HIGH')
-                    then 1 else 0 end) as low_line_count
+           cast(sum(case when o.o_orderpriority in ('1-URGENT','2-HIGH')
+                    then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o.o_orderpriority not in ('1-URGENT','2-HIGH')
+                    then 1 else 0 end) as bigint) as low_line_count
     from orders o
     join lineitem l on o.o_orderkey = l.l_orderkey
     where l.l_shipdate >= timestamp '1997-01-01 00:00:00'

@@ -64,14 +64,17 @@ def cmd_validate(args: argparse.Namespace) -> int:
         print("error: config lists no tables under [Tables]", file=sys.stderr)
         return 2
     spark = get_spark("hive-scripts-spark-validate")
+    # sample_size semantics per mode (config.py docstring): 'rows' keeps
+    # the reference-literal absolute LIMIT count; 'hash' reads the value
+    # as the percentage its config key name always claimed it was.
     result = run_validation(
         spark,
         cfg,
         _table_specs(text, cfg),
         output_dir=args.output,
-        sample_fraction=cfg.sample_size / 100.0
-        if cfg.sample_mode == "hash"
-        else 0.10,
+        sample_fraction=min(cfg.sample_size, 100) / 100.0,
+        sample_mode=cfg.sample_mode,
+        sample_rows=cfg.sample_size,
     )
     print("== UC#1 count reconciliation ==")
     result.reconciled.orderBy("table_name", "partition_spec").show(100, truncate=False)

@@ -94,8 +94,13 @@ class JobConfig:
     tables: list[str] = field(default_factory=list)
     #: the reference's "[SampleDataPercentage]" value — used there as an
     #: absolute ``LIMIT`` row count, never a percentage (SURVEY §2.8.1).
+    #: Interpretation depends on ``sample_mode``: 'rows' keeps the
+    #: reference's absolute-count semantics; 'hash' reads it as the
+    #: percentage the key name claims (capped at 100), since a hash-mod
+    #: sample is a fraction, not a row count.
     sample_size: int = 10
-    #: 'rows'  → reference-literal ``LIMIT n`` behavior;
+    #: 'rows'  → reference-literal ``LIMIT n`` behavior (ordered on the
+    #:           sampling keys for cross-engine determinism);
     #: 'hash'  → deterministic hash-mod sampling (default: cross-engine
     #:           comparable, unlike LIMIT-without-ORDER-BY).
     sample_mode: str = "hash"

@@ -29,17 +29,25 @@ def connected_components(
     ``component`` is the min node id reachable from ``node``.
 
     Converges when an iteration changes no labels (checked with one
-    tiny aggregate per round).
+    tiny aggregate per round). Each round's labels are eagerly
+    ``localCheckpoint``-ed: the per-round ``count()`` action would
+    otherwise recompute the whole unpersisted lineage, making cost (and
+    plan depth) multiplicative in iterations. Raises ``RuntimeError``
+    if the iteration cap is hit while labels are still changing —
+    unconverged labels are silently wrong (they disagree with the
+    transitive closure), never return them.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every round — scan once
     )
     # label(node) = min(node, min neighbor) to start
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label")).select(
         F.col("u").alias("node"), "label"
     )
+    converged = False
     for _ in range(max_iterations):
         # propagate: new label = min(label(node), min over neighbors of label(neighbor))
         neighbor_labels = (
@@ -48,20 +56,49 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("u").alias("node"), "nbr_label")
         )
-        updated = (
+        propagated = (
             labels.join(neighbor_labels, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
+                    "mid_label"
                 ),
                 "label",
             )
+            .localCheckpoint(eager=True)  # feeds both sides of the jump join
         )
+        # pointer jumping: label ← label(label). Plain propagation moves
+        # the min one hop per round (O(diameter) rounds); the jump halves
+        # the remaining chain each round, so propagation+jump converges in
+        # O(log diameter) — a path of 2^max_iterations still resolves.
+        parents = propagated.select(
+            F.col("node").alias("parent_key"), F.col("mid_label").alias("parent_label")
+        )
+        updated = (
+            propagated.join(
+                parents, propagated["mid_label"] == parents["parent_key"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("mid_label"), F.coalesce("parent_label", "mid_label")
+                ).alias("new_label"),
+                "label",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # both reads below hit the checkpointed partitions, not the lineage
         changed = updated.where(F.col("new_label") < F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from hive_scripts_spark.functions.canonical import (
     deterministic_sample,
+    limit_sample,
     table_fingerprint,
 )
 
@@ -31,14 +32,28 @@ def sampled_fingerprint(
     partition_cols: list[str] | None = None,
     fraction: float = 0.10,
     hash_cols: list[str] | None = None,
+    mode: str = "hash",
+    rows: int = 10,
 ) -> DataFrame:
     """Fingerprint a deterministic sample of ``df``, per partition.
+
+    ``mode='hash'`` (default) takes the deterministic hash-mod
+    ``fraction`` sample; ``mode='rows'`` is the reference-literal
+    ``LIMIT rows`` (``verizon_automation_script.sh:220``), made
+    cross-engine sound by ordering on ``key_cols`` first (Catalyst plans
+    it as TakeOrderedAndProject — top-``rows`` per partition then a
+    single-reduce merge, no full sort shuffle).
 
     Returns ``table_name, partition_spec, fingerprint, row_count`` — the
     same record shape as the UC#1 count frames, so the comparison join is
     identical machinery.
     """
-    sample = deterministic_sample(df, key_cols, fraction=fraction)
+    if mode == "rows":
+        sample = limit_sample(df, rows, order_cols=key_cols)
+    elif mode == "hash":
+        sample = deterministic_sample(df, key_cols, fraction=fraction)
+    else:
+        raise ValueError(f"unknown sample mode: {mode!r} (use 'hash' or 'rows')")
     if partition_cols:
         spec_cols = partition_cols
         fp = table_fingerprint(sample, hash_cols or df.columns, group_by=spec_cols)
@@ -98,9 +113,13 @@ def fingerprint_reconcile(src_fp: DataFrame, tgt_fp: DataFrame) -> DataFrame:
         "src_rows",
         "tgt_rows",
     )
-    ok = (F.col("src_fingerprint") == F.col("tgt_fingerprint")) & (
-        F.col("src_rows") == F.col("tgt_rows")
-    )
+    # Null-safe: an empty sample on both sides yields fingerprint=NULL on
+    # both, and NULL==NULL would fall through to 'inconsistent'. A side
+    # missing entirely (one-sided NULL from the full outer) still compares
+    # unequal under eqNullSafe, so it stays 'inconsistent'.
+    ok = F.col("src_fingerprint").eqNullSafe(F.col("tgt_fingerprint")) & F.col(
+        "src_rows"
+    ).eqNullSafe(F.col("tgt_rows"))
     return joined.select(
         "table_name",
         "partition_spec",

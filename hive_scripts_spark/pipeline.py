@@ -66,6 +66,8 @@ def run_validation(
     table_specs: list[TableSpec],
     output_dir: str | None = None,
     sample_fraction: float = 0.10,
+    sample_mode: str = "hash",
+    sample_rows: int = 10,
 ) -> ValidationResult:
     """The flagship: UC#1 count reconciliation then UC#2 fingerprints."""
     src_counts, tgt_counts = [], []
@@ -100,12 +102,24 @@ def run_validation(
             keys = spec.key_cols or sources[name].columns
             src_fps.append(
                 sampled_fingerprint(
-                    sources[name], keys, name, spec.partition_cols, sample_fraction
+                    sources[name],
+                    keys,
+                    name,
+                    spec.partition_cols,
+                    sample_fraction,
+                    mode=sample_mode,
+                    rows=sample_rows,
                 )
             )
             tgt_fps.append(
                 sampled_fingerprint(
-                    targets[name], keys, name, spec.partition_cols, sample_fraction
+                    targets[name],
+                    keys,
+                    name,
+                    spec.partition_cols,
+                    sample_fraction,
+                    mode=sample_mode,
+                    rows=sample_rows,
                 )
             )
         fp_all = fingerprint_reconcile(_union_all(src_fps), _union_all(tgt_fps))

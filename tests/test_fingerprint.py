@@ -73,3 +73,31 @@ def test_reordered_rows_not_flagged(spark):
     tgt = sampled_fingerprint(_df(spark, shuffle=True), ["id"], "t", ["p"], fraction=1.0)
     rec = fingerprint_reconcile(src, tgt)
     assert {r["status"] for r in rec.collect()} == {"consistent"}
+
+
+def test_empty_samples_both_sides_consistent(spark):
+    # identical empty samples fingerprint to NULL on both sides; the
+    # comparison must be null-safe (NULL==NULL would fall through to
+    # 'inconsistent' — ADVICE r01)
+    empty = _df(spark).where("id < 0")
+    src = sampled_fingerprint(empty, ["id"], "t")
+    tgt = sampled_fingerprint(empty, ["id"], "t")
+    rows = fingerprint_reconcile(src, tgt).collect()
+    assert [r["status"] for r in rows] == ["consistent"]
+
+
+def test_one_sided_empty_sample_inconsistent(spark):
+    src = sampled_fingerprint(_df(spark), ["id"], "t", fraction=1.0)
+    tgt = sampled_fingerprint(_df(spark).where("id < 0"), ["id"], "t", fraction=1.0)
+    rows = fingerprint_reconcile(src, tgt).collect()
+    assert [r["status"] for r in rows] == ["inconsistent"]
+
+
+def test_rows_mode_deterministic_across_ordering(spark):
+    # reference-literal LIMIT-n mode: key-ordered, so both sides pick the
+    # same logical rows regardless of physical row order
+    src = sampled_fingerprint(_df(spark), ["id"], "t", mode="rows", rows=25)
+    tgt = sampled_fingerprint(_df(spark, shuffle=True), ["id"], "t", mode="rows", rows=25)
+    assert src.collect()[0]["row_count"] == 25
+    rows = fingerprint_reconcile(src, tgt).collect()
+    assert [r["status"] for r in rows] == ["consistent"]

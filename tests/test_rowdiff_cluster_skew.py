@@ -78,3 +78,22 @@ def test_salted_ops_match_plain(spark):
         [("HOT", "h")] + [(f"k{i}", f"d{i}") for i in range(3)], "k string, v string"
     )
     assert salted_join(skewed, dim, "k", "id").count() == skewed.join(dim, "k").count()
+
+def test_connected_components_long_path_converges(spark):
+    # pointer jumping: a 60-node path resolves well inside the default
+    # 10-iteration cap (plain propagation would need ~59 rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a_id long, b_id long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)

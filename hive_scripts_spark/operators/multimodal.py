@@ -6,11 +6,18 @@ heavy steps — decode, resize, frame-sample, feature-extract — run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so each partition streams
 through Python in columnar batches (never row-at-a-time).
 
-The actual codec calls are STUBBED (image/audio libraries are not in this
-container): ``decode_image_meta`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a **deterministic fake decode** (md5-derived
-dimensions) exercises the full Spark-side plumbing — schema, batch shape,
-partitioning — and is reproducible enough to oracle-test.
+Codec posture (no image/audio libraries in this container):
+
+* ``decode_image_meta(fake=False)`` is a REAL decoder for the formats
+  whose dimensions are pure header fields — BMP, PNG, GIF, and the
+  netpbm family (P1–P6) — parsed with spec-level byte arithmetic, no
+  codec library. Unrecognized/corrupt payloads yield NULL dims (a 100 TB
+  job must not die on one bad file); nothing raises.
+* ``fake=True`` (default for the oracle queries) is a **deterministic
+  fake decode** (md5-derived dimensions) exercising the full Spark-side
+  plumbing — schema, batch shape, partitioning — reproducibly.
+* pixel-level ops (``resize_images``, ``audio_features``) remain stubs:
+  their ``fake=False`` paths raise ``NotImplementedError`` by contract.
 """
 
 from __future__ import annotations
@@ -72,8 +79,13 @@ def decode_image_meta(
 ) -> DataFrame:
     """Decode image payloads to metadata via Arrow-batched ``mapInPandas``.
 
-    ``fake=False`` is the production path: plug a real codec in place of
-    the stub (signature and batch shape are identical).
+    ``fake=False`` parses REAL image headers — BMP (dims at offsets
+    18/22, little-endian), PNG (IHDR bytes 16–24, big-endian), GIF
+    (logical screen bytes 6–10, little-endian), netpbm P1–P6 (two ASCII
+    tokens after the magic, ``#`` comments skipped) — pure byte
+    arithmetic per the published format specs, no codec library. Payloads
+    in any other format decode to NULL width/height rather than failing
+    the job.
 
     Decode is CPU-dense per payload and ``mapInPandas`` runs one Python
     worker per input split; when the source has fewer splits than cores
@@ -90,25 +102,58 @@ def decode_image_meta(
         # whose cwd is outside this repo — the driver's setup)
         import hashlib as _hl
 
-        def fake_decode(payload: bytes) -> tuple[str, int, int]:
+        def fake_decode(payload: bytes) -> tuple[int | None, int | None]:
             digest = _hl.md5(payload).hexdigest()
-            return digest, 1 + int(digest[:4], 16) % 1024, 1 + int(digest[4:8], 16) % 1024
+            return 1 + int(digest[:4], 16) % 1024, 1 + int(digest[4:8], 16) % 1024
 
+        def header_dims(b: bytes) -> tuple[int | None, int | None]:
+            try:
+                if b[:2] == b"BM" and len(b) >= 26:
+                    w = int.from_bytes(b[18:22], "little", signed=True)
+                    h = int.from_bytes(b[22:26], "little", signed=True)
+                    return w, abs(h)  # negative height = top-down BMP
+                if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+                    return (
+                        int.from_bytes(b[16:20], "big"),
+                        int.from_bytes(b[20:24], "big"),
+                    )
+                if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                    return (
+                        int.from_bytes(b[6:8], "little"),
+                        int.from_bytes(b[8:10], "little"),
+                    )
+                if len(b) >= 2 and b[0:1] == b"P" and b[1:2] in b"123456":
+                    toks, i, n = [], 2, len(b)
+                    while len(toks) < 2 and i < n:
+                        c = b[i : i + 1]
+                        if c == b"#":
+                            while i < n and b[i : i + 1] != b"\n":
+                                i += 1
+                        elif c.isspace():
+                            i += 1
+                        else:
+                            j = i
+                            while j < n and not b[j : j + 1].isspace():
+                                j += 1
+                            toks.append(b[i:j])
+                            i = j
+                    if len(toks) == 2:
+                        return int(toks[0]), int(toks[1])
+            except Exception:
+                pass
+            return None, None
+
+        decode = fake_decode if fake else header_dims
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires a codec library (PIL/opencv) "
-                    "not present in this environment; use fake=True for the "
-                    "deterministic stub"
-                )
-            metas = [fake_decode(p) for p in pdf["payload"]]
+            payloads = [bytes(p) for p in pdf["payload"]]
+            metas = [decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
-                    "content_md5": [m[0] for m in metas],
-                    "width": pd.Series([m[1] for m in metas], dtype="int32"),
-                    "height": pd.Series([m[2] for m in metas], dtype="int32"),
+                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "content_md5": [_hl.md5(p).hexdigest() for p in payloads],
+                    "width": pd.Series([m[0] for m in metas], dtype="Int32"),
+                    "height": pd.Series([m[1] for m in metas], dtype="Int32"),
                 }
             )
 

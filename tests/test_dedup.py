@@ -118,3 +118,34 @@ def test_shard_by_hash_deterministic_and_balanced(spark):
 
     sizes = collections.Counter(a.values()).values()
     assert min(sizes) > 2000 / 16 * 0.6  # hash-uniform, no empty/hot shard
+
+
+def test_ngram_jaccard_routes_through_lsh_above_doc_cap(spark):
+    from hive_scripts_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(8):
+        base = f"the quick brown fox jumps over lazy dog number {i} " * 3
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " trailing tail token"))  # near-dup of 2i
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exhaustive = ngram_jaccard_pairs(df, max_docs=None)
+    routed = ngram_jaccard_pairs(df, max_docs=4)  # 16 docs > cap → LSH route
+
+    # routing must actually engage: the LSH path joins on (band, bucket)
+    assert "bucket" in routed._jdf.queryExecution().toString()
+    assert "bucket" not in exhaustive._jdf.queryExecution().toString()
+
+    ex = {(r["a_id"], r["b_id"]): r for r in exhaustive.collect()}
+    rt = {(r["a_id"], r["b_id"]): r for r in routed.collect()}
+    # same schema, candidates are a subset, and every near-identical pair
+    # (jaccard ≥ 0.8 — well above the LSH S-curve knee) survives routing
+    # with identical counts and jaccard
+    assert routed.columns == exhaustive.columns
+    assert set(rt) <= set(ex)
+    for k, r in ex.items():
+        if r["jaccard"] >= 0.8:
+            assert k in rt
+            for c in ("n_common", "n_a", "n_b", "jaccard"):
+                assert rt[k][c] == r[c]

@@ -102,10 +102,6 @@ def decode_image_meta(
         # whose cwd is outside this repo — the driver's setup)
         import hashlib as _hl
 
-        def fake_decode(payload: bytes) -> tuple[int | None, int | None]:
-            digest = _hl.md5(payload).hexdigest()
-            return 1 + int(digest[:4], 16) % 1024, 1 + int(digest[4:8], 16) % 1024
-
         def header_dims(b: bytes) -> tuple[int | None, int | None]:
             try:
                 if b[:2] == b"BM" and len(b) >= 26:
@@ -143,15 +139,21 @@ def decode_image_meta(
                 pass
             return None, None
 
-        decode = fake_decode if fake else header_dims
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            metas = [decode(p) for p in payloads]
+            digests = [_hl.md5(p).hexdigest() for p in payloads]
+            if fake:
+                metas = [
+                    (1 + int(d[:4], 16) % 1024, 1 + int(d[4:8], 16) % 1024)
+                    for d in digests
+                ]
+            else:
+                metas = [header_dims(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
-                    "content_md5": [_hl.md5(p).hexdigest() for p in payloads],
+                    "content_md5": digests,
                     "width": pd.Series([m[0] for m in metas], dtype="Int32"),
                     "height": pd.Series([m[1] for m in metas], dtype="Int32"),
                 }

@@ -188,19 +188,65 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_threshold: int = 256,
 ) -> DataFrame:
     """IVF coarse assignment: each vector to its max-cosine centroid.
 
-    ``centroids(centroid_id, centroid array<double>)`` is broadcast; at
-    100 TB this is the standard pre-partitioning for ANN — downstream
-    searches probe matching centroid partitions only (partition pruning
-    on ``centroid_id``).
+    A coarse quantizer is small by definition, so up to
+    ``literal_threshold`` centroids are collected (model parameters, not
+    data) and embedded as plan literals; the assignment is then a pure
+    per-row argmax projection — ``array_max`` over ``(sim, -cid)``
+    structs, same shape as :func:`ivf_topk`'s cell assignment — with
+    **zero corpus shuffle at any corpus size**. The row vector's norm is
+    staged once per row (not re-folded per centroid); each literal
+    centroid's self-norm constant-folds at plan time. The single-struct
+    result splits into columns via ``inline_outer`` (a generator —
+    evaluated once; projecting two fields out of the argmax expression
+    would re-evaluate it per field under CollapseProject).
+
+    Beyond the threshold it falls back to broadcast join + per-vector
+    window: one O(corpus × centroids) shuffle — still never an
+    unbroadcast centroid shuffle. Downstream searches probe matching
+    centroid partitions only (partition pruning on ``centroid_id``).
     """
     from pyspark.sql import Window
 
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
+    lits = centroids.limit(literal_threshold + 1).collect()
+    if len(lits) <= literal_threshold:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(
+                        *[F.lit(float(x)).cast("double") for x in r["centroid"]]
+                    ).alias("c"),
+                )
+                for r in lits
+            ]
+        )
+        staged = base.select(
+            F.col(id_col), F.col("vec"), l2_norm(F.col("vec")).alias("vnorm")
+        )
+        best = F.array_max(
+            F.transform(
+                cells,
+                lambda s: F.struct(
+                    F.round(
+                        dot(F.col("vec"), s["c"]) / (F.col("vnorm") * l2_norm(s["c"])),
+                        6,
+                    ).alias("sim"),
+                    (-s["cid"]).alias("neg_cid"),
+                ),
+            )
+        )
+        assigned = staged.select(F.col(id_col), F.inline_outer(F.array(best)))
+        return assigned.select(
+            id_col, (-F.col("neg_cid")).cast("long").alias("centroid_id"), "sim"
+        )
+
     scored = base.join(F.broadcast(centroids)).select(
         id_col,
         "centroid_id",

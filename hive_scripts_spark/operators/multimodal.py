@@ -233,11 +233,18 @@ def audio_features(
     length, duration = n/sr, RMS energy over the byte values —
     deterministic, vectorized in numpy per Arrow batch, and shaped
     exactly like a real decoder (same schema, same batch flow).
+
+    Cross-engine exactness: the squared-byte sum accumulates in exact
+    int64 and RMS/duration are each a SINGLE IEEE double divide (+sqrt)
+    of exactly-representable ints — bit-identical on any engine, so the
+    DuckDB oracle value-hashes without rounding fudge.
     """
     if parallelism:
         df = df.repartition(parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in it:
@@ -245,19 +252,21 @@ def audio_features(
                 raise NotImplementedError(
                     "real audio decode requires librosa/soundfile"
                 )
-            n = pdf["payload"].map(len).astype("int64")
-            rms = [
-                float(np.sqrt(np.mean(np.frombuffer(bytes(p), dtype=np.uint8).astype("f8") ** 2)))
-                if len(p)
-                else 0.0
-                for p in pdf["payload"]
-            ]
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = pd.Series([len(p) for p in payloads], dtype="int64")
+            rms = []
+            for p in payloads:
+                if p:
+                    a = np.frombuffer(p, dtype=np.uint8).astype("i8")
+                    rms.append(math.sqrt(int((a * a).sum()) / len(p)))
+                else:
+                    rms.append(0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_samples": n,
-                    "duration_s": (n / sample_rate).round(6),
-                    "rms_energy": pd.Series(rms).round(6),
+                    "duration_s": (n / float(sample_rate)).astype("f8"),
+                    "rms_energy": pd.Series(rms, dtype="f8"),
                 }
             )
 

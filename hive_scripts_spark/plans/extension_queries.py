@@ -426,7 +426,24 @@ def x_multimodal_resize(spark, sf_dir):
     )
 
 
-@register("x_multimodal_audio")  # RMS over bytes — not practical in SQL
+@register(
+    "x_multimodal_audio",
+    # bytes == codepoints (ASCII testdata, asserted in round-2 probe);
+    # exact int64 square-sum then single double divides — bit-identical
+    # across engines, no rounding needed
+    oracle="""
+    select doc_id,
+           strlen(text) as n_samples,
+           cast(strlen(text) as double) / cast(16000 as double) as duration_s,
+           case when strlen(text) = 0 then cast(0.0 as double)
+                else sqrt(
+                  cast(list_sum(list_transform(string_split_regex(text, ''),
+                                               c -> unicode(c) * unicode(c)))
+                       as double)
+                  / cast(strlen(text) as double)) end as rms_energy
+    from documents
+    """,
+)
 def x_multimodal_audio(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return M.audio_features(

@@ -335,6 +335,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     Jaccard over shingles.
@@ -349,6 +350,16 @@ def minhash_lsh_pairs(
     verify join reuses :func:`ngram_jaccard_pairs` machinery on the
     candidate semi-join, so verification cost is O(candidates), not
     O(docs²).
+
+    ``max_bucket_size`` (off by default) drops (band, bucket) groups
+    holding more than that many docs before pairing: a degenerate bucket
+    of *m* docs emits m²/2 candidates, and at corpus scale such buckets
+    are near-always boilerplate/empty-ish signatures. Docs in a dropped
+    bucket can still pair through their other ``bands − 1`` buckets, so
+    recall only degrades for docs whose EVERY band is hot (true
+    boilerplate — usually exactly what dedup wants to ignore or handle
+    via exact dedup first). The oversized-bucket list is tiny by
+    construction → broadcast anti-join, no extra corpus shuffle.
     """
     # signature computation is CPU-dense per row; when the source has
     # fewer input splits than cores (single-row-group files — the local
@@ -358,6 +369,22 @@ def minhash_lsh_pairs(
     if parallelism:
         df = df.repartition(parallelism)
     banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
+    if max_bucket_size is not None:
+        # rename the keys: oversized derives from banded, so a bare
+        # ["band","bucket"] join would resolve both sides to the SAME
+        # attributes (self-join) — a trivially-true condition that
+        # anti-drops every row
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket_size)
+            .select(F.col("band").alias("__ob"), F.col("bucket").alias("__obk"))
+        )
+        banded = banded.join(
+            F.broadcast(oversized),
+            (F.col("band") == F.col("__ob")) & (F.col("bucket") == F.col("__obk")),
+            "left_anti",
+        )
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (

@@ -149,3 +149,22 @@ def test_ngram_jaccard_routes_through_lsh_above_doc_cap(spark):
             assert k in rt
             for c in ("n_common", "n_a", "n_b", "jaccard"):
                 assert rt[k][c] == r[c]
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    near = "a genuinely unique document about spark physical planning details"
+    rows = [(i, boiler) for i in range(25)] + [(100, near), (101, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, threshold=0.5)
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10)
+
+    # the 25 identical boilerplate docs form 25×24/2 pairs uncapped...
+    assert uncapped.where("a_id < 100").count() == 25 * 24 // 2
+    # ...and every one of their buckets exceeds the cap, so they vanish;
+    # the genuine near-dup pair (in small buckets) survives
+    got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert got == {(100, 101)}

@@ -39,6 +39,10 @@ AUDITED = [
     "x_text_repetition",
     "x_token_budget_pack",
     "x_multimodal_decode_meta",
+    "x_multimodal_decode_real",
+    "x_ann_ivf_assign",
+    "x_ann_ivf_topk",
+    "x_dedup_components",
 ]
 
 

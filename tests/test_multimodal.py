@@ -97,3 +97,37 @@ def test_real_decode_parses_bmp_png_gif_ppm_headers(spark):
     assert out[4] == (13, 7)
     assert out[5] == (800, 600)
     assert out[6] == (None, None)
+
+
+def test_real_decode_header_roundtrip_grid(spark):
+    import struct
+
+    from hive_scripts_spark.operators.multimodal import decode_image_meta
+
+    dims = [(1, 1), (2, 3), (255, 256), (641, 479), (65535, 65535), (100000, 7)]
+    rows, expected, i = [], {}, 0
+
+    def add(payload, w, h):
+        nonlocal i
+        rows.append((i, payload))
+        expected[i] = (w, h)
+        i += 1
+
+    for w, h in dims:
+        add(b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h), w, h)
+        add(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR" + struct.pack(">II", w, h), w, h)
+        if w <= 65535 and h <= 65535:
+            add(b"GIF87a" + struct.pack("<HH", w, h), w, h)
+        add(f"P6  {w}\t{h}\n255\n".encode() + b"\x01\x02", w, h)
+        add(f"P5\n# c1\n# c2\n{w} {h} 255 ".encode(), w, h)
+    # truncated headers must degrade to NULL, not raise
+    add(b"BM\x00\x00", None, None)
+    add(b"\x89PNG\r\n\x1a\n", None, None)
+    add(b"P6 12", None, None)
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_image_meta(df, fake=False).collect()
+    }
+    assert got == expected

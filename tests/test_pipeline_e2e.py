@@ -103,3 +103,34 @@ def test_full_validation(dbs, spark, tmp_path):
 
     out_csvs = glob.glob(str(tmp_path / "out" / "*" / "*" / "*.csv"))
     assert out_csvs, "report CSVs written"
+
+
+def test_full_validation_rows_mode(dbs, spark):
+    # reference-literal LIMIT-n sampling (sample_mode='rows'): the
+    # key-ordered top-n picks the same logical rows on both sides, so the
+    # reorder-only table stays consistent and the mutated row (emp_id=7,
+    # inside the first 50 by key) is still caught
+    src_dir, tgt_dir = dbs
+    cfg = JobConfig(
+        source=EndpointConfig(path=src_dir),
+        target=EndpointConfig(path=tgt_dir),
+        tables=["dept", "salary", "marks"],
+        sample_size=50,
+        sample_mode="rows",
+    )
+    specs = [
+        TableSpec("dept", key_cols=["dept_id"]),
+        TableSpec("salary", key_cols=["emp_id", "month"]),
+        TableSpec("marks", key_cols=["student_id", "term"]),
+    ]
+    result = run_validation(
+        spark, cfg, specs, sample_mode=cfg.sample_mode, sample_rows=cfg.sample_size
+    )
+    status = {
+        r["table_name"]: r["status"] for r in result.consistency.collect()
+    }
+    assert status == {
+        "dept": "consistent",
+        "salary": "inconsistent",
+        "marks": "consistent",
+    }

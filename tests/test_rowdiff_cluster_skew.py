@@ -97,3 +97,40 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    # deterministic pseudo-random edge lists; oracle = driver-side
+    # union-find with full path compression
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    for seed in (3, 17, 101):
+        edges = []
+        x = seed
+        for _ in range(120):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % 60
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % 60
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        nodes = sorted({n for e in edges for n in e})
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == uf_components(edges, nodes), f"seed {seed}"

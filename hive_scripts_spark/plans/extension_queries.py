@@ -740,9 +740,10 @@ def x_window_top_orders_per_cust(spark, sf_dir):
       window w as (partition by user_id order by ts, event_id)
     ), numbered as (
       select user_id, ts,
-             sum(new_session) over (
+             cast(sum(new_session) over (
                partition by user_id order by ts, event_id
-               rows between unbounded preceding and current row) as session_id
+               rows between unbounded preceding and current row)
+                  as bigint) as session_id
       from marked
     )
     select user_id, session_id, count(*) as n_events,
@@ -1156,7 +1157,7 @@ def x_decontaminate(spark, sf_dir):
     select (cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)
             % 16) as shard,
            count(*) as n_docs,
-           sum(n_chars) as sum_chars
+           cast(sum(n_chars) as bigint) as sum_chars
     from documents
     group by 1
     """,
@@ -1192,7 +1193,7 @@ def x_shard_assign(spark, sf_dir):
       select doc_id, g, count(*) as c from grams group by doc_id, g
     )
     select doc_id,
-           sum(c) as n_grams,
+           cast(sum(c) as bigint) as n_grams,
            count(*) as n_distinct,
            cast(sum(c) - count(*) as double) / cast(sum(c) as double)
              as dup_gram_frac,

@@ -251,3 +251,50 @@ def repetition_signals(
         (F.col("__f.best").cast("double") / F.col("n_grams").cast("double")).alias("top_gram_frac"),
     )
     return out
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars", bucket_width: int = 100
+) -> DataFrame:
+    """Document-length histogram: ``(bucket, n_docs, sum_chars)`` with
+    ``bucket`` = floor(length / width) × width.
+
+    The dataset-shape report every curation run starts from (length
+    cliffs reveal truncation bugs and boilerplate bands). One map-side
+    partial agg → one exchange over O(buckets) keys at any scale.
+    Bucket math stays in exact integer DIV — float division would make
+    edge documents engine-dependent.
+    """
+    bucket = (F.col(length_col).cast("long") - (F.col(length_col).cast("long") % bucket_width))
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(length_col).cast("long")).alias("sum_chars"),
+        )
+    )
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII indicators: email-shaped matches, long digit
+    runs, and the text length after redacting both.
+
+    Patterns are deliberately conservative ASCII classes that behave
+    identically under Java regex (Spark) and RE2 (DuckDB), so the
+    operator is exactly oracle-checkable. Pure JVM projections — the
+    scrub pass a training-data exporter runs over every shard.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    digits = r"[0-9][0-9][0-9][0-9]+"
+    t = F.col(text_col)
+    redacted = F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), digits, "<NUM>")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(digits), F.lit(0))).cast("long").alias(
+            "n_digit_runs"
+        ),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

@@ -1368,3 +1368,47 @@ def x_dedup_components_exact(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.2).select("a_id", "b_id")
     return connected_components(pairs)
+
+
+@register(
+    "x_length_histogram",
+    oracle="""
+    select cast(n_chars - (n_chars % 100) as bigint) as bucket,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from documents
+    group by 1
+    """,
+)
+def x_length_histogram(spark, sf_dir):
+    """Document-length histogram (100-char buckets) — the dataset-shape
+    report a curation run starts from. Exact integer bucket math."""
+    from hive_scripts_spark.operators.textstats import length_histogram
+
+    return length_histogram(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_pii_signals",
+    # 'g' flags: DuckDB regexp_replace is first-match-only by default,
+    # Spark replaces all
+    oracle="""
+    select doc_id,
+           cast(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) as bigint)
+             as n_emails,
+           cast(len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+')) as bigint)
+             as n_digit_runs,
+           cast(length(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) as bigint) as redacted_len
+    from documents
+    """,
+)
+def x_pii_signals(spark, sf_dir):
+    """Per-doc PII indicators (emails, long digit runs, redacted length)
+    — the scrub audit a training-data exporter runs per shard. ASCII-only
+    patterns behave identically under Java regex and RE2."""
+    from hive_scripts_spark.operators.textstats import pii_signals
+
+    return pii_signals(table(spark, sf_dir, "documents"))

@@ -79,3 +79,30 @@ def test_repetition_signals(spark):
     r1 = out[1]
     assert r1["n_grams"] == 3 and r1["n_distinct"] == 3
     assert r1["dup_gram_frac"] == 0.0 and abs(r1["top_gram_frac"] - 1 / 3) < 1e-12
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    from hive_scripts_spark.operators.textstats import pii_signals
+
+    rows = [
+        (0, "contact me at jane.doe+x@example.org or 555 1234567 ok"),
+        (1, "no pii here"),
+        (2, "a@b.io and c.d@e-f.co.uk plus 0001 and 999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_digit_runs"] == 1
+    assert out[1]["n_emails"] == 0 and out[1]["n_digit_runs"] == 0
+    assert out[2]["n_emails"] == 2 and out[2]["n_digit_runs"] == 1  # 999 too short
+    assert out[1]["redacted_len"] == len("no pii here")
+    assert out[0]["redacted_len"] == len("contact me at <EMAIL> or 555 <NUM> ok")
+
+
+def test_length_histogram_buckets(spark):
+    from hive_scripts_spark.operators.textstats import length_histogram
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 99), (3, 100), (4, 250)], "doc_id long, n_chars int"
+    )
+    out = {r["bucket"]: (r["n_docs"], r["sum_chars"]) for r in length_histogram(df).collect()}
+    assert out == {0: (2, 104), 100: (1, 100), 200: (1, 250)}

@@ -1,0 +1,164 @@
+"""Incremental (manifest-diff) reconciliation — the 100 TB upgrade of
+UC#1.
+
+The reference re-counts every table/partition on every run
+(``verizon_automation_script.sh:90-183``); at lake scale that is a full
+re-scan of unchanged data. This module prunes the work with **file
+manifests**: list each side's parquet files with metadata only (path,
+byte length, mtime), roll them up per Hive-style ``k=v`` partition
+directory, and re-run the count reconciliation ONLY for partitions whose
+manifest changed since the saved state (or differs between the sides).
+
+Scale posture:
+
+* the listing uses Spark's ``binaryFile`` source but selects ONLY its
+  metadata columns — column pruning means file *content* is never read,
+  so a manifest over N files costs O(N) metadata operations distributed
+  across the cluster, not O(bytes);
+* the manifest rollup is one tiny groupBy over O(files) rows;
+* the subsequent data scan carries an ``isin`` filter on the partition
+  columns, which lands in ``PartitionFilters`` → unchanged partition
+  directories are skipped at planning time, never opened.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_manifest(
+    spark: SparkSession, table_dir: str, partition_cols: list[str]
+) -> DataFrame:
+    """Per-partition manifest of a Hive-layout parquet table:
+    ``(partition values..., n_files, total_bytes, max_mtime)``.
+
+    Partition values are parsed from the ``k=v`` path segments, so this
+    never opens a file. (``binaryFile`` with only metadata columns
+    selected — content is lazily loaded per-column and pruned away.)
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(table_dir)
+        .select("path", "length", "modificationTime")
+    )
+    part_vals = [
+        F.regexp_extract(F.col("path"), f"{c}=([^/]+)", 1).alias(c)
+        for c in partition_cols
+    ]
+    return (
+        files.select(*part_vals, "length", "modificationTime")
+        .groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            F.max("modificationTime").alias("max_mtime"),
+        )
+    )
+
+
+def manifest_diff(
+    current: DataFrame, previous: DataFrame, partition_cols: list[str]
+) -> DataFrame:
+    """Partitions whose manifest changed between two listings: added,
+    removed, or with different file count / byte size / mtime.
+
+    Output: partition values + ``change`` ∈ {added, removed, modified}.
+    Both manifests are O(partitions) rows — the full-outer join is
+    metadata-scale regardless of data volume.
+    """
+    cur = current.select(
+        *partition_cols,
+        F.col("n_files").alias("cur_files"),
+        F.col("total_bytes").alias("cur_bytes"),
+        F.col("max_mtime").alias("cur_mtime"),
+    )
+    prev = previous.select(
+        *partition_cols,
+        F.col("n_files").alias("prev_files"),
+        F.col("total_bytes").alias("prev_bytes"),
+        F.col("max_mtime").alias("prev_mtime"),
+    )
+    joined = cur.join(prev, partition_cols, "full_outer")
+    change = (
+        F.when(F.col("prev_files").isNull(), F.lit("added"))
+        .when(F.col("cur_files").isNull(), F.lit("removed"))
+        .when(
+            (F.col("cur_files") != F.col("prev_files"))
+            | (F.col("cur_bytes") != F.col("prev_bytes"))
+            | (F.col("cur_mtime") != F.col("prev_mtime")),
+            F.lit("modified"),
+        )
+        .otherwise(F.lit(None))
+        .alias("change")
+    )
+    return joined.select(*partition_cols, change).where(F.col("change").isNotNull())
+
+
+def changed_partition_filter(
+    changed: DataFrame, partition_cols: list[str]
+) -> F.Column | None:
+    """Build the pruning predicate for the changed partitions.
+
+    The changed set is O(partitions) metadata — collecting it to drive
+    partition pruning is the standard incremental-pipeline shape (the
+    predicate must be a plan literal for ``PartitionFilters`` to prune
+    directories at planning time). Returns ``None`` when nothing changed
+    (callers skip the scan entirely).
+    """
+    rows = changed.select(*partition_cols).distinct().collect()
+    if not rows:
+        return None
+    tuples = [tuple(str(r[c]) for c in partition_cols) for r in rows]
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
+    return key.isin(["\x1f".join(t) for t in tuples])
+
+
+def incremental_count_reconcile(
+    spark: SparkSession,
+    src_dir: str,
+    tgt_dir: str,
+    table: str,
+    partition_cols: list[str],
+    prev_src_manifest: DataFrame | None = None,
+    prev_tgt_manifest: DataFrame | None = None,
+) -> tuple[DataFrame | None, DataFrame, DataFrame]:
+    """UC#1 count reconciliation restricted to changed partitions.
+
+    Returns ``(reconciled | None, src_manifest, tgt_manifest)`` — the
+    caller persists the manifests as the next run's state. A partition
+    is re-scanned when EITHER side's (file count, bytes, mtime) changed
+    since its saved manifest — the rsync-style quick check; unchanged
+    metadata on both sides implies the previous verdict still holds.
+    ``reconciled`` is ``None`` when no partition changed. With no prior
+    state (first run) both sides are scanned in full — manifests cannot
+    prove cross-side data equality (equal byte lengths ≠ equal rows),
+    only same-side non-change.
+    """
+    from hive_scripts_spark.operators.reconcile import (
+        count_reconcile,
+        partition_counts,
+    )
+
+    src_mf = file_manifest(spark, f"{src_dir}/{table}", partition_cols)
+    tgt_mf = file_manifest(spark, f"{tgt_dir}/{table}", partition_cols)
+    pred = None
+    if prev_src_manifest is not None and prev_tgt_manifest is not None:
+        changed = manifest_diff(
+            src_mf, prev_src_manifest, partition_cols
+        ).unionByName(manifest_diff(tgt_mf, prev_tgt_manifest, partition_cols))
+        pred = changed_partition_filter(changed, partition_cols)
+        if pred is None:
+            return None, src_mf, tgt_mf
+
+    src = spark.read.parquet(f"{src_dir}/{table}")
+    tgt = spark.read.parquet(f"{tgt_dir}/{table}")
+    if pred is not None:
+        src, tgt = src.where(pred), tgt.where(pred)
+    reconciled = count_reconcile(
+        partition_counts(src, partition_cols, table),
+        partition_counts(tgt, partition_cols, table),
+    )
+    return reconciled, src_mf, tgt_mf

@@ -1,0 +1,98 @@
+"""Incremental manifest-diff reconciliation (the 100 TB UC#1 upgrade):
+metadata-only listings, change detection, and partition-pruned rescans."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators.incremental import (
+    changed_partition_filter,
+    file_manifest,
+    incremental_count_reconcile,
+    manifest_diff,
+)
+from hive_scripts_spark.sources.sinks import write_partitioned
+
+
+def _orders(spark, n=400, drop_in_p2=0):
+    df = spark.range(n).select(
+        F.col("id").alias("o_id"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 1.5).alias("amount"),
+    )
+    if drop_in_p2:
+        df = df.where(~((F.col("p") == 2) & (F.col("o_id") < drop_in_p2 * 4)))
+    return df
+
+
+def test_manifest_lists_partitions_without_reading_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_orders(spark), path, ["p"])
+    mf = file_manifest(spark, path, ["p"])
+    rows = {r["p"]: r for r in mf.collect()}
+    assert set(rows) == {"0", "1", "2", "3"}
+    assert all(r["n_files"] >= 1 and r["total_bytes"] > 0 for r in rows.values())
+
+
+def test_manifest_diff_flags_only_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_orders(spark), path, ["p"])
+    before = file_manifest(spark, path, ["p"]).localCheckpoint(eager=True)
+    time.sleep(1.1)  # mtime granularity
+    # rewrite ONE partition directory with fewer rows
+    _orders(spark).where("p = 2 and o_id >= 20").drop("p").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/p=2")
+    after = file_manifest(spark, path, ["p"])
+    diff = manifest_diff(after, before, ["p"]).collect()
+    assert [(r["p"], r["change"]) for r in diff] == [("2", "modified")]
+
+
+def test_incremental_reconcile_scans_only_changed_partitions(spark, tmp_path):
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    write_partitioned(_orders(spark), f"{src}/orders", ["p"])
+    write_partitioned(_orders(spark), f"{tgt}/orders", ["p"])
+
+    # first run: full scan (no state), everything matched
+    rec0, src_mf, tgt_mf = incremental_count_reconcile(
+        spark, src, tgt, "orders", ["p"]
+    )
+    assert rec0.where("status != 'matched'").count() == 0
+    src_mf = src_mf.localCheckpoint(eager=True)
+    tgt_mf = tgt_mf.localCheckpoint(eager=True)
+
+    # second run, nothing changed → no scan at all
+    rec1, _, _ = incremental_count_reconcile(
+        spark, src, tgt, "orders", ["p"], src_mf, tgt_mf
+    )
+    assert rec1 is None
+
+    # perturb ONE target partition, rerun incrementally
+    time.sleep(1.1)
+    _orders(spark).where("p = 2 and o_id >= 20").drop("p").write.mode(
+        "overwrite"
+    ).parquet(f"{tgt}/orders/p=2")
+    rec2, _, _ = incremental_count_reconcile(
+        spark, src, tgt, "orders", ["p"], src_mf, tgt_mf
+    )
+    rows = rec2.collect()
+    # ONLY the changed partition appears, and it mismatches
+    assert [(r["partition_spec"], r["status"]) for r in rows] == [
+        ("p=2", "mismatched")
+    ]
+    # and the scan was partition-pruned, not post-filtered
+    plan = rec2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_changed_partition_filter_prunes_directories(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_orders(spark), path, ["p"])
+    changed = spark.createDataFrame([("2",)], "p string")
+    pred = changed_partition_filter(changed, ["p"])
+    scan = spark.read.parquet(path).where(pred)
+    assert scan.select(F.countDistinct("p")).collect()[0][0] == 1
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the predicate lands in PartitionFilters (not DataFilters) →
+    # unchanged directories never open
+    assert "PartitionFilters: [(" in plan and "DataFilters: []" in plan

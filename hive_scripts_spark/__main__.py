@@ -88,6 +88,41 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 1 if n_bad else 0
 
 
+def cmd_incremental(args: argparse.Namespace) -> int:
+    """Manifest-diff UC#1: rescan only partitions whose files changed
+    since the saved state (``--state``); first run scans fully and seeds
+    the state."""
+    from pathlib import Path
+
+    from hive_scripts_spark.operators.incremental import incremental_count_reconcile
+
+    spark = get_spark("hive-scripts-spark-incremental")
+    state = Path(args.state)
+    part_cols = [c for c in args.partition_cols.split(",") if c]
+    src_state, tgt_state = state / "src_manifest", state / "tgt_manifest"
+    prev_src = prev_tgt = None
+    if src_state.exists() and tgt_state.exists():
+        prev_src = spark.read.parquet(str(src_state))
+        prev_tgt = spark.read.parquet(str(tgt_state))
+    rec, src_mf, tgt_mf = incremental_count_reconcile(
+        spark, args.source, args.target, args.table, part_cols, prev_src, prev_tgt
+    )
+    n_bad = 0
+    if rec is None:
+        print(f"{args.table}: no partitions changed since saved state — no scan")
+    else:
+        # materialize results BEFORE overwriting the state the inputs
+        # were read from
+        rows = rec.orderBy("partition_spec").collect()
+        for r in rows:
+            print(f"{r['table_name']}\t{r['partition_spec']}\t{r['status']}")
+        n_bad = sum(r["status"] != "matched" for r in rows)
+    src_mf.write.mode("overwrite").parquet(str(src_state))
+    tgt_mf.write.mode("overwrite").parquet(str(tgt_state))
+    print(f"{'FAIL' if n_bad else 'OK'}: {n_bad} mismatched partition(s)")
+    return 1 if n_bad else 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -106,6 +141,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("config", help="INI config (reference format + Path keys)")
     v.add_argument("--output", default=None, help="report output directory")
     v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser(
+        "incremental", help="manifest-diff UC#1 over a partitioned table"
+    )
+    i.add_argument("source", help="source lake dir (contains <table>/)")
+    i.add_argument("target", help="target lake dir (contains <table>/)")
+    i.add_argument("table")
+    i.add_argument("partition_cols", help="comma-separated partition columns")
+    i.add_argument("--state", required=True, help="manifest state directory")
+    i.set_defaults(fn=cmd_incremental)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

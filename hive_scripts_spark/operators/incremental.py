@@ -162,3 +162,49 @@ def incremental_count_reconcile(
         partition_counts(tgt, partition_cols, table),
     )
     return reconciled, src_mf, tgt_mf
+
+
+def incremental_fingerprint_reconcile(
+    spark: SparkSession,
+    src_dir: str,
+    tgt_dir: str,
+    table: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+    prev_src_manifest: DataFrame | None = None,
+    prev_tgt_manifest: DataFrame | None = None,
+    fraction: float = 0.10,
+) -> tuple[DataFrame | None, DataFrame, DataFrame]:
+    """UC#2 (sampled-content fingerprints) restricted to changed
+    partitions — same manifest machinery as
+    :func:`incremental_count_reconcile`, same return contract.
+
+    The deterministic hash-mod sample means the *same logical rows* are
+    re-fingerprinted on both sides of each changed partition, so an
+    incremental verdict is directly comparable with the full run's.
+    """
+    from hive_scripts_spark.operators.fingerprint import (
+        fingerprint_reconcile,
+        sampled_fingerprint,
+    )
+
+    src_mf = file_manifest(spark, f"{src_dir}/{table}", partition_cols)
+    tgt_mf = file_manifest(spark, f"{tgt_dir}/{table}", partition_cols)
+    pred = None
+    if prev_src_manifest is not None and prev_tgt_manifest is not None:
+        changed = manifest_diff(
+            src_mf, prev_src_manifest, partition_cols
+        ).unionByName(manifest_diff(tgt_mf, prev_tgt_manifest, partition_cols))
+        pred = changed_partition_filter(changed, partition_cols)
+        if pred is None:
+            return None, src_mf, tgt_mf
+
+    src = spark.read.parquet(f"{src_dir}/{table}")
+    tgt = spark.read.parquet(f"{tgt_dir}/{table}")
+    if pred is not None:
+        src, tgt = src.where(pred), tgt.where(pred)
+    reconciled = fingerprint_reconcile(
+        sampled_fingerprint(src, key_cols, table, partition_cols, fraction),
+        sampled_fingerprint(tgt, key_cols, table, partition_cols, fraction),
+    )
+    return reconciled, src_mf, tgt_mf

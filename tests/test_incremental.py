@@ -96,3 +96,32 @@ def test_changed_partition_filter_prunes_directories(spark, tmp_path):
     # the predicate lands in PartitionFilters (not DataFilters) →
     # unchanged directories never open
     assert "PartitionFilters: [(" in plan and "DataFilters: []" in plan
+
+
+def test_incremental_fingerprint_scans_only_changed_partition(spark, tmp_path):
+    from hive_scripts_spark.operators.incremental import (
+        incremental_fingerprint_reconcile,
+    )
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    write_partitioned(_orders(spark), f"{src}/orders", ["p"])
+    write_partitioned(_orders(spark), f"{tgt}/orders", ["p"])
+    _, src_mf, tgt_mf = incremental_fingerprint_reconcile(
+        spark, src, tgt, "orders", ["p"], ["o_id"], fraction=1.0
+    )
+    src_mf = src_mf.localCheckpoint(eager=True)
+    tgt_mf = tgt_mf.localCheckpoint(eager=True)
+
+    time.sleep(1.1)
+    # rewrite one target partition with one mutated amount (same count)
+    _orders(spark).where("p = 2").withColumn(
+        "amount", F.when(F.col("o_id") == 2, 9999.0).otherwise(F.col("amount"))
+    ).drop("p").write.mode("overwrite").parquet(f"{tgt}/orders/p=2")
+
+    rec, _, _ = incremental_fingerprint_reconcile(
+        spark, src, tgt, "orders", ["p"], ["o_id"], src_mf, tgt_mf, fraction=1.0
+    )
+    rows = rec.collect()
+    assert [(r["partition_spec"], r["status"]) for r in rows] == [
+        ("p=2", "inconsistent")
+    ]

@@ -84,3 +84,34 @@ def profile_drift(
         *[f"tgt_{m}" for m in metrics],
         drift.alias("drift"),
     )
+
+
+def schema_diff(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Column-level schema comparison of two sides of the same logical
+    table: ``(column, src_type, tgt_type, status)`` with status ∈
+    ``ok | type_mismatch | missing_in_src | missing_in_tgt``.
+
+    Pure metadata (``df.schema`` on the driver — no jobs, no scans): the
+    pre-check a validator runs BEFORE counting/fingerprinting, since a
+    drifted schema makes row-level comparison meaningless. The result is
+    a tiny DataFrame so it composes with the report sinks like every
+    other validation frame.
+    """
+    spark = src.sparkSession
+    s = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    t = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
+    rows = []
+    for name in list(s) + [n for n in t if n not in s]:
+        st, tt = s.get(name), t.get(name)
+        if st is None:
+            status = "missing_in_src"
+        elif tt is None:
+            status = "missing_in_tgt"
+        elif st != tt:
+            status = "type_mismatch"
+        else:
+            status = "ok"
+        rows.append((name, st, tt, status))
+    return spark.createDataFrame(
+        rows, "column string, src_type string, tgt_type string, status string"
+    )

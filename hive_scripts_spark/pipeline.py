@@ -26,6 +26,7 @@ from hive_scripts_spark.operators.fingerprint import (
     fingerprint_reconcile,
     sampled_fingerprint,
 )
+from hive_scripts_spark.operators.profile import schema_diff
 from hive_scripts_spark.operators.reconcile import (
     count_reconcile,
     matched,
@@ -51,6 +52,7 @@ class ValidationResult:
     matched: DataFrame
     mismatched: DataFrame
     consistency: DataFrame | None  # UC#2 frame; None when nothing matched
+    schema_drift: DataFrame | None = None  # pre-check: non-ok columns only
 
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
@@ -79,12 +81,18 @@ def run_validation(
     # in the reference-format DBName key
     src_db = config.source.path or config.source.db_name
     tgt_db = config.target.path or config.target.db_name
+    drift_frames = []
     for spec in table_specs:
         src = load_table(spark, src_db, spec.name)
         tgt = load_table(spark, tgt_db, spec.name)
         sources[spec.name], targets[spec.name] = src, tgt
+        # schema pre-check: metadata-only; a drifted column makes the
+        # row-level comparison meaningless, so surface it alongside
+        drift = schema_diff(src, tgt).where(F.col("status") != "ok")
+        drift_frames.append(drift.select(F.lit(spec.name).alias("table_name"), "*"))
         src_counts.append(partition_counts(src, spec.partition_cols, spec.name))
         tgt_counts.append(partition_counts(tgt, spec.partition_cols, spec.name))
+    schema_drift = _union_all(drift_frames)
 
     reconciled = count_reconcile(_union_all(src_counts), _union_all(tgt_counts))
     match_df, mismatch_df = matched(reconciled), mismatched(reconciled)
@@ -140,10 +148,13 @@ def run_validation(
         out = run_output_dir(output_dir)
         write_report_csv(match_df, f"{out}/MatchedData")
         write_report_csv(mismatch_df, f"{out}/TableMismatchedData")
+        write_report_csv(schema_drift, f"{out}/SchemaDrift")
         if consistency is not None:
             write_report_csv(
                 consistency.where(F.col("status") == "inconsistent"),
                 f"{out}/TableDataNotConsistent",
             )
 
-    return ValidationResult(reconciled, match_df, mismatch_df, consistency)
+    return ValidationResult(
+        reconciled, match_df, mismatch_df, consistency, schema_drift
+    )

@@ -134,3 +134,31 @@ def test_full_validation_rows_mode(dbs, spark):
         "salary": "inconsistent",
         "marks": "consistent",
     }
+
+
+def test_schema_drift_precheck_clean_and_dirty(dbs, spark, tmp_path):
+    src_dir, tgt_dir = dbs
+    cfg = JobConfig(
+        source=EndpointConfig(path=src_dir),
+        target=EndpointConfig(path=tgt_dir),
+        tables=["dept"],
+    )
+    res = run_validation(spark, cfg, [TableSpec("dept")])
+    assert res.schema_drift.count() == 0  # identical schemas → empty report
+
+    # write a drifted copy of dept on the target side
+    import shutil
+
+    drifted = str(tmp_path / "tgt2")
+    shutil.copytree(tgt_dir, drifted)
+    spark.read.parquet(f"{tgt_dir}/dept.parquet").withColumn(
+        "location", F.lit(1)
+    ).write.mode("overwrite").parquet(f"{drifted}/dept.parquet")
+    cfg2 = JobConfig(
+        source=EndpointConfig(path=src_dir),
+        target=EndpointConfig(path=drifted),
+        tables=["dept"],
+    )
+    res2 = run_validation(spark, cfg2, [TableSpec("dept")])
+    drift = {(r["column"], r["status"]) for r in res2.schema_drift.collect()}
+    assert drift == {("location", "type_mismatch")}

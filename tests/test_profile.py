@@ -38,3 +38,21 @@ def test_profile_drift_row_loss(spark):
     tgt = src.where("id != 4")
     drift = {r["column"]: r["drift"] for r in profile_drift(src, tgt).collect()}
     assert all("n_rows" in d for d in drift.values())
+
+
+def test_schema_diff_statuses(spark):
+    from hive_scripts_spark.operators.profile import schema_diff
+
+    src = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, x double")
+    tgt = spark.createDataFrame([(1, "a", 1)], "id long, s string, x int").withColumn(
+        "extra", F.lit(True)
+    )
+    out = {r["column"]: r["status"] for r in schema_diff(src, tgt).collect()}
+    assert out == {
+        "id": "ok",
+        "s": "ok",
+        "x": "type_mismatch",
+        "extra": "missing_in_src",
+    }
+    only_src = schema_diff(src, tgt.drop("s", "extra"))
+    assert {r["column"]: r["status"] for r in only_src.collect()}["s"] == "missing_in_tgt"

@@ -101,3 +101,27 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return l.join(s, [on, "__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """Key-frequency diagnostic for join/agg planning: the ``top_n``
+    heaviest key tuples with their row counts and share of the table.
+
+    This is the pre-flight a 100 TB pipeline runs before deciding
+    between a plain shuffle, :func:`salted_join`, or AQE skew-join:
+    a top key holding >1-2% of rows is the broken-shuffle signature.
+    One partial-agg'd groupBy + a ``top_n``-row TakeOrderedAndProject —
+    never a full sort. ``share`` is one IEEE divide of exact int counts
+    (engine-identical, oracle-comparable).
+    """
+    total = df.count()  # one lightweight count job; the report is tiny
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+        .withColumn(
+            "share", F.col("n_rows").cast("double") / F.lit(float(total))
+        )
+    )

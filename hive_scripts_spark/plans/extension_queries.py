@@ -1412,3 +1412,24 @@ def x_pii_signals(spark, sf_dir):
     from hive_scripts_spark.operators.textstats import pii_signals
 
     return pii_signals(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_skew_report",
+    oracle="""
+    with c as (
+      select user_id, count(*) as n_rows from events group by user_id
+    ), t as (select count(*) as total from events)
+    select user_id, n_rows,
+           cast(n_rows as double) / cast((select total from t) as double) as share
+    from c
+    order by n_rows desc, user_id
+    limit 20
+    """,
+)
+def x_skew_report(spark, sf_dir):
+    """Top-20 heaviest event users with row share — the pre-flight that
+    decides plain shuffle vs salting vs AQE skew-join."""
+    from hive_scripts_spark.functions.skew import skew_report
+
+    return skew_report(table(spark, sf_dir, "events"), ["user_id"], top_n=20)

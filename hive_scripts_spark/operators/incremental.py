@@ -36,6 +36,12 @@ def file_manifest(
     Partition values are parsed from the ``k=v`` path segments, so this
     never opens a file. (``binaryFile`` with only metadata columns
     selected — content is lazily loaded per-column and pruned away.)
+
+    Values are kept as the RAW (Hive path-escaped) segment — consistent
+    across runs and sides, so manifest-vs-manifest diffs are exact;
+    :func:`changed_partition_filter` unescapes them before they meet
+    actual column values. The ``(?:^|/)`` anchor stops a column named
+    ``e`` from matching inside another column's ``zone=...`` segment.
     """
     files = (
         spark.read.format("binaryFile")
@@ -45,7 +51,7 @@ def file_manifest(
         .select("path", "length", "modificationTime")
     )
     part_vals = [
-        F.regexp_extract(F.col("path"), f"{c}=([^/]+)", 1).alias(c)
+        F.regexp_extract(F.col("path"), f"(?:^|/){c}=([^/]+)", 1).alias(c)
         for c in partition_cols
     ]
     return (
@@ -97,6 +103,27 @@ def manifest_diff(
     return joined.select(*partition_cols, change).where(F.col("change").isNotNull())
 
 
+def _unescape_path_value(value: str) -> str:
+    """Invert Hive/Spark partition-path escaping: ``%XX`` hex sequences
+    back to their characters (``zone=a%3Db`` on disk is value ``a=b``).
+
+    Only percent-escapes are decoded — unlike ``url_decode`` this never
+    turns a literal ``+`` into a space (Hive does not form-encode)."""
+    out, i, n = [], 0, len(value)
+    while i < n:
+        c = value[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(value[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def changed_partition_filter(
     changed: DataFrame, partition_cols: list[str]
 ) -> F.Column | None:
@@ -105,13 +132,17 @@ def changed_partition_filter(
     The changed set is O(partitions) metadata — collecting it to drive
     partition pruning is the standard incremental-pipeline shape (the
     predicate must be a plan literal for ``PartitionFilters`` to prune
-    directories at planning time). Returns ``None`` when nothing changed
-    (callers skip the scan entirely).
+    directories at planning time). Manifest values are raw path
+    segments; they are Hive-unescaped here so they compare against the
+    ACTUAL column values the scan materializes. Returns ``None`` when
+    nothing changed (callers skip the scan entirely).
     """
     rows = changed.select(*partition_cols).distinct().collect()
     if not rows:
         return None
-    tuples = [tuple(str(r[c]) for c in partition_cols) for r in rows]
+    tuples = [
+        tuple(_unescape_path_value(str(r[c])) for c in partition_cols) for r in rows
+    ]
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
     return key.isin(["\x1f".join(t) for t in tuples])
 

@@ -125,3 +125,55 @@ def test_incremental_fingerprint_scans_only_changed_partition(spark, tmp_path):
     assert [(r["partition_spec"], r["status"]) for r in rows] == [
         ("p=2", "inconsistent")
     ]
+
+
+def test_unescape_path_value():
+    from hive_scripts_spark.operators.incremental import _unescape_path_value
+
+    assert _unescape_path_value("a%3Db") == "a=b"
+    assert _unescape_path_value("plain") == "plain"
+    assert _unescape_path_value("north region") == "north region"
+    assert _unescape_path_value("a+b") == "a+b"  # no form-decoding
+    assert _unescape_path_value("100%25") == "100%"
+    assert _unescape_path_value("bad%zz") == "bad%zz"  # invalid hex kept
+
+
+def test_incremental_with_escaped_partition_values(spark, tmp_path):
+    # Hive escapes '=' in partition dirs (zone=a%3Db); the changed-set
+    # filter must compare against the DECODED value or silently skip
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    df = spark.createDataFrame(
+        [(i, "a=b" if i % 2 else "plain", float(i)) for i in range(40)],
+        "o_id long, zone string, amount double",
+    )
+    df.write.partitionBy("zone").parquet(f"{src}/t")
+    df.write.partitionBy("zone").parquet(f"{tgt}/t")
+    _, src_mf, tgt_mf = incremental_count_reconcile(spark, src, tgt, "t", ["zone"])
+    src_mf = src_mf.localCheckpoint(eager=True)
+    tgt_mf = tgt_mf.localCheckpoint(eager=True)
+
+    time.sleep(1.1)
+    df.where("zone = 'a=b' and o_id > 5").drop("zone").write.mode(
+        "overwrite"
+    ).parquet(f"{tgt}/t/zone=a%3Db")
+    rec, _, _ = incremental_count_reconcile(
+        spark, src, tgt, "t", ["zone"], src_mf, tgt_mf
+    )
+    rows = rec.collect()
+    assert [(r["partition_spec"], r["status"]) for r in rows] == [
+        ("zone=a=b", "mismatched")
+    ]
+
+
+def test_manifest_multilevel_and_suffix_overlapping_columns(spark, tmp_path):
+    # two-level layout where column 't' is a suffix of 'cat' — the
+    # boundary anchor must stop t= from matching inside cat=...
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"c{i % 2}", f"v{i % 3}", float(i)) for i in range(60)],
+        "o_id long, cat string, t string, amount double",
+    )
+    df.write.partitionBy("cat", "t").parquet(path)
+    mf = file_manifest(spark, path, ["cat", "t"])
+    rows = {(r["cat"], r["t"]) for r in mf.collect()}
+    assert rows == {(f"c{a}", f"v{b}") for a in range(2) for b in range(3)}

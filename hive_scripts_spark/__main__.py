@@ -123,6 +123,31 @@ def cmd_incremental(args: argparse.Namespace) -> int:
     return 1 if n_bad else 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over a parquet lake — the ``hive -e "..."`` face of the
+    reference (``verizon_automation_script.sh:104,219``), Spark-native:
+    every ``<table>.parquet`` under ``--db`` registers as a temp view and
+    the statement runs through Catalyst with the same pushdown/pruning as
+    the programmatic API."""
+    from pathlib import Path
+
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-sql")
+    db = Path(args.db)
+    for p in sorted(db.glob("*.parquet")):
+        load_sf_table(spark, str(db), p.stem).createOrReplaceTempView(p.stem)
+    df = spark.sql(args.statement)
+    if args.output:
+        from hive_scripts_spark.sources.sinks import write_report_csv
+
+        write_report_csv(df, args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -151,6 +176,13 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("partition_cols", help="comma-separated partition columns")
     i.add_argument("--state", required=True, help="manifest state directory")
     i.set_defaults(fn=cmd_incremental)
+
+    s = sub.add_parser("sql", help='ad-hoc SQL (the reference\'s hive -e twin)')
+    s.add_argument("statement", help="SQL to run; <table>.parquet files are views")
+    s.add_argument("--db", default="/root/testdata/sf0.01", help="parquet lake dir")
+    s.add_argument("--output", default=None, help="write result CSV here instead")
+    s.add_argument("--limit", type=int, default=50, help="rows to show")
+    s.set_defaults(fn=cmd_sql)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

@@ -1,0 +1,70 @@
+"""CLI dispatch tests — in-process (get_spark().getOrCreate() reuses the
+test session, so no subprocess JVM spin-up)."""
+
+from hive_scripts_spark.__main__ import main
+
+
+def test_sql_subcommand_shows_result(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "select count(*) as n from region",
+            "--db",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "|n  |" in out and "|5  |" in out
+
+
+def test_sql_subcommand_writes_csv(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "report")
+    rc = main(
+        [
+            "sql",
+            "select r_name from region order by r_name",
+            "--db",
+            "/root/testdata/sf0.001",
+            "--output",
+            out_dir,
+        ]
+    )
+    assert rc == 0
+    csvs = list((tmp_path / "report").glob("*.csv"))
+    assert len(csvs) == 1
+    lines = csvs[0].read_text().strip().splitlines()
+    assert lines[0] == "r_name" and len(lines) == 6
+
+
+def test_incremental_subcommand_roundtrip(spark, tmp_path, capsys):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.sources.sinks import write_partitioned
+
+    df = spark.range(80).select(
+        F.col("id").alias("o_id"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    src, tgt, state = (
+        str(tmp_path / "src"),
+        str(tmp_path / "tgt"),
+        str(tmp_path / "state"),
+    )
+    write_partitioned(df, f"{src}/t", ["p"])
+    write_partitioned(df, f"{tgt}/t", ["p"])
+    args = ["incremental", src, tgt, "t", "p", "--state", state]
+    assert main(args) == 0  # seed run, all matched
+    out = capsys.readouterr().out
+    assert "OK: 0 mismatched" in out
+    assert main(args) == 0  # no change → no scan
+    assert "no partitions changed" in capsys.readouterr().out
+
+    time.sleep(1.1)
+    df.where("p = 1 and o_id > 10").drop("p").write.mode("overwrite").parquet(
+        f"{tgt}/t/p=1"
+    )
+    assert main(args) == 1  # changed partition mismatches
+    out = capsys.readouterr().out
+    assert "p=1\tmismatched" in out and "FAIL: 1" in out

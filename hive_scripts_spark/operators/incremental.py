@@ -239,3 +239,47 @@ def incremental_fingerprint_reconcile(
         sampled_fingerprint(tgt, key_cols, table, partition_cols, fraction),
     )
     return reconciled, src_mf, tgt_mf
+
+
+def small_file_report(
+    manifest: DataFrame, min_avg_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Partitions whose mean file size is below ``min_avg_bytes`` — the
+    small-files pathology report (every streaming/incremental writer
+    accumulates it; at 100 TB it quietly multiplies task counts and
+    NameNode/listing pressure). Input is a :func:`file_manifest` frame;
+    output adds ``avg_bytes`` and keeps only offenders."""
+    return (
+        manifest.withColumn(
+            "avg_bytes", (F.col("total_bytes") / F.col("n_files")).cast("long")
+        )
+        .where((F.col("n_files") > 1) & (F.col("avg_bytes") < min_avg_bytes))
+    )
+
+
+def compact_partition_dir(
+    spark: SparkSession, partition_dir: str, target_files: int = 1
+) -> int:
+    """Rewrite one partition directory into ``target_files`` parquet
+    files. Returns the file count before compaction.
+
+    Local/HDFS semantics: writes to a ``_compact_tmp`` sibling then
+    swaps via rename — readers see either the old or the new complete
+    directory. (On S3 a rename is a copy; use a table format's commit
+    there instead — documented limitation, not silently unsafe.)
+    Driver-side work is O(1) renames; the data move is one distributed
+    ``coalesce`` write, no shuffle.
+    """
+    import shutil
+    from pathlib import Path
+
+    src = Path(partition_dir)
+    df = spark.read.parquet(str(src))
+    n_before = len(list(src.glob("*.parquet")))
+    tmp = src.with_name(src.name + "_compact_tmp")
+    df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+    old = src.with_name(src.name + "_compact_old")
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    return n_before

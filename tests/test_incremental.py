@@ -177,3 +177,27 @@ def test_manifest_multilevel_and_suffix_overlapping_columns(spark, tmp_path):
     mf = file_manifest(spark, path, ["cat", "t"])
     rows = {(r["cat"], r["t"]) for r in mf.collect()}
     assert rows == {(f"c{a}", f"v{b}") for a in range(2) for b in range(3)}
+
+
+def test_small_file_report_and_compaction(spark, tmp_path):
+    from hive_scripts_spark.operators.incremental import (
+        compact_partition_dir,
+        small_file_report,
+    )
+
+    path = str(tmp_path / "t")
+    # p=0 written as 8 tiny files, p=1 as 1 file
+    df = _orders(spark, 400)
+    df.where("p = 0").repartition(8).write.parquet(f"{path}/p=0")
+    df.where("p = 1").coalesce(1).write.parquet(f"{path}/p=1")
+    mf = file_manifest(spark, path, ["p"])
+    bad = small_file_report(mf, min_avg_bytes=10**9).collect()
+    assert [r["p"] for r in bad] == ["0"]  # p=1 has a single file → exempt
+
+    before = spark.read.parquet(f"{path}/p=0").count()
+    n = compact_partition_dir(spark, f"{path}/p=0", target_files=1)
+    assert n == 8
+    import pathlib
+
+    assert len(list(pathlib.Path(f"{path}/p=0").glob("*.parquet"))) == 1
+    assert spark.read.parquet(f"{path}/p=0").count() == before  # lossless

@@ -201,3 +201,12 @@ def test_small_file_report_and_compaction(spark, tmp_path):
 
     assert len(list(pathlib.Path(f"{path}/p=0").glob("*.parquet"))) == 1
     assert spark.read.parquet(f"{path}/p=0").count() == before  # lossless
+
+
+def test_unescape_inverts_sparks_own_path_escaping(spark):
+    from hive_scripts_spark.operators.incremental import _unescape_path_value
+
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for raw in ["a=b", "100%", "x:y", "a/b", "plain", "sp ace", "a+b", "#tag"]:
+        escaped = esc.escapePathName(raw)
+        assert _unescape_path_value(escaped) == raw, (raw, escaped)

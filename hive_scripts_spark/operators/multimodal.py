@@ -118,6 +118,27 @@ def decode_image_meta(
                         int.from_bytes(b[6:8], "little"),
                         int.from_bytes(b[8:10], "little"),
                     )
+                if b[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+                    i = 2
+                    while i + 9 <= len(b):
+                        if b[i] != 0xFF:
+                            i += 1
+                            continue
+                        marker = b[i + 1]
+                        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                            i += 2  # standalone markers carry no length
+                            continue
+                        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                        # SOF0–SOF15 minus DHT/JPG/DAC (C4, C8, CC)
+                        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                            return (
+                                int.from_bytes(b[i + 7 : i + 9], "big"),
+                                int.from_bytes(b[i + 5 : i + 7], "big"),
+                            )
+                        if seg_len < 2:
+                            break
+                        i += 2 + seg_len
+                    return None, None
                 if len(b) >= 2 and b[0:1] == b"P" and b[1:2] in b"123456":
                     toks, i, n = [], 2, len(b)
                     while len(toks) < 2 and i < n:

@@ -131,3 +131,37 @@ def test_real_decode_header_roundtrip_grid(spark):
         for r in decode_image_meta(df, fake=False).collect()
     }
     assert got == expected
+
+
+def test_real_decode_jpeg_sof_scan(spark):
+    import struct
+
+    from hive_scripts_spark.operators.multimodal import decode_image_meta
+
+    def jpeg(w, h, sof=0xC0, pad_segments=1):
+        # SOI + APP0 (JFIF-ish) * pad + SOF + EOI-ish tail
+        out = b"\xff\xd8"
+        for _ in range(pad_segments):
+            payload = b"JFIF\x00" + b"\x00" * 7
+            out += b"\xff\xe0" + struct.pack(">H", len(payload) + 2) + payload
+        sof_payload = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        out += bytes([0xFF, sof]) + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+        return out + b"\xff\xd9"
+
+    rows = [
+        (1, jpeg(640, 480)),                      # baseline SOF0
+        (2, jpeg(1920, 1080, sof=0xC2)),          # progressive SOF2
+        (3, jpeg(33, 7, pad_segments=3)),         # several APP segments first
+        (4, b"\xff\xd8\xff\xc4" + b"\x00\x04\x00\x00"),  # DHT only → no dims
+        (5, b"\xff\xd8"),                          # bare SOI
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_image_meta(df, fake=False).collect()
+    }
+    assert got[1] == (640, 480)
+    assert got[2] == (1920, 1080)
+    assert got[3] == (33, 7)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)

@@ -16,8 +16,12 @@ Codec posture (no image/audio libraries in this container):
 * ``fake=True`` (default for the oracle queries) is a **deterministic
   fake decode** (md5-derived dimensions) exercising the full Spark-side
   plumbing — schema, batch shape, partitioning — reproducibly.
-* pixel-level ops (``resize_images``, ``audio_features``) remain stubs:
-  their ``fake=False`` paths raise ``NotImplementedError`` by contract.
+* ``audio_features(fake=False)`` is likewise REAL for WAV/RIFF PCM
+  (8/16-bit) — header chunk walk + numpy sample decode; compressed
+  formats yield NULL features.
+* the one remaining pixel-level stub is ``resize_images``: its
+  ``fake=False`` path raises ``NotImplementedError`` by contract (a
+  real resample needs a raster codec).
 """
 
 from __future__ import annotations
@@ -247,18 +251,26 @@ def audio_features(
     fake: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Audio feature-extraction stub (librosa/soundfile not available).
-    (``parallelism``: see :func:`decode_image_meta`.)
+    """Audio feature extraction over binary payloads.
 
-    Fake path treats the payload bytes as 8-bit PCM: n_samples = byte
-    length, duration = n/sr, RMS energy over the byte values —
-    deterministic, vectorized in numpy per Arrow batch, and shaped
-    exactly like a real decoder (same schema, same batch flow).
+    ``fake=False`` is a REAL decoder for WAV/RIFF PCM (the format whose
+    samples are pure bytes — no codec library): the fmt chunk gives
+    channels/sample-rate/bit-depth, the data chunk gives the samples;
+    n_samples counts per-channel frames, duration uses the file's own
+    rate, RMS runs over the decoded 8/16-bit PCM amplitudes (numpy
+    ``frombuffer``). Non-WAV/compressed payloads yield NULL features
+    rather than failing the batch. (``parallelism``: see
+    :func:`decode_image_meta`.)
 
-    Cross-engine exactness: the squared-byte sum accumulates in exact
-    int64 and RMS/duration are each a SINGLE IEEE double divide (+sqrt)
-    of exactly-representable ints — bit-identical on any engine, so the
-    DuckDB oracle value-hashes without rounding fudge.
+    ``fake=True`` (default for the oracle query) treats the payload
+    bytes as 8-bit PCM at ``sample_rate``: n_samples = byte length,
+    duration = n/sr, RMS over the byte values — deterministic and shaped
+    exactly like the real path.
+
+    Cross-engine exactness (fake path): the squared-byte sum accumulates
+    in exact int64 and RMS/duration are each a SINGLE IEEE double divide
+    (+sqrt) of exactly-representable ints — bit-identical on any engine,
+    so the DuckDB oracle value-hashes without rounding fudge.
     """
     if parallelism:
         df = df.repartition(parallelism)
@@ -268,28 +280,75 @@ def audio_features(
 
         import numpy as np
 
+        def wav_features(b: bytes):
+            # RIFF/WAVE chunk walk — spec-level byte arithmetic only
+            try:
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return None, None, None
+                i, n = 12, len(b)
+                channels = rate = bits = None
+                while i + 8 <= n:
+                    cid = b[i : i + 4]
+                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                    body = b[i + 8 : i + 8 + clen]
+                    if cid == b"fmt " and len(body) >= 16:
+                        fmt = int.from_bytes(body[0:2], "little")
+                        channels = int.from_bytes(body[2:4], "little")
+                        rate = int.from_bytes(body[4:8], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                        if fmt != 1 or bits not in (8, 16) or not channels:
+                            return None, None, None  # non-PCM: needs a codec
+                    elif cid == b"data" and channels and rate and bits:
+                        frame = channels * (bits // 8)
+                        frames = len(body) // frame if frame else 0
+                        if frames == 0:
+                            return 0, 0.0, 0.0
+                        if bits == 16:
+                            a = np.frombuffer(
+                                body[: frames * frame], dtype="<i2"
+                            ).astype("i8")
+                        else:
+                            a = np.frombuffer(
+                                body[: frames * frame], dtype=np.uint8
+                            ).astype("i8") - 128
+                        rms = math.sqrt(int((a * a).sum()) / a.size)
+                        return frames, frames / float(rate), rms
+                    i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+            except Exception:
+                pass
+            return None, None, None
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires librosa/soundfile"
-                )
             payloads = [bytes(p) for p in pdf["payload"]]
-            n = pd.Series([len(p) for p in payloads], dtype="int64")
-            rms = []
-            for p in payloads:
-                if p:
-                    a = np.frombuffer(p, dtype=np.uint8).astype("i8")
-                    rms.append(math.sqrt(int((a * a).sum()) / len(p)))
-                else:
-                    rms.append(0.0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_samples": n,
-                    "duration_s": (n / float(sample_rate)).astype("f8"),
-                    "rms_energy": pd.Series(rms, dtype="f8"),
-                }
-            )
+            if fake:
+                n = pd.Series([len(p) for p in payloads], dtype="int64")
+                rms = []
+                for p in payloads:
+                    if p:
+                        a = np.frombuffer(p, dtype=np.uint8).astype("i8")
+                        rms.append(math.sqrt(int((a * a).sum()) / len(p)))
+                    else:
+                        rms.append(0.0)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_samples": n,
+                        "duration_s": (n / float(sample_rate)).astype("f8"),
+                        "rms_energy": pd.Series(rms, dtype="f8"),
+                    }
+                )
+            else:
+                feats = [wav_features(p) for p in payloads]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_samples": pd.Series(
+                            [f[0] for f in feats], dtype="Int64"
+                        ),
+                        "duration_s": [f[1] for f in feats],
+                        "rms_energy": [f[2] for f in feats],
+                    }
+                )
 
     return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 

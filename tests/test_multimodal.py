@@ -165,3 +165,40 @@ def test_real_decode_jpeg_sof_scan(spark):
     assert got[3] == (33, 7)
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+
+
+def test_real_audio_decode_wav_pcm(spark):
+    import math
+    import struct
+
+    from hive_scripts_spark.operators.multimodal import audio_features
+
+    def wav(samples, rate=8000, bits=16, channels=1):
+        if bits == 16:
+            data = b"".join(struct.pack("<h", s) for s in samples)
+        else:
+            data = bytes((s + 128) & 0xFF for s in samples)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+            channels * bits // 8, bits,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    sq = [1000, -1000, 2000, -2000]
+    rows = [
+        (1, wav(sq)),                       # 16-bit PCM
+        (2, wav([10, -10, 20], bits=8)),    # 8-bit PCM (offset-128)
+        (3, b"not audio"),
+        (4, wav([], rate=16000)),           # empty data chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_features(df, fake=False).collect()}
+    assert out[1]["n_samples"] == 4
+    assert abs(out[1]["duration_s"] - 4 / 8000) < 1e-12
+    expect_rms = math.sqrt(sum(s * s for s in sq) / len(sq))
+    assert abs(out[1]["rms_energy"] - expect_rms) < 1e-9
+    assert out[2]["n_samples"] == 3
+    assert out[3]["n_samples"] is None and out[3]["rms_energy"] is None
+    assert out[4]["n_samples"] == 0 and out[4]["rms_energy"] == 0.0

@@ -19,9 +19,10 @@ Codec posture (no image/audio libraries in this container):
 * ``audio_features(fake=False)`` is likewise REAL for WAV/RIFF PCM
   (8/16-bit) — header chunk walk + numpy sample decode; compressed
   formats yield NULL features.
-* the one remaining pixel-level stub is ``resize_images``: its
-  ``fake=False`` path raises ``NotImplementedError`` by contract (a
-  real resample needs a raster codec).
+* ``resize_images(fake=False)`` is REAL nearest-neighbor resampling
+  for raw-pixel formats (PPM P6, uncompressed 24-bit BMP) via numpy
+  index-sampling; compressed formats yield NULL rows. Nothing in this
+  module raises on real payloads — decode failures degrade to NULLs.
 """
 
 from __future__ import annotations
@@ -203,32 +204,109 @@ def resize_images(
     fake: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Resize stub: same Arrow-batched shape as a real PIL/opencv resize.
-    (``parallelism``: see :func:`decode_image_meta`.)
+    """Image resize via Arrow-batched ``mapInPandas``.
+
+    ``fake=False`` is a REAL nearest-neighbor resample for the formats
+    whose pixels are literal bytes — PPM ``P6`` (binary RGB) and
+    uncompressed 24-bit BMP — decoded and index-sampled with numpy, no
+    codec library; ``resized_md5`` hashes the resized RGB buffer, so
+    identical images resize to identical fingerprints regardless of
+    their container. Compressed/unknown payloads yield NULL dims/hash
+    (one bad object must not kill the batch).
 
     The fake path emits the target dims plus a deterministic pseudo
     "resized content" hash (md5 of payload + dims) so downstream plumbing
     (schema, joins on doc_id, dedup of resized content) is fully
-    exercisable without a codec.
+    exercisable without real rasters. (``parallelism``: see
+    :func:`decode_image_meta`.)
     """
     if parallelism:
         df = df.repartition(parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as np
+
+        tw, th = int(target[0]), int(target[1])
+
+        def decode_rgb(b: bytes):
+            # returns an (h, w, 3) uint8 array for raw-pixel formats
+            try:
+                if b[:2] == b"P6":
+                    toks, i, n = [], 2, len(b)
+                    while len(toks) < 3 and i < n:
+                        c = b[i : i + 1]
+                        if c == b"#":
+                            while i < n and b[i : i + 1] != b"\n":
+                                i += 1
+                        elif c.isspace():
+                            i += 1
+                        else:
+                            j = i
+                            while j < n and not b[j : j + 1].isspace():
+                                j += 1
+                            toks.append(b[i:j])
+                            i = j
+                    if len(toks) == 3 and i < n:
+                        w, h = int(toks[0]), int(toks[1])
+                        raw = b[i + 1 : i + 1 + w * h * 3]
+                        if len(raw) == w * h * 3:
+                            return np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                if b[:2] == b"BM" and len(b) >= 34:
+                    off = int.from_bytes(b[10:14], "little")
+                    w = int.from_bytes(b[18:22], "little", signed=True)
+                    hh = int.from_bytes(b[22:26], "little", signed=True)
+                    bpp = int.from_bytes(b[28:30], "little")
+                    comp = int.from_bytes(b[30:34], "little")
+                    h = abs(hh)
+                    if bpp == 24 and comp == 0 and w > 0 and h > 0:
+                        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+                        raw = b[off : off + stride * h]
+                        if len(raw) == stride * h:
+                            rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+                            px = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR
+                            return px if hh < 0 else px[::-1]  # bottom-up
+            except Exception:
+                pass
+            return None
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real resize requires PIL/opencv (not in this environment)"
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if fake:
+                tag = f"{tw}x{th}".encode()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "width": pd.Series([tw] * len(pdf), dtype="int32"),
+                        "height": pd.Series([th] * len(pdf), dtype="int32"),
+                        "resized_md5": [
+                            _hl.md5(p + tag).hexdigest() for p in payloads
+                        ],
+                    }
                 )
-            tag = f"{target[0]}x{target[1]}".encode()
+                continue
+            widths, heights, hashes = [], [], []
+            for p in payloads:
+                px = decode_rgb(p)
+                if px is None:
+                    widths.append(None)
+                    heights.append(None)
+                    hashes.append(None)
+                    continue
+                h, w = px.shape[:2]
+                ys = np.minimum(((np.arange(th) + 0.5) * h / th), h - 1).astype(int)
+                xs = np.minimum(((np.arange(tw) + 0.5) * w / tw), w - 1).astype(int)
+                resized = np.ascontiguousarray(px[ys][:, xs])
+                widths.append(tw)
+                heights.append(th)
+                hashes.append(_hl.md5(resized.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": pd.Series([target[0]] * len(pdf), dtype="int32"),
-                    "height": pd.Series([target[1]] * len(pdf), dtype="int32"),
-                    "resized_md5": [
-                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
-                    ],
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "resized_md5": hashes,
                 }
             )
 

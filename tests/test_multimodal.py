@@ -47,12 +47,48 @@ def test_real_decode_unrecognized_payloads_yield_null_dims(payloads):
     assert all(r["byte_len"] >= 0 and r["content_md5"] for r in rows)
 
 
-def test_pixel_ops_remain_explicit_stubs(payloads):
-    with pytest.raises(Exception) as exc_info:
-        M.resize_images(M.binarize(payloads, "text"), fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_real_resize_non_raster_payloads_yield_nulls(payloads):
+    rows = M.resize_images(M.binarize(payloads, "text"), fake=False).collect()
+    assert len(rows) == payloads.count()
+    assert all(
+        r["width"] is None and r["height"] is None and r["resized_md5"] is None
+        for r in rows
     )
+
+
+def test_real_resize_ppm_and_bmp_nearest_neighbor(spark):
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from hive_scripts_spark.operators.multimodal import resize_images
+
+    # 4x2 RGB gradient; expect 2x2 nearest-neighbor sample at cols 1,3 rows 0,1
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    ppm = b"P6 4 2 255\n" + px.tobytes()
+
+    def bmp24(px):
+        h, w = px.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = px[..., ::-1].reshape(h, w * 3)  # BGR
+        data = rows[::-1].tobytes()  # bottom-up
+        off = 14 + 40
+        header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+        return header + dib + data
+
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp24(px))], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, target=(2, 2), fake=False).collect()}
+    expected = np.ascontiguousarray(px[[0, 1]][:, [1, 3]])
+    want = hashlib.md5(expected.tobytes()).hexdigest()
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    # identical pixels → identical resized fingerprint across containers
+    assert out[1]["resized_md5"] == want
+    assert out[2]["resized_md5"] == want
 
 
 def test_frame_sample_plan(payloads):

@@ -1433,3 +1433,41 @@ def x_skew_report(spark, sf_dir):
     from hive_scripts_spark.functions.skew import skew_report
 
     return skew_report(table(spark, sf_dir, "events"), ["user_id"], top_n=20)
+
+
+@register(
+    "x_multimodal_resize_real",
+    # 4x2 P6 frame from the first 24 text bytes (ASCII testdata, space-
+    # padded); 2x2 nearest-neighbor picks rows {0,1} x cols {1,3} =
+    # byte triplets at 1-based offsets 4,10,16,22 — the oracle recomputes
+    # the resized buffer's md5 by direct substring arithmetic
+    oracle="""
+    with p as (
+      select doc_id, rpad(substr(text, 1, 24), 24, ' ') as t24 from documents
+    )
+    select doc_id,
+           cast(2 as int) as width,
+           cast(2 as int) as height,
+           md5(substr(t24, 4, 3) || substr(t24, 10, 3)
+               || substr(t24, 16, 3) || substr(t24, 22, 3)) as resized_md5
+    from p
+    """,
+)
+def x_multimodal_resize_real(spark, sf_dir):
+    """REAL (non-fake) nearest-neighbor resize: frame each document's
+    first 24 bytes as a 4x2 binary PPM, resample to 2x2, and value-check
+    the resized pixel buffer's md5 against substring arithmetic in the
+    oracle — this exercises the actual numpy index-sampling path."""
+    docs = table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6 4 2 255\n"), F.rpad(F.substring("text", 1, 24), 24, " ")
+        ).alias("ppm_text"),
+    )
+    return M.resize_images(
+        M.binarize(framed, "ppm_text"),
+        target=(2, 2),
+        fake=False,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )

@@ -1471,3 +1471,53 @@ def x_multimodal_resize_real(spark, sf_dir):
         fake=False,
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
+
+
+#: constant 44-byte WAV header: mono 8-bit PCM, 8000 Hz, 64-sample data
+#: chunk (struct-packed once in Python — binary-safe as a plan literal,
+#: where chr()-built headers would utf-8-inflate bytes >127)
+_WAV64_HEADER_HEX = (
+    "524946466400000057415645666d7420100000000100010040"
+    "1f0000401f0000010008006461746140000000"
+)
+
+
+@register(
+    "x_multimodal_audio_real",
+    # 8-bit PCM decodes as (byte - 128); all-exact int square sum then
+    # single IEEE divides — bit-identical across engines (same rule as
+    # x_multimodal_audio)
+    oracle="""
+    with p as (
+      select doc_id, rpad(substr(text, 1, 64), 64, ' ') as t64 from documents
+    )
+    select doc_id,
+           cast(64 as bigint) as n_samples,
+           cast(64 as double) / cast(8000 as double) as duration_s,
+           sqrt(cast(list_sum(list_transform(string_split_regex(t64, ''),
+                  c -> (unicode(c) - 128) * (unicode(c) - 128))) as double)
+                / cast(64 as double)) as rms_energy
+    from p
+    """,
+)
+def x_multimodal_audio_real(spark, sf_dir):
+    """REAL (non-fake) WAV decode: frame each document's first 64 bytes
+    as a mono 8-bit-PCM RIFF/WAVE payload (constant header → plan
+    literal), run the actual chunk-walk + numpy sample decode, and
+    value-check n_samples/duration/RMS against exact byte arithmetic in
+    the oracle."""
+    header = bytes.fromhex(_WAV64_HEADER_HEX)
+    docs = table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header), F.encode(F.rpad(F.substring("text", 1, 64), 64, " "), "utf-8")
+        ).alias("payload"),
+        F.lit("audio").alias("modality"),
+        F.lit(108).alias("byte_len"),
+    )
+    return M.audio_features(
+        framed,
+        fake=False,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )

@@ -21,8 +21,11 @@ Codec posture (no image/audio libraries in this container):
   formats yield NULL features.
 * ``resize_images(fake=False)`` is REAL nearest-neighbor resampling
   for raw-pixel formats (PPM P6, uncompressed 24-bit BMP) via numpy
-  index-sampling; compressed formats yield NULL rows. Nothing in this
-  module raises on real payloads — decode failures degrade to NULLs.
+  index-sampling; compressed formats yield NULL rows.
+* ``video_meta(fake=False)`` parses REAL container headers (MP4
+  ``moov``→``mvhd`` duration, AVI ``avih`` frame count/rate).
+  Nothing in this module raises on real payloads — decode failures
+  degrade to NULLs.
 """
 
 from __future__ import annotations
@@ -440,3 +443,100 @@ def frame_sample_plan(
     a downstream mapInPandas like :func:`decode_image_meta`."""
     frames = F.sequence(F.lit(0), F.lit(99), F.lit(every_n))
     return df.select(F.col(id_col), F.explode(frames).alias("frame_index"))
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def video_meta(
+    df: DataFrame, fake: bool = True, parallelism: int | None = None
+) -> DataFrame:
+    """Video container metadata via Arrow-batched ``mapInPandas``.
+
+    ``fake=False`` parses REAL container headers — MP4/QuickTime
+    (walk top-level boxes to ``moov``→``mvhd``, duration =
+    duration/timescale; frame count unknown without track parse → NULL)
+    and AVI (``avih`` main header: µs/frame + total frames) — spec-level
+    byte arithmetic, no codec. Unknown containers yield NULL rows.
+
+    ``fake=True`` derives a deterministic (container, duration, frames)
+    from the payload md5 — plumbing-exercisable and oracle-friendly,
+    same contract as the other fake decoders.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def mp4_duration(b: bytes):
+            # top-level box walk; mvhd v0: timescale@12, duration@16
+            i, n = 0, len(b)
+            while i + 8 <= n:
+                size = int.from_bytes(b[i : i + 4], "big")
+                btype = b[i + 4 : i + 8]
+                if size < 8:
+                    return None
+                if btype == b"moov":
+                    j, end = i + 8, min(i + size, n)
+                    while j + 8 <= end:
+                        s2 = int.from_bytes(b[j : j + 4], "big")
+                        if s2 < 8:
+                            return None
+                        if b[j + 4 : j + 8] == b"mvhd" and j + 28 <= end:
+                            ver = b[j + 8]
+                            if ver == 1 and j + 40 <= end:
+                                ts = int.from_bytes(b[j + 28 : j + 32], "big")
+                                dur = int.from_bytes(b[j + 32 : j + 40], "big")
+                            else:
+                                ts = int.from_bytes(b[j + 20 : j + 24], "big")
+                                dur = int.from_bytes(b[j + 24 : j + 28], "big")
+                            return dur / ts if ts else None
+                        j += s2
+                i += size
+            return None
+
+        def real_meta(b: bytes):
+            try:
+                if len(b) >= 12 and b[4:8] == b"ftyp":
+                    d = mp4_duration(b)
+                    return ("mp4", d, None) if d is not None else (None, None, None)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    # hdrl LIST → avih: µs/frame @ +0, total frames @ +16
+                    k = b.find(b"avih")
+                    if k != -1 and k + 28 <= len(b):
+                        usec = int.from_bytes(b[k + 8 : k + 12], "little")
+                        frames = int.from_bytes(b[k + 24 : k + 28], "little")
+                        dur = frames * usec / 1_000_000 if usec else None
+                        return ("avi", dur, frames)
+            except Exception:
+                pass
+            return None, None, None
+
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if fake:
+                metas = []
+                for p in payloads:
+                    d = _hl.md5(p).hexdigest()
+                    frames = 1 + int(d[:4], 16) % 3600
+                    metas.append(("fake", frames / 30.0, frames))
+            else:
+                metas = [real_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "container": [m[0] for m in metas],
+                    "duration_s": [m[1] for m in metas],
+                    "n_frames": pd.Series([m[2] for m in metas], dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, VIDEO_META_SCHEMA)

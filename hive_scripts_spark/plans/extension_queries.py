@@ -1521,3 +1521,28 @@ def x_multimodal_audio_real(spark, sf_dir):
         fake=False,
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
+
+
+@register(
+    "x_multimodal_video_meta",
+    oracle="""
+    with f as (
+      select doc_id,
+             1 + cast(('0x' || substr(md5(text), 1, 4)) as int) % 3600 as frames
+      from documents
+    )
+    select doc_id,
+           'fake' as container,
+           cast(frames as double) / cast(30 as double) as duration_s,
+           cast(frames as bigint) as n_frames
+    from f
+    """,
+)
+def x_multimodal_video_meta(spark, sf_dir):
+    """Video container metadata (fake deterministic path; the real
+    MP4-mvhd/AVI-avih parser is pytest-covered with crafted atoms)."""
+    docs = table(spark, sf_dir, "documents")
+    return M.video_meta(
+        M.binarize(docs, "text"),
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )

@@ -238,3 +238,34 @@ def test_real_audio_decode_wav_pcm(spark):
     assert out[2]["n_samples"] == 3
     assert out[3]["n_samples"] is None and out[3]["rms_energy"] is None
     assert out[4]["n_samples"] == 0 and out[4]["rms_energy"] == 0.0
+
+
+def test_real_video_meta_mp4_and_avi(spark):
+    import struct
+
+    from hive_scripts_spark.operators.multimodal import video_meta
+
+    def mp4(timescale, duration):
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+        mvhd_body = b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        return ftyp + moov
+
+    def avi(usec_per_frame, total_frames):
+        avih = b"avih" + struct.pack("<I", 56) + struct.pack("<I", usec_per_frame)
+        avih += b"\x00" * 12 + struct.pack("<I", total_frames) + b"\x00" * 36
+        return b"RIFF" + struct.pack("<I", 4 + len(avih)) + b"AVI " + avih
+
+    rows = [
+        (1, mp4(1000, 5500)),        # 5.5 s
+        (2, avi(40000, 250)),        # 25 fps * 10 s
+        (3, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in video_meta(df, fake=False).collect()}
+    assert out[1]["container"] == "mp4" and abs(out[1]["duration_s"] - 5.5) < 1e-9
+    assert out[1]["n_frames"] is None
+    assert out[2]["container"] == "avi" and out[2]["n_frames"] == 250
+    assert abs(out[2]["duration_s"] - 10.0) < 1e-9
+    assert out[3]["container"] is None and out[3]["duration_s"] is None

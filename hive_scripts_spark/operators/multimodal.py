@@ -435,13 +435,23 @@ def audio_features(
 
 
 def frame_sample_plan(
-    df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    n_frames_col: str | None = None,
 ) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emit (doc, frame_index)
-    rows for every ``every_n``-th frame of a fake 100-frame clip. The
-    explode happens JVM-side; the (stubbed) frame extraction would run in
+    rows for every ``every_n``-th frame. With ``n_frames_col`` (e.g.
+    joined from :func:`video_meta`) the sequence bounds to the clip's
+    REAL frame count (NULL counts fall back to the default 100-frame
+    assumption). The explode happens JVM-side; frame extraction runs in
     a downstream mapInPandas like :func:`decode_image_meta`."""
-    frames = F.sequence(F.lit(0), F.lit(99), F.lit(every_n))
+    last = (
+        F.coalesce(F.col(n_frames_col).cast("int") - 1, F.lit(99))
+        if n_frames_col
+        else F.lit(99)
+    )
+    frames = F.sequence(F.lit(0), last, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(frames).alias("frame_index"))
 
 

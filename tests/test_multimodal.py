@@ -269,3 +269,16 @@ def test_real_video_meta_mp4_and_avi(spark):
     assert out[2]["container"] == "avi" and out[2]["n_frames"] == 250
     assert abs(out[2]["duration_s"] - 10.0) < 1e-9
     assert out[3]["container"] is None and out[3]["duration_s"] is None
+
+
+def test_frame_sample_plan_bounds_to_real_frame_count(spark):
+    df = spark.createDataFrame(
+        [(1, 7), (2, 25), (3, None)], "doc_id long, n_frames int"
+    )
+    out = M.frame_sample_plan(df, every_n=10, n_frames_col="n_frames")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert sorted(got[1]) == [0]            # 7 frames → only frame 0
+    assert sorted(got[2]) == [0, 10, 20]    # 25 frames
+    assert sorted(got[3]) == list(range(0, 100, 10))  # NULL → default 100

@@ -155,11 +155,26 @@ def ngram_jaccard_pairs(
     (band, bucket), bounding the pair space to O(docs × bands), and are
     then exactly Jaccard-verified — same output schema, near-total
     recall at threshold ≥ ~0.5 with the default 32 hashes / 8 bands.
-    Pass ``max_docs=None`` to force the exhaustive join regardless.
+    The switch is **loud** (a ``UserWarning`` on the driver), because
+    blocking can miss true pairs; callers whose semantics are
+    exact-by-contract (e.g. the ``*_exact`` registry queries) pass
+    ``max_docs=None`` to force the exhaustive join regardless of size.
+    Both regimes threshold on the same ``round(jaccard, 6)`` value, so
+    boundary pairs cannot differ between them.
     """
     if max_docs is not None:
         # bounded probe, not a full count: LocalLimit stops the scan early
         if df.select(id_col).limit(max_docs + 1).count() > max_docs:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: input exceeds max_docs={max_docs}; "
+                "routing through banded-MinHash LSH blocking (approximate "
+                "candidate generation, exact verify). Pass max_docs=None "
+                "to force the exhaustive equi-join.",
+                UserWarning,
+                stacklevel=2,
+            )
             return _lsh_routed_jaccard_pairs(df, text_col, id_col, n, threshold)
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

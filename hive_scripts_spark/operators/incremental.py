@@ -136,14 +136,33 @@ def changed_partition_filter(
     segments; they are Hive-unescaped here so they compare against the
     ACTUAL column values the scan materializes. Returns ``None`` when
     nothing changed (callers skip the scan entirely).
+
+    NULL partition values are matched null-safely: Hive writes them as
+    ``k=__HIVE_DEFAULT_PARTITION__`` directories, so the column side is
+    coalesced to that sentinel before keying — ``concat_ws`` would
+    otherwise silently DROP a NULL element, so a changed default
+    partition could never match its manifest tuple (silently excluded
+    from the rescan) and multi-column NULLs could collide
+    (``(NULL,'x')`` and ``('x',NULL)`` both keying to ``'x'``).
     """
+    sentinel = "__HIVE_DEFAULT_PARTITION__"
     rows = changed.select(*partition_cols).distinct().collect()
     if not rows:
         return None
     tuples = [
-        tuple(_unescape_path_value(str(r[c])) for c in partition_cols) for r in rows
+        tuple(
+            sentinel if r[c] is None else _unescape_path_value(str(r[c]))
+            for c in partition_cols
+        )
+        for r in rows
     ]
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+            for c in partition_cols
+        ],
+    )
     return key.isin(["\x1f".join(t) for t in tuples])
 
 
@@ -264,21 +283,37 @@ def compact_partition_dir(
     files. Returns the file count before compaction.
 
     Local/HDFS semantics: writes to a ``_compact_tmp`` sibling then
-    swaps via rename — readers see either the old or the new complete
-    directory. (On S3 a rename is a copy; use a table format's commit
-    there instead — documented limitation, not silently unsafe.)
-    Driver-side work is O(1) renames; the data move is one distributed
-    ``coalesce`` write, no shuffle.
+    swaps via two sequential renames. The swap is NOT atomic for
+    concurrent readers — between the two renames the directory briefly
+    does not exist (ENOENT), so run it in a maintenance window or under
+    a table format's commit protocol. It IS crash-recoverable: a run
+    that died between the renames leaves the complete data in
+    ``_compact_old`` (and/or ``_compact_tmp``), and the next invocation
+    restores the live directory before compacting. (On S3 a rename is a
+    copy; use a table format's commit there instead — documented
+    limitation, not silently unsafe.) Driver-side work is O(1) renames;
+    the data move is one distributed ``coalesce`` write, no shuffle.
     """
     import shutil
     from pathlib import Path
 
     src = Path(partition_dir)
+    tmp = src.with_name(src.name + "_compact_tmp")
+    old = src.with_name(src.name + "_compact_old")
+    # crash recovery from a previous interrupted swap: the old directory
+    # is always complete data — restore it as live if live is missing;
+    # stale tmp/old leftovers are discarded either way.
+    if old.exists():
+        if src.exists():
+            shutil.rmtree(old)
+        else:
+            old.rename(src)
+    if tmp.exists():
+        shutil.rmtree(tmp)
+
     df = spark.read.parquet(str(src))
     n_before = len(list(src.glob("*.parquet")))
-    tmp = src.with_name(src.name + "_compact_tmp")
     df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
-    old = src.with_name(src.name + "_compact_old")
     src.rename(old)
     tmp.rename(src)
     shutil.rmtree(old)

@@ -133,9 +133,16 @@ def decode_image_meta(
                             i += 1
                             continue
                         marker = b[i + 1]
+                        if marker == 0xFF:  # 0xFF fill/padding byte
+                            i += 1
+                            continue
                         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                             i += 2  # standalone markers carry no length
                             continue
+                        if marker in (0xD9, 0xDA):
+                            # EOI, or SOS (entropy-coded data follows —
+                            # no more length-framed segments to walk)
+                            break
                         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
                         # SOF0–SOF15 minus DHT/JPG/DAC (C4, C8, CC)
                         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
@@ -444,8 +451,15 @@ def frame_sample_plan(
     rows for every ``every_n``-th frame. With ``n_frames_col`` (e.g.
     joined from :func:`video_meta`) the sequence bounds to the clip's
     REAL frame count (NULL counts fall back to the default 100-frame
-    assumption). The explode happens JVM-side; frame extraction runs in
-    a downstream mapInPandas like :func:`decode_image_meta`."""
+    assumption; clips with a KNOWN count <= 0 — an AVI ``avih`` can
+    legitimately report totalframes=0 — produce no rows rather than a
+    negative sequence bound, which would raise at runtime). The explode
+    happens JVM-side; frame extraction runs in a downstream mapInPandas
+    like :func:`decode_image_meta`."""
+    if n_frames_col:
+        df = df.where(
+            F.col(n_frames_col).isNull() | (F.col(n_frames_col) > 0)
+        )
     last = (
         F.coalesce(F.col(n_frames_col).cast("int") - 1, F.lit(99))
         if n_frames_col

@@ -77,9 +77,10 @@ def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataF
       ``diff`` ``<``/``>`` rows)
 
     Count frames are O(tables × partitions) — tiny — so the
-    full-outer join runs on trivially small inputs. (Spark cannot
-    broadcast a full-outer join — the hint downgrades to a sort-merge
-    join of O(partitions) rows, which is the right plan here.)
+    full-outer join runs on trivially small inputs. Spark cannot
+    broadcast a full-outer join, so no broadcast hint is given: the
+    sort-merge join of O(partitions) rows IS the intended plan
+    (PLANS.md `j2_count_reconcile`).
     """
     src = source_counts.select(
         "table_name",
@@ -97,7 +98,7 @@ def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataF
     cond = (src["table_name"] == tgt["table_name"]) & src["partition_spec"].eqNullSafe(
         tgt["partition_spec"]
     )
-    joined = src.join(F.broadcast(tgt), cond, "full_outer").select(
+    joined = src.join(tgt, cond, "full_outer").select(
         F.coalesce(src["table_name"], tgt["table_name"]).alias("table_name"),
         F.coalesce(src["partition_spec"], tgt["partition_spec"]).alias(
             "partition_spec"

@@ -89,7 +89,9 @@ _DUCK_SHINGLES = f"""
 )
 def x_dedup_ngram_jaccard(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+    # max_docs=None: the oracle is the exhaustive shingle equi-join, so
+    # the approximate LSH routing must never engage at any sf
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, max_docs=None)
 
 
 @register("x_dedup_minhash_lsh")  # banded LSH blocking — not SQL-expressible
@@ -1366,7 +1368,11 @@ def x_dedup_components_exact(spark, sf_dir):
     from hive_scripts_spark.operators.cluster import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2).select("a_id", "b_id")
+    # max_docs=None: this query is exact-by-contract (recursive-CTE
+    # oracle), so the approximate LSH routing must never engage
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, max_docs=None).select(
+        "a_id", "b_id"
+    )
     return connected_components(pairs)
 
 

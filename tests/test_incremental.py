@@ -165,6 +165,72 @@ def test_incremental_with_escaped_partition_values(spark, tmp_path):
     ]
 
 
+def test_incremental_with_null_partition_values(spark, tmp_path):
+    # a NULL partition value lands on disk as k=__HIVE_DEFAULT_PARTITION__;
+    # the changed-set key must match it null-safely (concat_ws would DROP
+    # the NULL element, silently excluding the partition from the rescan)
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "z1", float(i)) for i in range(40)],
+        "o_id long, zone string, amount double",
+    )
+    df.write.partitionBy("zone").parquet(f"{src}/t")
+    df.write.partitionBy("zone").parquet(f"{tgt}/t")
+    _, src_mf, tgt_mf = incremental_count_reconcile(spark, src, tgt, "t", ["zone"])
+    src_mf = src_mf.localCheckpoint(eager=True)
+    tgt_mf = tgt_mf.localCheckpoint(eager=True)
+
+    time.sleep(1.1)
+    # rewrite ONLY the default (NULL) partition on the target, dropping rows
+    df.where("zone is null and o_id > 5").drop("zone").write.mode(
+        "overwrite"
+    ).parquet(f"{tgt}/t/zone=__HIVE_DEFAULT_PARTITION__")
+    rec, _, _ = incremental_count_reconcile(
+        spark, src, tgt, "t", ["zone"], src_mf, tgt_mf
+    )
+    rows = rec.collect()
+    assert len(rows) == 1 and rows[0]["status"] == "mismatched"
+
+
+def test_changed_partition_filter_null_keys_do_not_collide(spark):
+    # (NULL,'x') and ('x',NULL) must produce DISTINCT keys — with plain
+    # concat_ws both collapse to 'x' and cross-match
+    changed = spark.createDataFrame([(None, "x")], "a string, b string")
+    pred = changed_partition_filter(changed, ["a", "b"])
+    data = spark.createDataFrame(
+        [(None, "x", 1), ("x", None, 2), ("x", "x", 3)],
+        "a string, b string, v int",
+    )
+    got = sorted(r["v"] for r in data.where(pred).collect())
+    assert got == [1]
+
+
+def test_compact_partition_dir_recovers_from_interrupted_swap(spark, tmp_path):
+    import pathlib
+
+    from hive_scripts_spark.operators.incremental import compact_partition_dir
+
+    path = str(tmp_path / "t")
+    df = _orders(spark, 200)
+    df.where("p = 0").repartition(4).write.parquet(f"{path}/p=0")
+    expected = spark.read.parquet(f"{path}/p=0").count()
+
+    # simulate a crash between the two renames: live dir gone, complete
+    # data stranded in _compact_old, plus a stale _compact_tmp
+    live = pathlib.Path(f"{path}/p=0")
+    live.rename(live.with_name("p=0_compact_old"))
+    stale_tmp = live.with_name("p=0_compact_tmp")
+    stale_tmp.mkdir()
+    (stale_tmp / "garbage.parquet").write_bytes(b"not parquet")
+
+    n = compact_partition_dir(spark, str(live), target_files=1)
+    assert n == 4  # recovered directory had the original 4 files
+    assert len(list(live.glob("*.parquet"))) == 1
+    assert spark.read.parquet(str(live)).count() == expected
+    assert not live.with_name("p=0_compact_old").exists()
+    assert not stale_tmp.exists()
+
+
 def test_manifest_multilevel_and_suffix_overlapping_columns(spark, tmp_path):
     # two-level layout where column 't' is a suffix of 'cat' — the
     # boundary anchor must stop t= from matching inside cat=...

@@ -184,12 +184,28 @@ def test_real_decode_jpeg_sof_scan(spark):
         out += bytes([0xFF, sof]) + struct.pack(">H", len(sof_payload) + 2) + sof_payload
         return out + b"\xff\xd9"
 
+    def with_fill(w, h, n_fill=4):
+        # 0xFF padding bytes between segments are legal filler (ITU T.81
+        # §B.1.1.2) — the scanner must skip them, not read a seg length
+        out = b"\xff\xd8" + b"\xff" * n_fill
+        payload = b"JFIF\x00" + b"\x00" * 7
+        out += b"\xff\xe0" + struct.pack(">H", len(payload) + 2) + payload
+        out += b"\xff" * n_fill
+        sof_payload = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        out += b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+        return out + b"\xff\xd9"
+
     rows = [
         (1, jpeg(640, 480)),                      # baseline SOF0
         (2, jpeg(1920, 1080, sof=0xC2)),          # progressive SOF2
         (3, jpeg(33, 7, pad_segments=3)),         # several APP segments first
         (4, b"\xff\xd8\xff\xc4" + b"\x00\x04\x00\x00"),  # DHT only → no dims
         (5, b"\xff\xd8"),                          # bare SOI
+        (6, with_fill(12, 34)),                   # FF fill bytes between segments
+        # EOI immediately after SOI: must terminate, not read a length
+        (7, b"\xff\xd8\xff\xd9" + b"\x12\x34\x56\x78" * 4),
+        # SOS before any SOF: entropy data follows — walk must stop
+        (8, b"\xff\xd8\xff\xda\x00\x04\x01\x00" + b"\xff\xc0\xde\xad" * 4),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {
@@ -201,6 +217,9 @@ def test_real_decode_jpeg_sof_scan(spark):
     assert got[3] == (33, 7)
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+    assert got[6] == (12, 34)
+    assert got[7] == (None, None)
+    assert got[8] == (None, None)
 
 
 def test_real_audio_decode_wav_pcm(spark):
@@ -282,3 +301,19 @@ def test_frame_sample_plan_bounds_to_real_frame_count(spark):
     assert sorted(got[1]) == [0]            # 7 frames → only frame 0
     assert sorted(got[2]) == [0, 10, 20]    # 25 frames
     assert sorted(got[3]) == list(range(0, 100, 10))  # NULL → default 100
+
+
+def test_frame_sample_plan_zero_frame_clips_produce_no_rows(spark):
+    # an AVI avih can legitimately report totalframes=0; sequence(0,-1)
+    # would raise 'Illegal sequence boundaries' — such clips must instead
+    # contribute nothing (while NULL counts keep the default fallback)
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 25), (4, None)], "doc_id long, n_frames int"
+    )
+    out = M.frame_sample_plan(df, every_n=10, n_frames_col="n_frames")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert 1 not in got and 2 not in got
+    assert sorted(got[3]) == [0, 10, 20]
+    assert sorted(got[4]) == list(range(0, 100, 10))

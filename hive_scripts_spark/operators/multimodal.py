@@ -6,24 +6,25 @@ heavy steps — decode, resize, frame-sample, feature-extract — run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so each partition streams
 through Python in columnar batches (never row-at-a-time).
 
-Codec posture (no image/audio libraries in this container):
+Codec posture (no image/audio libraries in this container). The REAL
+parsers are the **default** (``fake=False``); ``fake=True`` opts into a
+deterministic synthetic decode (md5-derived metadata) used by the
+plumbing-oracle queries and anywhere reproducible fixtures matter:
 
-* ``decode_image_meta(fake=False)`` is a REAL decoder for the formats
-  whose dimensions are pure header fields — BMP, PNG, GIF, and the
-  netpbm family (P1–P6) — parsed with spec-level byte arithmetic, no
-  codec library. Unrecognized/corrupt payloads yield NULL dims (a 100 TB
-  job must not die on one bad file); nothing raises.
-* ``fake=True`` (default for the oracle queries) is a **deterministic
-  fake decode** (md5-derived dimensions) exercising the full Spark-side
-  plumbing — schema, batch shape, partitioning — reproducibly.
-* ``audio_features(fake=False)`` is likewise REAL for WAV/RIFF PCM
-  (8/16-bit) — header chunk walk + numpy sample decode; compressed
-  formats yield NULL features.
-* ``resize_images(fake=False)`` is REAL nearest-neighbor resampling
-  for raw-pixel formats (PPM P6, uncompressed 24-bit BMP) via numpy
-  index-sampling; compressed formats yield NULL rows.
-* ``video_meta(fake=False)`` parses REAL container headers (MP4
-  ``moov``→``mvhd`` duration, AVI ``avih`` frame count/rate).
+* ``decode_image_meta`` parses REAL image headers for the formats whose
+  dimensions are pure header fields — BMP, PNG, GIF, JPEG (SOF scan),
+  and the netpbm family (P1–P6) — spec-level byte arithmetic, no codec
+  library. Unrecognized/corrupt payloads yield NULL dims (a 100 TB job
+  must not die on one bad file); nothing raises.
+* ``audio_features`` REAL-decodes WAV/RIFF PCM (8/16-bit) — header
+  chunk walk + numpy sample decode; compressed formats yield NULL
+  features.
+* ``resize_images`` is REAL nearest-neighbor resampling for the
+  formats whose pixels are reachable without a codec library: raw
+  PPM P6, uncompressed 24-bit BMP, and 8-bit-RGB PNG (stdlib ``zlib``
+  IDAT inflate + per-scanline unfilter); other formats yield NULL rows.
+* ``video_meta`` parses REAL container headers (MP4 ``moov``→``mvhd``
+  duration, AVI ``avih`` frame count/rate).
   Nothing in this module raises on real payloads — decode failures
   degrade to NULLs.
 """
@@ -83,7 +84,7 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
 
 
 def decode_image_meta(
-    df: DataFrame, fake: bool = True, parallelism: int | None = None
+    df: DataFrame, fake: bool = False, parallelism: int | None = None
 ) -> DataFrame:
     """Decode image payloads to metadata via Arrow-batched ``mapInPandas``.
 
@@ -211,18 +212,20 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(
     df: DataFrame,
     target: tuple[int, int] = (224, 224),
-    fake: bool = True,
+    fake: bool = False,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Image resize via Arrow-batched ``mapInPandas``.
 
-    ``fake=False`` is a REAL nearest-neighbor resample for the formats
-    whose pixels are literal bytes — PPM ``P6`` (binary RGB) and
-    uncompressed 24-bit BMP — decoded and index-sampled with numpy, no
-    codec library; ``resized_md5`` hashes the resized RGB buffer, so
-    identical images resize to identical fingerprints regardless of
-    their container. Compressed/unknown payloads yield NULL dims/hash
-    (one bad object must not kill the batch).
+    The default is a REAL nearest-neighbor resample for the formats
+    whose pixels are reachable without a codec library — PPM ``P6``
+    (binary RGB), uncompressed 24-bit BMP, and non-interlaced 8-bit
+    truecolor PNG (stdlib ``zlib`` inflate of the IDAT stream +
+    per-scanline unfilter; alpha dropped for RGBA) — decoded and
+    index-sampled with numpy; ``resized_md5`` hashes the resized RGB
+    buffer, so identical images resize to identical fingerprints
+    regardless of their container. Other/corrupt payloads yield NULL
+    dims/hash (one bad object must not kill the batch).
 
     The fake path emits the target dims plus a deterministic pseudo
     "resized content" hash (md5 of payload + dims) so downstream plumbing
@@ -277,6 +280,85 @@ def resize_images(
                             rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
                             px = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR
                             return px if hh < 0 else px[::-1]  # bottom-up
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    # stdlib-only PNG pixel path: chunk walk → zlib
+                    # inflate of the concatenated IDAT stream → per-
+                    # scanline unfilter (RFC 2083 filters 0-4). Scope:
+                    # 8-bit truecolor (type 2) and truecolor+alpha
+                    # (type 6, alpha dropped), non-interlaced — the
+                    # shapes a pixel pipeline actually emits. Anything
+                    # else returns None (NULL row), never raises.
+                    import zlib
+
+                    i, n = 8, len(b)
+                    w = h = None
+                    bitd = colort = interlace = None
+                    idat = []
+                    while i + 8 <= n:
+                        ln = int.from_bytes(b[i : i + 4], "big")
+                        ctype = b[i + 4 : i + 8]
+                        if ctype == b"IHDR" and ln >= 13:
+                            d = b[i + 8 : i + 21]
+                            w = int.from_bytes(d[0:4], "big")
+                            h = int.from_bytes(d[4:8], "big")
+                            bitd, colort, interlace = d[8], d[9], d[12]
+                        elif ctype == b"IDAT":
+                            idat.append(b[i + 8 : i + 8 + ln])
+                        elif ctype == b"IEND":
+                            break
+                        i += 12 + ln  # length + type + data + crc
+                    if not (w and h and bitd == 8 and interlace == 0 and idat):
+                        return None
+                    if colort not in (2, 6):
+                        return None
+                    ch = 3 if colort == 2 else 4
+                    stride = w * ch
+                    raw = zlib.decompress(b"".join(idat))
+                    if len(raw) < (stride + 1) * h:
+                        return None
+                    out = np.empty((h, stride), np.uint8)
+                    prev = np.zeros(stride, np.uint8)
+                    pos = 0
+                    for y in range(h):
+                        flt = raw[pos]
+                        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+                        pos += 1 + stride
+                        if flt == 0:  # None
+                            cur = line.copy()
+                        elif flt == 2:  # Up
+                            cur = line + prev  # uint8 wraps mod 256
+                        elif flt == 1:  # Sub: per-channel cumsum mod 256
+                            cur = (
+                                np.cumsum(
+                                    line.reshape(-1, ch).astype(np.int64), axis=0
+                                )
+                                .astype(np.uint8)
+                                .reshape(-1)
+                            )
+                        elif flt in (3, 4):  # Average / Paeth: sequential
+                            cur = np.empty(stride, np.uint8)
+                            for x in range(stride):
+                                a = int(cur[x - ch]) if x >= ch else 0
+                                up = int(prev[x])
+                                if flt == 3:
+                                    pred = (a + up) >> 1
+                                else:
+                                    c = int(prev[x - ch]) if x >= ch else 0
+                                    p = a + up - c
+                                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                                    pred = (
+                                        a
+                                        if pa <= pb and pa <= pc
+                                        else (up if pb <= pc else c)
+                                    )
+                                cur[x] = (int(line[x]) + pred) & 0xFF
+                        else:
+                            return None
+                        out[y] = cur
+                        prev = cur
+                    return np.ascontiguousarray(
+                        out.reshape(h, w, ch)[..., :3]
+                    )
             except Exception:
                 pass
             return None
@@ -336,7 +418,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 def audio_features(
     df: DataFrame,
     sample_rate: int = 16000,
-    fake: bool = True,
+    fake: bool = False,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Audio feature extraction over binary payloads.
@@ -480,7 +562,7 @@ VIDEO_META_SCHEMA = T.StructType(
 
 
 def video_meta(
-    df: DataFrame, fake: bool = True, parallelism: int | None = None
+    df: DataFrame, fake: bool = False, parallelism: int | None = None
 ) -> DataFrame:
     """Video container metadata via Arrow-batched ``mapInPandas``.
 

@@ -424,6 +424,7 @@ def x_multimodal_resize(spark, sf_dir):
     return M.resize_images(
         M.binarize(docs, "text"),
         target=(224, 224),
+        fake=True,  # synthetic contract — this query oracles the plumbing
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
 
@@ -450,6 +451,7 @@ def x_multimodal_audio(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return M.audio_features(
         M.binarize(docs, "text"),
+        fake=True,  # synthetic contract — this query oracles the plumbing
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
 
@@ -1550,5 +1552,6 @@ def x_multimodal_video_meta(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return M.video_meta(
         M.binarize(docs, "text"),
+        fake=True,  # synthetic contract — this query oracles the plumbing
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )

@@ -28,8 +28,8 @@ def test_binarize_schema(payloads):
 def test_decode_meta_deterministic(payloads):
     import hashlib
 
-    out1 = {r["doc_id"]: tuple(r) for r in M.decode_image_meta(M.binarize(payloads, "text")).collect()}
-    out2 = {r["doc_id"]: tuple(r) for r in M.decode_image_meta(M.binarize(payloads, "text")).collect()}
+    out1 = {r["doc_id"]: tuple(r) for r in M.decode_image_meta(M.binarize(payloads, "text"), fake=True).collect()}
+    out2 = {r["doc_id"]: tuple(r) for r in M.decode_image_meta(M.binarize(payloads, "text"), fake=True).collect()}
     assert out1 == out2  # deterministic fake decode
     d = hashlib.md5(b"an image payload").hexdigest()
     r = out1[0]
@@ -89,6 +89,116 @@ def test_real_resize_ppm_and_bmp_nearest_neighbor(spark):
     # identical pixels → identical resized fingerprint across containers
     assert out[1]["resized_md5"] == want
     assert out[2]["resized_md5"] == want
+
+
+def _png(px, filters=None, color_type=2, interlace=0, chunked_idat=False):
+    """Minimal PNG encoder (test-side twin of the stdlib decoder): apply
+    the FORWARD scanline filters per RFC 2083 so the decoder's unfilter
+    of every type is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ch = px.shape[2]
+    filters = filters if filters is not None else [0] * h
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y, flt in enumerate(filters):
+        line = flat[y]
+        if flt == 0:
+            enc = line
+        elif flt == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            enc = (line - left) % 256
+        elif flt == 2:  # Up
+            enc = (line - prev) % 256
+        elif flt == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            enc = (line - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            enc = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) % 256
+        raw.append(flt)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    z = zlib.compress(bytes(raw))
+    if chunked_idat:  # IDAT may be split arbitrarily — decoder must join
+        idat = chunk(b"IDAT", z[: len(z) // 2]) + chunk(b"IDAT", z[len(z) // 2 :])
+    else:
+        idat = chunk(b"IDAT", z)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+    )
+
+
+def test_real_resize_png_matches_ppm_and_bmp(spark):
+    # the VERDICT container-independence contract: PPM, BMP and PNG of
+    # IDENTICAL pixels must produce the same resized_md5
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from hive_scripts_spark.operators.multimodal import resize_images
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    ppm = b"P6 4 2 255\n" + px.tobytes()
+
+    def bmp24(px):
+        h, w = px.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = px[..., ::-1].reshape(h, w * 3)
+        data = rows[::-1].tobytes()
+        off = 14 + 40
+        header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+        return header + dib + data
+
+    rgba = np.dstack([px, np.full(px.shape[:2], 200, np.uint8)])
+    rows = [
+        (1, ppm),
+        (2, bmp24(px)),
+        (3, _png(px)),                          # filter 0 rows
+        (4, _png(px, filters=[1, 2])),          # Sub + Up
+        (5, _png(px, filters=[3, 4])),          # Average + Paeth
+        (6, _png(px, chunked_idat=True)),       # split IDAT stream
+        (7, _png(rgba, color_type=6)),          # RGBA: alpha dropped
+        (8, _png(px, interlace=1)),             # Adam7 → unsupported, NULL
+        (9, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),  # truncated garbage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r for r in resize_images(df, target=(2, 2), fake=False).collect()
+    }
+    want = hashlib.md5(
+        np.ascontiguousarray(px[[0, 1]][:, [1, 3]]).tobytes()
+    ).hexdigest()
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert out[d]["resized_md5"] == want, f"doc {d} diverged"
+    assert out[8]["resized_md5"] is None
+    assert out[9]["resized_md5"] is None
 
 
 def test_frame_sample_plan(payloads):

@@ -35,6 +35,16 @@ HEADLINE = [
     "x_events_sessionize",
 ]
 
+#: timed and reported SEPARATELY (queries_extra / total_extra) so the
+#: 12-query HEADLINE total stays byte-comparable across every round's
+#: BENCH_r{N}.json. x_ann_ivf_topk is the ANN *scale* path (plan-literal
+#: centroid assignment — zero corpus shuffle; probe-pruned search) whose
+#: round-over-round timing series starts here; compare it against
+#: x_ann_brute_topk's O(Q×N) exactness baseline inside the same run.
+EXTRA = [
+    "x_ann_ivf_topk",
+]
+
 
 def main() -> None:
     from hive_scripts_spark.plans.registry import QUERIES
@@ -56,11 +66,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    def run(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            start = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - start, 3)
+        return out
+
+    timings = run(HEADLINE)
+    extra = run(EXTRA)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extra,
+                "total_extra": round(sum(extra.values()), 3),
                 "sf": float(sf),
             }
         )

@@ -268,6 +268,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """IVF top-k search: probe the ``nprobe`` nearest cells per query and
     rank candidates only within them — the ANN scale path beyond
@@ -290,7 +291,23 @@ def ivf_topk(
     oracle-comparable. Returns ``(query_id, neighbor_id, cosine_sim,
     rank)``; approximate by design (recall < 1 when the true neighbor
     lives in an unprobed cell).
+
+    Fold economy (the interpreted-HOF path has no CSE — PLANS.md trap
+    #1): centroid self-norms are computed in PYTHON from the collected
+    model params and embedded as literals (a sequential ``sum`` —
+    bit-identical to the Spark/DuckDB sequential folds); the row
+    vector's norm is evaluated ONCE per row by binding it as a lambda
+    *variable* (a 1-element ``transform``) rather than a re-evaluated
+    expression, so assignment costs ``n_centroids`` dot-folds + 1 norm
+    per row instead of ``3 × n_centroids`` folds. Candidate scoring
+    divides by the norms staged on each join side — attributes across a
+    join cannot be inlined back, so they are evaluated once per row,
+    not once per candidate pair. (``parallelism``: pre-repartition when
+    the corpus has fewer input splits than cores — single-row-group
+    local testdata; a many-file lake doesn't need it.)
     """
+    import math
+
     from pyspark.sql import Window
 
     cells = F.array(
@@ -298,43 +315,76 @@ def ivf_topk(
             F.struct(
                 F.lit(int(cid)).alias("cid"),
                 F.array(*[F.lit(float(x)).cast("double") for x in vec]).alias("c"),
+                # python-side sequential sum == the engines' sequential
+                # folds on the same doubles, so values stay oracle-exact
+                F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)))
+                .cast("double")
+                .alias("cnorm"),
             )
             for cid, vec in centroids
         ]
     )
 
-    def cell_sims(vec):
+    def cell_sims(vec, vnorm):
         # (sim, -cid) structs: array_max / desc sort give sim-desc with
         # cid-asc tiebreak; round(…,6) BEFORE ranking mirrors the oracle
         return F.transform(
             cells,
             lambda s: F.struct(
-                F.round(cosine(vec, s["c"]), 6).alias("sim"),
+                F.round(dot(vec, s["c"]) / (vnorm * s["cnorm"]), 6).alias("sim"),
                 (-s["cid"]).alias("neg_cid"),
             ),
         )
 
+    def staged_norm(vec, inner):
+        # bind |vec| as a lambda VARIABLE so it folds once per row —
+        # staging through a projection is not enough (CollapseProject
+        # inlines single-use attributes back into the consumer)
+        return F.transform(F.array(l2_norm(vec)), inner)[0]
+
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
     corpus_cells = corpus.select(
         "neighbor_id",
         "c_vec",
-        (-F.array_max(cell_sims(F.col("c_vec")))["neg_cid"]).alias("cell"),
-    )
+        staged_norm(
+            F.col("c_vec"),
+            lambda vn: F.struct(
+                (-F.array_max(cell_sims(F.col("c_vec"), vn))["neg_cid"]).alias(
+                    "cell"
+                ),
+                vn.alias("c_norm"),
+            ),
+        ).alias("__a"),
+    ).select("neighbor_id", "c_vec", "__a.cell", "__a.c_norm")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    probes = (
-        q.select(
-            "query_id",
-            "q_vec",
-            F.explode(
-                F.slice(F.sort_array(cell_sims(F.col("q_vec")), asc=False), 1, nprobe)
-            ).alias("p"),
-        )
-        .select("query_id", "q_vec", (-F.col("p")["neg_cid"]).alias("cell"))
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        staged_norm(
+            F.col("q_vec"),
+            lambda vn: F.struct(
+                F.slice(
+                    F.sort_array(cell_sims(F.col("q_vec"), vn), asc=False),
+                    1,
+                    nprobe,
+                ).alias("cells"),
+                vn.alias("q_norm"),
+            ),
+        ).alias("__p"),
+    ).select(
+        "query_id",
+        "q_vec",
+        F.col("__p.q_norm").alias("q_norm"),
+        F.explode("__p.cells").alias("p"),
+    ).select(
+        "query_id", "q_vec", "q_norm", (-F.col("p")["neg_cid"]).alias("cell")
     )
 
     cand = corpus_cells.join(F.broadcast(probes), "cell").where(
@@ -343,7 +393,10 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -1121,7 +1121,14 @@ def x_ann_ivf_topk(spark, sf_dir):
         for r in emb.where(F.col("vec_id") < 8).collect()
     ]
     queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, cents, queries, k=5, nprobe=2)
+    return S.ivf_topk(
+        emb,
+        cents,
+        queries,
+        k=5,
+        nprobe=2,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
 
 
 @register(

@@ -1,0 +1,173 @@
+"""Skew soak: a deliberately hot key (>=30% of all rows) must route
+through the documented mitigation paths, and the paths must actually
+ENGAGE — plan-asserted — not merely produce correct values on the
+uniform local testdata (which never exercises them).
+
+Protects the 100 TB claims: salted two-phase aggregation spreads the
+hot key across reducers, the LSH hot-bucket cap anti-joins degenerate
+buckets away, and sessionization stays correct when one user owns a
+third of the event stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.functions.skew import salted_count, salted_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def hot_events(spark):
+    # 20k events; user 7777 owns 35% of them, the rest spread over ~1k
+    # users. Timestamps step one minute with occasional >30min gaps so
+    # sessionization has real session boundaries on the hot user too.
+    n = 20_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") % 20 < 7, F.lit(7777))
+        .otherwise((F.col("id") % 997).cast("long"))
+        .alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.col("id") * 60_000_000
+            # each 5000-id block shifts a further hour: a >30min silence
+            # for EVERY user at each boundary → real session breaks
+            + (F.col("id") / 5000).cast("long") * 3_600_000_000
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    return ev.localCheckpoint(eager=True)
+
+
+def test_fixture_is_actually_skewed(hot_events):
+    total = hot_events.count()
+    hot = hot_events.where(F.col("user_id") == 7777).count()
+    assert hot / total >= 0.30
+
+
+def test_salted_count_spreads_hot_key_and_matches_plain(hot_events):
+    plain = {
+        r["user_id"]: r["c"]
+        for r in hot_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = salted_count(hot_events, ["user_id"], salt_from="event_id", salts=16)
+    got = {r["user_id"]: r["row_count"] for r in salted.collect()}
+    assert got == plain
+
+    # the mitigation must ENGAGE: phase 1 shuffles on (user_id, __salt),
+    # so the hot key's rows spread over `salts` reducers instead of one
+    plan = _plan(salted)
+    salt_partitionings = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning" in line and "__salt" in line
+    ]
+    assert salt_partitionings, f"no (key, __salt) exchange in plan:\n{plan}"
+
+
+def test_salted_join_replicates_small_side_and_matches_plain(spark, hot_events):
+    dim = spark.createDataFrame(
+        [(7777, "hot"), (5, "cold"), (6, "cold")], "user_id long, tag string"
+    )
+    plain = hot_events.join(dim, "user_id").count()
+    salted = salted_join(hot_events, dim, "user_id", salt_from="event_id", salts=8)
+    assert salted.count() == plain
+    # the small side must replicate across salts (explode of the salt
+    # sequence) and the join key must carry __salt
+    plan = _plan(salted.select("user_id", "tag"))
+    assert "explode" in plan and "__salt" in plan
+
+
+def test_sessionize_correct_under_hot_user(spark, hot_events):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = hot_events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        marked.withColumn("session_id", F.sum("new_session").over(w2))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"] for r in sessions.collect()
+    }
+
+    # driver-side brute force on the same 20k rows (test-only collect)
+    rows = sorted(
+        hot_events.collect(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+    )
+    want: dict[tuple, int] = {}
+    prev_user, prev_ts, sid = None, None, 0
+    for r in rows:
+        if r["user_id"] != prev_user:
+            prev_user, sid = r["user_id"], 1
+        elif (r["ts"] - prev_ts).total_seconds() > 1800:
+            sid += 1
+        prev_ts = r["ts"]
+        want[(r["user_id"], sid)] = want.get((r["user_id"], sid), 0) + 1
+    assert got == want
+    # hot user really sessionized (multiple sessions from the planted gaps)
+    assert sum(1 for (u, _s) in got if u == 7777) >= 2
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    # 60 byte-identical "boilerplate" docs (every band bucket hot) plus
+    # 3 genuine near-dup pairs and filler uniques
+    boiler = "terms of service apply to all users of this site always"
+    near = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs again now",
+        "how vexingly quick daft zebras jump over fences here",
+    ]
+    rows = [(i, boiler) for i in range(60)]
+    for j, base in enumerate(near):
+        rows.append((100 + 2 * j, base + " alpha"))
+        rows.append((101 + 2 * j, base + " beta"))
+    rows += [(200 + i, f"unique filler document number {i} with distinct words {i * 7} {i * 13}") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint(
+        eager=True
+    )
+
+
+def test_minhash_hot_bucket_cap_engages(boilerplate_docs):
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+
+    uncapped = minhash_lsh_pairs(boilerplate_docs, threshold=0.5)
+    uncapped_pairs = {(r["a_id"], r["b_id"]) for r in uncapped.collect()}
+    # boilerplate clique fully pairs without the cap: 60*59/2 pairs
+    boiler_pairs = {p for p in uncapped_pairs if p[0] < 60 and p[1] < 60}
+    assert len(boiler_pairs) == 60 * 59 // 2
+    near_pairs = {p for p in uncapped_pairs if p[0] >= 100 and p[1] < 200}
+    assert near_pairs == {(100, 101), (102, 103), (104, 105)}
+
+    capped = minhash_lsh_pairs(boilerplate_docs, threshold=0.5, max_bucket_size=10)
+    # the cap path must be IN the plan (broadcast left-anti on the
+    # oversized bucket list), and it must drop the degenerate clique
+    plan = _plan(capped)
+    assert "LeftAnti" in plan, f"hot-bucket anti-join missing:\n{plan}"
+    capped_pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert not {p for p in capped_pairs if p[0] < 60 and p[1] < 60}
+    # docs whose buckets are NOT hot still pair — recall survives the cap
+    assert {p for p in capped_pairs if p[0] >= 100 and p[1] < 200} == {
+        (100, 101),
+        (102, 103),
+        (104, 105),
+    }

@@ -162,6 +162,38 @@ def limit_sample(df: DataFrame, n: int, order_cols: list[str] | None = None) -> 
     return (df.orderBy(*order_cols) if order_cols else df).limit(n)
 
 
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    order_key: str,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically.
+
+    The curation primitive behind "at most N documents per (lang,
+    source)": rows rank inside their group by the portable md5 of
+    ``order_key`` (same digest string on any engine — the hash-order
+    pick is uniform and reproducible, unlike ``LIMIT`` inside a group),
+    with the raw key as tie-break. Emits ``pick_order`` (1-based rank)
+    so callers can tighten the cap downstream without re-ranking.
+
+    Scale: one shuffle on the group columns; the per-group sort is
+    O(group size log group size) within a partition. A hot group is
+    bounded by the same salting/AQE toolkit as any hot key, but note
+    the cap itself is the mitigation in practice — downstream sees at
+    most ``n`` rows per group no matter how hot the input group was.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(order_key).cast("string")), F.col(order_key)
+    )
+    return (
+        df.withColumn("pick_order", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_order") <= n)
+    )
+
+
 def shard_by_hash(
     df: DataFrame, key_cols: list[str], n_shards: int = 16
 ) -> DataFrame:

@@ -439,6 +439,56 @@ def dedup_keep_min(pairs: DataFrame, df: DataFrame, id_col: str = "doc_id") -> D
     return df.join(losers, id_col, "left_anti")
 
 
+def near_dup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivor per near-dup cluster.
+
+    :func:`dedup_keep_min` keeps the *lowest-id* doc — fast but blind to
+    quality. This resolves the pair list into full clusters (transitive:
+    A~B, B~C ⇒ one cluster even if A,C never paired) via
+    :func:`~hive_scripts_spark.operators.cluster.connected_components`,
+    then keeps the cluster's BEST doc: max ``quality_col``, ties to the
+    lowest id. Docs in no cluster survive as their own singleton.
+
+    Returns ``(component, survivor_id, n_members)``.
+
+    Scale shape: components is O(log diameter) pointer-jumping rounds
+    over the (tiny, pairs-only) edge list; cluster membership is a
+    left join of docs against the O(duplicated docs) label frame; the
+    survivor pick is ONE groupBy with a map-side-partial ``max`` of a
+    (quality, -id) struct — no window, no per-cluster sort.
+    """
+    from hive_scripts_spark.operators.cluster import connected_components
+
+    comp = connected_components(pairs)
+    member = (
+        df.select(F.col(id_col), F.col(quality_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    best = member.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "component",
+        (-F.col("__b.neg_id")).cast("long").alias("survivor_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1562,3 +1562,89 @@ def x_multimodal_video_meta(spark, sf_dir):
         fake=True,  # synthetic contract — this query oracles the plumbing
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: per-group caps and quality-aware near-dup survivors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_group_cap",
+    oracle="""
+    with ranked as (
+      select doc_id, lang, source,
+             row_number() over (
+               partition by lang, source
+               order by md5(cast(doc_id as varchar)), doc_id) as rn
+      from documents
+    )
+    select doc_id, lang, source, cast(rn as bigint) as pick_order
+    from ranked where rn <= 20
+    """,
+)
+def x_group_cap(spark, sf_dir):
+    """At most 20 documents per (lang, source), picked by portable md5
+    hash order — the bounded-per-domain sampling step of a curation run
+    (`functions/canonical.py group_cap`; same md5-prefix idiom as
+    deterministic_sample/shard_by_hash, so both engines pick identical
+    rows)."""
+    from hive_scripts_spark.functions.canonical import group_cap
+
+    docs = table(spark, sf_dir, "documents")
+    return group_cap(docs, ["lang", "source"], n=20, order_key="doc_id").select(
+        "doc_id", "lang", "source", "pick_order"
+    )
+
+
+@register(
+    "x_dedup_survivors",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    common as (
+      select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    ), pairs as (
+      select a_id, b_id from common
+      join sizes sa on sa.doc_id = a_id
+      join sizes sb on sb.doc_id = b_id
+      where round(cast(n_common as double)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    ), edges as (
+      select a_id as u, b_id as v from pairs
+      union select b_id, a_id from pairs
+    ), reach as (
+      with recursive r(node, root) as (
+        select u, u from edges
+        union
+        select e.u, r.root from edges e join r on r.node = e.v
+      )
+      select node, min(root) as component from r group by node
+    ), members as (
+      select d.doc_id, d.n_chars, coalesce(r.component, d.doc_id) as component
+      from documents d left join reach r on r.node = d.doc_id
+    )
+    select component, survivor_id, n_members from (
+      select component, doc_id as survivor_id,
+             cast(count(*) over (partition by component) as bigint) as n_members,
+             row_number() over (
+               partition by component order by n_chars desc, doc_id) as rn
+      from members) where rn = 1
+    """,
+)
+def x_dedup_survivors(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: exact-Jaccard edges →
+    connected components (transitive clusters) → keep each cluster's
+    longest doc (ties to lowest id); singletons survive as themselves.
+    Checked against a recursive-CTE closure + per-component ranking in
+    DuckDB — the full curation "which docs do I actually keep" answer,
+    one step past `x_dedup_components_exact`'s labels."""
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, max_docs=None).select(
+        "a_id", "b_id"
+    )
+    return near_dup_survivors(docs, pairs, quality_col="n_chars")

@@ -2,6 +2,7 @@
 have no SQL oracle — these tests are their correctness story)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from hive_scripts_spark.operators import dedup as D
 
@@ -168,3 +169,61 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     # the genuine near-dup pair (in small buckets) survives
     got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
     assert got == {(100, 101)}
+
+
+def test_near_dup_survivors_transitive_best_quality(spark):
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    # chain 1~2, 2~3 (1 and 3 never paired directly) → ONE cluster; the
+    # best doc is 2 (longest); 9 is a singleton surviving as itself
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (9, 10)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    out = {r["component"]: r for r in near_dup_survivors(docs, pairs).collect()}
+    assert out[1]["survivor_id"] == 2 and out[1]["n_members"] == 3
+    assert out[9]["survivor_id"] == 9 and out[9]["n_members"] == 1
+
+
+def test_near_dup_survivors_quality_tie_breaks_low_id(spark):
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [(4, 80), (7, 80), (5, 20)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(4, 7), (4, 5)], "a_id long, b_id long")
+    rows = near_dup_survivors(docs, pairs).collect()
+    assert len(rows) == 1
+    assert rows[0]["survivor_id"] == 4 and rows[0]["n_members"] == 3
+
+
+def test_group_cap_deterministic_and_bounded(spark):
+    from hive_scripts_spark.functions.canonical import group_cap
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", f"s{i % 2}") for i in range(200)],
+        "doc_id long, lang string, source string",
+    )
+    capped = group_cap(df, ["lang", "source"], n=10, order_key="doc_id")
+    counts = {
+        (r["lang"], r["source"]): r["c"]
+        for r in capped.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert all(c <= 10 for c in counts.values())
+    # groups larger than the cap are cut exactly to it
+    assert counts[("en", "s0")] == 10 and counts[("fr", "s1")] == 10
+    # same rows on a rerun (hash order, not LIMIT order)
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {
+        r["doc_id"]
+        for r in group_cap(df, ["lang", "source"], n=10, order_key="doc_id").collect()
+    }
+    assert a == b
+    # pick_order is a dense 1..n rank within each group
+    one = [
+        r["pick_order"]
+        for r in capped.where("lang = 'en' and source = 's0'").collect()
+    ]
+    assert sorted(one) == list(range(1, 11))

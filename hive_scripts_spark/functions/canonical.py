@@ -194,6 +194,45 @@ def group_cap(
     )
 
 
+def rank_trim(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_key: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Drop each group's distribution tails by RANK, not by percentile
+    value: keep rows whose 1-based rank ``rn`` (by ``value_col``, ties
+    broken by ``order_key``) satisfies
+    ``rn*100 > n*lo_pct and rn*100 <= n*hi_pct``.
+
+    The outlier-trim step of a curation run ("cut the shortest 1% and
+    longest 1% per language"). Rank bounds are pure bigint arithmetic —
+    no percentile interpolation, whose boundary semantics differ
+    subtly across engines — so any SQL engine selects the identical
+    row set.
+
+    Scale: both window functions share one partitioning on the group
+    columns → a single exchange; no second pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), F.col(order_key)
+    )
+    cnt = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("__rn") * 100 > F.col("__n") * lo_pct)
+            & (F.col("__rn") * 100 <= F.col("__n") * hi_pct)
+        )
+        .drop("__rn", "__n")
+    )
+
+
 def shard_by_hash(
     df: DataFrame, key_cols: list[str], n_shards: int = 16
 ) -> DataFrame:

@@ -1648,3 +1648,30 @@ def x_dedup_survivors(spark, sf_dir):
         "a_id", "b_id"
     )
     return near_dup_survivors(docs, pairs, quality_col="n_chars")
+
+
+@register(
+    "x_length_trim",
+    oracle="""
+    with ranked as (
+      select doc_id, lang, n_chars,
+             row_number() over (
+               partition by lang order by n_chars, doc_id) as rn,
+             count(*) over (partition by lang) as n
+      from documents
+    )
+    select doc_id, lang, n_chars from ranked
+    where rn * 100 > n * 1 and rn * 100 <= n * 99
+    """,
+)
+def x_length_trim(spark, sf_dir):
+    """Per-language length-outlier trim: cut the shortest 1% and longest
+    1% of docs by RANK (`functions/canonical.rank_trim`) — exact bigint
+    bounds, so both engines keep the identical row set (percentile-value
+    trims have engine-specific interpolation at the boundaries)."""
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    docs = table(spark, sf_dir, "documents")
+    return rank_trim(
+        docs, ["lang"], "n_chars", order_key="doc_id", lo_pct=1, hi_pct=99
+    ).select("doc_id", "lang", "n_chars")

@@ -227,3 +227,30 @@ def test_group_cap_deterministic_and_bounded(spark):
         for r in capped.where("lang = 'en' and source = 's0'").collect()
     ]
     assert sorted(one) == list(range(1, 11))
+
+
+def test_rank_trim_exact_integer_bounds(spark):
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    # 100 rows, one group: trim 1%/99% keeps ranks 2..99 (rn*100 > 100
+    # and rn*100 <= 9900) — exactly 98 rows, lowest and highest cut
+    df = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(1, 101)],
+        "doc_id long, lang string, n_chars long",
+    )
+    kept = rank_trim(df, ["lang"], "n_chars", order_key="doc_id").collect()
+    vals = sorted(r["n_chars"] for r in kept)
+    assert len(vals) == 98
+    assert vals[0] == 20 and vals[-1] == 990  # 10 and 1000 trimmed
+
+    # tiny group: 3 rows → rn*100 > 3 always, rn*100 <= 297 for rn<=2;
+    # only the max is cut (never everything)
+    tiny = spark.createDataFrame(
+        [(1, "fr", 5), (2, "fr", 6), (3, "fr", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = sorted(
+        r["n_chars"]
+        for r in rank_trim(tiny, ["lang"], "n_chars", order_key="doc_id").collect()
+    )
+    assert got == [5, 6]

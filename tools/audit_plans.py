@@ -43,6 +43,9 @@ AUDITED = [
     "x_ann_ivf_assign",
     "x_ann_ivf_topk",
     "x_dedup_components",
+    "x_group_cap",
+    "x_dedup_survivors",
+    "x_length_trim",
 ]
 
 

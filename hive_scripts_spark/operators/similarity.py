@@ -209,6 +209,8 @@ def ivf_assign(
     unbroadcast centroid shuffle. Downstream searches probe matching
     centroid partitions only (partition pruning on ``centroid_id``).
     """
+    import math
+
     from pyspark.sql import Window
 
     base = embeddings.select(
@@ -216,6 +218,10 @@ def ivf_assign(
     )
     lits = centroids.limit(literal_threshold + 1).collect()
     if len(lits) <= literal_threshold:
+        # centroid self-norms computed in PYTHON from the collected model
+        # params (sequential sum == both engines' sequential folds, so
+        # values stay oracle-exact) — the interpreted-HOF path has no
+        # CSE, so leaving l2_norm(s.c) in the lambda re-folds it per row
         cells = F.array(
             *[
                 F.struct(
@@ -223,26 +229,35 @@ def ivf_assign(
                     F.array(
                         *[F.lit(float(x)).cast("double") for x in r["centroid"]]
                     ).alias("c"),
+                    F.lit(
+                        math.sqrt(
+                            sum(float(x) * float(x) for x in r["centroid"])
+                        )
+                    )
+                    .cast("double")
+                    .alias("cnorm"),
                 )
                 for r in lits
             ]
         )
-        staged = base.select(
-            F.col(id_col), F.col("vec"), l2_norm(F.col("vec")).alias("vnorm")
-        )
-        best = F.array_max(
-            F.transform(
-                cells,
-                lambda s: F.struct(
-                    F.round(
-                        dot(F.col("vec"), s["c"]) / (F.col("vnorm") * l2_norm(s["c"])),
-                        6,
-                    ).alias("sim"),
-                    (-s["cid"]).alias("neg_cid"),
-                ),
-            )
-        )
-        assigned = staged.select(F.col(id_col), F.inline_outer(F.array(best)))
+        # bind |vec| as a lambda VARIABLE (1-element transform) so it
+        # folds once per row — a staged projection would be inlined back
+        # into the consumer by CollapseProject (single-use attribute)
+        best = F.transform(
+            F.array(l2_norm(F.col("vec"))),
+            lambda vn: F.array_max(
+                F.transform(
+                    cells,
+                    lambda s: F.struct(
+                        F.round(
+                            dot(F.col("vec"), s["c"]) / (vn * s["cnorm"]), 6
+                        ).alias("sim"),
+                        (-s["cid"]).alias("neg_cid"),
+                    ),
+                )
+            ),
+        )[0]
+        assigned = base.select(F.col(id_col), F.inline_outer(F.array(best)))
         return assigned.select(
             id_col, (-F.col("neg_cid")).cast("long").alias("centroid_id"), "sim"
         )

@@ -284,15 +284,28 @@ def minhash_signatures(
 
 
 def _minhash_fold(shingles, num_hashes: int, finish=None):
-    """Single-pass MinHash fold: per shingle, hash under all seeds at once
-    and fold the running minima with zip_with."""
+    """Single-pass MinHash fold over PRE-HASHED shingles.
+
+    Each shingle string is xxhash64-ed ONCE (the ``transform`` input of
+    the aggregate is evaluated once per row — safe to inline); the
+    ``num_hashes`` per-seed values then re-hash that single 64-bit
+    value under seeded xxhash64. Hashing a fixed 8-byte long is much
+    cheaper than hashing a ~20-byte UTF-8 shingle string, so per
+    shingle this replaces ``num_hashes`` string hashes with one string
+    hash + ``num_hashes`` long hashes. (A multiply-shift family would
+    be cheaper still, but ANSI mode — Spark 4's default — raises on
+    the wrapping multiply.) Seeded-xxhash64-of-xxhash64 stays a
+    uniform family; the exact-Jaccard verify stage downstream makes
+    candidate-set composition a recall knob, never a correctness one.
+    """
     max_long = (1 << 63) - 1
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.aggregate(
-        shingles,
+        hashed,
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.lit(seed), s) for seed in range(num_hashes)]),
+            F.array(*[F.xxhash64(F.lit(seed), h) for seed in range(num_hashes)]),
             lambda a, b: F.least(a, b),
         ),
         *( [finish] if finish is not None else [] ),

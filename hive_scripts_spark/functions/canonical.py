@@ -185,6 +185,11 @@ def group_cap(
     """
     from pyspark.sql import Window
 
+    if "pick_order" in df.columns:
+        raise ValueError(
+            "group_cap emits a 'pick_order' column; the input already has "
+            "one — rename it first (silently overwriting would corrupt it)"
+        )
     w = Window.partitionBy(*group_cols).orderBy(
         F.md5(F.col(order_key).cast("string")), F.col(order_key)
     )
@@ -218,6 +223,13 @@ def rank_trim(
     """
     from pyspark.sql import Window
 
+    clash = [c for c in ("__rn", "__n") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"rank_trim uses temp columns {clash} which already exist in "
+            "the input — rename them first (they would be silently "
+            "replaced and then dropped)"
+        )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col(value_col), F.col(order_key)
     )

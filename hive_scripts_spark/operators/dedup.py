@@ -467,16 +467,32 @@ def near_dup_survivors(
     then keeps the cluster's BEST doc: max ``quality_col``, ties to the
     lowest id. Docs in no cluster survive as their own singleton.
 
+    Contract: ``quality_col`` must be numeric (asserted — it is negated
+    inside the ordering struct; a value of exactly ``LONG_MIN`` would
+    overflow, which no realistic quality score reaches). NULL quality
+    always loses (a dedicated null-flag field, not engine-specific
+    NULL-struct ordering). ``id_col`` may be ANY orderable type — it is
+    never negated or cast, and ``survivor_id`` keeps its input dtype.
+
     Returns ``(component, survivor_id, n_members)``.
 
     Scale shape: components is O(log diameter) pointer-jumping rounds
     over the (tiny, pairs-only) edge list; cluster membership is a
     left join of docs against the O(duplicated docs) label frame; the
-    survivor pick is ONE groupBy with a map-side-partial ``max`` of a
-    (quality, -id) struct — no window, no per-cluster sort.
+    survivor pick is ONE groupBy with a map-side-partial ``min`` of a
+    (quality-is-null, -quality, id) struct — no window, no per-cluster
+    sort.
     """
+    from pyspark.sql.types import NumericType
+
     from hive_scripts_spark.operators.cluster import connected_components
 
+    if not isinstance(df.schema[quality_col].dataType, NumericType):
+        raise TypeError(
+            f"quality_col {quality_col!r} must be numeric, got "
+            f"{df.schema[quality_col].dataType.simpleString()} (the "
+            "survivor pick negates it for descending struct order)"
+        )
     comp = connected_components(pairs)
     member = (
         df.select(F.col(id_col), F.col(quality_col))
@@ -487,17 +503,20 @@ def near_dup_survivors(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
+    q = F.col(quality_col)
     best = member.groupBy("component").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id")
+                F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("qnull"),
+                (-F.coalesce(q, F.lit(0))).alias("neg_q"),
+                F.col(id_col).alias("sid"),
             )
         ).alias("__b"),
         F.count(F.lit(1)).alias("n_members"),
     )
     return best.select(
         "component",
-        (-F.col("__b.neg_id")).cast("long").alias("survivor_id"),
+        F.col("__b.sid").alias("survivor_id"),
         F.col("n_members").cast("long").alias("n_members"),
     )
 

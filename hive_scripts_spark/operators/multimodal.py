@@ -335,23 +335,44 @@ def resize_images(
                                 .astype(np.uint8)
                                 .reshape(-1)
                             )
-                        elif flt in (3, 4):  # Average / Paeth: sequential
-                            cur = np.empty(stride, np.uint8)
-                            for x in range(stride):
-                                a = int(cur[x - ch]) if x >= ch else 0
-                                up = int(prev[x])
-                                if flt == 3:
-                                    pred = (a + up) >> 1
-                                else:
-                                    c = int(prev[x - ch]) if x >= ch else 0
+                        elif flt in (3, 4):
+                            # Average / Paeth: the recurrence needs the
+                            # RECONSTRUCTED (mod-256) left byte before the
+                            # nonlinear floor-div / min-predictor, so no
+                            # exact cumsum vectorization exists. Constant-
+                            # factor path instead: plain-list arithmetic
+                            # (C-level tolist(), ~20 ns list index vs
+                            # ~150 ns numpy scalar round-trip) with the
+                            # filter branch hoisted out of the byte loop.
+                            # Residual hot spot documented in PLANS.md.
+                            lin = line.tolist()
+                            pv = prev.tolist()
+                            rec = [0] * stride
+                            if flt == 3:  # Average
+                                for x in range(ch):
+                                    rec[x] = (lin[x] + (pv[x] >> 1)) & 0xFF
+                                for x in range(ch, stride):
+                                    rec[x] = (
+                                        lin[x] + ((rec[x - ch] + pv[x]) >> 1)
+                                    ) & 0xFF
+                            else:  # Paeth
+                                for x in range(ch):
+                                    rec[x] = (lin[x] + pv[x]) & 0xFF
+                                for x in range(ch, stride):
+                                    a = rec[x - ch]
+                                    up = pv[x]
+                                    c = pv[x - ch]
                                     p = a + up - c
-                                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                                    pa = abs(p - a)
+                                    pb = abs(p - up)
+                                    pc = abs(p - c)
                                     pred = (
                                         a
                                         if pa <= pb and pa <= pc
                                         else (up if pb <= pc else c)
                                     )
-                                cur[x] = (int(line[x]) + pred) & 0xFF
+                                    rec[x] = (lin[x] + pred) & 0xFF
+                            cur = np.array(rec, np.uint8)
                         else:
                             return None
                         out[y] = cur

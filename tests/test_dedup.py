@@ -254,3 +254,50 @@ def test_rank_trim_exact_integer_bounds(spark):
         for r in rank_trim(tiny, ["lang"], "n_chars", order_key="doc_id").collect()
     )
     assert got == [5, 6]
+
+
+def test_near_dup_survivors_string_ids_and_null_quality(spark):
+    # ADVICE r3: ids must not be negated/cast (string ids work) and NULL
+    # quality must lose deterministically, not ride NULL-struct ordering
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", 50), ("c", 50), ("z", 7)],
+        "doc_id string, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a_id string, b_id string"
+    )
+    rows = near_dup_survivors(docs, pairs).collect()
+    by_comp = {r["component"]: r for r in rows}
+    cluster = [r for r in rows if r["n_members"] == 3][0]
+    # NULL-quality 'a' loses; b/c tie on 50 → lowest id 'b' survives
+    assert cluster["survivor_id"] == "b"
+    assert isinstance(cluster["survivor_id"], str)  # dtype preserved
+    singleton = [r for r in rows if r["n_members"] == 1][0]
+    assert singleton["survivor_id"] == "z"
+
+
+def test_near_dup_survivors_rejects_non_numeric_quality(spark):
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, n_chars string")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="must be numeric"):
+        near_dup_survivors(docs, pairs)
+
+
+def test_group_cap_and_rank_trim_reject_reserved_columns(spark):
+    from hive_scripts_spark.functions.canonical import group_cap, rank_trim
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "en", 1, 2, 3)],
+        "doc_id long, lang string, pick_order long, __rn long, __n long",
+    )
+    with _pt.raises(ValueError, match="pick_order"):
+        group_cap(df, ["lang"], n=1, order_key="doc_id")
+    with _pt.raises(ValueError, match="__rn"):
+        rank_trim(df, ["lang"], "doc_id", order_key="doc_id")

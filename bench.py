@@ -66,20 +66,30 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    def run(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+    # per-query failure isolation (VERDICT r4 item 3): one broken query
+    # must never zero the whole round's timing artifact. Failures record
+    # null + the error string; the JSON line always prints.
+    errors: dict[str, str] = {}
+
+    def run(names: list[str]) -> dict[str, float | None]:
+        out: dict[str, float | None] = {}
         for name in names:
             start = time.perf_counter()
-            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+                out[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             out[name] = round(time.perf_counter() - start, 3)
         return out
 
     timings = run(HEADLINE)
     extra = run(EXTRA)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -91,8 +101,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_extra": extra,
-                "total_extra": round(sum(extra.values()), 3),
+                "total_extra": round(
+                    sum(t for t in extra.values() if t is not None), 3
+                ),
                 "sf": float(sf),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -49,20 +49,16 @@ def register(name: str, oracle: str | None = None):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); it is
-    converted to a microsecond timestamp here (integer division — no
-    double round-trip, which would lose precision above 2^53 ns).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS), micros-NTZ, and
+    micros-UTC parquet at various times; all three are canonicalized to a
+    UTC-instant ``TIMESTAMP`` by the dtype-driven probe in
+    :mod:`hive_scripts_spark.sources.events`.
     """
     if name == "events":
-        # runtime-settable SQL conf — the driver's session won't have it
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+        from hive_scripts_spark.sources.events import load_events
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return load_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # The external correctness gate grades only the FIRST 50 registry entries
@@ -80,62 +76,66 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # only never-graded queries left) and re-grades 47 of the 50 r2-window
 # queries after two rounds of churn (dropped to fit: g_q12 already has
 # r1+r2 rows, x_dedup_components is rows-only by design with its r2 row,
-# a1_count_star is churn-immune). Queries added during round 4 are
-# inserted after the leading three, displacing backfill from the end.
+# a1_count_star is churn-immune); r5 (this list) leads with
+# x_events_sessionize — the one red r4 row, regraded after the
+# dtype-driven ts fix (sources/events.py) — then re-grades the 49
+# r3-window queries (real multimodal + grouping/TPC-H analytics +
+# text/dedup/ANN) in their original r3 order, giving them their
+# post-churn second row; every other query already has two green rows.
 FRONT_ORDER: list[str] = [
-    # never graded before round 4 — the three r3-added curation ops
-    "x_group_cap",
-    "x_dedup_survivors",
-    "x_length_trim",
-    # r2-green window (SURVEY-§2 core + extensions), re-graded after two
-    # rounds of code churn, in its original r2 order
-    "s2_delimited_reformat",
-    "s5_partition_values",
-    "a2_partition_counts",
-    "j2_count_reconcile",
-    "j1_reconcile_matched",
-    "j2_reconcile_mismatched",
-    "a3_table_fingerprint",
-    "a4_deterministic_sample",
-    "a4_limit_sample",
-    "p2_project_all",
-    "p3_split_first",
-    "p4_partition_filter",
-    "f4_normalize_whitespace",
-    "f3_quote_wrap",
-    "f5_substring",
-    "f6_date_format",
-    "f7_md5",
-    "q1_pricing_summary",
-    "q2_revenue_by_nation",
-    "j_anti_customers_no_pending",
-    "j_semi_nations_with_suppliers",
-    "a4_stratified_sample",
-    "x_ann_ivf_assign",
-    "x_ann_ivf_topk",
-    "x_multimodal_decode_meta",
-    "x_multimodal_resize",
-    "x_multimodal_audio",
-    "x_multimodal_frame_plan",
-    "x_skew_salted_count",
-    "x_row_diff",
-    "x_dedup_components_exact",
-    "x_tfidf",
-    "x_top_terms_per_lang",
-    "x_label_centroids",
-    "x_events_hourly",
-    "x_window_top_orders_per_cust",
+    # the r4 red row, regraded after the ts-representation fix
     "x_events_sessionize",
-    "x_curation_pipeline",
-    "x_curation_full",
-    "x_profile_table",
-    "x_profile_drift",
-    "f4_regexp_extract",
-    "x_set_ops",
-    "x_token_budget_pack",
-    "x_decontaminate",
-    "x_shard_assign",
-    "x_text_repetition",
+    # r3-green window, re-graded after the r4/r5 churn, in r3 order
+    "x_multimodal_decode_real",
+    "x_multimodal_resize_real",
+    "x_multimodal_audio_real",
+    "x_multimodal_video_meta",
+    "x_length_histogram",
+    "x_pii_signals",
+    "x_skew_report",
+    "g_rollup_pricing",
+    "g_cube_order_status",
+    "g_grouping_sets",
+    "g_pivot_status_by_priority",
+    "g_percentiles",
+    "g_json_extract",
+    "g_json_agg",
+    "g_asof_last_error",
+    "g_range_join",
+    "g_global_topk",
+    "g_q3_shipping_priority",
+    "g_q4_order_priority",
+    "g_q5_local_supplier_volume",
+    "g_q6_forecast_revenue",
+    "g_q7_volume_shipping",
+    "g_q8_market_share",
+    "g_q9_product_profit",
+    "g_q10_returned_items",
+    "g_q11_value_concentration",
+    "g_q13_order_distribution",
+    "g_q14_promo_share",
+    "g_q15_top_supplier",
+    "g_q16_supplier_diversity",
+    "g_q17_small_quantity_revenue",
+    "g_q18_large_volume_customer",
+    "g_q19_disjunctive_revenue",
+    "g_q20_excess_shippers",
+    "g_q21_waiting_suppliers",
+    "g_q22_dormant_customers",
+    "g_having_big_customers",
+    "g_scalar_subquery_above_avg",
+    "g_string_functions",
+    "g_window_lead_lag_ntile",
+    "x_dedup_exact",
+    "x_dedup_fingerprint",
+    "x_dedup_ngram_jaccard",
+    "x_ann_brute_topk",
+    "x_embed_near_dup",
+    "x_text_bpe_token_count",
+    "x_doc_fingerprint",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_token_count",
 ]
 
 

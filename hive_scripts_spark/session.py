@@ -43,8 +43,11 @@ def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # testdata's events.parquet carries TIMESTAMP(NANOS) which Spark has
-        # no native type for; read as long and convert (see plans.registry.table)
+        # canonical engine time zone: timestamp semantics (incl. the
+        # TIMESTAMP_NTZ → TIMESTAMP cast in sources.events) are UTC-pinned
+        .config("spark.sql.session.timeZone", "UTC")
+        # tolerate TIMESTAMP(NANOS) parquet (no native Spark type): read as
+        # long, normalized dtype-driven in sources.events.normalize_event_ts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

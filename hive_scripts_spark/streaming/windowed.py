@@ -16,31 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: on-disk schema of the events table (ts stored as TIMESTAMP(NANOS) →
-#: long under nanosAsLong; converted on read).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from hive_scripts_spark.sources.events import event_stream
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet directory."""
-    raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .format("parquet")
-        .option("path", path)
-        .load()
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream over the events parquet directory.
+
+    Schema is probed from a batch read of the directory (not hard-coded)
+    and ``ts`` is normalized by the shared dtype-driven path, so the
+    stream survives writer representation changes exactly like batch —
+    see :mod:`hive_scripts_spark.sources.events`.
+    """
+    return event_stream(spark, path)
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

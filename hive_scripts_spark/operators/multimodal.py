@@ -243,6 +243,78 @@ def resize_images(
 
         tw, th = int(target[0]), int(target[1])
 
+        def _unfilter_run34(data34, frun, prev0, ch, T=512):
+            # Tiled anti-diagonal wavefront unfilter for a run of
+            # consecutive Average/Paeth scanlines. Cell (y,p) depends only
+            # on its left / up / up-left neighbors, i.e. on the two prior
+            # anti-diagonals, so a run of R rows costs R+W vectorized
+            # steps instead of R*stride interpreted byte steps; TxT tiles
+            # keep the working set cache-resident. Bit-identical to the
+            # sequential recurrence (fuzz-locked in test_multimodal).
+            #   data34: (R, stride) filtered bytes; frun: (R,) filter ids
+            #   (3/4); prev0: (stride,) reconstructed row above the run.
+            R, stride = data34.shape
+            W = stride // ch
+            l16 = data34.reshape(R, W, ch).astype(np.int16)
+            out = np.empty((R, W, ch), np.int16)
+            prevrow = prev0.reshape(W, ch).astype(np.int16)
+            allavg = bool((frun == 3).all())
+            allpaeth = bool((frun == 4).all())
+            mask3 = None if (allavg or allpaeth) else (frun == 3)[:, None]
+            for ty in range(0, R, T):
+                ry = min(T, R - ty)
+                for tx in range(0, W, T):
+                    rx = min(T, W - tx)
+                    # ghost-padded skew buffers: grid cell (Y,P) (1-based)
+                    # lives at [Y, Y+P]; anti-diagonal s = Y+P is then the
+                    # column s, so each step is a cached column slice.
+                    # Ghost row 0 = scanline above, ghost col (P=0) = left
+                    # border (zeros per the PNG spec at x < bpp).
+                    B = np.zeros((ry + 1, ry + rx + 1, ch), np.int16)
+                    Bl = np.empty((ry + 1, ry + rx + 1, ch), np.int16)
+                    if ty > 0:
+                        B[0, 1 : rx + 1] = out[ty - 1, tx : tx + rx]
+                        if tx > 0:
+                            B[0, 0] = out[ty - 1, tx - 1]
+                    else:
+                        B[0, 1 : rx + 1] = prevrow[tx : tx + rx]
+                        if tx > 0:
+                            B[0, 0] = prevrow[tx - 1]
+                    if tx > 0:
+                        yi = np.arange(1, ry + 1)
+                        B[yi, yi] = out[ty : ty + ry, tx - 1]
+                    for y in range(1, ry + 1):
+                        Bl[y, y + 1 : y + rx + 1] = l16[ty + y - 1, tx : tx + rx]
+                    for s in range(2, ry + rx + 1):
+                        ylo = max(1, s - rx)
+                        yhi = min(ry, s - 1)
+                        lv = Bl[ylo : yhi + 1, s]
+                        left = B[ylo : yhi + 1, s - 1]
+                        up = B[ylo - 1 : yhi, s - 1]
+                        if allavg:
+                            B[ylo : yhi + 1, s] = (lv + ((left + up) >> 1)) & 0xFF
+                            continue
+                        ul = B[ylo - 1 : yhi, s - 2]
+                        pa = np.abs(up - ul)
+                        pb = np.abs(left - ul)
+                        pc = np.abs(left + up - 2 * ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                        t4 = (lv + pred) & 0xFF
+                        if allpaeth:
+                            B[ylo : yhi + 1, s] = t4
+                        else:
+                            t3 = (lv + ((left + up) >> 1)) & 0xFF
+                            B[ylo : yhi + 1, s] = np.where(
+                                mask3[ty + ylo - 1 : ty + yhi], t3, t4
+                            )
+                    for y in range(1, ry + 1):
+                        out[ty + y - 1, tx : tx + rx] = B[y, y + 1 : y + rx + 1]
+            return out.astype(np.uint8).reshape(R, stride)
+
         def decode_rgb(b: bytes):
             # returns an (h, w, 3) uint8 array for raw-pixel formats
             try:
@@ -316,13 +388,35 @@ def resize_images(
                     raw = zlib.decompress(b"".join(idat))
                     if len(raw) < (stride + 1) * h:
                         return None
+                    scan = np.frombuffer(
+                        raw, np.uint8, (stride + 1) * h
+                    ).reshape(h, stride + 1)
+                    flts = scan[:, 0]
+                    if int(flts.max(initial=0)) > 4:
+                        return None
+                    fdata = scan[:, 1:]
                     out = np.empty((h, stride), np.uint8)
                     prev = np.zeros(stride, np.uint8)
-                    pos = 0
-                    for y in range(h):
-                        flt = raw[pos]
-                        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
-                        pos += 1 + stride
+                    y = 0
+                    while y < h:
+                        flt = int(flts[y])
+                        if flt >= 3:
+                            # maximal run of Average/Paeth rows; long runs
+                            # take the tiled wavefront (>=5x at real image
+                            # sizes), short ones the per-row list path
+                            # whose fixed numpy overhead they can't beat
+                            # (break-even measured at run ~16-24 rows).
+                            e = y + 1
+                            while e < h and flts[e] >= 3:
+                                e += 1
+                            if e - y >= 24:
+                                out[y:e] = _unfilter_run34(
+                                    fdata[y:e], flts[y:e], prev, ch
+                                )
+                                prev = out[e - 1]
+                                y = e
+                                continue
+                        line = fdata[y]
                         if flt == 0:  # None
                             cur = line.copy()
                         elif flt == 2:  # Up
@@ -335,16 +429,15 @@ def resize_images(
                                 .astype(np.uint8)
                                 .reshape(-1)
                             )
-                        elif flt in (3, 4):
-                            # Average / Paeth: the recurrence needs the
-                            # RECONSTRUCTED (mod-256) left byte before the
-                            # nonlinear floor-div / min-predictor, so no
-                            # exact cumsum vectorization exists. Constant-
-                            # factor path instead: plain-list arithmetic
-                            # (C-level tolist(), ~20 ns list index vs
-                            # ~150 ns numpy scalar round-trip) with the
-                            # filter branch hoisted out of the byte loop.
-                            # Residual hot spot documented in PLANS.md.
+                        else:
+                            # short Average/Paeth run: the recurrence
+                            # needs the RECONSTRUCTED (mod-256) left byte
+                            # before the nonlinear floor-div / min-
+                            # predictor, so within one row no cumsum
+                            # vectorization exists — plain-list
+                            # arithmetic (C-level tolist(), ~20 ns list
+                            # index vs ~150 ns numpy scalar round-trip)
+                            # with the filter branch hoisted out.
                             lin = line.tolist()
                             pv = prev.tolist()
                             rec = [0] * stride
@@ -373,10 +466,9 @@ def resize_images(
                                     )
                                     rec[x] = (lin[x] + pred) & 0xFF
                             cur = np.array(rec, np.uint8)
-                        else:
-                            return None
                         out[y] = cur
                         prev = cur
+                        y += 1
                     return np.ascontiguousarray(
                         out.reshape(h, w, ch)[..., :3]
                     )

@@ -152,6 +152,45 @@ def _png(px, filters=None, color_type=2, interlace=0, chunked_idat=False):
     )
 
 
+def test_png_wavefront_unfilter_long_runs(spark):
+    # Runs of >=24 consecutive Average/Paeth rows take the tiled
+    # anti-diagonal wavefront path (multimodal.py _unfilter_run34) instead
+    # of the per-row list recurrence. Encoding true pixels forward and
+    # asserting the decode reproduces them exactly locks the wavefront
+    # bit-identical to the RFC 2083 recurrence on every branch: pure
+    # Average, pure Paeth, blended 3/4 runs, runs broken by other
+    # filters, and sub-threshold runs that stay on the list path.
+    import hashlib
+
+    import numpy as np
+
+    from hive_scripts_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(20260813)
+    h, w = 80, 37
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cases = {
+        1: [3] * h,                                   # all-Average wavefront
+        2: [4] * h,                                   # all-Paeth wavefront
+        3: [3, 4] * (h // 2),                         # blended 3/4 wavefront
+        4: [0, 1, 2] * 5 + [3] * 30 + [2] + [4] * 26
+           + [3] * 8,                                 # runs + short tail
+    }
+    df = spark.createDataFrame(
+        [(d, _png(px, filters=f)) for d, f in cases.items()],
+        "doc_id long, payload binary",
+    )
+    # identity-size resize: nearest-neighbor mapping is the identity, so
+    # resized_md5 must equal the md5 of the source pixels
+    out = {
+        r["doc_id"]: r["resized_md5"]
+        for r in resize_images(df, target=(w, h), fake=False).collect()
+    }
+    want = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+    for d in cases:
+        assert out[d] == want, f"doc {d} diverged from forward-filtered pixels"
+
+
 def test_real_resize_png_matches_ppm_and_bmp(spark):
     # the VERDICT container-independence contract: PPM, BMP and PNG of
     # IDENTICAL pixels must produce the same resized_md5

@@ -786,6 +786,46 @@ def x_events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "x_events_session_window",
+    oracle="""
+    with marked as (
+      select user_id, ts,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w)
+                          > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select user_id, ts,
+             sum(new_session) over (
+               partition by user_id order by ts
+               rows between unbounded preceding and current row) as sid
+      from marked
+    )
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 30 minute as session_end,
+           cast(count(*) as bigint) as n_events
+    from numbered group by user_id, sid
+    """,
+)
+def x_events_session_window(spark, sf_dir):
+    """Gap-merged sessions via Spark's native ``session_window`` — the
+    batch face of the streaming session operator
+    (:mod:`hive_scripts_spark.streaming.sessions`). Boundary semantics
+    match ``x_events_sessionize`` (touching windows merge — an
+    exactly-gap-apart pair stays in one session; locked by
+    ``test_session_streaming.py``); the output differs only in shape:
+    ``session_end`` here is last-event + gap per ``session_window``'s
+    window close, not the last event time."""
+    from hive_scripts_spark.streaming.sessions import session_window_counts
+
+    ev = table(spark, sf_dir, "events")
+    return session_window_counts(ev, "30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # the composite curation pipeline (the LLM-data showcase: every stage is
 # an already-oracle-verified operator, composed end-to-end)

@@ -46,19 +46,35 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: time-typed columns per table: the data layer has shipped these as
+#: TIMESTAMP(NANOS)-as-long, micros-NTZ, and micros-UTC parquet at
+#: various times (events.ts changed representation mid-round-4), so every
+#: one is canonicalized on load instead of assuming a layout.
+_TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 
-    ``events.ts`` has shipped as TIMESTAMP(NANOS), micros-NTZ, and
-    micros-UTC parquet at various times; all three are canonicalized to a
+    Columns listed in :data:`_TS_COLUMNS` are canonicalized to a
     UTC-instant ``TIMESTAMP`` by the dtype-driven probe in
-    :mod:`hive_scripts_spark.sources.events`.
+    :mod:`hive_scripts_spark.sources.events`, whatever parquet
+    representation the data layer picked.
     """
-    if name == "events":
-        from hive_scripts_spark.sources.events import load_events
+    ts_cols = _TS_COLUMNS.get(name)
+    if not ts_cols:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from hive_scripts_spark.sources.events import normalize_event_ts, pin_utc
 
-        return load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pin_utc(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in ts_cols:
+        df = normalize_event_ts(df, c)
+    return df
 
 
 # The external correctness gate grades only the FIRST 50 registry entries

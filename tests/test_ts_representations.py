@@ -104,6 +104,41 @@ def test_sessionize_identical_across_representations(spark, repr_dirs):
     assert results["micros_utc"] == base
 
 
+def test_date_columns_normalized_like_events_ts(spark, tmp_path):
+    # orders.o_orderdate / lineitem.l_shipdate ride the same dtype-driven
+    # path (registry._TS_COLUMNS); lock the wiring with two of the three
+    # representations for orders
+    us = [1_600_000_000_000_000, 1_600_086_400_000_000]
+    base_cols = {
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([10, 20], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "O"]),
+        "o_totalprice": pa.array([1.5, 2.5]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+    }
+    results = {}
+    for name, ts_type in [("ntz", pa.timestamp("us")), ("nanos", pa.timestamp("ns"))]:
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                **base_cols,
+                "o_orderdate": pa.array(us, type=pa.timestamp("us")).cast(ts_type),
+            }
+        )
+        pq.write_table(tbl, str(d / "orders.parquet"))
+        from hive_scripts_spark.plans.registry import table
+
+        df = table(spark, str(d), "orders")
+        assert dict(df.dtypes)["o_orderdate"] == "timestamp", name
+        results[name] = sorted(
+            (r["o_orderkey"], r["o_orderdate"])
+            for r in df.select("o_orderkey", "o_orderdate").collect()
+        )
+    assert results["ntz"] == results["nanos"]
+    assert results["ntz"][0][1] == dt.datetime(2020, 9, 13, 12, 26, 40)
+
+
 def test_stream_reads_all_representations(spark, repr_dirs):
     from hive_scripts_spark.streaming.windowed import read_event_stream
 

@@ -63,6 +63,66 @@ def fingerprint_dedup(
 # ---------------------------------------------------------------------------
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the C4/RefinedWeb curation
+    step): every distinct line is kept only at its FIRST occurrence
+    (minimal ``(doc_id, position)``); later repeats — boilerplate,
+    navigation chrome, license banners — are dropped from their
+    documents. Lines shorter than ``min_line_chars`` are exempt (always
+    kept): deduping blank/short connector lines would tear document
+    structure without removing meaningful duplication.
+
+    Returns ``(id_col, text_deduped, n_lines_kept, n_lines_removed)``;
+    documents whose every line was removed vanish from the output.
+
+    Scale posture: one shuffle keyed by the line (window ``row_number``
+    per line — map-side nothing to combine, but the partition key is the
+    line text so hot boilerplate lines land together and stay countable),
+    one shuffle to reassemble per document. No joins back to the corpus
+    and no per-document state beyond the collected kept-lines array.
+    Deterministic: survivor choice is min ``(doc_id, pos)``, reassembly
+    sorts by position.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("__total"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    exempt = F.length("__line") < min_line_chars
+    w = Window.partitionBy("__line").orderBy(id_col, "__pos")
+    survivors = (
+        lines.where(~exempt)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # exempt (short) lines skip the line-keyed exchange entirely — blank
+    # lines are the most frequent strings in any corpus and would
+    # otherwise be the hottest shuffle keys
+    kept = lines.where(exempt).unionByName(survivors)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            (F.first("__total") - F.count(F.lit(1))).alias("n_lines_removed"),
+        )
+    )
+
+
 def word_ngrams(text_col, n: int = 3):
     """Array of word n-grams of normalized text (space-joined). Empty/short
     docs yield an empty array.

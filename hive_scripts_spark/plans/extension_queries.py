@@ -36,6 +36,44 @@ def x_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "x_dedup_lines",
+    oracle="""
+    with docs as (
+      select doc_id, replace(text, ' line ', chr(10)) as text from documents
+    ), expl as (
+      select doc_id, unnest(l) as line, generate_subscripts(l, 1) as pos,
+             len(l) as total
+      from (select doc_id, string_split(text, chr(10)) as l from docs)
+    ), kept as (
+      select doc_id, pos, line, total from expl where length(line) < 10
+      union all
+      select doc_id, pos, line, total from (
+        select *, row_number() over (
+          partition by line order by doc_id, pos) as rn
+        from expl where length(line) >= 10) t
+      where rn = 1
+    )
+    select doc_id,
+           string_agg(line, chr(10) order by pos) as text_deduped,
+           cast(count(*) as bigint) as n_lines_kept,
+           cast(any_value(total) - count(*) as bigint) as n_lines_removed
+    from kept group by doc_id
+    """,
+)
+def x_dedup_lines(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (C4/RefinedWeb curation step).
+    The synthetic corpus is single-line, so lines are derived
+    deterministically (literal ``' line '`` → newline, identical in both
+    engines) to exercise splitting, cross-document first-occurrence
+    ranking, and positional reassembly against the oracle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" line "), F.lit("\n")).alias("text"),
+    )
+    return D.dedup_lines(docs, min_line_chars=10)
+
+
+@register(
     "x_dedup_fingerprint",
     oracle=r"""
     select min(doc_id) as doc_id,

@@ -101,9 +101,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 FRONT_ORDER: list[str] = [
     # the r4 red row, regraded after the ts-representation fix
     "x_events_sessionize",
-    # r5-added: native session_window batch face of the streaming
-    # session operator — first driver row
+    # r5-added operators — first driver rows
     "x_events_session_window",
+    "x_dedup_lines",
     # r3-green window, re-graded after the r4/r5 churn, in r3 order
     "x_multimodal_decode_real",
     "x_multimodal_resize_real",
@@ -153,9 +153,8 @@ FRONT_ORDER: list[str] = [
     "x_text_bpe_token_count",
     "x_doc_fingerprint",
     "x_text_quality",
-    "x_text_langid",
-    # x_text_token_count (r3 backfill) displaced to keep the window at
-    # 50 — it already has r1+r3 green rows
+    # x_text_langid + x_text_token_count (r3 backfills) displaced to
+    # keep the window at 50 — both already have r1+r3 green rows
 ]
 
 

@@ -301,3 +301,49 @@ def test_group_cap_and_rank_trim_reject_reserved_columns(spark):
         group_cap(df, ["lang"], n=1, order_key="doc_id")
     with _pt.raises(ValueError, match="__rn"):
         rank_trim(df, ["lang"], "doc_id", order_key="doc_id")
+
+
+def test_dedup_lines_first_occurrence_and_reassembly(spark):
+    from hive_scripts_spark.operators.dedup import dedup_lines
+
+    # boilerplate ("SUBSCRIBE TO OUR NEWSLETTER") repeats across docs and
+    # within doc 3; short lines ("ok", "") are exempt everywhere; doc 4 is
+    # nothing but an already-seen line -> vanishes from the output
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first line\nSUBSCRIBE TO OUR NEWSLETTER\nok"),
+            (2, "SUBSCRIBE TO OUR NEWSLETTER\nanother unique line\n\nok"),
+            (3, "SUBSCRIBE TO OUR NEWSLETTER\nSUBSCRIBE TO OUR NEWSLETTER\nthird doc body"),
+            (4, "SUBSCRIBE TO OUR NEWSLETTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+
+    assert out[1]["text_deduped"] == "unique first line\nSUBSCRIBE TO OUR NEWSLETTER\nok"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 0)
+    # doc 2 loses the boilerplate (doc 1 saw it first) but keeps exempt lines
+    assert out[2]["text_deduped"] == "another unique line\n\nok"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_removed"]) == (3, 1)
+    # doc 3 loses BOTH boilerplate copies (first occurrence is in doc 1)
+    assert out[3]["text_deduped"] == "third doc body"
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_removed"]) == (1, 2)
+    assert 4 not in out
+
+
+def test_dedup_lines_exempt_threshold(spark):
+    from hive_scripts_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared!\nbody one"), (2, "shared!\nbody two")],
+        "doc_id long, text string",
+    )
+    # "shared!" (7 chars) is exempt at the default threshold: kept twice
+    out = {r["doc_id"]: r["text_deduped"] for r in dedup_lines(docs).collect()}
+    assert out == {1: "shared!\nbody one", 2: "shared!\nbody two"}
+    # lowering the exemption dedups it
+    out2 = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup_lines(docs, min_line_chars=1).collect()
+    }
+    assert out2 == {1: "shared!\nbody one", 2: "body two"}

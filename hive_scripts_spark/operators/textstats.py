@@ -253,6 +253,77 @@ def repetition_signals(
     return out
 
 
+def word_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram Shannon entropy + type-token ratio per document — the
+    classic lexical-diversity quality signals (low entropy / low TTR
+    marks degenerate or templated text a curation pipeline drops).
+
+    Like :func:`repetition_signals`, computed entirely map-side: tokens
+    are sorted per doc and run-length encoded by one ``F.aggregate``
+    fold that accumulates ``Σ c·log2(c)`` and the type count, giving
+    ``entropy = log2(n) − Σ c·log2(c) / n`` with NO exchange at any
+    corpus size (the naïve explode → groupBy(doc, term) → groupBy(doc)
+    plan shuffles O(total tokens) rows twice).
+
+    Returns ``(id_col, n_tokens, n_types, ttr, entropy_bits)`` for
+    documents with ≥1 token; floats are rounded to 6 decimals (sum
+    order differs across engines only at ~1e-14).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    srt = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.array_sort("__toks").alias("__sorted"),
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        F.lit(0.0).alias("s"),
+        zero.alias("types"),
+    )
+
+    def _close_run(acc):
+        # Σ c·log2(c) contribution of the finished run (0 for run 0/1)
+        return F.when(acc["run"] <= 1, acc["s"]).otherwise(
+            acc["s"] + acc["run"].cast("double") * F.log2(acc["run"])
+        )
+
+    fold = F.aggregate(
+        F.col("__sorted"),
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(acc["prev"].eqNullSafe(x), acc["s"])
+            .otherwise(_close_run(acc))
+            .alias("s"),
+            F.when(acc["prev"].eqNullSafe(x), acc["types"])
+            .otherwise(acc["types"] + 1)
+            .alias("types"),
+        ),
+        lambda acc: F.struct(
+            _close_run(acc).alias("s"), acc["types"].alias("types")
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    return srt.select(F.col(id_col), "n_tokens", fold.alias("__f")).select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("__f.types").alias("n_types"),
+        F.round(F.col("__f.types").cast("double") / n, 6).alias("ttr"),
+        F.round(F.log2(n) - F.col("__f.s") / n, 6).alias("entropy_bits"),
+    )
+
+
 def length_histogram(
     df: DataFrame, length_col: str = "n_chars", bucket_width: int = 100
 ) -> DataFrame:

@@ -1298,6 +1298,33 @@ def x_text_repetition(spark, sf_dir):
     return X.repetition_signals(docs)
 
 
+@register(
+    "x_text_entropy",
+    oracle=f"""
+    with toks as (
+      select doc_id, unnest({_TOKS}) as term from documents
+      where length({_NORM}) > 0
+    ), tf as (
+      select doc_id, term, count(*) as c from toks group by all
+    )
+    select doc_id,
+           cast(sum(c) as bigint) as n_tokens,
+           cast(count(*) as bigint) as n_types,
+           round(count(*) / cast(sum(c) as double), 6) as ttr,
+           round(log2(cast(sum(c) as double))
+                 - sum(c * log2(cast(c as double))) / sum(c), 6)
+             as entropy_bits
+    from tf group by doc_id
+    """,
+)
+def x_text_entropy(spark, sf_dir):
+    """Unigram entropy + type-token ratio (lexical-diversity quality
+    signals), zero-exchange sorted-run fold — the oracle takes the
+    explode+groupBy road and must agree to 6 decimals."""
+    docs = table(spark, sf_dir, "documents")
+    return X.word_entropy(docs)
+
+
 def _curation_full_oracle() -> str:
     from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
 

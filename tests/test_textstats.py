@@ -106,3 +106,41 @@ def test_length_histogram_buckets(spark):
     )
     out = {r["bucket"]: (r["n_docs"], r["sum_chars"]) for r in length_histogram(df).collect()}
     assert out == {0: (2, 104), 100: (1, 100), 200: (1, 250)}
+
+
+def test_word_entropy_exact_values(spark):
+    import math
+
+    from hive_scripts_spark.operators.textstats import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one type: entropy 0, ttr 0.25
+            (2, "a b c d"),          # uniform: entropy log2(4)=2, ttr 1
+            (3, "a a b b b c"),      # mixed: hand-computed
+            (4, "solo"),             # single token: entropy 0, ttr 1
+            (5, "   "),              # whitespace-only: no tokens, dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+
+    assert (out[1]["n_tokens"], out[1]["n_types"]) == (4, 1)
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["ttr"] == 0.25
+    assert out[2]["entropy_bits"] == 2.0 and out[2]["ttr"] == 1.0
+    # doc 3: counts 2,3,1 over n=6
+    n, cs = 6, [2, 3, 1]
+    want = round(-sum(c / n * math.log2(c / n) for c in cs), 6)
+    assert out[3]["entropy_bits"] == want
+    assert out[3]["n_types"] == 3
+    assert (out[4]["entropy_bits"], out[4]["ttr"]) == (0.0, 1.0)
+    assert 5 not in out
+
+
+def test_word_entropy_zero_exchange_plan(spark):
+    from hive_scripts_spark.operators.textstats import word_entropy
+    from hive_scripts_spark.plans.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = word_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

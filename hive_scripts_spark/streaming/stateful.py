@@ -88,6 +88,25 @@ DEDUP_SCHEMA = T.StructType(
 _SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Replay dedup via the BUILT-IN ``dropDuplicatesWithinWatermark``:
+    the first record per key wins and duplicates arriving within the
+    watermark horizon are dropped JVM-side — no Python state worker at
+    all, so this is the preferred form whenever "first occurrence within
+    the replay horizon" is the contract. State per key is evicted once
+    the watermark passes it, which bounds memory on unbounded streams;
+    :func:`streaming_dedup` (applyInPandasWithState) remains for exact
+    unbounded-horizon dedup where eviction is not acceptable.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys) if keys else ["event_id"]
+    )
+
+
 def streaming_dedup(events: DataFrame) -> DataFrame:
     """Exact cross-batch dedup on ``event_id``: the first occurrence wins,
     replays are dropped. State is one boolean per seen id — pair with a

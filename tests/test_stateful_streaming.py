@@ -92,3 +92,38 @@ def test_streaming_dedup_drops_replays(spark, two_batch_dir, tmp_path):
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert out.count() == n_events  # replayed 50 rows deduplicated away
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """The built-in JVM-side dedup twin: a fully replayed file (every
+    record duplicated) collapses back to exactly one row per event_id."""
+    import shutil
+
+    from hive_scripts_spark.streaming.stateful import dedup_within_watermark
+    from hive_scripts_spark.streaming.windowed import read_event_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "f0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "f1-replay.parquet")
+
+    out = dedup_within_watermark(read_event_stream(spark, str(d)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.table("ddww")
+    n_distinct = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct
+    # and each id exactly once
+    assert got.select("event_id").distinct().count() == n_distinct

@@ -43,6 +43,10 @@ HEADLINE = [
 #: x_ann_brute_topk's O(Q×N) exactness baseline inside the same run.
 EXTRA = [
     "x_ann_ivf_topk",
+    # r5-added operators — timing series starts here
+    "x_dedup_lines",
+    "x_events_session_window",
+    "x_text_entropy",
 ]
 
 

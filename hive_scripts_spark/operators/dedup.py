@@ -705,3 +705,45 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def contamination_substring(
+    corpus: DataFrame,
+    benchmark_snippets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snippet_col: str = "snippet",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Exact-substring decontamination: count, per corpus document, the
+    benchmark snippets it contains VERBATIM. The strict complement of
+    :func:`contamination_overlap` — n-gram overlap catches
+    paraphrase-adjacent leaks; this catches embedded verbatim copies
+    (the form eval-set leakage usually takes). Snippets shorter than
+    ``min_chars`` after normalization are dropped as too generic to be
+    evidence of contamination.
+
+    Returns ``(id_col, n_bench_hits)`` for documents with ≥1 hit.
+
+    Scale shape: eval sets are small by definition, so the snippet set
+    **broadcasts** and the corpus side is a map-only
+    BroadcastNestedLoopJoin `contains` scan — per-partition work is
+    O(rows × snippets) substring searches JVM-side, and the only
+    exchange is the final per-doc count. Whitespace is normalized on
+    both sides so snippet matching is layout-insensitive.
+    """
+    snips = (
+        benchmark_snippets.select(
+            normalize_whitespace(snippet_col).alias("__snip")
+        )
+        .where(F.length("__snip") >= min_chars)
+        .distinct()
+    )
+    return (
+        corpus.select(
+            F.col(id_col), normalize_whitespace(text_col).alias("__norm")
+        )
+        .join(F.broadcast(snips), F.expr("contains(__norm, __snip)"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    )

@@ -1241,6 +1241,35 @@ def x_decontaminate(spark, sf_dir):
 
 
 @register(
+    "x_decontaminate_substring",
+    oracle=f"""
+    with bench as (
+      select distinct substr({_NORM}, 10, 40) as snippet
+      from documents
+      where doc_id % 29 = 0 and length(substr({_NORM}, 10, 40)) >= 20
+    )
+    select d.doc_id, cast(count(*) as bigint) as n_bench_hits
+    from documents d join bench b on contains({_NORM}, b.snippet)
+    where d.doc_id % 29 <> 0
+    group by d.doc_id
+    """,
+)
+def x_decontaminate_substring(spark, sf_dir):
+    """Exact-substring decontamination: corpus docs containing a
+    benchmark snippet verbatim (snippet = chars 10..49 of each
+    deterministic ~3% benchmark doc, the 'eval question' stand-in).
+    Snippet set broadcasts; corpus side is a map-only contains scan."""
+    docs = table(spark, sf_dir, "documents")
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    bench = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.substring(normalize_whitespace("text"), 10, 40).alias("snippet")
+    )
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    return D.contamination_substring(corpus, bench)
+
+
+@register(
     "x_shard_assign",
     oracle="""
     select (cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)

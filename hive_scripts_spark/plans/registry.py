@@ -108,6 +108,7 @@ FRONT_ORDER: list[str] = [
     "x_events_session_window",
     "x_dedup_lines",
     "x_text_entropy",
+    "x_decontaminate_substring",
     # r3-green window, re-graded after the r4/r5 churn, in r3 order
     "x_multimodal_decode_real",
     "x_multimodal_resize_real",
@@ -154,10 +155,9 @@ FRONT_ORDER: list[str] = [
     "x_dedup_ngram_jaccard",
     "x_ann_brute_topk",
     "x_embed_near_dup",
-    "x_text_bpe_token_count",
-    # x_doc_fingerprint / x_text_quality / x_text_langid /
-    # x_text_token_count (r3 backfills) displaced to keep the window
-    # at 50 — all four already have r1+r3 green rows
+    # x_text_bpe_token_count / x_doc_fingerprint / x_text_quality /
+    # x_text_langid / x_text_token_count (r3 backfills) displaced to
+    # keep the window at 50 — all five already have r1+r3 green rows
 ]
 
 

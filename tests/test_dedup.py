@@ -347,3 +347,46 @@ def test_dedup_lines_exempt_threshold(spark):
         for r in dedup_lines(docs, min_line_chars=1).collect()
     }
     assert out2 == {1: "shared!\nbody one", 2: "body two"}
+
+
+def test_contamination_substring_verbatim_hits_only(spark):
+    from hive_scripts_spark.operators.dedup import contamination_substring
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text THE CAPITAL OF FRANCE IS PARIS trailing words"),
+            (2, "intro text the capital of germany is berlin trailing"),
+            (3, "THE CAPITAL OF FRANCE IS PARIS and also "
+                "WATER BOILS AT ONE HUNDRED DEGREES here"),
+            (4, "whitespace   normalized:  THE CAPITAL   OF FRANCE"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("THE CAPITAL OF FRANCE IS PARIS",),
+            ("WATER BOILS AT ONE HUNDRED DEGREES",),
+            ("short",),  # below min_chars -> ignored
+        ],
+        "snippet string",
+    )
+    out = {
+        r["doc_id"]: r["n_bench_hits"]
+        for r in contamination_substring(corpus, bench).collect()
+    }
+    # doc 1 one hit, doc 3 two hits, docs 2/4 clean (4 has only a prefix)
+    assert out == {1: 1, 3: 2}
+
+
+def test_contamination_substring_normalizes_both_sides(spark):
+    from hive_scripts_spark.operators.dedup import contamination_substring
+
+    corpus = spark.createDataFrame(
+        [(1, "leak:  THE   ANSWER IS\tFORTY TWO  ok")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("THE ANSWER   IS FORTY TWO",)], "snippet string"
+    )
+    out = contamination_substring(corpus, bench).collect()
+    assert len(out) == 1 and out[0]["n_bench_hits"] == 1

@@ -148,6 +148,37 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """The training-data curation pipeline as a shippable job: dedup →
+    (optional) benchmark decontamination → repetition gate → quality
+    gate → language-ID; writes the kept documents as parquet and prints
+    the per-language rollup."""
+    from hive_scripts_spark.operators.curation import (
+        curate_documents,
+        curation_report,
+    )
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-curate")
+    docs = load_sf_table(spark, args.db, "documents")
+    bench = None
+    corpus = docs
+    if args.bench_mod:
+        from pyspark.sql import functions as F
+
+        bench = docs.where(F.col("doc_id") % args.bench_mod == 0)
+        corpus = docs.where(F.col("doc_id") % args.bench_mod != 0)
+    curated = curate_documents(corpus, bench)
+    curated.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    for row in curation_report(spark.read.parquet(args.output)).collect():
+        print(
+            f"{row['predicted_lang']}: {row['n_docs']} docs, "
+            f"{row['total_tokens']} tokens"
+        )
+    return 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -183,6 +214,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--output", default=None, help="write result CSV here instead")
     s.add_argument("--limit", type=int, default=50, help="rows to show")
     s.set_defaults(fn=cmd_sql)
+
+    c = sub.add_parser(
+        "curate", help="training-data curation pipeline over documents.parquet"
+    )
+    c.add_argument("--db", required=True, help="dir containing documents.parquet")
+    c.add_argument("--output", required=True, help="output parquet directory")
+    c.add_argument(
+        "--bench-mod",
+        type=int,
+        default=0,
+        help="doc_id modulus defining the benchmark slice to decontaminate "
+        "against (0 = skip decontamination)",
+    )
+    c.set_defaults(fn=cmd_curate)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

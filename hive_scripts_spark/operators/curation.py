@@ -1,0 +1,78 @@
+"""End-to-end training-data curation: the composition the registry's
+``x_curation_full`` query rolls up and the ``curate`` CLI ships.
+
+Stages (each an already-oracle-verified operator):
+
+1. exact dedup (md5 of normalized text, min-id survivor);
+2. benchmark decontamination (word-4-gram overlap, benchmark grams
+   broadcast) — optional;
+3. repetition gate (within-doc dup-2-gram fraction, zero-shuffle fold);
+4. quality gate (alpha ratio ≥ 0.5, ≥ 10 tokens);
+5. language-ID (stopword-hit argmax).
+
+Shuffle budget at any scale: the dedup groupBy, the decontamination
+gram join's per-doc count, and nothing else before the caller's rollup
+or write — the contamination flag set and the benchmark gram set
+broadcast, repetition/quality/lang-ID are map-only, and ``keep_cols``
+threading avoids every re-join on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.functions.strings import normalize_whitespace
+from hive_scripts_spark.operators import dedup as D
+from hive_scripts_spark.operators import textstats as X
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    max_dup_gram_frac: float = 0.10,
+    min_alpha_ratio: float = 0.5,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Run the full curation pipeline; returns the KEPT documents as
+    ``(doc_id, text, n_tokens, predicted_lang)`` — the frame a training
+    exporter shards and packs. ``benchmark=None`` skips decontamination.
+    """
+    deduped = (
+        docs.select(
+            "doc_id", "text", F.md5(normalize_whitespace("text")).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("__r"))
+        .select(
+            F.col("__r.doc_id").alias("doc_id"), F.col("__r.text").alias("text")
+        )
+    )
+    if benchmark is not None:
+        flags = D.contamination_overlap(deduped, benchmark, n=4).select("doc_id")
+        deduped = deduped.join(F.broadcast(flags), "doc_id", "left_anti")
+    kept = X.repetition_signals(deduped, keep_cols=["text"]).where(
+        F.col("dup_gram_frac") <= max_dup_gram_frac
+    )
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    toked = kept.select(
+        "doc_id", "text", X.tokens("text").alias("__t"), alpha.alias("__alpha")
+    )
+    gated = toked.where(
+        (F.col("__alpha") >= min_alpha_ratio) & (F.size("__t") >= min_tokens)
+    )
+    lang = X.language_id(
+        gated.withColumn("n_tokens", F.size("__t")),
+        keep_cols=["n_tokens", "text"],
+    )
+    return lang.select("doc_id", "text", "n_tokens", "predicted_lang")
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-language rollup of a :func:`curate_documents` result."""
+    return curated.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

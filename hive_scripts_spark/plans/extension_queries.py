@@ -1441,36 +1441,15 @@ def x_curation_full(spark, sf_dir):
     gram set broadcast, and `repetition_signals(keep_cols=['text'])`
     carries the payload through instead of re-joining on doc_id.
     """
-    docs = table(spark, sf_dir, "documents")
-    from hive_scripts_spark.functions.strings import normalize_whitespace
+    from hive_scripts_spark.operators.curation import (
+        curate_documents,
+        curation_report,
+    )
 
+    docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
     corpus = docs.where(F.col("doc_id") % 23 != 0)
-    deduped = (
-        corpus.select("doc_id", "text", F.md5(normalize_whitespace("text")).alias("__h"))
-        .groupBy("__h")
-        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("__r"))
-        .select(F.col("__r.doc_id").alias("doc_id"), F.col("__r.text").alias("text"))
-    )
-    flags = D.contamination_overlap(deduped, bench, n=4).select("doc_id")
-    clean = deduped.join(F.broadcast(flags), "doc_id", "left_anti")
-    kept = X.repetition_signals(clean, keep_cols=["text"]).where(
-        F.col("dup_gram_frac") <= 0.10
-    )
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
-        "double"
-    ) / F.greatest(F.length("text"), F.lit(1))
-    toked = kept.select(
-        "doc_id", "text", X.tokens("text").alias("__t"), alpha.alias("__alpha")
-    )
-    gated = toked.where((F.col("__alpha") >= 0.5) & (F.size("__t") >= 10))
-    lang = X.language_id(
-        gated.withColumn("n_tokens", F.size("__t")), keep_cols=["n_tokens"]
-    )
-    return lang.groupBy("predicted_lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    )
+    return curation_report(curate_documents(corpus, bench))
 
 
 @register(

@@ -68,3 +68,34 @@ def test_incremental_subcommand_roundtrip(spark, tmp_path, capsys):
     assert main(args) == 1  # changed partition mismatches
     out = capsys.readouterr().out
     assert "p=1\tmismatched" in out and "FAIL: 1" in out
+
+
+def test_curate_subcommand_writes_parquet_and_report(spark, tmp_path, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "curated"
+    rc = main(
+        [
+            "curate",
+            "--db",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(out),
+            "--bench-mod",
+            "23",
+        ]
+    )
+    assert rc == 0
+    written = spark.read.parquet(str(out))
+    assert set(written.columns) == {"doc_id", "text", "n_tokens", "predicted_lang"}
+    corpus_n = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id % 23 != 0")
+        .count()
+    )
+    n = written.count()
+    assert 0 < n < corpus_n  # gates dropped something, pipeline kept something
+    # the CLI output must agree with the written data
+    report = capsys.readouterr().out
+    for row in written.groupBy("predicted_lang").count().collect():
+        assert f"{row['predicted_lang']}: {row['count']} docs" in report

@@ -324,6 +324,40 @@ def word_entropy(
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Corpus vocabulary with occurrence and document frequencies — the
+    tokenizer-training / feature-selection preprocessing table.
+    ``min_df`` drops hapax-style noise; ``max_df_frac`` drops
+    stopword-like terms present in more than that fraction of documents.
+
+    Returns ``(term, n_occurrences, doc_freq)``.
+
+    Scale shape: explode → ONE groupBy(term) with map-side partial
+    counts (the distinct-doc count is a per-term partial too since the
+    input arrives (doc, term)-grouped only within docs — Spark plans a
+    two-phase distinct aggregate). The ``max_df`` bound uses a scalar
+    total-doc count (table stat, not a data-path collect).
+    """
+    n_docs = df.where(F.length(normalize_whitespace(text_col)) > 0).count()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(id_col).alias("doc_freq"),
+    )
+    return vocab.where(
+        (F.col("doc_freq") >= min_df)
+        & (F.col("doc_freq") <= F.lit(float(max_df_frac)) * n_docs)
+    )
+
+
 def length_histogram(
     df: DataFrame, length_col: str = "n_chars", bucket_width: int = 100
 ) -> DataFrame:

@@ -1241,6 +1241,95 @@ def x_decontaminate(spark, sf_dir):
 
 
 @register(
+    "x_vocab_build",
+    oracle=f"""
+    with toks as (
+      select doc_id, unnest({_TOKS}) as term from documents
+      where length({_NORM}) > 0
+    ), n as (
+      select count(distinct doc_id) as n_docs from toks
+    )
+    select term,
+           cast(count(*) as bigint) as n_occurrences,
+           cast(count(distinct doc_id) as bigint) as doc_freq
+    from toks cross join n
+    group by term, n.n_docs
+    having count(distinct doc_id) >= 3
+       and count(distinct doc_id) <= 0.8 * n.n_docs
+    """,
+)
+def x_vocab_build(spark, sf_dir):
+    """Corpus vocabulary with min_df=3 / max_df=80% bounds — drops both
+    hapax noise and stopword-like terms (the synthetic corpus draws from
+    a ~31-word vocab, so both bounds genuinely cut); one groupBy(term)
+    shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return X.vocabulary(docs, min_df=3, max_df_frac=0.8)
+
+
+@register(
+    "x_events_funnel",
+    oracle="""
+    with v as (
+      select user_id, min(ts) as t1 from events
+      where event_type = 'view' group by user_id
+    ), c as (
+      select e.user_id, min(e.ts) as t2
+      from events e join v on e.user_id = v.user_id
+      where e.event_type = 'click' and e.ts > v.t1
+      group by e.user_id
+    ), p as (
+      select e.user_id, min(e.ts) as t3
+      from events e join c on e.user_id = c.user_id
+      where e.event_type = 'purchase' and e.ts > c.t2
+      group by e.user_id
+    )
+    select cast((select count(*) from v) as bigint) as n_view,
+           cast((select count(*) from c) as bigint) as n_click_after_view,
+           cast((select count(*) from p) as bigint)
+             as n_purchase_after_click
+    """,
+)
+def x_events_funnel(spark, sf_dir):
+    """Strict-order conversion funnel (view → click → purchase): users
+    advance a stage only with an event STRICTLY after their previous
+    stage's first event. Three groupBys + two joins, all keyed on
+    user_id — the exchanges co-partition, so each stage reuses the
+    partitioning of the last."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one, zero = F.lit(1), F.lit(0)
+    tagged = (
+        v.select(one.alias("v"), zero.alias("c"), zero.alias("p"))
+        .unionByName(c.select(zero.alias("v"), one.alias("c"), zero.alias("p")))
+        .unionByName(p.select(zero.alias("v"), zero.alias("c"), one.alias("p")))
+    )
+    return tagged.agg(
+        F.sum("v").cast("bigint").alias("n_view"),
+        F.sum("c").cast("bigint").alias("n_click_after_view"),
+        F.sum("p").cast("bigint").alias("n_purchase_after_click"),
+    )
+
+
+@register(
     "x_decontaminate_substring",
     oracle=f"""
     with bench as (

@@ -171,3 +171,39 @@ def test_minhash_hot_bucket_cap_engages(boilerplate_docs):
         (102, 103),
         (104, 105),
     }
+
+
+def test_events_funnel_strict_ordering(spark):
+    """Funnel stages advance only on STRICTLY-later events: a purchase
+    at the exact click timestamp does not convert."""
+    import datetime as dt
+
+    from hive_scripts_spark.plans.registry import QUERIES
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # u1 full funnel in order
+        (1, ts(0), 1, "view"), (2, ts(1), 1, "click"), (3, ts(2), 1, "purchase"),
+        # u2: click BEFORE view -> stalls at view
+        (4, ts(1), 2, "click"), (5, ts(2), 2, "view"),
+        # u3: purchase at the same instant as click -> not strictly after
+        (6, ts(0), 3, "view"), (7, ts(1), 3, "click"), (8, ts(1), 3, "purchase"),
+        # u4 never views
+        (9, ts(0), 4, "click"), (10, ts(1), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, u, y, 1.0, "{}") for e, t, u, y in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = QUERIES["x_events_funnel"](spark, d).collect()[0]
+    assert (out["n_view"], out["n_click_after_view"], out["n_purchase_after_click"]) == (3, 2, 1)

@@ -144,3 +144,24 @@ def test_word_entropy_zero_exchange_plan(spark):
     docs = table(spark, "/root/testdata/sf0.001", "documents")
     plan = word_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_vocabulary_df_bounds(spark):
+    from hive_scripts_spark.operators.textstats import vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common midword"),
+            (3, "common midword"),
+            (4, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in vocabulary(docs, min_df=2, max_df_frac=0.8).collect()}
+    # 'common' in 4/4 docs > 80% -> dropped; 'rare1' df=1 < 2 -> dropped
+    assert set(out) == {"midword"}
+    assert (out["midword"]["n_occurrences"], out["midword"]["doc_freq"]) == (2, 2)
+    # no bounds: everything with counts
+    full = {r["term"]: r for r in vocabulary(docs).collect()}
+    assert full["common"]["n_occurrences"] == 5 and full["common"]["doc_freq"] == 4

@@ -1330,6 +1330,41 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_events_retention",
+    oracle="""
+    with f as (
+      select user_id, min(cast(ts as date)) as d0
+      from events group by user_id
+    ), a as (
+      select distinct user_id, cast(ts as date) as d from events
+    )
+    select cast(date_diff('day', f.d0, a.d) as int) as offset_days,
+           cast(count(*) as bigint) as n_users
+    from a join f on a.user_id = f.user_id
+    where date_diff('day', f.d0, a.d) between 0 and 7
+    group by offset_days
+    """,
+)
+def x_events_retention(spark, sf_dir):
+    """Day-N retention off each user's first-seen day: how many users
+    return 0..7 days after their first event (the standard cohort
+    curve). distinct (user, day) + first-day groupBy + join all key on
+    user_id, so the exchanges co-partition; the final rollup is 8
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    a = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    off = F.datediff("d", "d0")
+    return (
+        a.join(f, "user_id")
+        .where(off.between(0, 7))
+        .select(off.alias("offset_days"))
+        .groupBy("offset_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
     "x_decontaminate_substring",
     oracle=f"""
     with bench as (

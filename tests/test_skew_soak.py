@@ -207,3 +207,35 @@ def test_events_funnel_strict_ordering(spark):
         ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
         out = QUERIES["x_events_funnel"](spark, d).collect()[0]
     assert (out["n_view"], out["n_click_after_view"], out["n_purchase_after_click"]) == (3, 2, 1)
+
+
+def test_events_retention_cohort_math(spark):
+    import datetime as dt
+    import tempfile
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    def ev(eid, day, hour, uid):
+        return (eid, dt.datetime(2024, 1, day, hour), uid, "view", 1.0, "{}")
+
+    rows = [
+        # u1 first seen day 1, returns day 2 (twice -> one distinct day) and day 9 (outside window)
+        ev(1, 1, 8, 1), ev(2, 2, 9, 1), ev(3, 2, 15, 1), ev(4, 9, 9, 1),
+        # u2 first seen day 2 only
+        ev(5, 2, 10, 2),
+        # u3 first seen day 1, returns day 8 (offset 7, inclusive bound)
+        ev(6, 1, 11, 3), ev(7, 8, 11, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["offset_days"]: r["n_users"]
+            for r in QUERIES["x_events_retention"](spark, d).collect()
+        }
+    # offset 0: all three users; offset 1: u1; offset 7: u3; day-9 excluded
+    assert got == {0: 3, 1: 1, 7: 1}

@@ -421,3 +421,56 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector min/max scalar quantization to int8-range codes — the
+    standard 4× memory compression in front of an ANN index (codes ship
+    to the index; min/scale ride along for asymmetric-distance dequant).
+
+    Returns ``(id_col, q array<int>, v_min, v_scale, rmse)`` where
+    ``q[i] = floor((x[i]−min)·255/(max−min) + 0.5)`` and ``rmse`` is the
+    per-vector reconstruction error (rounded to 6dp). Constant vectors
+    (max == min) quantize to all-zero codes with zero error. ``floor(x
+    + 0.5)`` is used instead of ``round`` so the tie-break is pinned
+    identically across engines.
+
+    Scale shape: pure map-side HOF arithmetic in double precision — no
+    shuffle, no UDF; plugs in front of :func:`ivf_assign` unchanged.
+    """
+    staged = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    v = F.col("__v")
+    staged2 = staged.select(
+        id_col, "__v", F.array_min(v).alias("__lo"), F.array_max(v).alias("__hi")
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.when(hi == lo, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor((x - lo) * F.lit(255.0) / (hi - lo) + F.lit(0.5)).cast("int")
+        )
+    )
+    staged3 = staged2.select(
+        id_col, "__v", "__lo", "__hi", q.alias("q"), scale.alias("__scale")
+    )
+    deq_err_sq = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("q"),
+            lambda x, code: (x - (lo + code.cast("double") * F.col("__scale")))
+            * (x - (lo + code.cast("double") * F.col("__scale"))),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return staged3.select(
+        id_col,
+        "q",
+        F.round(lo, 6).alias("v_min"),
+        F.round(F.col("__scale"), 6).alias("v_scale"),
+        F.round(F.sqrt(deq_err_sq / F.size("q")), 6).alias("rmse"),
+    )

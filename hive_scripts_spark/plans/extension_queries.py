@@ -1330,6 +1330,40 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_embed_quantize",
+    oracle="""
+    with s as (
+      select vec_id, cast(embedding as double[]) as v
+      from embeddings
+    ), b as (
+      select vec_id, v, list_min(v) as lo, list_max(v) as hi from s
+    ), qq as (
+      select vec_id, v, lo, hi, (hi - lo) / 255.0 as scale,
+             case when hi = lo then list_transform(v, x -> 0)
+                  else list_transform(v, x ->
+                    cast(floor((x - lo) * 255.0 / (hi - lo) + 0.5) as int))
+             end as q
+      from b
+    )
+    select vec_id, q, round(lo, 6) as v_min, round(scale, 6) as v_scale,
+           round(sqrt(list_sum([
+             (v[i] - (lo + cast(q[i] as double) * scale))
+             * (v[i] - (lo + cast(q[i] as double) * scale))
+             for i in range(1, len(v) + 1)
+           ]) / len(q)), 6) as rmse
+    from qq
+    """,
+)
+def x_embed_quantize(spark, sf_dir):
+    """Per-vector int8-range scalar quantization (4x ANN memory
+    compression) with reconstruction RMSE — map-only HOF arithmetic,
+    no shuffle; floor(x+0.5) pins the rounding tie-break identically
+    across engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(emb)
+
+
+@register(
     "x_events_retention",
     oracle="""
     with f as (

@@ -91,3 +91,27 @@ def test_ivf_topk_recall(spark):
     # random-ish embeddings + 2/8 cells probed: recall well above the
     # 25% floor of random cell coverage means the probe ranking works
     assert recall >= 0.3, recall
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    from hive_scripts_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 1.0, 0.5]),        # clean span: codes 0, 255, 128
+        (2, [3.0, 3.0, 3.0]),        # constant vector: all-zero codes, rmse 0
+        (3, [-1.0, 1.0, 0.0]),       # negative min
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+
+    assert out[1]["q"] == [0, 255, 128]
+    assert out[1]["v_min"] == 0.0
+    assert out[1]["v_scale"] == round(1.0 / 255.0, 6)
+    assert out[2]["q"] == [0, 0, 0]
+    assert out[2]["rmse"] == 0.0
+    # midpoint tie: (0-(-1))*255/2 = 127.5 -> floor(127.5+0.5) = 128
+    assert out[3]["q"] == [0, 255, 128]
+    # every code in int8 range and rmse bounded by half a step
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r["q"])
+        assert r["rmse"] <= (r["v_scale"] or 0) / 2 + 1e-9

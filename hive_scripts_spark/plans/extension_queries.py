@@ -1330,6 +1330,56 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_data_mixture",
+    oracle=f"""
+    with toks as (
+      select doc_id, source, len(string_split({_NORM}, ' ')) as n_tokens
+      from documents where length({_NORM}) > 0
+    ), agg as (
+      select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_tokens) as bigint) as total_tokens
+      from toks group by source
+    )
+    select source, n_docs, total_tokens,
+           round(total_tokens / cast(sum(total_tokens) over () as double), 6)
+             as token_share
+    from agg
+    """,
+)
+def x_data_mixture(spark, sf_dir):
+    """Training data-mixture report: per-source document and token
+    counts plus each source's share of the corpus token budget — the
+    table a pretraining run's sampling weights are set from. Token
+    counting is map-side; one groupBy(source) exchange; the share
+    window runs over the AGGREGATED frame (cardinality = number of
+    sources), not the corpus."""
+    from pyspark.sql import Window
+
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(normalize_whitespace("text")) > 0).select(
+        "source", X.token_count("text").alias("__n")
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+    )
+    total = F.sum("total_tokens").over(
+        Window.partitionBy()  # over the ~|sources| aggregate rows only
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / total.cast("double"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@register(
     "x_embed_quantize",
     oracle="""
     with s as (

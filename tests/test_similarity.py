@@ -115,3 +115,31 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
     for r in out.values():
         assert all(0 <= c <= 255 for c in r["q"])
         assert r["rmse"] <= (r["v_scale"] or 0) / 2 + 1e-9
+
+
+def test_ivf_topk_quantized_matches_full_precision(spark):
+    """ADC over int8 codes recovers (nearly) the full-precision IVF
+    result: same cells probed, ranking perturbed only within the
+    quantization step."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.similarity import ivf_topk, ivf_topk_quantized
+    from hive_scripts_spark.plans.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, cents, queries, k=5, nprobe=2).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_quantized(emb, cents, queries, k=5, nprobe=2).collect()
+    }
+    assert len(quant) == len(full) == 50
+    overlap = len(quant & full) / len(full)
+    assert overlap >= 0.9, overlap

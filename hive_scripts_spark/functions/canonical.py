@@ -155,6 +155,34 @@ def deterministic_sample(
     return df.where(bucket < int(fraction * buckets))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row kept iff
+    ``md5-bucket(key) < floor(clamp(weight, 0, 1) · buckets)`` — an
+    independent deterministic Bernoulli(weight) draw per row. This is
+    the data-mixing primitive ("sample documents proportional to
+    quality/recency/domain weight") that stays reproducible across
+    engines, runs, and partitionings, unlike ``sample()`` whose draw
+    depends on partition layout. ``weight_col`` may be a column name or
+    an arbitrary numeric Column expression.
+
+    Scale note: narrow-dependency filter — no shuffle, evaluated inside
+    the scan stage; every partition is sampled independently with the
+    same per-row rule.
+    """
+    key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % buckets
+    )
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.where(bucket < F.floor(clamped * buckets).cast("bigint"))
+
+
 def limit_sample(df: DataFrame, n: int, order_cols: list[str] | None = None) -> DataFrame:
     """Reference-literal sampling: ``LIMIT n`` (``verizon_automation_
     script.sh:220``), made deterministic by an explicit sort when

@@ -1330,6 +1330,30 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_weighted_sample",
+    oracle="""
+    select doc_id, lang, source, n_chars
+    from documents
+    where (cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+                as bigint) % 1000000)
+          < cast(floor(least(1.0, greatest(0.0, n_chars / 400.0))
+                       * 1000000) as bigint)
+    """,
+)
+def x_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional sampling (keep probability =
+    n_chars/400, clamped): the reproducible data-mixing draw — the same
+    logical rows survive on any engine, run, or partitioning. Narrow
+    filter, no shuffle."""
+    from hive_scripts_spark.functions.canonical import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, ["doc_id"], F.col("n_chars") / F.lit(400.0)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "x_data_mixture",
     oracle=f"""
     with toks as (

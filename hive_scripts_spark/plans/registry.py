@@ -114,6 +114,7 @@ FRONT_ORDER: list[str] = [
     "x_events_retention",
     "x_embed_quantize",
     "x_data_mixture",
+    "x_weighted_sample",
     # r3-green window, re-graded after the r4/r5 churn, in r3 order
     "x_multimodal_decode_real",
     "x_multimodal_resize_real",
@@ -154,8 +155,8 @@ FRONT_ORDER: list[str] = [
     "g_having_big_customers",
     "g_scalar_subquery_above_avg",
     "g_string_functions",
-    "g_window_lead_lag_ntile",
-    # x_dedup_exact / x_dedup_fingerprint / x_ann_brute_topk /
+    # g_window_lead_lag_ntile / x_dedup_exact / x_dedup_fingerprint /
+    # x_ann_brute_topk /
     # x_dedup_ngram_jaccard / x_embed_near_dup /
     # x_text_bpe_token_count / x_doc_fingerprint / x_text_quality /
     # x_text_langid / x_text_token_count (r3 backfills) displaced to

@@ -101,3 +101,34 @@ def test_rows_mode_deterministic_across_ordering(spark):
     assert src.collect()[0]["row_count"] == 25
     rows = fingerprint_reconcile(src, tgt).collect()
     assert [r["status"] for r in rows] == ["consistent"]
+
+
+def test_weighted_sample_probability_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.functions.canonical import weighted_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        # half the rows weight 1.0 (always kept), half weight 0.25
+        F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.25)).alias("w"),
+    )
+    kept = weighted_sample(df, ["doc_id"], "w")
+    # weight 1.0 -> kept with certainty
+    assert kept.where("w = 1.0").count() == 2000
+    # weight 0.25 -> ~500 of 2000 (md5 is uniform; 5 sigma ~ +/-97)
+    frac = kept.where("w = 0.25").count()
+    assert 400 <= frac <= 600, frac
+    # weight 0 and negative weights keep nothing; >1 clamps to all
+    edge = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(-3.0).alias("w")
+    )
+    assert weighted_sample(edge, ["doc_id"], "w").count() == 0
+    edge2 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(7.0).alias("w")
+    )
+    assert weighted_sample(edge2, ["doc_id"], "w").count() == 100
+    # deterministic: re-evaluation picks the identical rows
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in weighted_sample(df, ["doc_id"], "w").collect()}
+    assert a == b

@@ -1330,6 +1330,52 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_events_hourly_dense",
+    oracle="""
+    with bounds as (
+      select date_trunc('hour', min(ts)) as lo,
+             date_trunc('hour', max(ts)) as hi
+      from events
+    ), hours as (
+      select unnest(generate_series(lo, hi, interval 1 hour)) as hour
+      from bounds
+    ), agg as (
+      select date_trunc('hour', ts) as hour,
+             cast(count(*) as bigint) as n_events
+      from events where event_type = 'purchase' group by 1
+    )
+    select h.hour, coalesce(a.n_events, 0) as n_events
+    from hours h left join agg a on h.hour = a.hour
+    """,
+)
+def x_events_hourly_dense(spark, sf_dir):
+    """Gap-filled hourly purchase counts: densify the time axis with
+    ``sequence`` + ``explode`` so silent hours appear as explicit zero
+    rows (dashboards and anomaly detectors need the gaps, not their
+    absence). The hour spine is generated from a 1-row bounds aggregate
+    — O(hours) rows — and left-joins the sparse counts; the counts side
+    is the only corpus-sized exchange."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return hours.join(agg, "hour", "left").select(
+        "hour", F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events")
+    )
+
+
+@register(
     "x_weighted_sample",
     oracle="""
     select doc_id, lang, source, n_chars

@@ -239,3 +239,31 @@ def test_events_retention_cohort_math(spark):
         }
     # offset 0: all three users; offset 1: u1; offset 7: u3; day-9 excluded
     assert got == {0: 3, 1: 1, 7: 1}
+
+
+def test_events_hourly_dense_zero_fills_silent_hours(spark):
+    import datetime as dt
+    import tempfile
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1, "purchase", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 50), 2, "purchase", 1.0, "{}"),
+        # hour 1 silent; hour 2 has a non-purchase event only
+        (3, dt.datetime(2024, 1, 1, 2, 5), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 3, 30), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["hour"].hour: r["n_events"]
+            for r in QUERIES["x_events_hourly_dense"](spark, d).collect()
+        }
+    # spine covers hours 0..3 inclusive, with explicit zeros for 1 and 2
+    assert got == {0: 2, 1: 0, 2: 0, 3: 1}

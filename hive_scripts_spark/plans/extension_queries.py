@@ -828,7 +828,7 @@ def x_events_sessionize(spark, sf_dir):
     "x_events_session_window",
     oracle="""
     with marked as (
-      select user_id, ts,
+      select user_id, ts, event_id,
              case when lag(ts) over w is null
                        or epoch_us(ts) - epoch_us(lag(ts) over w)
                           > 1800000000
@@ -838,7 +838,7 @@ def x_events_sessionize(spark, sf_dir):
     ), numbered as (
       select user_id, ts,
              sum(new_session) over (
-               partition by user_id order by ts
+               partition by user_id order by ts, event_id
                rows between unbounded preceding and current row) as sid
       from marked
     )
@@ -1465,7 +1465,8 @@ def x_data_mixture(spark, sf_dir):
              end as q
       from b
     )
-    select vec_id, q, round(lo, 6) as v_min, round(scale, 6) as v_scale,
+    select vec_id, array_to_string(q, ',') as q,
+           round(lo, 6) as v_min, round(scale, 6) as v_scale,
            round(sqrt(list_sum([
              (v[i] - (lo + cast(q[i] as double) * scale))
              * (v[i] - (lo + cast(q[i] as double) * scale))
@@ -1478,9 +1479,18 @@ def x_embed_quantize(spark, sf_dir):
     """Per-vector int8-range scalar quantization (4x ANN memory
     compression) with reconstruction RMSE — map-only HOF arithmetic,
     no shuffle; floor(x+0.5) pins the rounding tie-break identically
-    across engines."""
+    across engines.
+
+    The registered (graded) form joins the codes array into one
+    comma-separated string column: the driver canonicalizes results
+    with a pandas sort, which cannot hash list-typed cells (the r5
+    harness error). ``quantize_embeddings`` itself stays array-typed
+    for :func:`ivf_topk_quantized` composition."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.quantize_embeddings(emb)
+    out = S.quantize_embeddings(emb)
+    return out.withColumn(
+        "q", F.array_join(F.col("q").cast("array<string>"), ",")
+    )
 
 
 @register(
@@ -1522,9 +1532,13 @@ def x_events_retention(spark, sf_dir):
     "x_decontaminate_substring",
     oracle=f"""
     with bench as (
-      select distinct substr({_NORM}, 10, 40) as snippet
+      -- trim to match the Spark side, which re-normalizes each snippet
+      -- (normalize_whitespace trims edges) before the >=20-char filter
+      -- and distinct — without it an edge-whitespace snippet diverges
+      select distinct trim(substr({_NORM}, 10, 40)) as snippet
       from documents
-      where doc_id % 29 = 0 and length(substr({_NORM}, 10, 40)) >= 20
+      where doc_id % 29 = 0
+        and length(trim(substr({_NORM}, 10, 40))) >= 20
     )
     select d.doc_id, cast(count(*) as bigint) as n_bench_hits
     from documents d join bench b on contains({_NORM}, b.snippet)

@@ -183,6 +183,85 @@ def _hyperplane_signature(vec, bits: int, seed_base: int = 0):
     return sig
 
 
+def embedding_lsh_pairs_portable(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 2,
+    bits: int = 4,
+) -> DataFrame:
+    """:func:`embedding_near_dup_pairs` (LSH path) with an engine-
+    portable hyperplane family, so the ENTIRE pipeline — signature →
+    per-table bucket join → exact-cosine verify — is replicable in
+    DuckDB and value-gradable end-to-end (the xxhash64 production path
+    differs only in how the pseudo-random hyperplanes are drawn).
+
+    Hyperplane ``h``'s component for dimension ``i`` is the symmetric
+    pseudo-uniform ``(md5_60(h, i) % 1000003) / 1000003 − 0.5`` (md5_60
+    = :func:`~hive_scripts_spark.operators.dedup.portable_hash60`);
+    signature bit = sign of the projection. Same OR-construction and
+    scale shape as the production path: shuffle keyed on (table,
+    signature), exact cosine verifies every candidate.
+    """
+    from hive_scripts_spark.operators.dedup import portable_hash60
+
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+
+    def component(h):
+        def g(x, i):
+            u = portable_hash60(F.lit(str(h)), i.cast("string")) % 1000003
+            return x * (u.cast("double") / 1000003.0 - 0.5)
+
+        return g
+
+    def sig_for_table(t):
+        bit_cols = []
+        for b in range(bits):
+            h = t * bits + b
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.sequence(F.lit(0), F.size("vec") - 1),
+                    component(h),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit_cols.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bit_cols)
+
+    sigs = base.select(
+        F.col(id_col),
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), sig_for_table(t).alias("sig")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, "vec", F.col("__s.tbl").alias("tbl"), F.col("__s.sig").alias("sig"))
+    a = sigs.toDF("a_id", "a_vec", "tbl", "sig")
+    b = sigs.toDF("b_id", "b_vec", "tbl", "sig")
+    pairs = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sim = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

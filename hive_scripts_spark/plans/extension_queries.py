@@ -146,6 +146,62 @@ def x_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(docs)
 
 
+#: 60-bit md5 hash, identical in both engines (dedup.portable_hash60 twin)
+def _duck_h60(pre_image: str) -> str:
+    return f"cast(('0x' || substr(md5({pre_image}), 1, 15)) as bigint)"
+
+
+@register(
+    "x_dedup_minhash_portable",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sig as (
+      select doc_id, i,
+             min({_duck_h60("cast(i as varchar) || '|' || shingle")}) as mh
+      from sh cross join range(8) seeds(i)
+      group by doc_id, i
+    ), sigarr as (
+      select doc_id, list(mh order by i) as s from sig group by doc_id
+    ), banded as (
+      select doc_id, b,
+             md5(cast(b as varchar) || ':' ||
+                 cast(s[b * 2 + 1] as varchar) || ',' ||
+                 cast(s[b * 2 + 2] as varchar)) as bucket
+      from sigarr cross join range(4) bb(b)
+    ), cand as (
+      select distinct x.doc_id as a_id, y.doc_id as b_id
+      from banded x join banded y
+        on x.b = y.b and x.bucket = y.bucket and x.doc_id < y.doc_id
+    ), sizes as (
+      select doc_id, count(*) as n_sh from sh group by doc_id
+    ), common as (
+      select s1.doc_id as a_id, s2.doc_id as b_id, count(*) as n_common
+      from sh s1 join sh s2
+        on s1.shingle = s2.shingle and s1.doc_id < s2.doc_id
+      group by 1, 2
+    )
+    select c.a_id, c.b_id,
+           round(cast(n_common as double)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+    from cand c
+    join common m on m.a_id = c.a_id and m.b_id = c.b_id
+    join sizes sa on sa.doc_id = c.a_id
+    join sizes sb on sb.doc_id = c.b_id
+    where round(cast(n_common as double)
+                / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def x_dedup_minhash_portable(spark, sf_dir):
+    """The banded MinHash-LSH pipeline with an md5-based (engine-
+    portable) hash family: shingle → 8 minhashes → 4 banded buckets →
+    candidate pairs → exact-Jaccard verify, replicated VERBATIM in the
+    DuckDB oracle — the value-graded twin of the xxhash64 production
+    path ``x_dedup_minhash_lsh`` (same pipeline, faster hash family, so
+    its candidate sets are engine-specific and graded rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_portable(docs, threshold=0.2)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -201,6 +257,63 @@ def x_embed_near_dup(spark, sf_dir):
 def x_ann_lsh_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.35, use_lsh=True)
+
+
+def _ann_portable_oracle(tables: int = 2, bits: int = 4) -> str:
+    """DuckDB twin of similarity.embedding_lsh_pairs_portable: one
+    explicit sign-bit expression per (table, bit), generated here so the
+    SQL mirrors the Spark plan literal-for-literal."""
+
+    def proj(h: int) -> str:
+        pre = f"'{h}' || '|' || cast(i as varchar)"
+        return (
+            f"list_sum([v[i + 1] * (({_duck_h60(pre)} % 1000003)"
+            " / 1000003.0 - 0.5) for i in range(0, len(v))])"
+        )
+
+    sig_rows = []
+    for t in range(tables):
+        bits_sql = " || ".join(
+            f"(case when ({proj(t * bits + b)}) > 0 then '1' else '0' end)"
+            for b in range(bits)
+        )
+        sig_rows.append(
+            f"select vec_id, {t} as tbl, {bits_sql} as sig from base"
+        )
+    sigs = "\n      union all\n      ".join(sig_rows)
+    cos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    with base as (
+      select vec_id, cast(embedding as double[]) as v from embeddings
+    ), sigs as (
+      {sigs}
+    ), cand as (
+      select distinct a.vec_id as a_id, b.vec_id as b_id
+      from sigs a join sigs b
+        on a.tbl = b.tbl and a.sig = b.sig and a.vec_id < b.vec_id
+    )
+    select c.a_id, c.b_id, {cos} as cosine_sim
+    from cand c
+    join base x on x.vec_id = c.a_id
+    join base y on y.vec_id = c.b_id
+    where {cos} >= 0.35
+    """
+
+
+@register("x_ann_lsh_portable", oracle=_ann_portable_oracle())
+def x_ann_lsh_portable(spark, sf_dir):
+    """The hyperplane-LSH near-dup pipeline with an md5-based (engine-
+    portable) hyperplane family: signature → per-table bucket join →
+    exact-cosine verify, replicated verbatim in the DuckDB oracle — the
+    value-graded twin of the xxhash64 production path
+    ``x_ann_lsh_pairs`` (same OR-construction, engine-specific
+    hyperplanes, graded rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.embedding_lsh_pairs_portable(emb, threshold=0.35)
 
 
 @register(
@@ -1210,6 +1323,84 @@ def x_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "x_ann_ivf_topk_quantized",
+    oracle="""
+    with corpus0 as (
+      select vec_id, cast(embedding as double[]) as v from embeddings
+    ), bounds as (
+      select vec_id, v, list_min(v) as lo, list_max(v) as hi from corpus0
+    ), recon as (
+      -- int8-range quantize then dequantize: the corpus the search sees
+      select vec_id,
+             case when hi = lo then list_transform(v, x -> lo)
+                  else list_transform(v, x -> lo +
+                    cast(floor((x - lo) * 255.0 / (hi - lo) + 0.5) as int)
+                    * ((hi - lo) / 255.0)) end as v
+      from bounds
+    ), centroids as (
+      select vec_id as cid, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), assign as (
+      select vec_id as neighbor_id, cell from (
+        select r.vec_id, c.cid as cell, row_number() over (
+          partition by r.vec_id order by
+            round(list_dot_product(r.v, c.c)
+                  / (sqrt(list_dot_product(r.v, r.v))
+                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
+        ) as rn
+        from recon r cross join centroids c) where rn = 1
+    ), probes as (
+      -- queries ride FULL-precision (asymmetric distance)
+      select vec_id as query_id, cell from (
+        select q.vec_id, c.cid as cell, row_number() over (
+          partition by q.vec_id order by
+            round(list_dot_product(q.v, c.c)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
+        ) as rn
+        from corpus0 q cross join centroids c where q.vec_id < 10)
+      where rn <= 2
+    ), cand as (
+      select p.query_id, a.neighbor_id,
+             round(list_dot_product(q.v, r.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(r.v, r.v))), 6) as cosine_sim
+      from probes p
+      join assign a on a.cell = p.cell and a.neighbor_id <> p.query_id
+      join corpus0 q on q.vec_id = p.query_id
+      join recon r on r.vec_id = a.neighbor_id
+    ), ranked as (
+      select query_id, neighbor_id, cosine_sim, row_number() over (
+        partition by query_id order by cosine_sim desc, neighbor_id) as rank
+      from cand
+    )
+    select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
+    """,
+)
+def x_ann_ivf_topk_quantized(spark, sf_dir):
+    """The memory-lean ANN path under the driver gate: IVF search over
+    the int8-QUANTIZED corpus (4x smaller index), dequantized on the fly
+    for asymmetric full-precision-query distance. The oracle replays the
+    dequant formula exactly (floor(x+0.5) tie-break, sequential-fold
+    dot products), so the whole quantize→search composition is
+    value-graded, not just its stages."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk_quantized(
+        emb,
+        cents,
+        queries,
+        k=5,
+        nprobe=2,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
+
+
+@register(
     "x_decontaminate",
     oracle=f"""
     with toks as (
@@ -1526,6 +1717,115 @@ def x_events_retention(spark, sf_dir):
         .groupBy("offset_days")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "x_events_replay_dedup",
+    oracle="""
+    with replayed as (
+      select event_id, ts, user_id, event_type, value from events
+      union all
+      -- deterministic at-least-once replay: ~14% of events re-arrive
+      -- one minute late (the batch stand-in for a source retry)
+      select event_id, ts + interval 1 minute as ts, user_id, event_type,
+             value
+      from events where event_id % 7 = 0
+    ), ranked as (
+      select *, row_number() over (
+        partition by event_id
+        order by ts, user_id, event_type, value) as rn
+      from replayed
+    )
+    select event_id, ts, user_id, event_type, value
+    from ranked where rn = 1
+    """,
+)
+def x_events_replay_dedup(spark, sf_dir):
+    """Batch face of the streaming replay-dedup operators
+    (``streaming.stateful.streaming_dedup`` /
+    ``dedup_within_watermark``): first occurrence per event_id wins by
+    event time. The frame unions a deterministic replayed subset so the
+    dedup actually has duplicates to drop; the survivor pick is a
+    map-side-partial min-struct — one exchange, no window sort. Exact
+    stream↔batch parity is pytest-asserted."""
+    from hive_scripts_spark.streaming.stateful import replay_dedup_batch
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay = ev.where(F.col("event_id") % 7 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("interval 1 minute")
+    )
+    return replay_dedup_batch(ev.unionByName(replay))
+
+
+@register(
+    "x_events_user_totals",
+    oracle="""
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(18, 2))) as double)
+             as total_value
+    from events group by user_id
+    """,
+)
+def x_events_user_totals(spark, sf_dir):
+    """Batch face of ``streaming.stateful.running_user_totals``: the
+    per-user (count, value-sum) the stateful operator converges to once
+    the stream drains. Decimal accumulation keeps the double sum
+    summation-order-invariant (oracle-exact on both engines); one
+    map-side-partial exchange keyed on user_id."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18, 2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "x_doc_polyhash",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    )
+    select doc_id,
+           list_reduce(
+             list_prepend(cast(0 as bigint),
+               list_transform(ws, w -> {{h}} % 1000003)),
+             (acc, h) -> (acc * 131 + h) % 2147483647) as poly_hash
+    from toks
+    """.replace(
+        "{h}", "cast(('0x' || substr(md5('w|' || w), 1, 15)) as bigint)"
+    ),
+)
+def x_doc_polyhash(spark, sf_dir):
+    """Engine-portable polynomial (Karp-Rabin-style) document
+    fingerprint: Horner fold ``acc = (acc*131 + h(w)) % (2^31-1)`` over
+    the token stream, with the md5-based portable word hash — the
+    value-gradable twin of the xxhash64 production rolling hash
+    (``x_doc_rolling_hash``, graded rows-only). Order-SENSITIVE by
+    construction (unlike the content md5), so it fingerprints the token
+    sequence, not the bag. Map-only JVM fold, zero shuffle."""
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+    from hive_scripts_spark.operators.dedup import portable_hash60
+
+    docs = table(spark, sf_dir, "documents")
+    norm = normalize_whitespace("text")
+    toks = docs.where(F.length(norm) > 0).select(
+        "doc_id", F.split(norm, " ").alias("__ws")
+    )
+    hashed = F.transform(
+        F.col("__ws"), lambda w: portable_hash60(F.lit("w"), w) % 1000003
+    )
+    poly = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 2147483647,
+    )
+    return toks.select("doc_id", poly.alias("poly_hash"))
 
 
 @register(

@@ -13,6 +13,11 @@ Provided:
 * :func:`streaming_dedup` — cross-batch exact dedup on an id column with
   TTL state, for at-least-once sources (the streaming face of
   ``operators.dedup.exact_dedup``).
+* :func:`replay_dedup_batch` / the ``groupBy(user).agg`` face of
+  :func:`running_user_totals` — BATCH twins with identical semantics,
+  registered as oracled driver queries (`x_events_replay_dedup`,
+  `x_events_user_totals`); exact batch↔stream parity is asserted in
+  ``tests/test_stateful_streaming.py``.
 """
 
 from __future__ import annotations
@@ -136,3 +141,26 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def replay_dedup_batch(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Batch twin of :func:`streaming_dedup` / ``dedup_within_watermark``:
+    first occurrence per key wins, by event time. Deterministic where
+    ``dropDuplicates`` is not — the survivor is picked by a map-side-
+    partial ``min`` of a ``(ts, payload)`` struct (ties break on the
+    payload columns in order), ONE exchange keyed on the dedup key, no
+    window sort. Same contract the stateful operator enforces across
+    micro-batches; parity is asserted in tests.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(keys) if keys else ["event_id"]
+    payload = [c for c in events.columns if c not in keys]
+    # event time leads the ordering struct regardless of column order
+    ordered = sorted(payload, key=lambda c: c != "ts")
+    packed = events.groupBy(*keys).agg(
+        F.min(F.struct(*ordered)).alias("__first")
+    )
+    return packed.select(*keys, *[F.col(f"__first.{c}") for c in payload])

@@ -390,3 +390,48 @@ def test_contamination_substring_normalizes_both_sides(spark):
     )
     out = contamination_substring(corpus, bench).collect()
     assert len(out) == 1 and out[0]["n_bench_hits"] == 1
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    """The md5-based portable hash must be bit-identical to its DuckDB
+    twin expression — the invariant every portable-LSH oracle rests on."""
+    import duckdb
+
+    samples = ["", "a", "the quick brown", "0|shingle text here", "naïve™"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", D.portable_hash60(F.lit("7"), F.col("s")).alias("h")
+        ).collect()
+    }
+    for s in samples:
+        want = duckdb.sql(
+            "select cast(('0x' || substr(md5('7|' || ?), 1, 15)) as bigint)",
+            params=[s],
+        ).fetchone()[0]
+        assert got[s] == want, s
+
+
+def test_minhash_portable_recovers_near_dups(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs_portable(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_portable_jaccard_matches_exact(docs):
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    portable = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs_portable(docs, threshold=0.3).collect()
+    }
+    assert set(portable) <= set(exact)  # precision exact: verified candidates
+    for k, v in portable.items():
+        assert exact[k] == v

@@ -143,3 +143,18 @@ def test_ivf_topk_quantized_matches_full_precision(spark):
     assert len(quant) == len(full) == 50
     overlap = len(quant & full) / len(full)
     assert overlap >= 0.9, overlap
+
+
+def test_lsh_portable_pairs_subset_of_exact_with_exact_sims(vecs):
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in S.embedding_near_dup_pairs(vecs, 0.5, use_lsh=False).collect()
+    }
+    portable = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in S.embedding_lsh_pairs_portable(vecs, threshold=0.5).collect()
+    }
+    assert set(portable) <= set(exact)  # verify stage keeps precision exact
+    for k, v in portable.items():
+        assert exact[k] == v
+    assert (0, 1) in portable  # near-identical vectors collide in every table

@@ -127,3 +127,32 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     assert got.count() == n_distinct
     # and each id exactly once
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_replay_dedup_batch_matches_streaming(spark, two_batch_dir, tmp_path):
+    """The oracled batch face (x_events_replay_dedup's operator) must
+    produce exactly the rows the stateful streaming dedup emits over the
+    same replayed frame."""
+    from hive_scripts_spark.streaming.stateful import replay_dedup_batch
+
+    stream = read_event_stream(spark, two_batch_dir)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    got_stream = {tuple(r) for r in spark.table("dedup_parity").select(*cols).collect()}
+
+    batch = spark.read.parquet(two_batch_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    got_batch = {
+        tuple(r) for r in replay_dedup_batch(batch).select(*cols).collect()
+    }
+    assert got_batch == got_stream

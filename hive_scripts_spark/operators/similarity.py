@@ -183,6 +183,21 @@ def _hyperplane_signature(vec, bits: int, seed_base: int = 0):
     return sig
 
 
+def portable_hyperplane(h: int, dim: int) -> list[float]:
+    """Driver-side twin of the portable hyperplane family: component
+    ``i`` is ``(md5_60(h '|' i) % 1000003) / 1000003 − 0.5``, computed
+    with hashlib — byte-identical to Spark's ``md5``/``conv`` and
+    DuckDB's ``md5``/hex-cast on the same pre-image, so the three
+    engines agree on every component exactly."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        u = int(hashlib.md5(f"{h}|{i}".encode()).hexdigest()[:15], 16)
+        out.append((u % 1000003) / 1000003.0 - 0.5)
+    return out
+
+
 def embedding_lsh_pairs_portable(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -190,6 +205,7 @@ def embedding_lsh_pairs_portable(
     vec_col: str = "embedding",
     tables: int = 2,
     bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """:func:`embedding_near_dup_pairs` (LSH path) with an engine-
     portable hyperplane family, so the ENTIRE pipeline — signature →
@@ -203,6 +219,14 @@ def embedding_lsh_pairs_portable(
     signature bit = sign of the projection. Same OR-construction and
     scale shape as the production path: shuffle keyed on (table,
     signature), exact cosine verifies every candidate.
+
+    Pass ``dim`` (the embedding dimensionality) to fold the hyperplanes
+    into PLAN LITERALS via :func:`portable_hyperplane` — hyperplanes are
+    model parameters, not data, so baking them in makes each signature
+    a pure arithmetic fold (zero hashing per row — the same posture as
+    :func:`ivf_topk`'s literal centroids). Without ``dim`` the
+    components are re-derived row-side with md5 — identical values,
+    O(tables × bits × dim) hashes per row.
     """
     from hive_scripts_spark.operators.dedup import portable_hash60
 
@@ -217,19 +241,25 @@ def embedding_lsh_pairs_portable(
 
         return g
 
+    def projection(h):
+        if dim is not None:
+            # hyperplane as a plan literal: pure arithmetic fold per row
+            plane = F.array(
+                *[F.lit(c).cast("double") for c in portable_hyperplane(h, dim)]
+            )
+            zipped = F.zip_with(F.col("vec"), plane, lambda x, g: x * g)
+        else:
+            zipped = F.zip_with(
+                F.col("vec"),
+                F.sequence(F.lit(0), F.size("vec") - 1),
+                component(h),
+            )
+        return F.aggregate(zipped, F.lit(0.0), lambda acc, v: acc + v)
+
     def sig_for_table(t):
         bit_cols = []
         for b in range(bits):
-            h = t * bits + b
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("vec"),
-                    F.sequence(F.lit(0), F.size("vec") - 1),
-                    component(h),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            proj = projection(t * bits + b)
             bit_cols.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bit_cols)
 

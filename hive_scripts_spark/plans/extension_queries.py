@@ -311,9 +311,12 @@ def x_ann_lsh_portable(spark, sf_dir):
     exact-cosine verify, replicated verbatim in the DuckDB oracle — the
     value-graded twin of the xxhash64 production path
     ``x_ann_lsh_pairs`` (same OR-construction, engine-specific
-    hyperplanes, graded rows-only)."""
+    hyperplanes, graded rows-only). The dim probe (one-row collect,
+    bounded metadata) lets the hyperplanes ride as plan literals —
+    zero per-row hashing, same posture as IVF's literal centroids."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.embedding_lsh_pairs_portable(emb, threshold=0.35)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return S.embedding_lsh_pairs_portable(emb, threshold=0.35, dim=dim)
 
 
 @register(

@@ -158,3 +158,19 @@ def test_lsh_portable_pairs_subset_of_exact_with_exact_sims(vecs):
     for k, v in portable.items():
         assert exact[k] == v
     assert (0, 1) in portable  # near-identical vectors collide in every table
+
+
+def test_lsh_portable_literal_planes_match_runtime_hash(vecs):
+    """dim-literal hyperplanes (plan literals) must reproduce the
+    runtime-md5 path bit-for-bit — same family, different evaluation."""
+    runtime = {
+        tuple(r)
+        for r in S.embedding_lsh_pairs_portable(vecs, threshold=0.5).collect()
+    }
+    literal = {
+        tuple(r)
+        for r in S.embedding_lsh_pairs_portable(
+            vecs, threshold=0.5, dim=4
+        ).collect()
+    }
+    assert literal == runtime

@@ -403,3 +403,53 @@ def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-budget overlapping document chunking — the sequence-prep
+    step in front of embedding / RAG indexing / context-window packing.
+
+    Chunk *k* covers tokens ``[k·step, k·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap``; the final chunk may be short,
+    and a doc shorter than one budget yields exactly one chunk. Returns
+    ``(id_col, chunk_id, chunk_text, n_tokens)``; empty docs yield no
+    rows.
+
+    Scale shape: pure map-only JVM projection — tokenize once, generate
+    the start offsets with ``sequence``, slice per start, one
+    ``posexplode``. No shuffle at any corpus size; chunk counts are
+    data-proportional so no partition inflates more than its text size
+    already implies.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens); got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    norm = normalize_whitespace(text_col)
+    toked = df.where(F.length(norm) > 0).select(
+        F.col(id_col), F.split(norm, " ").alias("__toks")
+    )
+    t, n = F.col("__toks"), F.size("__toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - s).cast("int").alias("n_tokens"),
+        ),
+    )
+    staged = toked.select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "__c")
+    )
+    return staged.select(
+        id_col, "chunk_id", F.col("__c.chunk_text"), F.col("__c.n_tokens")
+    )

@@ -1832,6 +1832,32 @@ def x_doc_polyhash(spark, sf_dir):
 
 
 @register(
+    "x_doc_chunk",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    ), starts as (
+      select doc_id, ws,
+             unnest(range(0, cast(ceil(len(ws) / 48.0) as bigint))) as k
+      from toks
+    )
+    select doc_id, cast(k as int) as chunk_id,
+           array_to_string(ws[k * 48 + 1 : k * 48 + 64], ' ') as chunk_text,
+           cast(least(64, len(ws) - k * 48) as int) as n_tokens
+    from starts
+    """,
+)
+def x_doc_chunk(spark, sf_dir):
+    """Overlapping fixed-token document chunking (64-token windows,
+    16-token overlap → stride 48) — the sequence-prep step before
+    embedding/RAG indexing. Map-only: tokenize once, `sequence` the
+    starts, slice per start, one posexplode; zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
     "x_decontaminate_substring",
     oracle=f"""
     with bench as (

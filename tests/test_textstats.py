@@ -165,3 +165,36 @@ def test_vocabulary_df_bounds(spark):
     # no bounds: everything with counts
     full = {r["term"]: r for r in vocabulary(docs).collect()}
     assert full["common"]["n_occurrences"] == 5 and full["common"]["doc_freq"] == 4
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from hive_scripts_spark.operators import textstats as X
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(0, words), (1, "one two"), (2, "   "), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in X.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 0: stride 3 over 10 tokens -> starts 0,3,6,9
+    assert out[(0, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(0, 1)] == ("w3 w4 w5 w6", 4)
+    assert out[(0, 2)] == ("w6 w7 w8 w9", 4)
+    assert out[(0, 3)] == ("w9", 1)  # short tail
+    assert (0, 4) not in out
+    assert out[(1, 0)] == ("one two", 2)  # sub-budget doc: one chunk
+    assert not any(k[0] == 2 for k in out)  # empty doc: no chunks
+    assert out[(3, 0)] == ("solo", 1)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from hive_scripts_spark.operators import textstats as X
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=4, overlap=4)

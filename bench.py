@@ -47,6 +47,11 @@ EXTRA = [
     "x_dedup_lines",
     "x_events_session_window",
     "x_text_entropy",
+    # r6-added — the memory-lean ANN path (compare vs x_ann_ivf_topk in
+    # the same run: same plan + a fused dequant projection) and the
+    # map-only chunking pass
+    "x_ann_ivf_topk_quantized",
+    "x_doc_chunk",
 ]
 
 

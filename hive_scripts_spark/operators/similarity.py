@@ -623,7 +623,15 @@ def ivf_topk_quantized(
         F.col("q"),
         lambda c: F.col("v_min") + c.cast("double") * F.col("v_scale"),
     )
-    reconstructed = codes.select(F.col(id_col), deq.alias(vec_col))
+    # generator barrier (same trick as ivf_assign's inline_outer): the
+    # reconstructed vector must reach ivf_topk as a real ATTRIBUTE, not
+    # a projectable expression — CollapseProject cannot cross a
+    # Generate, so the dequant chain (which drags min/max/quantize with
+    # it) evaluates once per row instead of once per centroid-fold site
+    # inside cell assignment (measured 22 s → 2 s at sf0.1 local[32])
+    reconstructed = codes.select(
+        F.col(id_col), F.inline_outer(F.array(F.struct(deq.alias(vec_col))))
+    )
     return ivf_topk(
         reconstructed,
         centroids,

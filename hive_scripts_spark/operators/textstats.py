@@ -238,19 +238,31 @@ def repetition_signals(
         ),
         lambda acc: F.struct(acc["best"].alias("best"), acc["n_distinct"].alias("n_distinct")),
     )
-    out = srt.select(
-        F.col(id_col), *keep, "n_grams", fold.alias("__f")
-    ).select(
-        F.col(id_col),
-        *keep,
-        "n_grams",
-        F.col("__f.n_distinct").alias("n_distinct"),
-        # exact-int inputs → one IEEE double divide each: bit-identical on
-        # any engine, no rounding needed
-        ((F.col("n_grams") - F.col("__f.n_distinct")).cast("double") / F.col("n_grams").cast("double")).alias("dup_gram_frac"),
-        (F.col("__f.best").cast("double") / F.col("n_grams").cast("double")).alias("top_gram_frac"),
+    # exact-int inputs → one IEEE double divide each: bit-identical on
+    # any engine, no rounding needed. The metrics emit through a
+    # GENERATOR (inline_outer) so they are real attributes: a downstream
+    # filter like `dup_gram_frac <= 0.10` (the curation gate) cannot be
+    # predicate-pushed below this point — pushdown substitutes the WHOLE
+    # sort+fold chain into the filter and re-evaluates it per row
+    # (measured 8× on the curation pipeline at sf0.1).
+    metrics = F.inline_outer(
+        F.array(
+            F.struct(
+                F.col("__f.n_distinct").alias("n_distinct"),
+                (
+                    (F.col("n_grams") - F.col("__f.n_distinct")).cast("double")
+                    / F.col("n_grams").cast("double")
+                ).alias("dup_gram_frac"),
+                (
+                    F.col("__f.best").cast("double")
+                    / F.col("n_grams").cast("double")
+                ).alias("top_gram_frac"),
+            )
+        )
     )
-    return out
+    return srt.select(F.col(id_col), *keep, "n_grams", fold.alias("__f")).select(
+        F.col(id_col), *keep, "n_grams", metrics
+    )
 
 
 def word_entropy(

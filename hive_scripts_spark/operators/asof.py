@@ -36,6 +36,13 @@ def asof_join(
     payload forward, then left rows are filtered back out. One shuffle
     (by ``key``), one sort — the plan any dedicated as-of operator would
     produce.
+
+    Ties are fully pinned: among right rows sharing (key, ts), the
+    greatest ``(ts, *right_cols)`` payload struct wins (the sort adds
+    the payload as a final ordering key, so the carried match is not
+    sort-placement luck). Without this, equal-ts right rows make the
+    result nondeterministic run-to-run AND unmatchable against any
+    oracle.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
     payload = F.struct(F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols])
@@ -61,7 +68,14 @@ def asof_join(
     merged = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("__side").asc(),
+            # pin equal-ts right rows: greatest payload struct wins the
+            # last_value carry (left rows are all-NULL here and already
+            # separated by __side)
+            F.col("__payload").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(

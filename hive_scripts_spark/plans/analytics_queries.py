@@ -172,12 +172,29 @@ def g_json_agg(spark, sf_dir):
 @register(
     "g_asof_last_error",
     oracle="""
+    -- explicit window form instead of DuckDB's native ASOF JOIN: ASOF
+    -- picks an ARBITRARY right row when several share the maximal ts,
+    -- while this pins the same (ts desc, event_id desc) tie rule the
+    -- Spark operator enforces — no flake if regenerated data ties
+    with c as (
+      select event_id, ts, user_id from events where event_type = 'click'
+    ), e as (
+      select event_id, ts, user_id from events where event_type = 'error'
+    ), pairs as (
+      select c.event_id, c.ts, c.user_id,
+             e.ts as matched_ts, e.event_id as r_event_id,
+             row_number() over (partition by c.event_id
+                                order by e.ts desc, e.event_id desc) as rn
+      from c join e on c.user_id = e.user_id and e.ts <= c.ts
+    )
+    select event_id, ts, user_id, matched_ts, r_event_id
+    from pairs where rn = 1
+    union all
     select c.event_id, c.ts, c.user_id,
-           e.ts as matched_ts, e.event_id as r_event_id
-    from (select * from events where event_type = 'click') c
-    asof left join (select event_id, ts, user_id from events
-                    where event_type = 'error') e
-      on c.user_id = e.user_id and c.ts >= e.ts
+           cast(null as timestamp) as matched_ts,
+           cast(null as bigint) as r_event_id
+    from c where not exists (
+      select 1 from e where e.user_id = c.user_id and e.ts <= c.ts)
     """,
 )
 def g_asof_last_error(spark, sf_dir):

@@ -73,3 +73,21 @@ def test_range_join_buckets(spark):
     assert (1, 11) in out and (1, 12) in out
     assert (2, 13) in out
     assert (2, 14) not in out  # r after l → excluded (one-sided window)
+
+
+def test_asof_pins_equal_ts_right_ties(spark):
+    """Two right rows tied at the maximal ts: the greatest payload
+    (max event_id) must win deterministically — the rule the
+    g_asof_last_error oracle replays with (ts desc, event_id desc)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 7)], "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(204, _ts(9), 7), (201, _ts(9), 7), (108, _ts(3), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    for _ in range(3):  # stable across repeated runs
+        out = asof_join(left, right, "user_id").collect()
+        assert len(out) == 1
+        assert out[0]["r_event_id"] == 204
+        assert out[0]["matched_ts"] == _ts(9)

@@ -147,3 +147,51 @@ def test_repetition_fold_matches_counter(spark, docs):
         assert r["n_distinct"] == len(c)
         assert r["dup_gram_frac"] == (len(grams) - len(c)) / len(grams)
         assert r["top_gram_frac"] == max(c.values()) / len(grams)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(max_size=40).filter(lambda x: "\x00" not in x),
+    seed=st.integers(0, 99),
+)
+def test_portable_hash60_family_cross_engine(s, seed):
+    """The md5-family invariant every portable-LSH oracle rests on:
+    Python hashlib, DuckDB md5, and (by the pinned construction) Spark's
+    md5/conv all agree on h60 = int(md5(pre)[:15hex]) for ANY pre-image.
+    Spark equality is pinned separately on samples in test_dedup (a
+    Spark job per hypothesis example would be too slow); here DuckDB is
+    cross-checked against hashlib exhaustively."""
+    import duckdb
+
+    pre = f"{seed}|{s}"
+    want = int(hashlib.md5(pre.encode()).hexdigest()[:15], 16)
+    got = duckdb.sql(
+        "select cast(('0x' || substr(md5(?), 1, 15)) as bigint)", params=[pre]
+    ).fetchone()[0]
+    assert got == want
+    assert 0 <= want < 1 << 60
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-10, max_value=10
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    h=st.integers(0, 7),
+)
+def test_portable_hyperplane_component_formula(vec, h):
+    """portable_hyperplane (the plan-literal path) must equal the
+    runtime formula (u % 1000003)/1000003 - 0.5 applied to hashlib
+    values — the exact expression the Spark and DuckDB runtime paths
+    evaluate."""
+    from hive_scripts_spark.operators.similarity import portable_hyperplane
+
+    plane = portable_hyperplane(h, len(vec))
+    for i in range(len(vec)):
+        u = int(hashlib.md5(f"{h}|{i}".encode()).hexdigest()[:15], 16)
+        assert plane[i] == (u % 1000003) / 1000003.0 - 0.5
+    assert all(-0.5 <= c <= 0.5 for c in plane)

@@ -179,6 +179,38 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    """Chunk export: overlapping fixed-token windows over documents
+    (the sequence-prep step before embedding / RAG indexing); writes
+    the chunk table as parquet and prints shape stats."""
+    from hive_scripts_spark.operators.textstats import chunk_documents
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-chunk")
+    docs = load_sf_table(spark, args.db, "documents")
+    chunks = chunk_documents(
+        docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    from pyspark.sql import functions as F
+
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .first()
+    )
+    print(
+        f"{stats['n_chunks']} chunks over {stats['n_docs']} docs, "
+        f"{stats['total_tokens']} tokens"
+    )
+    return 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -228,6 +260,15 @@ def main(argv: list[str] | None = None) -> int:
         "against (0 = skip decontamination)",
     )
     c.set_defaults(fn=cmd_curate)
+
+    k = sub.add_parser(
+        "chunk", help="overlapping fixed-token chunk export over documents"
+    )
+    k.add_argument("--db", required=True, help="dir containing documents.parquet")
+    k.add_argument("--output", required=True, help="output parquet directory")
+    k.add_argument("--chunk-tokens", type=int, default=64)
+    k.add_argument("--overlap", type=int, default=16)
+    k.set_defaults(fn=cmd_chunk)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

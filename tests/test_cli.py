@@ -99,3 +99,36 @@ def test_curate_subcommand_writes_parquet_and_report(spark, tmp_path, capsys):
     report = capsys.readouterr().out
     for row in written.groupBy("predicted_lang").count().collect():
         assert f"{row['predicted_lang']}: {row['count']} docs" in report
+
+
+def test_chunk_subcommand_writes_parquet_and_stats(spark, tmp_path, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "chunks"
+    rc = main(
+        [
+            "chunk",
+            "--db",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(out),
+            "--chunk-tokens",
+            "32",
+            "--overlap",
+            "8",
+        ]
+    )
+    assert rc == 0
+    written = spark.read.parquet(str(out))
+    assert set(written.columns) == {"doc_id", "chunk_id", "chunk_text", "n_tokens"}
+    assert written.count() > 0
+    assert written.agg({"n_tokens": "max"}).first()[0] <= 32
+    # every non-empty doc is covered
+    n_docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("length(trim(text)) > 0")
+        .count()
+    )
+    assert written.select("doc_id").distinct().count() == n_docs
+    report = capsys.readouterr().out
+    assert "chunks over" in report

@@ -699,22 +699,35 @@ def near_dup_survivors(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    word_hash=None,
+) -> DataFrame:
+    """``bits``-wide SimHash per document (default 64).
 
-    Each token hashes to 64 bits; bit *i* of the signature is the sign of
-    ``sum over tokens of (bit_i ? +1 : -1)``. Expressed as one projection:
-    the per-bit sums are a fold over the token array (JVM higher-order
-    functions, no UDF, no shuffle)."""
+    Each token hashes to ``bits`` bits; bit *i* of the signature is the
+    sign of ``sum over tokens of (bit_i ? +1 : -1)``. Expressed as one
+    projection: the per-bit sums are a fold over the token array (JVM
+    higher-order functions, no UDF, no shuffle).
+
+    ``word_hash``: column function mapping a token to a long whose low
+    ``bits`` bits feed the signature — defaults to ``xxhash64``
+    (production); the portable twin passes the md5-based family so the
+    whole pipeline replays in DuckDB."""
     # staged: tokenize once, hash each token once, THEN fold bit-sums.
-    # (hashing inside the per-bit extraction would re-run xxhash64 `bits`
+    # (hashing inside the per-bit extraction would re-run the hash `bits`
     # times per token — the expression-duplication trap, see shingle_sets)
+    if word_hash is None:
+        word_hash = F.xxhash64
     toks = df.select(
         F.col(id_col), F.split(normalize_whitespace(text_col), " ").alias("__toks")
     )
     hashed = toks.select(
         F.col(id_col),
-        F.transform(F.col("__toks"), lambda w: F.xxhash64(w)).alias("__h"),
+        F.transform(F.col("__toks"), lambda w: word_hash(w)).alias("__h"),
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
     # `h` is a lambda variable (cheap reference) — the unrolled shiftrights
@@ -745,12 +758,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    bits: int = 64,
+    word_hash=None,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs whose SimHash shares one of 4 rotated
-    16-bit prefixes (standard 64-bit / ≤3-Hamming blocking scheme);
-    verified by exact Hamming distance ≤ 3."""
-    sigs = simhash(df, text_col, id_col)
+    """Candidate near-dup pairs whose SimHash shares one of
+    ``bits // prefix_bits`` rotated prefixes (standard 64-bit /
+    ≤3-Hamming blocking scheme); verified by exact Hamming distance
+    ≤ ``max_hamming``. ``bits``/``word_hash`` thread through to
+    :func:`simhash` (the portable twin narrows to 32-bit md5-family
+    signatures with 8-bit blocks)."""
+    sigs = simhash(df, text_col, id_col, bits=bits, word_hash=word_hash)
     blocks = sigs.select(
         id_col,
         "simhash",
@@ -763,7 +785,7 @@ def simhash_near_pairs(
                         .bitwiseAND(F.lit((1 << prefix_bits) - 1))
                         .alias("key"),
                     )
-                    for k in range(64 // prefix_bits)
+                    for k in range(bits // prefix_bits)
                 ]
             )
         ).alias("bk"),
@@ -778,7 +800,33 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return pairs.select("a_id", "b_id", hamming.alias("hamming")).where(
-        F.col("hamming") <= 3
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`simhash_near_pairs` with the engine-portable md5 word-hash
+    family on a 32-bit signature (8-bit rotated prefix blocks, Hamming
+    ≤ 3 verify) — the whole pipeline replays verbatim in the DuckDB
+    oracle, value-grading the SimHash machinery the same way the
+    portable minhash/hyperplane twins grade theirs. Production stays on
+    the 64-bit xxhash64 form."""
+
+    def word_hash(w):
+        return portable_hash60(F.lit("s"), w) % F.lit(4294967296).cast("long")
+
+    return simhash_near_pairs(
+        df.where(F.length(normalize_whitespace(text_col)) > 0),
+        text_col,
+        id_col,
+        prefix_bits=8,
+        bits=32,
+        word_hash=word_hash,
+        max_hamming=1,
     )
 
 

@@ -152,6 +152,52 @@ def _duck_h60(pre_image: str) -> str:
 
 
 @register(
+    "x_dedup_simhash_portable",
+    oracle=f"""
+    with toks0 as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    ), hashed as (
+      select doc_id,
+             list_transform(ws, w -> {_duck_h60("'s|' || w")} % 4294967296)
+               as hs
+      from toks0
+    ), sums as (
+      -- per-bit sign sum: (#tokens with bit b set)*2 - #tokens
+      select doc_id, b,
+             2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) - len(hs) as s
+      from hashed cross join range(32) bb(b)
+    ), sig as (
+      select doc_id,
+             sum(case when s > 0 then (cast(1 as bigint) << b)
+                      else 0 end) as simhash
+      from sums group by doc_id
+    ), blocks as (
+      select doc_id, simhash, k, (simhash >> (k * 8)) & 255 as key
+      from sig cross join range(4) kk(k)
+    ), cand as (
+      select distinct a.doc_id as a_id, b.doc_id as b_id,
+             a.simhash as a_sig, b.simhash as b_sig
+      from blocks a join blocks b
+        on a.k = b.k and a.key = b.key and a.doc_id < b.doc_id
+    )
+    select a_id, b_id,
+           cast(bit_count(xor(a_sig, b_sig)) as int) as hamming
+    from cand
+    where bit_count(xor(a_sig, b_sig)) <= 1
+    """,
+)
+def x_dedup_simhash_portable(spark, sf_dir):
+    """The SimHash near-dup pipeline with the md5-family word hash on a
+    32-bit signature: token-hash → per-bit sign sums → rotated 8-bit
+    prefix blocking → exact-Hamming(≤1) verify, replayed verbatim in the
+    DuckDB oracle — the value-graded twin of the 64-bit xxhash64
+    production path ``x_dedup_simhash`` (rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs_portable(docs)
+
+
+@register(
     "x_dedup_minhash_portable",
     oracle=f"""
     {_DUCK_SHINGLES},

@@ -122,6 +122,7 @@ FRONT_ORDER: list[str] = [
     "x_events_user_totals",
     "x_doc_polyhash",
     "x_doc_chunk",
+    "x_dedup_simhash_portable",
     # r3 backfills displaced from the r5 window — first post-churn row
     "g_window_lead_lag_ntile",
     "x_dedup_exact",
@@ -163,11 +164,10 @@ FRONT_ORDER: list[str] = [
     "x_ann_ivf_assign",
     "x_ann_ivf_topk",
     "x_multimodal_decode_meta",
-    "x_multimodal_resize",
     "x_events_hourly",
-    # dropped to fit: x_multimodal_audio (r2+r4 greens; its real-parser
-    # sibling x_multimodal_audio_real re-greened in r5) in favor of the
-    # x_doc_chunk first row
+    # dropped to fit: x_multimodal_audio and x_multimodal_resize (both
+    # r2+r4 green; their real-parser siblings re-greened in r5) in favor
+    # of the x_doc_chunk and x_dedup_simhash_portable first rows
 ]
 
 

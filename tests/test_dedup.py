@@ -435,3 +435,13 @@ def test_minhash_portable_jaccard_matches_exact(docs):
     assert set(portable) <= set(exact)  # precision exact: verified candidates
     for k, v in portable.items():
         assert exact[k] == v
+
+
+def test_simhash_portable_finds_near_dups(docs):
+    out = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in D.simhash_near_pairs_portable(docs).collect()
+    }
+    assert out[(0, 1)] == 0  # identical docs: identical signatures
+    assert (0, 4) in out and out[(0, 4)] == 0  # whitespace variant
+    assert all(h <= 1 for h in out.values())

@@ -174,3 +174,19 @@ def test_lsh_portable_literal_planes_match_runtime_hash(vecs):
         ).collect()
     }
     assert literal == runtime
+
+
+def test_quantized_ivf_dequant_evaluated_once(spark):
+    """Regression lock for the r6 inlining trap: the dequantized corpus
+    vector must reach cell assignment as a generator-produced attribute.
+    With the bug, CollapseProject inlines the dequant chain into every
+    per-centroid fold site and array_min appears once per reference in
+    the optimized plan (measured 22s -> 2s at sf0.1)."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    out = S.ivf_topk_quantized(vecs, cents, vecs.where("vec_id < 2"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_min") == 1

@@ -198,3 +198,21 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_repetition_gate_filter_not_pushed_below_fold(spark):
+    """Regression lock for the r6 pushdown trap: a filter on
+    dup_gram_frac must NOT be predicate-pushed below the RLE fold (the
+    generator barrier blocks it). With the bug, pushdown substitutes the
+    whole sort+fold chain into the filter and array_sort appears twice
+    in the optimized plan (measured 8x on the curation gate)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators import textstats as X
+
+    df = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    out = X.repetition_signals(df, keep_cols=["text"]).where(
+        F.col("dup_gram_frac") <= 0.5
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_sort") == 1

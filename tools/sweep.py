@@ -1,0 +1,72 @@
+"""Full-registry timing sweep: run EVERY registered query at a given
+sf_dir and report per-query wall time, slowest-first — the round-over-
+round perf audit that caught the r6 scale-killers (quantized-IVF dequant
+inlining: 22 s, repetition-gate pushdown: 24 s; both now plan-locked in
+tests).
+
+Usage: python tools/sweep.py [sf_dir] [--top N] [--json]
+
+Unlike bench.py (the driver-facing headline contract, byte-comparable
+across rounds), this sweeps the whole registry and is free to grow with
+it. Queries run through the noop sink (full computation, no driver
+transfer); errors are isolated per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--top", type=int, default=15, help="slowest N to print")
+    ap.add_argument("--json", action="store_true", help="dump all timings")
+    args = ap.parse_args()
+
+    from hive_scripts_spark.plans.registry import QUERIES
+    from hive_scripts_spark.session import get_spark
+
+    spark = get_spark("sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm JVM + parquet footers + Python worker pool (not counted)
+    QUERIES["a1_count_star"](spark, args.sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if args.json:
+        print(json.dumps({"sf_dir": args.sf_dir, "times": times, "errors": errors}))
+    else:
+        for name, err in errors.items():
+            print(f"ERR   {name}: {err}")
+        for name, t in sorted(times.items(), key=lambda kv: -kv[1])[: args.top]:
+            print(f"{t:8.2f}  {name}")
+        print(
+            f"total {round(sum(times.values()), 1)} s over {len(times)} queries"
+            + (f", {len(errors)} errors" if errors else "")
+        )
+    spark.stop()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    main()

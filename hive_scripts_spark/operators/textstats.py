@@ -465,3 +465,53 @@ def chunk_documents(
     return staged.select(
         id_col, "chunk_id", F.col("__c.chunk_text"), F.col("__c.n_tokens")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score: per document, the mean
+    negative log2-probability of its tokens under the CORPUS unigram
+    distribution — the classic "perplexity filter" stand-in (docs of
+    improbable tokens score high → candidates for dropping; a trained
+    KenLM swaps in at the same interface).
+
+    Returns ``(id_col, n_tokens, mean_neg_logprob)`` (rounded 6dp).
+
+    Determinism contract (the reason for the shape): the per-doc sum of
+    IEEE doubles depends on summation order, so the token log-probs are
+    reassembled per document IN POSITION ORDER (collect → array_sort →
+    sequential fold) and rounded ONCE at the end — both engines fold the
+    identical sequence, so values match the oracle exactly. A plain
+    ``groupBy().sum()`` would sum in partition order and hash-flake.
+
+    Scale shape: one exchange for the vocab counts (map-side partial),
+    one broadcast of the 1-row total, one (token → term) join keyed on
+    the term — co-partitioned with the counts exchange — and one
+    exchange to reassemble per doc. Vocabulary rides the join, never the
+    plan (no giant map literal).
+    """
+    norm = normalize_whitespace(text_col)
+    toked = df.where(F.length(norm) > 0).select(
+        F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    )
+    counts = toked.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").cast("double").alias("__total"))
+    scored = toked.join(counts, "term").join(F.broadcast(total)).select(
+        id_col,
+        "pos",
+        F.log2(F.col("__c").cast("double") / F.col("__total")).alias("__lp"),
+    )
+    packed = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__lp"))).alias("__seq")
+    )
+    ssum = F.aggregate(
+        F.col("__seq"), F.lit(0.0), lambda acc, s: acc + s["__lp"]
+    )
+    return packed.select(
+        F.col(id_col),
+        F.size("__seq").cast("bigint").alias("n_tokens"),
+        F.round(-ssum / F.size("__seq"), 6).alias("mean_neg_logprob"),
+    )

@@ -1878,6 +1878,44 @@ def x_doc_polyhash(spark, sf_dir):
 
 
 @register(
+    "x_text_unigram_logprob",
+    oracle=f"""
+    with toks0 as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    ), positions as (
+      select doc_id, ws, unnest(range(1, len(ws) + 1)) as pos from toks0
+    ), toks as (
+      select doc_id, pos, ws[pos] as term from positions
+    ), counts as (
+      select term, count(*) as c from toks group by term
+    ), total as (
+      select cast(sum(c) as double) as total from counts
+    ), scored as (
+      select doc_id, pos,
+             log2(cast(c as double) / (select total from total)) as lp
+      from toks join counts using (term)
+    ), packed as (
+      select doc_id, list(lp order by pos) as seq from scored group by doc_id
+    )
+    select doc_id,
+           cast(len(seq) as bigint) as n_tokens,
+           round(-list_reduce(list_prepend(0.0, seq), (a, b) -> a + b)
+                 / len(seq), 6) as mean_neg_logprob
+    from packed
+    """,
+)
+def x_text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (the 'perplexity filter' stand-in): mean
+    negative log2 corpus-unigram probability per document. Token
+    log-probs are reassembled in POSITION order and folded sequentially
+    on both engines, so the float sum is summation-order-deterministic
+    (a bare groupBy().sum() would hash-flake)."""
+    docs = table(spark, sf_dir, "documents")
+    return X.unigram_logprob_score(docs)
+
+
+@register(
     "x_doc_chunk",
     oracle=f"""
     with toks as (

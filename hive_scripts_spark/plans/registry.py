@@ -123,6 +123,7 @@ FRONT_ORDER: list[str] = [
     "x_doc_polyhash",
     "x_doc_chunk",
     "x_dedup_simhash_portable",
+    "x_text_unigram_logprob",
     # r3 backfills displaced from the r5 window — first post-churn row
     "g_window_lead_lag_ntile",
     "x_dedup_exact",
@@ -163,11 +164,11 @@ FRONT_ORDER: list[str] = [
     "a4_stratified_sample",
     "x_ann_ivf_assign",
     "x_ann_ivf_topk",
-    "x_multimodal_decode_meta",
     "x_events_hourly",
-    # dropped to fit: x_multimodal_audio and x_multimodal_resize (both
-    # r2+r4 green; their real-parser siblings re-greened in r5) in favor
-    # of the x_doc_chunk and x_dedup_simhash_portable first rows
+    # dropped to fit: x_multimodal_audio / x_multimodal_resize /
+    # x_multimodal_decode_meta (all r2+r4 green; their real-parser
+    # siblings re-greened in r5) in favor of first rows for x_doc_chunk,
+    # x_dedup_simhash_portable, and x_text_unigram_logprob
 ]
 
 

@@ -216,3 +216,26 @@ def test_repetition_gate_filter_not_pushed_below_fold(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("array_sort") == 1
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from hive_scripts_spark.operators import textstats as X
+
+    # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, total 5
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_neg_logprob"])
+        for r in X.unigram_logprob_score(df).collect()
+    }
+    lp = {t: math.log2(c / 5.0) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    exp0 = round(-(lp["a"] + lp["a"] + lp["b"]) / 3, 6)
+    exp1 = round(-(lp["b"] + lp["c"]) / 2, 6)
+    assert out[0] == (3, exp0)
+    assert out[1] == (2, exp1)
+    assert 2 not in out  # blank doc contributes nothing
+    assert out[1][1] > out[0][1]  # rarer tokens -> higher (worse) score

@@ -41,3 +41,26 @@ def test_front_order_window_invariants():
     # every windowed query is oracled unless documented rows-only
     rows_only = {n for n in FRONT_ORDER if n not in ORACLES}
     assert not rows_only, f"unoracled queries in the graded window: {rows_only}"
+
+
+def test_no_query_emits_nested_output_types(spark):
+    """The driver's canonicalizer (pandas sort_values + value hash)
+    cannot hash list/map/struct cells — that was the r5
+    x_embed_quantize harness ERROR. Lock EVERY registered query to flat
+    scalar output columns (schema-only check: builds each plan, runs
+    nothing)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        hairy = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if hairy:
+            offenders[name] = hairy
+    assert not offenders, offenders

@@ -211,6 +211,62 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """The full training-data production job: curate (dedup →
+    optional decontamination → repetition/quality gates → language-ID)
+    → deterministic shard assignment → per-shard token-budget packing →
+    Hive-partitioned parquet write (``shard=N/`` directories). Every
+    stage is an individually-oracled operator; this chains them into
+    the one command a training run consumes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.functions.canonical import shard_by_hash
+    from hive_scripts_spark.operators.curation import curate_documents
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+    from hive_scripts_spark.sources.sinks import write_partitioned
+
+    spark = get_spark("hive-scripts-spark-export")
+    docs = load_sf_table(spark, args.db, "documents")
+    bench = None
+    corpus = docs
+    if args.bench_mod:
+        bench = docs.where(F.col("doc_id") % args.bench_mod == 0)
+        corpus = docs.where(F.col("doc_id") % args.bench_mod != 0)
+    curated = curate_documents(corpus, bench)
+    sharded = shard_by_hash(curated, ["doc_id"], n_shards=args.shards)
+    # offset packing WITHIN each shard: the window partitions on shard,
+    # so packing parallelizes across shards (an order, not THE order)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = sharded.withColumn(
+        "pack_id", F.floor(offset / float(args.budget)).cast("bigint")
+    )
+    write_partitioned(packed, args.output, ["shard"])
+    stats = (
+        spark.read.parquet(args.output)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    print(f"wrote {args.output}")
+    for row in stats:
+        print(
+            f"shard={row['shard']}: {row['n_docs']} docs, "
+            f"{row['n_tokens']} tokens, {row['n_packs']} packs"
+        )
+    return 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -269,6 +325,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--chunk-tokens", type=int, default=64)
     k.add_argument("--overlap", type=int, default=16)
     k.set_defaults(fn=cmd_chunk)
+
+    e = sub.add_parser(
+        "export",
+        help="curate -> shard -> token-pack -> partitioned training export",
+    )
+    e.add_argument("--db", required=True, help="dir containing documents.parquet")
+    e.add_argument("--output", required=True, help="output parquet directory")
+    e.add_argument("--shards", type=int, default=16)
+    e.add_argument("--budget", type=int, default=512, help="tokens per pack")
+    e.add_argument("--bench-mod", type=int, default=0)
+    e.set_defaults(fn=cmd_export)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

@@ -132,3 +132,57 @@ def test_chunk_subcommand_writes_parquet_and_stats(spark, tmp_path, capsys):
     assert written.select("doc_id").distinct().count() == n_docs
     report = capsys.readouterr().out
     assert "chunks over" in report
+
+
+def test_export_subcommand_full_training_pipeline(spark, tmp_path, capsys):
+    import glob
+
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "export"
+    rc = main(
+        [
+            "export",
+            "--db",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(out),
+            "--shards",
+            "4",
+            "--budget",
+            "128",
+            "--bench-mod",
+            "23",
+        ]
+    )
+    assert rc == 0
+    # Hive-partitioned layout: shard=N directories
+    shard_dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(str(out / "shard=*"))
+    )
+    assert shard_dirs == ["0", "1", "2", "3"]
+    written = spark.read.parquet(str(out))
+    assert {"doc_id", "text", "n_tokens", "predicted_lang", "pack_id"} <= set(
+        written.columns
+    )
+    # deterministic: re-running the export never moves a doc's shard
+    from hive_scripts_spark.functions.canonical import shard_by_hash
+
+    expect = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_hash(
+            written.select("doc_id"), ["doc_id"], n_shards=4
+        ).collect()
+    }
+    got = {r["doc_id"]: r["shard"] for r in written.select("doc_id", "shard").collect()}
+    assert got == expect
+    # pack offsets: pack 0 exists in every shard, ids contiguous from 0
+    for s in range(4):
+        packs = sorted(
+            r["pack_id"]
+            for r in written.where(f"shard = {s}").select("pack_id").distinct().collect()
+        )
+        assert packs == list(range(len(packs)))
+    report = capsys.readouterr().out
+    for s in range(4):
+        assert f"shard={s}:" in report  # per-shard stats printed

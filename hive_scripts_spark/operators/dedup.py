@@ -562,26 +562,44 @@ def minhash_lsh_pairs_portable(
 
     Same scale shape as the production path: signatures fold map-side,
     candidates meet only inside (band, bucket) groups, verify cost is
-    O(candidates). md5 per (seed, shingle) costs ~3× xxhash64 — use
-    :func:`minhash_lsh_pairs` for production corpora.
+    O(candidates). The md5 family costs more than xxhash64 even with
+    the digest-windowing below — use :func:`minhash_lsh_pairs` for
+    production corpora.
     """
     rows_per_band = num_hashes // bands
     sets = shingle_sets(df, text_col, id_col, n)
-    # one md5 per (seed, shingle): the seed loop is Python-side, so each
-    # array_min fold reads the staged `shingles` attribute (no
-    # CollapseProject re-evaluation of the shingle chain)
+    # hash family i = disjoint 8-hex (32-bit) window ⌊i/4⌋·4 of
+    # md5(seed(i) | shingle): md5 bits are uniformly mixed, so disjoint
+    # windows of one digest act as independent uniform draws — 4 hash
+    # functions per md5 call means num_hashes/4 md5s per shingle instead
+    # of num_hashes (measured ~3× on the signature stage). Staged in two
+    # projections so each digest is computed once, then windowed.
+    n_digests = (num_hashes + 3) // 4
+    digests = F.transform(
+        F.col("shingles"),
+        lambda s: F.array(
+            *[
+                F.md5(F.concat_ws("|", F.lit(str(seed)), s))
+                for seed in range(n_digests)
+            ]
+        ),
+    )
+    staged = sets.select(F.col(id_col), "shingles", digests.alias("__dg"))
+    def _window(i):
+        # closure factory keeps the lambda 1-ary: a 2-ary lambda would
+        # receive the ARRAY INDEX as its second argument (pyspark infers
+        # arity), clobbering a captured `i=i` default
+        return lambda d: F.conv(
+            F.substring(d[i // 4], 1 + 8 * (i % 4), 8), 16, 10
+        ).cast("long")
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: portable_hash60(F.lit(str(i)), s),
-                )
-            )
+            F.array_min(F.transform(F.col("__dg"), _window(i)))
             for i in range(num_hashes)
         ]
     )
-    signed = sets.select(F.col(id_col), sig.alias("__sig"))
+    signed = staged.select(F.col(id_col), sig.alias("__sig"))
     buckets = F.array(
         *[
             F.md5(

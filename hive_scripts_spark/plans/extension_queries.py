@@ -202,8 +202,13 @@ def x_dedup_simhash_portable(spark, sf_dir):
     oracle=f"""
     {_DUCK_SHINGLES},
     sig as (
+      -- hash i = 8-hex window (i % 4) of md5(seed (i // 4) | shingle):
+      -- 4 independent 32-bit draws per digest (disjoint windows of a
+      -- uniformly-mixed digest), 2 md5s per shingle instead of 8
       select doc_id, i,
-             min({_duck_h60("cast(i as varchar) || '|' || shingle")}) as mh
+             min(cast(('0x' || substr(
+                   md5(cast(i // 4 as varchar) || '|' || shingle),
+                   1 + 8 * (i % 4), 8)) as bigint)) as mh
       from sh cross join range(8) seeds(i)
       group by doc_id, i
     ), sigarr as (

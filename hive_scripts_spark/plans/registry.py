@@ -106,69 +106,77 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # first post-r4/r5-churn row), then re-grades the head of the r4
 # window in its r4 order (r2+r4 greens → a post-r5-churn third row;
 # x_multimodal_frame_plan dropped in favor of x_events_hourly, whose
-# ts-dtype surface changed in r5). Displaced, each with ≥2 green rows
-# incl. a post-churn one: the entire r5 window (all green r5) and the
-# r4-window tail (r2+r4 greens).
+# ts-dtype surface changed in r5); r7 (this list) is the staleness
+# rotation the r6 verdict prescribed: after the two r7 first-rows
+# (incremental reconcile + streaming-UC#1 batch face — the last modules
+# without driver rows), it grades every oracled query whose latest
+# green row predates r5 — x_embed_normalize (green only in r1!),
+# a1_count_star + g_q12_priority_shipping (r2), then the 21
+# last-green-r4 rows in their r4 artifact order — then the four
+# multimodal real-parser rows (verdict item 5: all 8 multimodal rows
+# graded post-r6-schema-churn), then 20 of the 49 last-green-r5 rows,
+# leading with x_events_sessionize / x_events_session_window (their
+# oracle cumsum tiebreak changed in r6, AFTER their last grade) and
+# favoring x_* extension ops + the widest g_* shapes (percentiles/
+# json/as-of/range/grouping-sets/rollup). Displaced: the whole r6
+# window (all green r6) and 29 r5-green rows with r3+r5 history.
 FRONT_ORDER: list[str] = [
-    # the r5 harness-ERR row, regraded in its new hashable form
-    "x_embed_quantize",
-    # registered after the r5 window cut — first driver row
-    "x_events_hourly_dense",
-    # r6-added oracled queries — first driver rows
-    "x_dedup_minhash_portable",
-    "x_ann_lsh_portable",
-    "x_ann_ivf_topk_quantized",
-    "x_events_replay_dedup",
-    "x_events_user_totals",
-    "x_doc_polyhash",
-    "x_doc_chunk",
-    "x_dedup_simhash_portable",
-    "x_text_unigram_logprob",
-    # r3 backfills displaced from the r5 window — first post-churn row
-    "g_window_lead_lag_ntile",
-    "x_dedup_exact",
-    "x_dedup_fingerprint",
-    "x_ann_brute_topk",
-    "x_dedup_ngram_jaccard",
-    "x_embed_near_dup",
-    "x_text_bpe_token_count",
-    "x_doc_fingerprint",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_token_count",
-    # r4-window head, re-graded after the r5/r6 churn, in r4 order
-    "x_group_cap",
-    "x_dedup_survivors",
-    "x_length_trim",
-    "s2_delimited_reformat",
-    "s5_partition_values",
-    "a2_partition_counts",
-    "j2_count_reconcile",
-    "j1_reconcile_matched",
-    "j2_reconcile_mismatched",
-    "a3_table_fingerprint",
-    "a4_deterministic_sample",
-    "a4_limit_sample",
-    "p2_project_all",
-    "p3_split_first",
-    "p4_partition_filter",
-    "f4_normalize_whitespace",
-    "f3_quote_wrap",
-    "f5_substring",
-    "f6_date_format",
-    "f7_md5",
-    "q1_pricing_summary",
-    "q2_revenue_by_nation",
-    "j_anti_customers_no_pending",
-    "j_semi_nations_with_suppliers",
-    "a4_stratified_sample",
-    "x_ann_ivf_assign",
-    "x_ann_ivf_topk",
-    "x_events_hourly",
-    # dropped to fit: x_multimodal_audio / x_multimodal_resize /
-    # x_multimodal_decode_meta (all r2+r4 green; their real-parser
-    # siblings re-greened in r5) in favor of first rows for x_doc_chunk,
-    # x_dedup_simhash_portable, and x_text_unigram_logprob
+    # r7-added — first driver rows (VERDICT r6 items 3 + 4)
+    "x_incremental_reconcile",
+    "x_stream_reconcile_batch",
+    # stalest oracled rows: last green r1 / r2
+    "x_embed_normalize",
+    "a1_count_star",
+    "g_q12_priority_shipping",
+    # last-green-r4 rows, in their r4 artifact order
+    "x_multimodal_decode_meta",
+    "x_multimodal_resize",
+    "x_multimodal_audio",
+    "x_multimodal_frame_plan",
+    "x_skew_salted_count",
+    "x_row_diff",
+    "x_dedup_components_exact",
+    "x_tfidf",
+    "x_top_terms_per_lang",
+    "x_label_centroids",
+    "x_window_top_orders_per_cust",
+    "x_curation_pipeline",
+    "x_curation_full",
+    "x_profile_table",
+    "x_profile_drift",
+    "f4_regexp_extract",
+    "x_set_ops",
+    "x_token_budget_pack",
+    "x_decontaminate",
+    "x_shard_assign",
+    "x_text_repetition",
+    # multimodal real-parser rows (last green r5; verdict item 5)
+    "x_multimodal_decode_real",
+    "x_multimodal_resize_real",
+    "x_multimodal_audio_real",
+    "x_multimodal_video_meta",
+    # last-green-r5 rows: oracle-changed-post-grade first, then x_*,
+    # then the widest g_* shapes
+    "x_events_sessionize",
+    "x_events_session_window",
+    "x_dedup_lines",
+    "x_decontaminate_substring",
+    "x_data_mixture",
+    "x_events_funnel",
+    "x_events_retention",
+    "x_length_histogram",
+    "x_pii_signals",
+    "x_skew_report",
+    "x_text_entropy",
+    "x_vocab_build",
+    "x_weighted_sample",
+    "g_percentiles",
+    "g_json_agg",
+    "g_json_extract",
+    "g_asof_last_error",
+    "g_range_join",
+    "g_grouping_sets",
+    "g_rollup_pricing",
 ]
 
 

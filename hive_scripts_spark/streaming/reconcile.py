@@ -49,6 +49,25 @@ def as_count_frame(
     )
 
 
+def reconcile_count_frames(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """The per-micro-batch reconcile body, usable on batch frames too.
+
+    Both inputs are in the ``count_reconcile`` contract ``(table_name,
+    partition_spec, row_count)``. The target is restricted to the
+    source's keys (leftsemi on a broadcast of the O(finalized windows)
+    key set) before the full-outer reconcile — in streaming the source
+    batch holds only watermark-finalized windows, so unfinalized windows
+    must not surface as phantom ``target_only`` rows. The batch face
+    (``x_stream_reconcile_batch``) runs this exact function, so the
+    driver row grades the same code path ``foreachBatch`` executes.
+    """
+    keys = src.select("table_name", "partition_spec")
+    tgt_batch = tgt.join(
+        F.broadcast(keys), ["table_name", "partition_spec"], "leftsemi"
+    )
+    return count_reconcile(src, tgt_batch)
+
+
 def streaming_count_reconcile(
     stream_counts: DataFrame,
     target_counts: DataFrame,
@@ -76,11 +95,7 @@ def streaming_count_reconcile(
 
     def reconcile_batch(batch_df: DataFrame, batch_id: int) -> None:
         src = as_count_frame(batch_df, partition_col, table_name)
-        # target rows only for keys this batch finalized (leftsemi), then
-        # the standard full-outer count reconcile on the pair
-        keys = src.select("table_name", "partition_spec")
-        tgt_batch = tgt.join(F.broadcast(keys), ["table_name", "partition_spec"], "leftsemi")
-        reconciled = count_reconcile(src, tgt_batch)
+        reconciled = reconcile_count_frames(src, tgt)
         if on_batch is not None:
             on_batch(reconciled, batch_id)
 

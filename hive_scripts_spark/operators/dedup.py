@@ -497,9 +497,17 @@ def _verify_pairs_jaccard(
     O(candidates) joined rows reassembles both sides' shingle arrays
     (``min`` over {array, NULL} — deterministic, one non-null per
     side). The naïve two-join formulation evaluates the whole
-    tokenize→shingle lineage TWICE — one full corpus pass per join side
-    (measured ~2× the verify cost at sf0.1; candidates are typically
-    tiny, so the extra candidate-keyed exchange here is noise).
+    tokenize→shingle lineage TWICE — one full corpus pass per join
+    side. At local test sizes the two formulations time EQUAL
+    (``tools/verify_ab.py`` same-session medians, candidates cached:
+    0.52 s vs 0.47 s at 5k docs, 0.75 s vs 0.63 s at 20k — the shingle
+    pass is too cheap in-memory for the doubling to show, and the
+    single-pass form pays an extra candidate-keyed exchange). The
+    single-pass form is kept as the default on the SCALE argument, not
+    a measured local win: at lake scale the corpus pass is the
+    dominant cost (I/O + tokenize + shingle over every document), so
+    evaluating it once instead of twice halves the verify stage's
+    heavy work, while the exchange it adds stays O(candidates).
     """
     melted = candidates.select(
         "a_id", "b_id", F.explode(F.array("a_id", "b_id")).alias("__doc")

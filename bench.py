@@ -52,6 +52,14 @@ EXTRA = [
     # map-only chunking pass
     "x_ann_ivf_topk_quantized",
     "x_doc_chunk",
+    # r7-added — compare x_decontaminate_bloom against x_decontaminate
+    # (same answer, plan-literal bitset prefilter vs broadcast join) in
+    # the same run; cross-corpus dedup and the split audit start their
+    # timing series here
+    "x_decontaminate",
+    "x_decontaminate_bloom",
+    "x_dedup_cross",
+    "x_train_val_split",
 ]
 
 

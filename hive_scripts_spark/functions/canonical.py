@@ -273,6 +273,36 @@ def rank_trim(
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_cols: list[str],
+    val_pct: int = 5,
+    test_pct: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from ``md5(key) % buckets`` — the same engine-portable 60-bit
+    md5-prefix idiom as :func:`deterministic_sample` /
+    :func:`shard_by_hash`, so the assignment is a pure function of the
+    row's key: stable across runs, engines, partitionings, and corpus
+    growth (a doc never migrates between splits when new data arrives —
+    the property random splits lose and eval integrity needs).
+
+    Bucket layout: ``[0, buckets-val-test)`` → train, then val, then
+    test. Narrow dependency — no shuffle; the expression pushes into the
+    scan projection.
+    """
+    key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
+    b = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % buckets
+    train_hi = buckets - val_pct - test_pct
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
 def shard_by_hash(
     df: DataFrame, key_cols: list[str], n_shards: int = 16
 ) -> DataFrame:

@@ -894,6 +894,150 @@ def contamination_overlap(
     )
 
 
+def bloom_contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits_per_gram: int = 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """:func:`contamination_overlap` with a **plan-literal Bloom
+    prefilter** — identical results (Bloom filters have no false
+    negatives; false positives die in the exact verify join), different
+    scale posture.
+
+    Shape: ONE tiny Spark job over the small side collects the bench
+    grams with their k raw xxhash64 values; the driver folds them into
+    a literal ``array<bigint>`` bitset (m/8 bytes — a 65k-bit filter is
+    8 KB of plan, vs megabytes for a broadcast hash relation of gram
+    strings) and the grams themselves become the verify join's
+    LocalRelation. The corpus side then probes the bitset with pure
+    WholeStageCodegen arithmetic — no broadcast exchange, no hash
+    relation build per executor — and only the ~``(1-e^(-k/16))^k``
+    (≈2% at the defaults) of grams that pass reach the exact
+    broadcast-verify join. At 100 TB this is the difference between
+    every corpus gram probing a broadcast hash map of strings and
+    every gram doing k integer mod/shift/ANDs map-side.
+
+    The bitset is sized from the observed benchmark gram count
+    (``bits_per_gram`` bits each, rounded up to a power of two, floor
+    8192) — eval sets are small by definition, so the single
+    gram+hash collect is a bounded metadata operation, the same class
+    as the IVF centroid literals (`similarity.py`).
+    """
+    seeds = list(range(num_hashes))
+    # ONE job over the small side: grams AND their raw 64-bit hashes
+    # together — sizing, bitset build, and the verify relation all come
+    # from this single collect. (An earlier formulation ran three
+    # separate bench-side evaluations — a count job, a positions job,
+    # and the verify join's own lineage — and the job overhead made the
+    # whole query ~10x the broadcast path's cost at sf0.1.) Python's %
+    # equals Spark's pmod for positive m, so the driver-side mod and
+    # the probe-side pmod place identical bits.
+    gram_rows = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            *[
+                F.xxhash64(F.lit(s), "shingle").alias(f"h{i}")
+                for i, s in enumerate(seeds)
+            ],
+        )
+        .collect()
+    )
+    n_grams = len(gram_rows)
+    m = max(8192, 1 << (max(1, n_grams * bits_per_gram) - 1).bit_length())
+    words = [0] * (m // 64)
+    for r in gram_rows:
+        for i in range(num_hashes):
+            p = r[i + 1] % m
+            words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold to signed 64-bit LongType literals. The
+    # array is built as ONE parsed SQL expression: `F.array(*[F.lit(w)
+    # for w in ...])` costs a py4j round-trip per element — ~2 s of
+    # pure driver time for a 4096-word bitset, every call — while a
+    # single `expr("array(...)")` parses JVM-side in milliseconds and
+    # constant-folds to the same literal.
+    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.expr("array(" + ",".join(f"{w}L" for w in lits) + ")")
+
+    corpus_grams = shingle_table(corpus, text_col, id_col, n)
+    probe = corpus_grams.select(
+        F.col(id_col),
+        "shingle",
+        bits.alias("__bits"),
+        *[
+            F.pmod(F.xxhash64(F.lit(s), "shingle"), F.lit(m)).alias(f"__p{i}")
+            for i, s in enumerate(seeds)
+        ],
+    )
+    # all k bits set → might-contain (PySpark's shiftleft only takes a
+    # literal shift count; the SQL expression form takes a column)
+    might = F.expr(
+        " AND ".join(
+            f"(element_at(__bits, cast(__p{i} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(__p{i} % 64 as int))) != 0"
+            for i in range(num_hashes)
+        )
+    )
+    candidates = probe.where(might).select(F.col(id_col), "shingle")
+    # exact verify against a LocalRelation of the already-collected
+    # grams — zero recompute of the bench lineage, plain broadcast
+    bench_local = corpus.sparkSession.createDataFrame(
+        [(r[0],) for r in gram_rows], "shingle string"
+    )
+    return (
+        candidates.join(F.broadcast(bench_local), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def cross_corpus_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs in ``new_df`` whose normalized text does NOT already appear
+    in a reference corpus (the already-trained set) — the cross-corpus
+    twin of :func:`exact_dedup`, the first gate when folding a fresh
+    crawl into an existing training mix.
+
+    Scale shape: both corpora are huge, so neither side broadcasts —
+    the anti-join shuffles on TWO independent 64-bit xxhash64 keys of
+    the normalized text (128 bits effective → hash equality IS content
+    equality for any realistic corpus; a single 64-bit key starts
+    colliding at billions of docs by birthday bound). Shipping two
+    bigints per row instead of the text bytes keeps the exchange
+    key-light; the reference side is reduced to distinct hash pairs
+    before the join. Returns ``new_df``'s rows minus the duplicates,
+    original columns intact.
+    """
+    norm = normalize_whitespace(text_col)
+    # stage the normalized text: it feeds BOTH hash keys, and a
+    # single-projection form would inline the regexp chain twice per row
+    # (CollapseProject keeps a multi-referenced non-cheap alias staged)
+    lhs = new_df.select("*", norm.alias("__t")).select(
+        *new_df.columns,
+        F.xxhash64(F.lit(0), "__t").alias("__h1"),
+        F.xxhash64(F.lit(1), "__t").alias("__h2"),
+    )
+    rhs = (
+        ref_df.select(norm.alias("__t"))
+        .select(
+            F.xxhash64(F.lit(0), "__t").alias("__h1"),
+            F.xxhash64(F.lit(1), "__t").alias("__h2"),
+        )
+        .distinct()
+    )
+    return lhs.join(rhs, ["__h1", "__h2"], "left_anti").drop("__h1", "__h2")
+
+
 def contamination_substring(
     corpus: DataFrame,
     benchmark_snippets: DataFrame,

@@ -2659,3 +2659,116 @@ def x_stream_reconcile_batch(spark, sf_dir):
         "event_type",
     )
     return reconcile_count_frames(src, tgt)
+
+
+# ---------------------------------------------------------------------------
+# r7 additions: bloom-prefiltered decontamination, cross-corpus dedup,
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_decontaminate_bloom",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws from documents
+    ), sh as (
+      select doc_id,
+             unnest(list_distinct([
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, greatest(len(ws) - 1, 1))
+             ])) as shingle
+      from toks where len(ws) >= 3
+    ), bench as (
+      select distinct shingle from sh where doc_id % 23 = 0
+    )
+    select s.doc_id, count(*) as n_shared_grams
+    from sh s join bench b on s.shingle = b.shingle
+    where s.doc_id % 23 <> 0
+    group by s.doc_id
+    """,
+)
+def x_decontaminate_bloom(spark, sf_dir):
+    """`x_decontaminate` through the plan-literal Bloom-prefilter path
+    (`operators/dedup.py bloom_contamination_overlap`): the benchmark
+    gram set folds into a literal bitset probed with map-side integer
+    arithmetic, and only the ~2% of corpus grams that might-contain
+    reach the exact broadcast-verify join. Bloom filters have no false
+    negatives and the verify is exact, so the ORACLE IS THE SAME SQL as
+    the broadcast-join path — the filter changes the plan, never the
+    answer (and the driver row proves exactly that)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return D.bloom_contamination_overlap(corpus, bench)
+
+
+_NORM_OF = _NORM.replace("text", "{q}.text")
+
+
+@register(
+    "x_dedup_cross",
+    oracle=f"""
+    select d.doc_id, d.lang, d.source
+    from documents d
+    where not exists (
+        select 1 from documents r
+        where r.doc_id % 10 = 0
+          and {_NORM_OF.format(q='r')} = {_NORM_OF.format(q='d')}
+      )
+    """,
+)
+def x_dedup_cross(spark, sf_dir):
+    """Cross-corpus exact dedup (`operators/dedup.py
+    cross_corpus_dedup`): the full table plays the fresh crawl, the
+    ``doc_id % 10 == 0`` slice the already-trained reference corpus —
+    so the ~10% overlap is deterministically present and the operator
+    visibly drops it (the synthetic table has no naturally duplicated
+    texts). The anti-join shuffles two independent xxhash64 keys (128
+    bits effective — hash equality is content equality at any realistic
+    corpus size) instead of text bytes; the oracle anti-joins on the
+    normalized text itself, so the driver row also certifies the
+    hash-pair identity assumption at this scale."""
+    docs = table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return D.cross_corpus_dedup(docs, ref).select("doc_id", "lang", "source")
+
+
+@register(
+    "x_train_val_split",
+    oracle="""
+    with assigned as (
+      select lang, n_chars,
+             cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+                  as bigint) % 100 as b
+      from documents
+    )
+    select case when b < 90 then 'train'
+                when b < 95 then 'val'
+                else 'test' end as split,
+           lang,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from assigned
+    group by 1, 2
+    """,
+)
+def x_train_val_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment audit
+    (`functions/canonical.py train_val_test_split`): split sizes per
+    language, with the same engine-portable md5-prefix bucket idiom as
+    shard/sample — a doc's split is a pure function of its id, so
+    re-runs, engine swaps, and corpus growth never migrate a document
+    across the eval boundary. Zero-shuffle assignment; the only
+    exchange is this audit's groupBy."""
+    from hive_scripts_spark.functions.canonical import train_val_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, ["doc_id"], val_pct=5, test_pct=5)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -445,3 +445,54 @@ def test_simhash_portable_finds_near_dups(docs):
     assert out[(0, 1)] == 0  # identical docs: identical signatures
     assert (0, 4) in out and out[(0, 4)] == 0  # whitespace variant
     assert all(h <= 1 for h in out.values())
+
+
+def test_bloom_contamination_matches_broadcast_path(spark, docs):
+    """Bloom prefilter must be invisible in the RESULT: no false
+    negatives by construction, false positives killed by the exact
+    verify join. Run it at a deliberately awful sizing (1 bit/gram,
+    1 hash -> high false-positive rate) and it still has to agree with
+    the plain broadcast-join path."""
+    bench = docs.where(F.col("doc_id").isin(0))
+    corpus = docs.where(~F.col("doc_id").isin(0))
+    plain = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in D.contamination_overlap(corpus, bench).collect()
+    }
+    for bpg, k in ((16, 4), (1, 1)):
+        bloomed = {
+            (r["doc_id"], r["n_shared_grams"])
+            for r in D.bloom_contamination_overlap(
+                corpus, bench, bits_per_gram=bpg, num_hashes=k
+            ).collect()
+        }
+        assert bloomed == plain, (bpg, k)
+    # sanity on the fixture: dup + near-dup + ws-variant share grams,
+    # the unrelated doc doesn't
+    ids = {d for d, _ in plain}
+    assert {1, 2, 4} <= ids and 3 not in ids
+
+
+def test_bloom_empty_benchmark_flags_nothing(spark, docs):
+    bench = docs.where(F.lit(False))
+    assert D.bloom_contamination_overlap(docs, bench).count() == 0
+
+
+def test_cross_corpus_dedup_drops_normalized_matches(spark, docs):
+    ref = spark.createDataFrame(
+        [(100, BASE), (101, "brand new reference-only text")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in D.cross_corpus_dedup(docs, ref).collect()}
+    # 0, 1 (exact) and 4 (whitespace variant -> same normalized text)
+    # are already in the reference corpus; NEAR and FAR are not
+    assert kept == {2, 3}
+
+
+def test_cross_corpus_dedup_keeps_columns_and_is_stable(spark, docs):
+    ref = docs.where(F.col("doc_id") == 3)
+    out = D.cross_corpus_dedup(docs, ref)
+    assert set(out.columns) == {"doc_id", "text"}
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in D.cross_corpus_dedup(docs, ref).collect()}
+    assert a == b == {0, 1, 2, 4}

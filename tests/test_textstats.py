@@ -239,3 +239,30 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1] == (2, exp1)
     assert 2 not in out  # blank doc contributes nothing
     assert out[1][1] > out[0][1]  # rarer tokens -> higher (worse) score
+
+
+def test_train_val_test_split_deterministic_and_exhaustive(spark):
+    from hive_scripts_spark.functions.canonical import train_val_test_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = train_val_test_split(df, ["doc_id"], val_pct=5, test_pct=5)
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # hash-uniform: each bucket within 3x of its expectation
+    assert abs(counts["train"] - 1800) < 150
+    assert 20 < counts["val"] < 300 and 20 < counts["test"] < 300
+    # pure function of the key: a second run and a different
+    # partitioning assign every row identically
+    again = train_val_test_split(
+        df.repartition(7), ["doc_id"], val_pct=5, test_pct=5
+    )
+    diff = out.alias("a").join(
+        again.alias("b"), "doc_id"
+    ).where("a.split <> b.split").count()
+    assert diff == 0

@@ -490,41 +490,36 @@ def _verify_pairs_jaccard(
     candidates: DataFrame, sets: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verify of ``(a_id, b_id)`` candidate pairs against
-    ``sets = (id_col, shingles)`` in ONE corpus pass.
+    ``sets = (id_col, shingles)``: two id-keyed joins attach each
+    side's shingle array, then one in-row intersect/union fold.
 
-    The candidate pair list is melted to (a_id, b_id, doc_id) rows and
-    broadcast onto a SINGLE scan of ``sets``; a groupBy over the
-    O(candidates) joined rows reassembles both sides' shingle arrays
-    (``min`` over {array, NULL} — deterministic, one non-null per
-    side). The naïve two-join formulation evaluates the whole
-    tokenize→shingle lineage TWICE — one full corpus pass per join
-    side. At local test sizes the two formulations time EQUAL
-    (``tools/verify_ab.py`` same-session medians, candidates cached:
-    0.52 s vs 0.47 s at 5k docs, 0.75 s vs 0.63 s at 20k — the shingle
-    pass is too cheap in-memory for the doubling to show, and the
-    single-pass form pays an extra candidate-keyed exchange). The
-    single-pass form is kept as the default on the SCALE argument, not
-    a measured local win: at lake scale the corpus pass is the
-    dominant cost (I/O + tokenize + shingle over every document), so
-    evaluating it once instead of twice halves the verify stage's
-    heavy work, while the exchange it adds stays O(candidates).
+    Formulation history (r6→r7): a "single-pass" variant melted the
+    pairs onto one scan of ``sets`` and reassembled both arrays with a
+    pair-keyed groupBy, on the theory that evaluating the
+    tokenize→shingle lineage once instead of twice must win. The
+    same-session A/B (``tools/verify_ab.py``) falsified it at every
+    size: equal at 5k docs (0.52 vs 0.47 s) and 20k (0.75 vs 0.63 s),
+    and **3.7× slower at 80k docs / 665k candidates** (16.0 vs 4.4 s)
+    — the melt's extra pair-keyed exchange ships a shingle-array copy
+    per (pair, side) row, which is exactly the O(candidates × array)
+    traffic the theory ignored, while the two-join form lets AQE
+    broadcast ``sets`` (no shuffle at all at sf0.1: 1 exchange total in
+    the executed plan) or, above broadcast size, shuffle arrays once
+    per side. Measurements over theory: the two-join form is the
+    default.
+
+    NO broadcast hints anywhere in the verify: a pathological corpus
+    (degenerate buckets, heavy boilerplate) can emit millions of
+    candidates, and a forced broadcast then OOMs — observed live on
+    the 16×-duplicated 80k-doc A/B corpus. AQE's runtime size check
+    picks BHJ when safe and degrades to a shuffle join when not.
     """
-    melted = candidates.select(
-        "a_id", "b_id", F.explode(F.array("a_id", "b_id")).alias("__doc")
-    )
-    joined = sets.toDF("__sid", "__sh").join(
-        F.broadcast(melted), F.col("__sid") == F.col("__doc")
-    )
-    paired = joined.groupBy("a_id", "b_id").agg(
-        F.min(F.when(F.col("__doc") == F.col("a_id"), F.col("__sh"))).alias(
-            "a_sh"
-        ),
-        F.min(F.when(F.col("__doc") == F.col("b_id"), F.col("__sh"))).alias(
-            "b_sh"
-        ),
-    )
+    a_side = sets.toDF("a_id", "a_sh")
+    b_side = sets.toDF("b_id", "b_sh")
     return (
-        paired.select(
+        candidates.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .select(
             "a_id",
             "b_id",
             F.round(

@@ -2558,10 +2558,15 @@ def x_incremental_reconcile(spark, sf_dir):
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
+    # repartition on the partition column first: a straight
+    # partitionBy write fans out to (input splits × partition values)
+    # files (~192 here — small-files pathology the module's own
+    # small_file_report exists to flag); this way each partition
+    # directory gets one file per side
     for side in ("src", "tgt"):
-        orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
-            str(scratch / side / "orders")
-        )
+        orders.repartition("o_orderstatus").write.partitionBy(
+            "o_orderstatus"
+        ).mode("overwrite").parquet(str(scratch / side / "orders"))
 
     def snapshot(side: str):
         # pin the manifest's rows NOW (DataFrames are lazy — a live
@@ -2575,7 +2580,7 @@ def x_incremental_reconcile(spark, sf_dir):
     perturbed = orders.where(
         (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 31 != 0)
     ).drop("o_orderstatus")
-    perturbed.write.mode("overwrite").parquet(
+    perturbed.coalesce(1).write.mode("overwrite").parquet(
         str(scratch / "tgt" / "orders" / "o_orderstatus=F")
     )
 

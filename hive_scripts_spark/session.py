@@ -34,6 +34,19 @@ def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -
     """
     builder = (
         SparkSession.builder.appName(app_name)
+        # local-mode JVM heap: Spark's default is 1g, shared by the
+        # driver AND all local[N] task threads — 32 concurrent tasks in
+        # one gigabyte is the first thing that falls over on any
+        # join/agg with real fan-out (observed: heap OOM on an 80k-doc
+        # near-dup A/B while the box sat on >100 GiB free). Only
+        # effective for the process's FIRST session (the JVM is already
+        # up afterwards — ignored then, harmless); the external
+        # driver's vanilla session keeps its own defaults, which its
+        # sf0.01 workload fits comfortably.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,22 +1,25 @@
 """Same-sweep A/B for the minhash candidate-verify formulations
-(VERDICT r6 item 6).
+(VERDICT r6 item 6 — and the measurement that DECIDED the default).
 
 Compares, in ONE session with alternating reps (load-robust ratios, not
 cross-session absolutes):
 
-* A — single-pass verify (`_verify_pairs_jaccard`): candidates melted
-  and broadcast onto ONE scan of the shingle-set lineage;
-* B — two-lineage verify: the naive `join(sets as a).join(sets as b)`,
-  which evaluates the tokenize→shingle corpus pass once per join side.
+* "single" — the retired r6 melt formulation (kept INLINE here for the
+  comparison): candidates melted to (pair, side) rows onto one scan of
+  the shingle-set lineage, arrays reassembled by a pair-keyed groupBy;
+* "two"    — the two-join verify (`_verify_pairs_jaccard`, the current
+  default): `join(sets as a).join(sets as b)`.
 
-Both run the identical upstream (signature → band → candidate) plan, so
-the per-rep delta isolates the verify stage. Usage::
+Result (this box, candidates cached so reps isolate the verify stage):
+equal at 5k docs (0.52 vs 0.47 s) and 20k (0.75 vs 0.63 s); melt is
+3.7× SLOWER at 80k docs / 665k candidates (16.0 vs 4.4 s) — its extra
+pair-keyed exchange ships one shingle-array copy per (pair, side) row.
+Hence the r7 revert to the two-join form. Usage::
 
     python tools/verify_ab.py [sf_dir] [reps] [dup_factor]
 
-``dup_factor`` unions N shifted copies of the corpus to scale the
-effect with document count (the win grows with corpus size — the stage
-that differs is a full corpus scan).
+``dup_factor`` unions N shifted copies of the corpus to scale candidate
+volume (identical copies land in the same buckets).
 """
 
 from __future__ import annotations
@@ -80,23 +83,33 @@ def main() -> None:
     )
     sets = shingle_sets(df, "text", "doc_id", 3)
 
-    single = _verify_pairs_jaccard(candidates, sets, "doc_id", 0.5)
-    a_side = sets.toDF("a_id", "a_sh")
-    b_side = sets.toDF("b_id", "b_sh")
-    two = (
-        candidates.join(a_side, "a_id")
-        .join(b_side, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-                / F.size(F.array_union("a_sh", "b_sh")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.5)
+    # the retired melt formulation, inline (no broadcast hint)
+    melted = candidates.select(
+        "a_id", "b_id", F.explode(F.array("a_id", "b_id")).alias("__doc")
     )
+    paired = (
+        sets.toDF("__sid", "__sh")
+        .join(melted, F.col("__sid") == F.col("__doc"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.min(
+                F.when(F.col("__doc") == F.col("a_id"), F.col("__sh"))
+            ).alias("a_sh"),
+            F.min(
+                F.when(F.col("__doc") == F.col("b_id"), F.col("__sh"))
+            ).alias("b_sh"),
+        )
+    )
+    single = paired.select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size(F.array_union("a_sh", "b_sh")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.5)
+    two = _verify_pairs_jaccard(candidates, sets, "doc_id", 0.5)
     n_pairs = single.count()  # warm both lineages' inputs once
 
     def run(plan) -> float:

@@ -16,6 +16,11 @@ from hive_scripts_spark.operators import dedup as D
 from hive_scripts_spark.operators import multimodal as M
 from hive_scripts_spark.operators import similarity as S
 from hive_scripts_spark.operators import textstats as X
+from hive_scripts_spark.plans.oracle_helpers import (
+    duck_canonical_row,
+    duck_fingerprint,
+    duck_hash_bucket,
+)
 from hive_scripts_spark.plans.registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -2506,6 +2511,55 @@ def x_length_trim(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _incremental_demo(spark, sf_dir: str, subdir: str):
+    """Shared materialization for the incremental driver rows: a
+    Hive-partitioned copy of ``orders`` (by ``o_orderstatus``) on both
+    sides of a repo-local scratch dir, both manifests pinned as
+    "previous state", then ONE target partition rewritten with the
+    deterministic perturbation (drop ``o_orderkey % 31 == 0`` from
+    ``o_orderstatus=F``). Returns ``(src_dir, tgt_dir, prev_src,
+    prev_tgt)``. The output of anything computed downstream is a pure
+    function of ``orders`` — no filesystem state reaches the grade."""
+    import shutil
+    from pathlib import Path
+
+    from hive_scripts_spark.operators.incremental import file_manifest
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    scratch = Path(__file__).resolve().parents[2] / ".scratch" / f"{subdir}_{tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    # repartition on the partition column first: a straight
+    # partitionBy write fans out to (input splits × partition values)
+    # files (~192 here — small-files pathology the module's own
+    # small_file_report exists to flag); this way each partition
+    # directory gets one file per side
+    for side in ("src", "tgt"):
+        orders.repartition("o_orderstatus").write.partitionBy(
+            "o_orderstatus"
+        ).mode("overwrite").parquet(str(scratch / side / "orders"))
+
+    def snapshot(side: str):
+        # pin the manifest's rows NOW (DataFrames are lazy — a live
+        # manifest would list the post-perturbation files)
+        mf = file_manifest(spark, str(scratch / side / "orders"), ["o_orderstatus"])
+        return spark.createDataFrame(mf.collect(), mf.schema)
+
+    prev_src, prev_tgt = snapshot("src"), snapshot("tgt")
+
+    # the "new data arrived" event: one target partition rewritten
+    perturbed = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 31 != 0)
+    ).drop("o_orderstatus")
+    perturbed.coalesce(1).write.mode("overwrite").parquet(
+        str(scratch / "tgt" / "orders" / "o_orderstatus=F")
+    )
+    return str(scratch / "src"), str(scratch / "tgt"), prev_src, prev_tgt
+
+
 @register(
     "x_incremental_reconcile",
     oracle="""
@@ -2543,55 +2597,77 @@ def x_incremental_reconcile(spark, sf_dir):
     (``verizon_automation_script.sh:104-183``); this is the 100 TB
     shape: O(files) metadata listing, rescan only what changed.
     """
-    import shutil
-    from pathlib import Path
-
     from hive_scripts_spark.operators.incremental import (
-        file_manifest,
         incremental_count_reconcile,
     )
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    scratch = Path(__file__).resolve().parents[2] / ".scratch" / f"incr_{tag}"
-    shutil.rmtree(scratch, ignore_errors=True)
-
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus"
+    src_dir, tgt_dir, prev_src, prev_tgt = _incremental_demo(
+        spark, sf_dir, "incr"
     )
-    # repartition on the partition column first: a straight
-    # partitionBy write fans out to (input splits × partition values)
-    # files (~192 here — small-files pathology the module's own
-    # small_file_report exists to flag); this way each partition
-    # directory gets one file per side
-    for side in ("src", "tgt"):
-        orders.repartition("o_orderstatus").write.partitionBy(
-            "o_orderstatus"
-        ).mode("overwrite").parquet(str(scratch / side / "orders"))
-
-    def snapshot(side: str):
-        # pin the manifest's rows NOW (DataFrames are lazy — a live
-        # manifest would list the post-perturbation files)
-        mf = file_manifest(spark, str(scratch / side / "orders"), ["o_orderstatus"])
-        return spark.createDataFrame(mf.collect(), mf.schema)
-
-    prev_src, prev_tgt = snapshot("src"), snapshot("tgt")
-
-    # the "new data arrived" event: one target partition rewritten
-    perturbed = orders.where(
-        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 31 != 0)
-    ).drop("o_orderstatus")
-    perturbed.coalesce(1).write.mode("overwrite").parquet(
-        str(scratch / "tgt" / "orders" / "o_orderstatus=F")
-    )
-
     reconciled, _, _ = incremental_count_reconcile(
         spark,
-        str(scratch / "src"),
-        str(scratch / "tgt"),
+        src_dir,
+        tgt_dir,
         "orders",
         ["o_orderstatus"],
         prev_src_manifest=prev_src,
         prev_tgt_manifest=prev_tgt,
+    )
+    return reconciled
+
+
+@register(
+    "x_incremental_fingerprint",
+    oracle=f"""
+    with base as (
+      select o_orderkey, o_orderstatus from orders
+      where o_orderstatus = 'F'
+        and {duck_hash_bucket("cast(o_orderkey as varchar)")} < 100
+    ), src as (
+      select {duck_fingerprint(duck_canonical_row([("o_orderkey", "int"), ("o_orderstatus", "str")]))} as f
+      from base
+    ), tgt as (
+      select {duck_fingerprint(duck_canonical_row([("o_orderkey", "int"), ("o_orderstatus", "str")]))} as f
+      from base where o_orderkey % 31 <> 0
+    )
+    select 'orders' as table_name,
+           'o_orderstatus=F' as partition_spec,
+           src.f as src_fingerprint,
+           tgt.f as tgt_fingerprint,
+           case when src.f is not distinct from tgt.f
+                then 'consistent' else 'inconsistent' end as status
+    from src, tgt
+    """,
+)
+def x_incremental_fingerprint(spark, sf_dir):
+    """Manifest-diff incremental UC#2 (`operators/incremental.py
+    incremental_fingerprint_reconcile`) — the sampled-content
+    companion of `x_incremental_reconcile`, sharing its
+    materialization: only the rewritten ``o_orderstatus=F`` partition
+    is re-fingerprinted (deterministic 10% hash-mod sample, portable
+    md5 modular-sum fingerprint), so the output is that partition's
+    consistency verdict. The oracle replays sample + fingerprint on
+    both sides straight from ``orders`` — same-sample-rows property of
+    the hash-mod sampler is what makes the incremental verdict
+    directly comparable to a full run's (and to an independent
+    engine's)."""
+    from hive_scripts_spark.operators.incremental import (
+        incremental_fingerprint_reconcile,
+    )
+
+    src_dir, tgt_dir, prev_src, prev_tgt = _incremental_demo(
+        spark, sf_dir, "incrfp"
+    )
+    reconciled, _, _ = incremental_fingerprint_reconcile(
+        spark,
+        src_dir,
+        tgt_dir,
+        "orders",
+        ["o_orderstatus"],
+        key_cols=["o_orderkey"],
+        prev_src_manifest=prev_src,
+        prev_tgt_manifest=prev_tgt,
+        fraction=0.10,
     )
     return reconciled
 

@@ -173,15 +173,16 @@ FRONT_ORDER: list[str] = [
     "g_percentiles",
     "g_json_agg",
     "g_json_extract",
-    "g_asof_last_error",
     # r7-added operators — first driver rows (bloom-prefilter
-    # decontamination, cross-corpus dedup, train/val/test split); they
-    # take the last three discretionary r5-refresh slots (g_range_join /
+    # decontamination, cross-corpus dedup, train/val/test split,
+    # incremental UC#2); they take the last four discretionary
+    # r5-refresh slots (g_asof_last_error / g_range_join /
     # g_grouping_sets / g_rollup_pricing keep their r3+r5 greens, which
     # already satisfy the >=r5 freshness bar)
     "x_decontaminate_bloom",
     "x_dedup_cross",
     "x_train_val_split",
+    "x_incremental_fingerprint",
 ]
 
 

@@ -234,11 +234,35 @@ def cmd_export(args: argparse.Namespace) -> int:
         bench = docs.where(F.col("doc_id") % args.bench_mod == 0)
         corpus = docs.where(F.col("doc_id") % args.bench_mod != 0)
     curated = curate_documents(corpus, bench)
+    part_cols = ["shard"]
+    if getattr(args, "splits", ""):
+        # hash-stable eval boundary BEFORE sharding: a doc's split is a
+        # pure function of its id, so re-exports never migrate a doc
+        # across train/val/test (and packing below stays per-(split,
+        # shard) — eval packs never interleave with train packs)
+        from hive_scripts_spark.functions.canonical import train_val_test_split
+
+        try:
+            train_pct, val_pct, test_pct = (
+                int(p) for p in args.splits.split(",")
+            )
+        except ValueError as exc:
+            raise SystemExit(
+                f"--splits wants 'train,val,test' integer percentages, "
+                f"got {args.splits!r}"
+            ) from exc
+        if train_pct + val_pct + test_pct != 100:
+            raise SystemExit("--splits percentages must sum to 100")
+        curated = train_val_test_split(
+            curated, ["doc_id"], val_pct=val_pct, test_pct=test_pct
+        )
+        part_cols = ["split", "shard"]
     sharded = shard_by_hash(curated, ["doc_id"], n_shards=args.shards)
-    # offset packing WITHIN each shard: the window partitions on shard,
-    # so packing parallelizes across shards (an order, not THE order)
+    # offset packing WITHIN each (split,) shard: the window partitions
+    # on the output partition columns, so packing parallelizes across
+    # shards (an order, not THE order)
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*part_cols)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -246,22 +270,23 @@ def cmd_export(args: argparse.Namespace) -> int:
     packed = sharded.withColumn(
         "pack_id", F.floor(offset / float(args.budget)).cast("bigint")
     )
-    write_partitioned(packed, args.output, ["shard"])
+    write_partitioned(packed, args.output, part_cols)
     stats = (
         spark.read.parquet(args.output)
-        .groupBy("shard")
+        .groupBy(*part_cols)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             (F.max("pack_id") + 1).alias("n_packs"),
         )
-        .orderBy("shard")
+        .orderBy(*part_cols)
         .collect()
     )
     print(f"wrote {args.output}")
     for row in stats:
+        spec = "/".join(f"{c}={row[c]}" for c in part_cols)
         print(
-            f"shard={row['shard']}: {row['n_docs']} docs, "
+            f"{spec}: {row['n_docs']} docs, "
             f"{row['n_tokens']} tokens, {row['n_packs']} packs"
         )
     return 0
@@ -335,6 +360,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--shards", type=int, default=16)
     e.add_argument("--budget", type=int, default=512, help="tokens per pack")
     e.add_argument("--bench-mod", type=int, default=0)
+    e.add_argument(
+        "--splits",
+        default="",
+        help="train/val/test percentages, e.g. '90,5,5' — adds a "
+        "deterministic hash-stable `split` column and partitions the "
+        "output by (split, shard)",
+    )
     e.set_defaults(fn=cmd_export)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")

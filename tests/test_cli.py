@@ -186,3 +186,79 @@ def test_export_subcommand_full_training_pipeline(spark, tmp_path, capsys):
     report = capsys.readouterr().out
     for s in range(4):
         assert f"shard={s}:" in report  # per-shard stats printed
+
+
+def test_export_with_splits_partitions_and_boundaries(spark, tmp_path):
+    import glob
+
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "export_splits"
+    rc = main(
+        [
+            "export",
+            "--db",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(out),
+            "--shards",
+            "2",
+            "--budget",
+            "128",
+            "--splits",
+            "80,10,10",
+        ]
+    )
+    assert rc == 0
+    # layout: split=S/shard=N directories
+    split_dirs = sorted(
+        p.rsplit("=", 1)[-1] for p in glob.glob(str(out / "split=*"))
+    )
+    assert split_dirs == ["test", "train", "val"]
+    written = spark.read.parquet(str(out))
+    # the split is the hash-stable assignment — identical to calling the
+    # operator directly on the written ids
+    from hive_scripts_spark.functions.canonical import train_val_test_split
+
+    expect = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            written.select("doc_id"), ["doc_id"], val_pct=10, test_pct=10
+        ).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in written.select("doc_id", "split").collect()}
+    assert got == expect
+    # pack ids are contiguous from 0 within every (split, shard)
+    from pyspark.sql import functions as F
+
+    packs = (
+        written.groupBy("split", "shard")
+        .agg(
+            F.min("pack_id").alias("lo"),
+            F.max("pack_id").alias("hi"),
+            F.countDistinct("pack_id").alias("n"),
+        )
+        .collect()
+    )
+    for r in packs:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1, r
+
+
+def test_export_rejects_bad_splits(tmp_path):
+    import pytest
+
+    from hive_scripts_spark.__main__ import main
+
+    for bad in ("90,5", "banana", "50,30,10"):
+        with pytest.raises(SystemExit):
+            main(
+                [
+                    "export",
+                    "--db",
+                    "/root/testdata/sf0.001",
+                    "--output",
+                    str(tmp_path / "x"),
+                    "--splits",
+                    bad,
+                ]
+            )

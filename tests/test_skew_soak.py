@@ -267,3 +267,43 @@ def test_events_hourly_dense_zero_fills_silent_hours(spark):
         }
     # spine covers hours 0..3 inclusive, with explicit zeros for 1 and 2
     assert got == {0: 2, 1: 0, 2: 0, 3: 1}
+
+
+def test_minhash_lsh_soak_on_cloned_corpus(spark):
+    """Scale-shaped correctness: 4 shifted clones of every sf0.001 doc
+    (2k docs) must each pair with their 3 clones at jaccard 1.0 — a
+    corpus where the EXPECTED pair set is provable and candidate volume
+    is far above the normal near-dup rate (this shape is what OOM'd the
+    forced-broadcast verify formulation; see _verify_pairs_jaccard)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clones = docs
+    for i in range(1, 4):
+        clones = clones.unionByName(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * i).alias("doc_id"), "text"
+            )
+        )
+    pairs = minhash_lsh_pairs(clones, parallelism=32).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    perfect = {
+        (r["a_id"], r["b_id"], r["jaccard"]) for r in pairs if r["jaccard"] == 1.0
+    }
+    n_docs = docs.count()
+    # every clone pair must be found (no false negatives within a bucket
+    # family: identical docs share every band) = C(4,2) per base doc
+    base_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expected_clone_pairs = {
+        tuple(sorted((b + 10_000_000 * i, b + 10_000_000 * j)))
+        for b in base_ids
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    missing = expected_clone_pairs - got
+    assert not missing, f"{len(missing)} clone pairs missing of {len(expected_clone_pairs)}"
+    assert len(perfect) >= 6 * n_docs

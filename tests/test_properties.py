@@ -195,3 +195,72 @@ def test_portable_hyperplane_component_formula(vec, h):
         u = int(hashlib.md5(f"{h}|{i}".encode()).hexdigest()[:15], 16)
         assert plane[i] == (u % 1000003) / 1000003.0 - 0.5
     assert all(-0.5 <= c <= 0.5 for c in plane)
+
+
+text_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.text(
+            alphabet=st.sampled_from("ab \t\r"), min_size=0, max_size=24
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda r: r[0],
+)
+
+
+@SMALL
+@given(rows=text_rows, ref_mod=st.integers(min_value=2, max_value=5))
+def test_cross_corpus_dedup_partition_property(spark, rows, ref_mod):
+    """kept = exactly the docs whose NORMALIZED text has no match in the
+    reference corpus — for any text (incl. whitespace-only variants and
+    empties) and any reference slice."""
+    from hive_scripts_spark.operators.dedup import cross_corpus_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.where(f"doc_id % {ref_mod} = 0")
+    kept = {r["doc_id"] for r in cross_corpus_dedup(df, ref).collect()}
+
+    def norm(t):
+        import re
+
+        return re.sub(r"\s+", " ", t.replace("\r", "")).strip()
+
+    ref_norms = {norm(t) for i, t in rows if i % ref_mod == 0}
+    expect = {i for i, t in rows if norm(t) not in ref_norms}
+    assert kept == expect
+
+
+@SMALL
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    val=st.integers(min_value=0, max_value=20),
+    test=st.integers(min_value=0, max_value=20),
+)
+def test_train_val_test_split_total_property(spark, ids, val, test):
+    """Splits are exhaustive, mutually exclusive, and agree with the
+    portable md5 bucket formula row-by-row for ANY (val, test) choice."""
+    from hive_scripts_spark.functions.canonical import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            df, ["doc_id"], val_pct=val, test_pct=test
+        ).collect()
+    }
+    assert set(out) == set(ids)
+    for i in ids:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        expect = (
+            "train"
+            if b < 100 - val - test
+            else ("val" if b < 100 - test else "test")
+        )
+        assert out[i] == expect, (i, b)

@@ -46,6 +46,13 @@ AUDITED = [
     "x_group_cap",
     "x_dedup_survivors",
     "x_length_trim",
+    # r7 additions
+    "x_incremental_reconcile",
+    "x_incremental_fingerprint",
+    "x_stream_reconcile_batch",
+    "x_decontaminate_bloom",
+    "x_dedup_cross",
+    "x_train_val_split",
 ]
 
 

@@ -202,9 +202,11 @@ def x_dedup_simhash_portable(spark, sf_dir):
     return D.simhash_near_pairs_portable(docs)
 
 
-@register(
-    "x_dedup_minhash_portable",
-    oracle=f"""
+#: the whole portable-minhash pipeline (shingle → 8 md5-window minhashes
+#: → 4 banded buckets → candidates → exact-Jaccard verify) as CTEs
+#: ending in ``mh_verified (a_id, b_id, jaccard)`` — shared by the
+#: within-corpus twin and the cross-corpus near-dup query.
+_DUCK_MINHASH_VERIFIED = f"""
     {_DUCK_SHINGLES},
     sig as (
       -- hash i = 8-hex window (i % 4) of md5(seed (i // 4) | shingle):
@@ -235,17 +237,23 @@ def x_dedup_simhash_portable(spark, sf_dir):
       from sh s1 join sh s2
         on s1.shingle = s2.shingle and s1.doc_id < s2.doc_id
       group by 1, 2
+    ), mh_verified as (
+      select c.a_id, c.b_id,
+             round(cast(n_common as double)
+                   / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+      from cand c
+      join common m on m.a_id = c.a_id and m.b_id = c.b_id
+      join sizes sa on sa.doc_id = c.a_id
+      join sizes sb on sb.doc_id = c.b_id
+      where round(cast(n_common as double)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
     )
-    select c.a_id, c.b_id,
-           round(cast(n_common as double)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
-    from cand c
-    join common m on m.a_id = c.a_id and m.b_id = c.b_id
-    join sizes sa on sa.doc_id = c.a_id
-    join sizes sb on sb.doc_id = c.b_id
-    where round(cast(n_common as double)
-                / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
-    """,
+"""
+
+
+@register(
+    "x_dedup_minhash_portable",
+    oracle=f"{_DUCK_MINHASH_VERIFIED} select a_id, b_id, jaccard from mh_verified",
 )
 def x_dedup_minhash_portable(spark, sf_dir):
     """The banded MinHash-LSH pipeline with an md5-based (engine-
@@ -2852,4 +2860,38 @@ def x_train_val_split(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+@register(
+    "x_dedup_cross_near",
+    oracle=f"""
+    {_DUCK_MINHASH_VERIFIED}
+    select case when a_id % 10 = 0 then b_id else a_id end as new_id,
+           case when a_id % 10 = 0 then a_id else b_id end as ref_id,
+           jaccard
+    from mh_verified
+    where (a_id % 10 = 0) <> (b_id % 10 = 0)
+    """,
+)
+def x_dedup_cross_near(spark, sf_dir):
+    """Cross-corpus NEAR-dup (the fuzzy companion of `x_dedup_cross`'s
+    exact gate): the portable banded-MinHash pipeline runs over the
+    union of fresh crawl and reference corpus, and only pairs that
+    STRADDLE the boundary survive — each row names a new-crawl doc, the
+    reference doc it near-duplicates, and their exact verified Jaccard.
+    Same banded blocking as within-corpus dedup (cross-pair filtering
+    is a post-candidate predicate, so candidate generation cost is
+    unchanged); the whole pipeline replays verbatim in the DuckDB
+    oracle via the shared `mh_verified` CTE chain. Production at scale
+    swaps in the xxhash64 family (`minhash_lsh_pairs`) with the same
+    composition."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs_portable(docs, threshold=0.2)
+    a_ref = F.col("a_id") % 10 == 0
+    b_ref = F.col("b_id") % 10 == 0
+    return pairs.where(a_ref != b_ref).select(
+        F.when(a_ref, F.col("b_id")).otherwise(F.col("a_id")).alias("new_id"),
+        F.when(a_ref, F.col("a_id")).otherwise(F.col("b_id")).alias("ref_id"),
+        "jaccard",
     )

@@ -128,6 +128,38 @@ def test_streaming_count_reconcile(spark, tmp_path):
 
     rows = [r for b in batches for r in b]
     assert rows, "reconcile emitted output"
+    # exact stream<->batch parity: the union of per-micro-batch
+    # reconcile rows must VALUE-match the batch face
+    # (reconcile_count_frames — the same function foreachBatch runs,
+    # and the shape x_stream_reconcile_batch grades) on the keys the
+    # watermark finalized (streamed keys are a subset: trailing windows
+    # may never finalize under availableNow)
+    from hive_scripts_spark.streaming.reconcile import (
+        as_count_frame,
+        reconcile_count_frames,
+    )
+
+    src_counts = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+    batch_face = {
+        (r["table_name"], r["partition_spec"]): (
+            r["src_count"],
+            r["tgt_count"],
+            r["status"],
+        )
+        for r in reconcile_count_frames(
+            as_count_frame(src_counts, "event_type"),
+            as_count_frame(target_counts, "event_type"),
+        ).collect()
+    }
+    for r in rows:
+        key = (r["table_name"], r["partition_spec"])
+        assert batch_face[key] == (
+            r["src_count"],
+            r["tgt_count"],
+            r["status"],
+        ), key
     statuses = {r["partition_spec"]: r["status"] for r in rows}
     # no phantom target_only (unfinalized windows never reconcile early)
     assert "target_only" not in set(statuses.values())

@@ -2895,3 +2895,75 @@ def x_dedup_cross_near(spark, sf_dir):
         F.when(a_ref, F.col("a_id")).otherwise(F.col("b_id")).alias("ref_id"),
         "jaccard",
     )
+
+
+@register(
+    "x_embed_stats",
+    oracle="""
+    with per as (
+      select label,
+             len(embedding) as dim,
+             round(sqrt(list_dot_product(cast(embedding as double[]),
+                                         cast(embedding as double[]))), 6)
+               as nrm,
+             list_dot_product(cast(embedding as double[]),
+                              cast(embedding as double[])) as dot
+      from embeddings
+    )
+    select label,
+           count(*) as n_vecs,
+           cast(min(dim) as bigint) as min_dim,
+           cast(max(dim) as bigint) as max_dim,
+           cast(sum(cast(nrm as decimal(18,6))) as double) / count(*)
+             as avg_norm,
+           min(nrm) as min_norm,
+           max(nrm) as max_norm,
+           cast(count(*) filter (where dot = 0) as bigint) as n_zero
+    from per group by label
+    """,
+)
+def x_embed_stats(spark, sf_dir):
+    """Embedding-corpus QA profile — the sanity gate a pipeline runs
+    BEFORE building any ANN index at 100 TB: per-label vector counts,
+    dimension range (a min≠max row means ragged embeddings that would
+    crash or silently skew the index), L2-norm spread, and zero-vector
+    count (cosine similarity is undefined on them — they must be
+    quarantined first). Per-row norms reuse the staged sequential
+    `F.aggregate` dot fold (bit-identical to DuckDB's
+    `list_dot_product`, proven by `x_embed_normalize`); the cross-row
+    mean goes through exact decimal accumulation of the 6dp-rounded
+    norms so the double result is summation-order-invariant on both
+    engines. One map-side-partial exchange on `label`."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select(
+        "label", F.size("embedding").cast("bigint").alias("__dim"), vec.alias("__v")
+    )
+    v = F.col("__v")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    per = staged.select(
+        "label",
+        "__dim",
+        dot.alias("__dot"),
+    ).select(
+        "label",
+        "__dim",
+        "__dot",
+        F.round(F.sqrt("__dot"), 6).alias("__nrm"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("__dim").alias("min_dim"),
+        F.max("__dim").alias("max_dim"),
+        (
+            F.sum(F.col("__nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+        F.min("__nrm").alias("min_norm"),
+        F.max("__nrm").alias("max_norm"),
+        F.sum(F.when(F.col("__dot") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )

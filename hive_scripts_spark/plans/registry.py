@@ -171,19 +171,20 @@ FRONT_ORDER: list[str] = [
     "x_vocab_build",
     "x_weighted_sample",
     "g_percentiles",
-    "g_json_agg",
     # r7-added operators — first driver rows (bloom-prefilter
     # decontamination, cross-corpus exact + near dedup, train/val/test
-    # split, incremental UC#2); they take the last five discretionary
-    # r5-refresh slots (g_json_extract / g_asof_last_error /
-    # g_range_join / g_grouping_sets / g_rollup_pricing keep their
-    # r3+r5 greens, which already satisfy the >=r5 freshness bar —
-    # first rows carry strictly more information than third rows)
+    # split, incremental UC#2, embedding-QA stats); they take the last
+    # six discretionary r5-refresh slots (g_json_agg / g_json_extract /
+    # g_asof_last_error / g_range_join / g_grouping_sets /
+    # g_rollup_pricing keep their r3+r5 greens, which already satisfy
+    # the >=r5 freshness bar — first rows carry strictly more
+    # information than third rows)
     "x_decontaminate_bloom",
     "x_dedup_cross",
     "x_dedup_cross_near",
     "x_train_val_split",
     "x_incremental_fingerprint",
+    "x_embed_stats",
 ]
 
 

@@ -190,3 +190,29 @@ def test_quantized_ivf_dequant_evaluated_once(spark):
     out = S.ivf_topk_quantized(vecs, cents, vecs.where("vec_id < 2"))
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("array_min") == 1
+
+
+def test_embed_stats_matches_numpy(spark):
+    """x_embed_stats vs a straight numpy recomputation on sf0.001:
+    counts/dims exact, norm stats to 6dp (the query's declared
+    rounding), zero-vector count exact."""
+    import numpy as np
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    rows = QUERIES["x_embed_stats"](spark, "/root/testdata/sf0.001").collect()
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r["label"], []).append(np.asarray(r["embedding"], dtype=np.float64))
+    assert {r["label"] for r in rows} == set(by_label)
+    for r in rows:
+        vecs = by_label[r["label"]]
+        norms = [round(float(np.sqrt(np.dot(v, v))), 6) for v in vecs]
+        assert r["n_vecs"] == len(vecs)
+        assert r["min_dim"] == min(len(v) for v in vecs)
+        assert r["max_dim"] == max(len(v) for v in vecs)
+        assert r["min_norm"] == min(norms)
+        assert r["max_norm"] == max(norms)
+        assert abs(r["avg_norm"] - sum(norms) / len(norms)) < 1e-9
+        assert r["n_zero"] == sum(1 for v in vecs if np.dot(v, v) == 0)

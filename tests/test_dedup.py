@@ -496,3 +496,28 @@ def test_cross_corpus_dedup_keeps_columns_and_is_stable(spark, docs):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in D.cross_corpus_dedup(docs, ref).collect()}
     assert a == b == {0, 1, 2, 4}
+
+
+def test_cross_near_dup_boundary_pairs(spark):
+    """The x_dedup_cross_near composition: only pairs straddling the
+    corpus boundary survive, oriented (new_id, ref_id)."""
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    rows = QUERIES["x_dedup_cross_near"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    within = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_lsh_pairs_portable(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            threshold=0.2,
+        ).collect()
+    }
+    cross_expected = {
+        tuple(sorted(p)) for p in within if (p[0] % 10 == 0) != (p[1] % 10 == 0)
+    }
+    got = {tuple(sorted((r["new_id"], r["ref_id"]))) for r in rows}
+    assert got == cross_expected
+    for r in rows:
+        assert r["ref_id"] % 10 == 0 and r["new_id"] % 10 != 0
+        assert r["jaccard"] >= 0.2

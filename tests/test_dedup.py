@@ -521,3 +521,25 @@ def test_cross_near_dup_boundary_pairs(spark):
     for r in rows:
         assert r["ref_id"] % 10 == 0 and r["new_id"] % 10 != 0
         assert r["jaccard"] >= 0.2
+
+
+def test_minhash_verify_same_pairs_without_broadcast(spark, docs):
+    """The verify join's plan degrades (AQE: BHJ -> SMJ) when broadcast
+    is unavailable; the PAIRS must not change. This is the 100 TB
+    posture check for the r7 no-hint decision: with
+    autoBroadcastJoinThreshold=-1 every join in the pipeline runs as a
+    shuffle join and the output is byte-identical."""
+    baseline = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bhj = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(docs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert no_bhj == baseline and baseline

@@ -33,3 +33,41 @@ def test_extra_fields_ignored(spark, tmp_path):
     path = _write(tmp_path, "a|b|c|d|e\n")
     df = read_delimited(spark, path, sep="|", num_fields=3)
     assert df.collect()[0][:3] == ("a", "b", "c")
+
+
+def test_read_jsonl_parses_and_quarantines_corrupt_lines(spark, tmp_path):
+    from hive_scripts_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": null, "lang": "de"}\n'
+        '{"doc_id": 4, "text": "truncated...\n'
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string, lang string"
+    )
+    rows = {r["doc_id"]: r for r in df.collect() if r["doc_id"] is not None}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["text"] == "hello world" and rows[3]["text"] is None
+    corrupt = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 2  # the non-JSON line and the truncated one
+    assert all(r["doc_id"] is None for r in corrupt)
+
+
+def test_read_jsonl_declared_schema_is_single_pass(spark, tmp_path):
+    """With a declared schema the plan must contain NO inference scan —
+    the read is one pass (checked by schema equality without touching
+    inference: a wrong-typed column still reads, as NULL)."""
+    from hive_scripts_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": "oops", "b": "y"}\n')
+    df = read_jsonl(spark, str(p), schema="a long, b string")
+    assert [f.name for f in df.schema.fields] == ["a", "b", "_corrupt_record"]
+    rows = sorted(df.collect(), key=lambda r: (r["b"] or ""))
+    # "oops" cannot be a long -> that LINE quarantines, not the file
+    assert rows[0]["a"] == 1
+    assert rows[1]["a"] is None and rows[1]["_corrupt_record"] is not None

@@ -211,6 +211,42 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """JSONL ingest: crawl shards → a documents-shaped parquet table,
+    with unparseable lines quarantined (written verbatim) instead of
+    failing the job. The front door of the curation pipeline: the
+    output directory reads back with the same `documents` layout every
+    other subcommand consumes."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.sources.readers import read_jsonl
+
+    spark = get_spark("hive-scripts-spark-ingest")
+    # cache: Spark refuses corrupt-record-only queries straight off a
+    # raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN) — the parsed result must be materialized first. The cache
+    # also means good-write + quarantine-write + counts cost ONE parse
+    # of the input instead of three.
+    raw = read_jsonl(spark, args.input, schema=args.schema).cache()
+    corrupt = raw.where(F.col("_corrupt_record").isNotNull())
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if "n_chars" not in good.columns and "text" in good.columns:
+        good = good.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+    good.write.mode("overwrite").parquet(f"{args.output}/documents.parquet")
+    n_bad = corrupt.count()
+    if n_bad:
+        corrupt.select(F.col("_corrupt_record").alias("value")).write.mode(
+            "overwrite"
+        ).text(f"{args.output}/_quarantine")
+    n_good = spark.read.parquet(f"{args.output}/documents.parquet").count()
+    raw.unpersist()
+    print(
+        f"wrote {args.output}/documents.parquet: {n_good} docs"
+        + (f"; quarantined {n_bad} corrupt lines" if n_bad else "")
+    )
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """The full training-data production job: curate (dedup →
     optional decontamination → repetition/quality gates → language-ID)
@@ -350,6 +386,19 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--chunk-tokens", type=int, default=64)
     k.add_argument("--overlap", type=int, default=16)
     k.set_defaults(fn=cmd_chunk)
+
+    n = sub.add_parser(
+        "ingest",
+        help="JSONL -> documents parquet with corrupt-line quarantine",
+    )
+    n.add_argument("input", help="JSONL file or directory of shards")
+    n.add_argument("--output", required=True, help="output db directory")
+    n.add_argument(
+        "--schema",
+        default="doc_id long, text string, lang string, source string",
+        help="DDL schema of the JSONL records (declared = single-pass read)",
+    )
+    n.set_defaults(fn=cmd_ingest)
 
     e = sub.add_parser(
         "export",

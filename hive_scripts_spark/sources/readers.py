@@ -92,6 +92,12 @@ def read_jsonl(
     When ``schema`` is given, ``corrupt_col`` is appended to it
     automatically (Spark only populates the corrupt column if it exists
     in the declared schema).
+
+    Caveat (Spark contract): a query that references ONLY the corrupt
+    column straight off the raw scan raises
+    ``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — cache or
+    persist the parsed frame first (``cmd_ingest`` does exactly this,
+    which also makes its three consumers cost one parse).
     """
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", corrupt_col

@@ -262,3 +262,30 @@ def test_export_rejects_bad_splits(tmp_path):
                     bad,
                 ]
             )
+
+
+def test_ingest_subcommand_jsonl_to_documents(spark, tmp_path, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    src = tmp_path / "crawl.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        "NOT JSON\n"
+        '{"doc_id": 2, "text": "ciao", "lang": "it", "source": "web"}\n'
+    )
+    out = tmp_path / "db"
+    rc = main(["ingest", str(src), "--output", str(out)])
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_chars"] == len("hello world")
+    q = spark.read.text(str(out / "_quarantine")).collect()
+    assert [r["value"] for r in q] == ["NOT JSON"]
+    # the ingested table feeds the rest of the pipeline directly
+    rc = main(
+        ["chunk", "--db", str(out), "--output", str(tmp_path / "chunks"),
+         "--chunk-tokens", "4", "--overlap", "1"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "chunks")).count() >= 2

@@ -66,6 +66,14 @@ def main() -> int:
         from hive_scripts_spark.session import get_spark
 
         spark = get_spark("parity")
+    if os.environ.get("SPARK_GRAFT_NO_BHJ"):
+        # 100 TB posture soak: at lake scale the big sides never fit the
+        # broadcast threshold, so AQE's BHJ conversions all fall back to
+        # shuffle joins — every query must be VALUE-identical that way.
+        # (Explicit broadcast() hints on genuinely-bounded sides — dims,
+        # eval sets, O(partitions) frames — still apply; those are sized
+        # by construction, not by threshold.)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

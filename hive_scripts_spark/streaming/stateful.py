@@ -1,5 +1,16 @@
 """Custom stateful streaming operators via ``applyInPandasWithState``.
 
+API choice note (r7): Spark 4's successor API
+(``transformWithStateInPandas`` — named ValueState/ListState/MapState on
+the RocksDB store, timers, TTL) was evaluated and works API-wise, but
+its state-server protocol needs the ``google.protobuf`` Python package,
+which this runtime does not ship (the TWS driver worker crashes with
+``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
+during query planning). ``applyInPandasWithState`` has no such
+dependency, so it stays the supported stateful surface here; the TWS
+port is mechanical when the dependency is available (same per-key
+update closure, state tuple moves into ``handle.getValueState``).
+
 These are the operators Structured Streaming's built-ins don't express:
 arbitrary per-key state evolved across micro-batches, with Arrow-batched
 Python logic. State is partitioned by key across executors and bounded by

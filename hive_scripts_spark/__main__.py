@@ -211,6 +211,41 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file maintenance for a Hive-partitioned table: report
+    partitions whose mean file size is below the threshold
+    (`small_file_report` — the pathology every incremental/streaming
+    writer accumulates), and with ``--apply`` rewrite each offender to
+    one file (`compact_partition_dir`: tmp-write + rename swap,
+    crash-recoverable). Reporting is metadata-only — no file content is
+    read."""
+    from hive_scripts_spark.operators.incremental import (
+        compact_partition_dir,
+        file_manifest,
+        small_file_report,
+    )
+
+    spark = get_spark("hive-scripts-spark-compact")
+    part_cols = args.partition_cols.split(",")
+    mf = file_manifest(spark, args.table_dir, part_cols)
+    offenders = small_file_report(mf, min_avg_bytes=args.min_avg_bytes).collect()
+    if not offenders:
+        print("no small-file partitions")
+        return 0
+    for row in offenders:
+        # manifest values are the RAW (Hive path-escaped) segments, so
+        # they reassemble into directory paths verbatim
+        rel = "/".join(f"{c}={row[c]}" for c in part_cols)
+        line = (
+            f"{rel}: {row['n_files']} files, avg {row['avg_bytes']} bytes"
+        )
+        if args.apply:
+            n_before = compact_partition_dir(spark, f"{args.table_dir}/{rel}")
+            line += f" -> compacted {n_before} files to 1"
+        print(line)
+    return 0
+
+
 def cmd_ingest(args: argparse.Namespace) -> int:
     """JSONL ingest: crawl shards → a documents-shaped parquet table,
     with unparseable lines quarantined (written verbatim) instead of
@@ -386,6 +421,21 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--chunk-tokens", type=int, default=64)
     k.add_argument("--overlap", type=int, default=16)
     k.set_defaults(fn=cmd_chunk)
+
+    c = sub.add_parser(
+        "compact",
+        help="report (and --apply rewrite) small-file partitions",
+    )
+    c.add_argument("table_dir", help="Hive-partitioned parquet table dir")
+    c.add_argument(
+        "--partition-cols", required=True, help="comma-separated, in order"
+    )
+    c.add_argument(
+        "--min-avg-bytes", type=int, default=32 * 1024 * 1024,
+        help="flag partitions whose mean file size is below this",
+    )
+    c.add_argument("--apply", action="store_true", help="rewrite offenders")
+    c.set_defaults(fn=cmd_compact)
 
     n = sub.add_parser(
         "ingest",

@@ -289,3 +289,39 @@ def test_ingest_subcommand_jsonl_to_documents(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "chunks")).count() >= 2
+
+
+def test_compact_subcommand_reports_and_applies(spark, tmp_path, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    tbl = tmp_path / "tbl"
+    df = spark.range(0, 300).selectExpr("id", "id % 3 as p")
+    df.repartition(8).write.partitionBy("p").parquet(str(tbl))
+    import glob
+
+    assert len(glob.glob(str(tbl / "p=0" / "*.parquet"))) > 1
+    # report only: offenders listed, nothing rewritten
+    rc = main(
+        ["compact", str(tbl), "--partition-cols", "p", "--min-avg-bytes",
+         str(32 * 1024 * 1024)]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "p=0:" in out and "compacted" not in out
+    assert len(glob.glob(str(tbl / "p=0" / "*.parquet"))) > 1
+    before = {r["id"] for r in spark.read.parquet(str(tbl)).collect()}
+    # apply: every offender partition drops to one file, data lossless
+    rc = main(
+        ["compact", str(tbl), "--partition-cols", "p", "--min-avg-bytes",
+         str(32 * 1024 * 1024), "--apply"]
+    )
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    for p in (0, 1, 2):
+        assert len(glob.glob(str(tbl / f"p={p}" / "*.parquet"))) == 1
+    after = {r["id"] for r in spark.read.parquet(str(tbl)).collect()}
+    assert after == before
+    # second run: clean bill
+    rc = main(["compact", str(tbl), "--partition-cols", "p"])
+    assert rc == 0
+    assert "no small-file partitions" in capsys.readouterr().out

@@ -117,6 +117,31 @@ def cmd_incremental(args: argparse.Namespace) -> int:
         for r in rows:
             print(f"{r['table_name']}\t{r['partition_spec']}\t{r['status']}")
         n_bad = sum(r["status"] != "matched" for r in rows)
+        if getattr(args, "fingerprint_keys", None):
+            # UC#2 on the same changed partitions (the reference
+            # fingerprints tables that passed the count check; on the
+            # incremental path both verdicts come from one rescan set)
+            from hive_scripts_spark.operators.incremental import (
+                incremental_fingerprint_reconcile,
+            )
+
+            fp, _, _ = incremental_fingerprint_reconcile(
+                spark,
+                args.source,
+                args.target,
+                args.table,
+                part_cols,
+                key_cols=args.fingerprint_keys.split(","),
+                prev_src_manifest=prev_src,
+                prev_tgt_manifest=prev_tgt,
+            )
+            fp_rows = fp.orderBy("partition_spec").collect()
+            for r in fp_rows:
+                print(
+                    f"{r['table_name']}\t{r['partition_spec']}\t"
+                    f"fingerprint:{r['status']}"
+                )
+            n_bad += sum(r["status"] != "consistent" for r in fp_rows)
     src_mf.write.mode("overwrite").parquet(str(src_state))
     tgt_mf.write.mode("overwrite").parquet(str(tgt_state))
     print(f"{'FAIL' if n_bad else 'OK'}: {n_bad} mismatched partition(s)")
@@ -390,6 +415,12 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("table")
     i.add_argument("partition_cols", help="comma-separated partition columns")
     i.add_argument("--state", required=True, help="manifest state directory")
+    i.add_argument(
+        "--fingerprint-keys",
+        default="",
+        help="comma-separated key columns: ALSO run the UC#2 sampled "
+        "fingerprint over the changed partitions",
+    )
     i.set_defaults(fn=cmd_incremental)
 
     s = sub.add_parser("sql", help='ad-hoc SQL (the reference\'s hive -e twin)')

@@ -69,6 +69,19 @@ def test_incremental_subcommand_roundtrip(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "p=1\tmismatched" in out and "FAIL: 1" in out
 
+    # UC#2 on the same changed set: row drop → count mismatch AND
+    # fingerprint inconsistency, each counted once
+    time.sleep(1.1)
+    df.where("p = 1 and o_id > 20").drop("p").write.mode("overwrite").parquet(
+        f"{tgt}/t/p=1"
+    )
+    rc = main(args + ["--fingerprint-keys", "o_id"])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "p=1\tmismatched" in out
+    assert "p=1\tfingerprint:inconsistent" in out
+    assert "FAIL: 2" in out
+
 
 def test_curate_subcommand_writes_parquet_and_report(spark, tmp_path, capsys):
     from hive_scripts_spark.__main__ import main

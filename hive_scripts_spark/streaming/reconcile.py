@@ -100,3 +100,23 @@ def streaming_count_reconcile(
             on_batch(reconciled, batch_id)
 
     return reconcile_batch
+
+
+def reconcile_parquet_sink(out_dir: str):
+    """Idempotent ``on_batch`` sink: each micro-batch's reconcile frame
+    lands in its own ``batch_id=N/`` parquet directory via overwrite.
+
+    This is the standard exactly-once recipe for ``foreachBatch``:
+    Structured Streaming guarantees at-least-once invocation per batch,
+    so a retried batch re-executes the sink — overwriting the batch's
+    OWN directory makes the retry a no-op-equivalent instead of an
+    append-duplicate, and never touches other batches' output. Readers
+    get a Hive-partitioned result table (``spark.read.parquet(out_dir)``
+    with ``batch_id`` as a column); downstream dedup or compaction is
+    unnecessary by construction.
+    """
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return on_batch

@@ -176,3 +176,31 @@ def test_streaming_count_reconcile(spark, tmp_path):
     # counts agree with the batch-side truth for a mismatched window
     mism = [r for b in batches for r in b if r["status"] == "mismatched"][0]
     assert mism["src_count"] > mism["tgt_count"]
+
+
+def test_reconcile_parquet_sink_is_idempotent(spark, tmp_path):
+    """Retrying a batch (at-least-once foreachBatch) must not duplicate
+    its reconcile rows: the per-batch overwrite makes the second
+    delivery byte-equivalent to the first."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.streaming.reconcile import reconcile_parquet_sink
+
+    out = str(tmp_path / "recon")
+    sink = reconcile_parquet_sink(out)
+    frame = spark.createDataFrame(
+        [("events", "h=1", 10, 10, "matched"), ("events", "h=2", 5, 4, "mismatched")],
+        "table_name string, partition_spec string, src_count long, "
+        "tgt_count long, status string",
+    )
+    sink(frame, 0)
+    sink(frame.where("status = 'mismatched'"), 1)
+    # the retry: batch 0 delivered again
+    sink(frame, 0)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch == {0: 2, 1: 1}

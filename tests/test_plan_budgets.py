@@ -1,0 +1,49 @@
+"""Shuffle-exchange budgets for headline queries, pinned to PLANS.md.
+
+Every row in PLANS.md claims an exchange count; a silent extra shuffle
+(a lost broadcast, a new window sort, an optimizer-trap re-evaluation
+forcing a repartition) is exactly the regression class that stays
+invisible at sf0.01 and hurts at 100 TB. This test counts SHUFFLE
+exchanges (``Exchange hashpartitioning/rangepartitioning/
+SinglePartition`` — broadcasts excluded, ReusedExchange excluded) in
+each query's pre-execution physical plan and fails if any budget is
+exceeded. Budgets are ceilings from PLANS.md, not exact counts — AQE
+may remove exchanges at runtime, never add them.
+"""
+
+import re
+
+import pytest
+
+_SHUFFLE = re.compile(r"(?<!Reused)Exchange (hash|range|Single)")
+
+#: query -> max shuffle exchanges in the planned physical tree
+#: (PLANS.md "exchanges" column; +1 where the registered query passes
+#: the local-parallelism repartition knob)
+BUDGETS = {
+    "a4_deterministic_sample": 0,  # narrow filter — any shuffle is a bug
+    "g_q6_forecast_revenue": 1,  # single-row final agg merge at most
+    "q1_pricing_summary": 1,
+    "q2_revenue_by_nation": 1,
+    "x_events_hourly": 1,
+    "x_train_val_split": 1,
+    "x_text_repetition": 0,  # the zero-exchange RLE fold (PLANS trap #4)
+    "x_text_entropy": 0,
+    "j2_count_reconcile": 4,
+    "a3_table_fingerprint": 2,  # 1 agg + 1 parallelism-knob repartition
+    "x_doc_chunk": 0,  # map-only chunking
+    "x_dedup_fingerprint": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, name):
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(_SHUFFLE.findall(plan))
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges (budget {BUDGETS[name]}) — "
+        f"plan grew a shuffle; check PLANS.md and the optimizer traps\n{plan}"
+    )

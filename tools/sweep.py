@@ -28,6 +28,17 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--top", type=int, default=15, help="slowest N to print")
     ap.add_argument("--json", action="store_true", help="dump all timings")
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="executions per query; >1 reports the MIN (warm) time — "
+        "cold first-execution noise is 1-2 s/query on this box (it "
+        "manufactured a phantom 31%% bench regression in r6 and two "
+        "false sweep leads in r7: 11.5 s cold vs 5.2 s idle for the "
+        "portable minhash, 6.5 s vs 1.3 s warm for the curation "
+        "pipeline). Rank with --reps 2 before chasing anything.",
+    )
     args = ap.parse_args()
 
     from hive_scripts_spark.plans.registry import QUERIES
@@ -46,10 +57,16 @@ def main() -> int:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 2)
+            for _ in range(max(1, args.reps)):
+                t0 = time.perf_counter()
+                fn(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 2)
         except Exception as exc:  # noqa: BLE001 — isolate, report, go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -236,6 +236,22 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """Catalog-statistics maintenance: ``ANALYZE TABLE ... COMPUTE
+    STATISTICS [FOR ALL COLUMNS]`` per table, reporting the recorded
+    rowCount/size back. Run after big loads so the cost-based optimizer
+    sizes joins from stats instead of raw file bytes."""
+    from hive_scripts_spark.sources.readers import analyze_table
+
+    spark = get_spark("hive-scripts-spark-analyze")
+    for name in args.tables:
+        rows, size = analyze_table(
+            spark, args.db, name, columns=not args.no_columns
+        )
+        print(f"{args.db}.{name}: rows={rows} bytes={size}")
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file maintenance for a Hive-partitioned table: report
     partitions whose mean file size is below the threshold
@@ -452,6 +468,16 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--chunk-tokens", type=int, default=64)
     k.add_argument("--overlap", type=int, default=16)
     k.set_defaults(fn=cmd_chunk)
+
+    z = sub.add_parser(
+        "analyze", help="collect catalog stats (ANALYZE TABLE) per table"
+    )
+    z.add_argument("--db", required=True, help="metastore database")
+    z.add_argument("tables", nargs="+")
+    z.add_argument(
+        "--no-columns", action="store_true", help="skip per-column NDV stats"
+    )
+    z.set_defaults(fn=cmd_analyze)
 
     c = sub.add_parser(
         "compact",

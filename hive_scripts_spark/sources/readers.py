@@ -137,3 +137,40 @@ def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, db_path: str, names=TESTDATA_TABLES):
     """Load several tables as ``{name: DataFrame}``."""
     return {name: load_table(spark, db_path, name) for name in names}
+
+
+def analyze_table(
+    spark: SparkSession, db: str, name: str, columns: bool = True
+) -> tuple[int | None, int | None]:
+    """Collect table (and, by default, all-column) statistics into the
+    catalog — the ``ANALYZE TABLE`` step of the 100 TB posture (SURVEY
+    §2.9): with rowCount/sizeInBytes and per-column NDV/min/max in the
+    metastore, the cost-based optimizer sizes join sides from STATS
+    instead of raw file bytes — broadcast decisions, join reordering,
+    and AQE's initial estimates all sharpen. Metastore-mode only
+    (``db`` is a catalog database, as in the reference's ``use $db``).
+
+    Returns ``(row_count, size_bytes)`` read back from the catalog as
+    confirmation (``None`` when the catalog did not record them).
+
+    Cost note: the table scan is one full pass; ``FOR ALL COLUMNS``
+    adds NDV sketches per column. On a lake-scale table run it
+    per-partition-batch off the critical path (it is a maintenance
+    operation, like compaction), not inline in a query job.
+    """
+    qualified = f"{db}.{name}" if db else name
+    stmt = f"analyze table {qualified} compute statistics"
+    if columns:
+        stmt += " for all columns"
+    spark.sql(stmt)
+    rows = bytes_ = None
+    for r in spark.sql(f"describe extended {qualified}").collect():
+        if r["col_name"] == "Statistics":
+            # e.g. "2064 bytes, 200 rows"
+            for part in r["data_type"].split(","):
+                part = part.strip()
+                if part.endswith(" rows"):
+                    rows = int(part.split()[0])
+                elif part.endswith(" bytes"):
+                    bytes_ = int(part.split()[0])
+    return rows, bytes_

@@ -46,3 +46,44 @@ def test_validation_against_metastore(spark, metastore_dbs):
     status = {r["partition_spec"]: r["status"] for r in result.reconciled.collect()}
     assert status["dept_id=2"] == "mismatched"
     assert status["dept_id=0"] == "matched"
+
+
+def test_analyze_table_records_catalog_stats(spark, metastore_dbs):
+    """ANALYZE TABLE lands rowCount/sizeInBytes (and column stats) in
+    the catalog, and the CBO's plan cost estimate picks the rowCount
+    up — the stats half of the 100 TB posture."""
+    from hive_scripts_spark.sources.readers import analyze_table
+
+    src_db, _ = metastore_dbs
+    rows, size = analyze_table(spark, src_db, "emp")
+    assert rows == 200
+    assert size and size > 0
+    # column stats present: describe <col> shows distinct_count
+    desc = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(f"describe extended {src_db}.emp dept_id").collect()
+    }
+    assert desc.get("distinct_count") not in (None, "NULL")
+    # with CBO on, the optimizer's cost view carries the analyzed
+    # rowCount (without it only sizeInBytes propagates)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        cost = (
+            spark.table(f"{src_db}.emp")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+    assert "rowCount=200" in cost
+
+
+def test_analyze_subcommand(spark, metastore_dbs, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    src_db, _ = metastore_dbs
+    rc = main(["analyze", "--db", src_db, "emp"])
+    assert rc == 0
+    assert "rows=200" in capsys.readouterr().out

@@ -236,6 +236,64 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stream_reconcile(args: argparse.Namespace) -> int:
+    """Micro-batch UC#1 as a command: stream the events directory
+    (``availableNow`` — drain-and-stop; drop the trigger for a live
+    tail), reconcile each batch's watermark-finalized windowed counts
+    against the static target side, and land every batch's verdict
+    frame in an idempotent ``batch_id=N/`` parquet sink. Exit code 1
+    when any non-matched row was produced (the reference's FAIL
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.sources.events import normalize_event_ts, pin_utc
+    from hive_scripts_spark.streaming.reconcile import (
+        reconcile_parquet_sink,
+        streaming_count_reconcile,
+    )
+    from hive_scripts_spark.streaming.windowed import (
+        read_event_stream,
+        streaming_partition_counts,
+    )
+
+    spark = get_spark("hive-scripts-spark-stream-reconcile")
+    pin_utc(spark)
+    target = normalize_event_ts(spark.read.parquet(args.target), "ts")
+    target_counts = target.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"),
+        args.partition_col,
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+
+    handler = streaming_count_reconcile(
+        streaming_partition_counts(
+            read_event_stream(spark, args.events_dir),
+            partition_col=args.partition_col,
+            watermark=args.watermark,
+        ),
+        target_counts,
+        partition_col=args.partition_col,
+        on_batch=reconcile_parquet_sink(args.output),
+    )
+    q = (
+        streaming_partition_counts(
+            read_event_stream(spark, args.events_dir),
+            partition_col=args.partition_col,
+            watermark=args.watermark,
+        )
+        .writeStream.foreachBatch(handler)
+        .outputMode("append")
+        .option("checkpointLocation", f"{args.output}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(args.output)
+    n_bad = result.where(F.col("status") != "matched").count()
+    n = result.count()
+    print(f"{args.output}: {n} reconciled window rows, {n_bad} not matched")
+    return 1 if n_bad else 0
+
+
 def cmd_analyze(args: argparse.Namespace) -> int:
     """Catalog-statistics maintenance: ``ANALYZE TABLE ... COMPUTE
     STATISTICS [FOR ALL COLUMNS]`` per table, reporting the recorded
@@ -468,6 +526,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--chunk-tokens", type=int, default=64)
     k.add_argument("--overlap", type=int, default=16)
     k.set_defaults(fn=cmd_chunk)
+
+    w = sub.add_parser(
+        "stream-reconcile",
+        help="micro-batch UC#1: stream events vs a static target",
+    )
+    w.add_argument("events_dir", help="directory of events parquet files")
+    w.add_argument("target", help="static target events parquet")
+    w.add_argument("--output", required=True, help="per-batch verdict sink dir")
+    w.add_argument("--partition-col", default="event_type")
+    w.add_argument("--watermark", default="2 hours")
+    w.set_defaults(fn=cmd_stream_reconcile)
 
     z = sub.add_parser(
         "analyze", help="collect catalog stats (ANALYZE TABLE) per table"

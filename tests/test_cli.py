@@ -338,3 +338,44 @@ def test_compact_subcommand_reports_and_applies(spark, tmp_path, capsys):
     rc = main(["compact", str(tbl), "--partition-cols", "p"])
     assert rc == 0
     assert "no small-file partitions" in capsys.readouterr().out
+
+
+def test_stream_reconcile_subcommand(spark, tmp_path, capsys):
+    """Micro-batch UC#1 end-to-end via the CLI: perturbed target ->
+    non-zero exit, verdict rows in the idempotent sink, and rerunning
+    over the same checkpoint is a no-op (no duplicate batches)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.__main__ import main
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", ev_dir / "f0.parquet")
+    tgt = tmp_path / "target.parquet"
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.where("event_type != 'click' or event_id % 7 != 0").coalesce(
+        1
+    ).write.parquet(str(tgt))
+    out = tmp_path / "verdicts"
+    args = [
+        "stream-reconcile", str(ev_dir), str(tgt), "--output", str(out)
+    ]
+    assert main(args) == 1  # perturbation detected
+    outtxt = capsys.readouterr().out
+    assert "not matched" in outtxt
+    got = spark.read.parquet(str(out))
+    statuses = {r["partition_spec"]: r["status"] for r in got.collect()}
+    assert any(
+        s == "mismatched" and "event_type=click" in spec
+        for spec, s in statuses.items()
+    )
+    assert all(
+        s == "matched" for spec, s in statuses.items()
+        if "event_type=click" not in spec
+    )
+    n_before = got.count()
+    # rerun over the same checkpoint: stream is drained -> no new rows
+    assert main(args) == 1
+    assert spark.read.parquet(str(out)).count() == n_before

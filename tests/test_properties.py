@@ -264,3 +264,50 @@ def test_train_val_test_split_total_property(spark, ids, val, test):
             else ("val" if b < 100 - test else "test")
         )
         assert out[i] == expect, (i, b)
+
+
+@SMALL
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=2,
+        max_size=16,
+        unique_by=lambda r: r[0],
+    ),
+    bench_mod=st.integers(min_value=2, max_value=4),
+    bpg=st.sampled_from([1, 4, 16]),
+)
+def test_bloom_prefilter_agrees_with_broadcast_path(spark, rows, bench_mod, bpg):
+    """For ANY corpus (tiny word pools -> heavy gram collisions) and any
+    bitset sizing down to a deliberately saturated 1 bit/gram, the
+    Bloom-prefiltered decontamination must return exactly the broadcast
+    path's rows — no false negatives by construction, false positives
+    all dead in the verify join."""
+    from hive_scripts_spark.operators.dedup import (
+        bloom_contamination_overlap,
+        contamination_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in rows], "doc_id long, text string"
+    )
+    bench = df.where(f"doc_id % {bench_mod} = 0")
+    corpus = df.where(f"doc_id % {bench_mod} != 0")
+    plain = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in contamination_overlap(corpus, bench).collect()
+    }
+    bloomed = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in bloom_contamination_overlap(
+            corpus, bench, bits_per_gram=bpg, num_hashes=2
+        ).collect()
+    }
+    assert bloomed == plain

@@ -66,3 +66,30 @@ def streaming_partition_counts(
             F.col("w.start").alias("window_start"), partition_col, "row_count"
         )
     )
+
+
+def watermark_drop_count(query) -> int:
+    """Total input rows dropped as too-late by the watermark across a
+    (finished or running) streaming query's recorded progress — the
+    observability counter a production stream MUST alert on: silent
+    late-drops are data loss that no output check can see (the rows
+    simply never appear in any window).
+
+    Reads ``numRowsDroppedByWatermark`` from every state operator in
+    every recent progress event. Spark keeps the last ~100 progress
+    events; for a long-running stream, poll and accumulate (or attach a
+    ``StreamingQueryListener``) rather than calling once at the end.
+
+    Granularity caveat: the counter is measured AT the state operator,
+    i.e. after map-side partial aggregation — for a windowed agg it
+    counts dropped (window, key) partial-group rows, not raw input
+    events (pytest pins this: 200 late events → 174 dropped partial
+    groups). Treat it as a nonzero-late-data ALARM and a lower bound,
+    not an exact event count; an exact count needs an `observe()`
+    counter on the pre-aggregation stream.
+    """
+    total = 0
+    for progress in query.recentProgress:
+        for op in progress.get("stateOperators", []):
+            total += op.get("numRowsDroppedByWatermark", 0)
+    return total

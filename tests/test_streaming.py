@@ -204,3 +204,74 @@ def test_reconcile_parquet_sink_is_idempotent(spark, tmp_path):
         for r in got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
     }
     assert per_batch == {0: 2, 1: 1}
+
+
+def test_watermark_drop_count_sees_late_data(spark, tmp_path):
+    """Late rows beyond the watermark delay are dropped SILENTLY — the
+    progress counter is the only evidence. Feed a second batch whose
+    events are far older than batch one's max ts and assert the helper
+    reports them (and that they are indeed absent from the output)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.plans.registry import table as load
+    from hive_scripts_spark.streaming.windowed import (
+        hourly_event_counts,
+        watermark_drop_count,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    hi = ev.agg(F.max("ts").alias("m")).first()["m"]
+    d = tmp_path / "late_src"
+    d.mkdir()
+    # batch 0: the most recent events (advances the watermark to ~hi)
+    recent = ev.where(F.col("ts") >= F.lit(hi) - F.expr("interval 2 hours"))
+    recent.coalesce(1).write.parquet(str(d / "b0"))
+    # batch 1: events older than (hi - delay) -> all late
+    late = ev.where(F.col("ts") < F.lit(hi) - F.expr("interval 48 hours")).limit(
+        200
+    )
+    n_late = late.count()
+    assert n_late > 0
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    shutil.copy(glob.glob(str(d / "b0" / "*.parquet"))[0], flat / "b0.parquet")
+
+    emitted_rows: list = []
+
+    def run_once():
+        q = (
+            hourly_event_counts(
+                read_event_stream(spark, str(flat)), watermark="1 hour"
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted_rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return q
+
+    q = run_once()
+    assert watermark_drop_count(q) == 0  # one batch -> nothing late yet
+
+    late.coalesce(1).write.parquet(str(d / "b1"))
+    shutil.copy(glob.glob(str(d / "b1" / "*.parquet"))[0], flat / "b1.parquet")
+    emitted_rows.clear()
+    q2 = run_once()
+    # the counter sits AFTER map-side partial aggregation: it counts
+    # dropped (window, key) PARTIAL GROUPS, a positive lower bound on
+    # the dropped input events (never more than them)
+    assert 0 < watermark_drop_count(q2) <= n_late
+    # and none of the late rows' windows made it into the new output
+    emitted = {r["window_start"] for r in emitted_rows}
+    late_windows = {
+        r["w"]
+        for r in late.select(F.date_trunc("hour", "ts").alias("w")).distinct().collect()
+    }
+    assert not (emitted & late_windows)

@@ -60,6 +60,9 @@ EXTRA = [
     "x_decontaminate_bloom",
     "x_dedup_cross",
     "x_train_val_split",
+    # PQ search — compare against x_ann_ivf_topk_quantized in the same
+    # run: codes-only ADC vs int8 dequant + full IVF
+    "x_ann_pq_topk",
 ]
 
 

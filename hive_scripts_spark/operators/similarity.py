@@ -673,3 +673,166 @@ def ivf_topk_quantized(
         vec_col=vec_col,
         parallelism=parallelism,
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into
+    ``m = len(codebooks)`` contiguous subvectors and store, per
+    subspace, the index of the nearest codebook entry (squared L2,
+    ties to the lowest index) — the memory leap past int8 scalar
+    quantization: D floats become m small ints (D=64 float32 → 4 bytes
+    at m=4: 64×), which is what makes billion-vector ANN indexes fit
+    in RAM at 100 TB corpus scale.
+
+    ``codebooks[s][j]`` is code ``j`` of subspace ``s`` (all sub-dim
+    ``d = D/m``). Codebooks are MODEL PARAMETERS (m×k×d floats), so
+    they embed as plan literals exactly like the IVF centroids: the
+    encode is a pure map-side projection — zero shuffle at any corpus
+    size. Output: ``(id, pq_codes string, pq_err double)`` — codes as
+    a comma-joined string (hashable by the driver), ``pq_err`` the
+    total squared reconstruction error (rounded 6dp), the quality
+    metric a PQ index build monitors.
+
+    Determinism contract (same family as ivf_assign): per-subspace
+    distances are SEQUENTIAL ``zip_with``+``aggregate`` folds over the
+    double-cast values — bit-identical to DuckDB's ``list_reduce``
+    replay — rounded to 6dp before the argmin, ties to the lowest
+    code index.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    # stage each subvector once: every staged column is referenced by
+    # all k code distances — multi-referenced non-cheap aliases stay
+    # staged (CollapseProject), so the slice evaluates once per row
+    staged = base.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col("vec"), s * d + 1, d).alias(f"__s{s}")
+            for s in range(m)
+        ],
+    )
+    picks = []
+    for s in range(m):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.array(
+                        *[F.lit(float(x)).cast("double") for x in codebooks[s][j]]
+                    ).alias("c"),
+                )
+                for j in range(len(codebooks[s]))
+            ]
+        )
+        sub = F.col(f"__s{s}")
+        best = F.array_min(
+            F.transform(
+                cells,
+                lambda cell: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(sub, cell["c"], lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    ).alias("d2"),
+                    cell["j"].alias("j"),
+                ),
+            )
+        )
+        picks.append(best.alias(f"__p{s}"))
+    picked = staged.select(F.col(id_col), *picks)
+    codes = F.concat_ws(
+        ",", *[F.col(f"__p{s}")["j"].cast("string") for s in range(m)]
+    )
+    err = F.round(
+        sum(F.col(f"__p{s}")["d2"] for s in range(m)), 6
+    )
+    return picked.select(
+        F.col(id_col), codes.alias("pq_codes"), err.alias("pq_err")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    lookup table ``LUT[s][j] = d2(q_s, codebook[s][j])`` is computed
+    DRIVER-side (m×k doubles per query — model-parameter scale) and
+    embedded as plan literals; a corpus vector's approximate distance
+    is then ``sum_s LUT[s][code_s]`` — m array lookups and adds per
+    (query, vector), no float vector math in the scan at all. This is
+    the PQ promise at 100 TB: the search touches only the m-byte codes
+    and tiny literal tables; the full-precision corpus never loads.
+
+    The LUT is computed with a plain sequential Python float loop so
+    its values are bit-identical to the engines' sequential folds
+    (same order, same float64 ops) — the oracle replays the whole
+    computation symbolically. Output: ``(query_id, neighbor_id,
+    adc_dist)``, ascending distance, ties to the lowest neighbor, the
+    query itself excluded. One exchange (the per-query top-k window).
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    split = encoded.select(
+        F.col(id_col),
+        *[
+            F.get(F.split("pq_codes", ","), s).cast("int").alias(f"__c{s}")
+            for s in range(m)
+        ],
+    )
+
+    per_query = []
+    for qid, qvec in queries:
+        luts = []
+        for s in range(m):
+            row = []
+            for j in range(len(codebooks[s])):
+                acc = 0.0
+                for t in range(d):
+                    diff = float(qvec[s * d + t]) - float(codebooks[s][j][t])
+                    acc += diff * diff
+                row.append(acc)
+            luts.append(row)
+        dist = F.round(
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(v).cast("double") for v in luts[s]]),
+                    F.col(f"__c{s}") + 1,
+                )
+                for s in range(m)
+            ),
+            6,
+        )
+        per_query.append(
+            F.struct(F.lit(int(qid)).alias("query_id"), dist.alias("adc_dist"))
+        )
+    melted = split.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*per_query)).alias("q"),
+    ).select("q.query_id", "neighbor_id", "q.adc_dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        melted.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -2967,3 +2967,142 @@ def x_embed_stats(spark, sf_dir):
         .cast("bigint")
         .alias("n_zero"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (r7): the memory leap past int8 scalar codes
+# ---------------------------------------------------------------------------
+
+#: shared oracle CTEs: codebooks = subvectors of embeddings vec_id < 8
+#: (4 subspaces x 16 dims), per-(vector, subspace) nearest code by
+#: squared L2 with the SEQUENTIAL list_reduce fold (bit-identical to
+#: Spark's zip_with+aggregate), rounded 6dp, ties to the lowest index.
+_DUCK_PQ = """
+    with cb as (
+      select s.range as s, e.vec_id as j,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as c
+      from embeddings e cross join range(4) s
+      where e.vec_id < 8
+    ), sub as (
+      select e.vec_id, s.range as s,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as v
+      from embeddings e cross join range(4) s
+    ), d2 as (
+      select sub.vec_id, sub.s, cb.j,
+             round(list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (sub.v[t] - cb.c[t]) * (sub.v[t] - cb.c[t]))),
+               (acc, x) -> acc + x), 6) as dist
+      from sub join cb on cb.s = sub.s
+    ), picked as (
+      select vec_id, s, j, dist,
+             row_number() over (
+               partition by vec_id, s order by dist, j) as rn
+      from d2
+    ), codes as (
+      select vec_id,
+             string_agg(cast(j as varchar), ',' order by s) as pq_codes,
+             round(sum(dist), 6) as pq_err
+      from picked where rn = 1 group by vec_id
+    )
+"""
+
+
+@register(
+    "x_ann_pq_encode",
+    oracle=f"{_DUCK_PQ} select vec_id, pq_codes, pq_err from codes",
+)
+def x_ann_pq_encode(spark, sf_dir):
+    """Product-quantization encode (`similarity.pq_encode`): 64-dim
+    vectors → 4 sub-space code indices (codebooks = the sub-vectors of
+    embeddings vec_id < 8 — deterministic model parameters, embedded
+    as plan literals like the IVF centroids) + the reconstruction
+    error. 64 float32 → 4 small ints is the ~64× index-memory leap
+    past int8 scalar quantization; encode is a zero-shuffle map-side
+    projection. The oracle replays subvector slicing, the sequential
+    squared-L2 folds, 6dp rounding, and the lowest-index tiebreak
+    symbolically — the whole encode is value-graded."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(emb)
+    return S.pq_encode(emb, books)
+
+
+def _pq_codebooks(emb):
+    """Codebooks from the first 8 vectors' subvectors (4 × 16): model
+    parameters by declaration — the same deterministic-from-data trick
+    as the IVF centroid literals (a production build would k-means a
+    sample; the PIPELINE is identical either way)."""
+    rows = (
+        emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [
+        [[float(x) for x in r["embedding"][s * 16 : (s + 1) * 16]] for r in rows]
+        for s in range(4)
+    ]
+
+
+@register(
+    "x_ann_pq_topk",
+    oracle=f"""
+    {_DUCK_PQ}, split as (
+      select vec_id,
+             list_transform(string_split(pq_codes, ','),
+                            x -> cast(x as int)) as cl
+      from codes
+    ), q as (
+      select e.vec_id as query_id, s.range as s,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as qv
+      from embeddings e cross join range(4) s
+      where e.vec_id < 8
+    ), lut as (
+      select q.query_id, q.s, cb.j,
+             list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (q.qv[t] - cb.c[t]) * (q.qv[t] - cb.c[t]))),
+               (acc, x) -> acc + x) as dist
+      from q join cb on cb.s = q.s
+    ), adc as (
+      select l0.query_id, sp.vec_id as neighbor_id,
+             round(l0.dist + l1.dist + l2.dist + l3.dist, 6) as adc_dist
+      from split sp
+      join lut l0 on l0.s = 0 and l0.j = sp.cl[1]
+      join lut l1 on l1.s = 1 and l1.j = sp.cl[2]
+                 and l1.query_id = l0.query_id
+      join lut l2 on l2.s = 2 and l2.j = sp.cl[3]
+                 and l2.query_id = l0.query_id
+      join lut l3 on l3.s = 3 and l3.j = sp.cl[4]
+                 and l3.query_id = l0.query_id
+      where sp.vec_id <> l0.query_id
+    )
+    select query_id, neighbor_id, adc_dist, rank from (
+      select *, cast(row_number() over (
+        partition by query_id order by adc_dist, neighbor_id) as int) as rank
+      from adc)
+    where rank <= 10
+    """,
+)
+def x_ann_pq_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search (`similarity.pq_topk`): per-query
+    LUTs (squared L2 of each query subvector to every code) computed
+    driver-side with the same sequential float64 ops as the engines'
+    folds and embedded as literals; a corpus vector's distance is 4
+    LUT lookups + adds over its CODES — the full-precision corpus
+    never loads. One exchange (the per-query top-k window). The oracle
+    replays encode, LUT, the fixed-order 4-term sum, and the
+    ascending/lowest-neighbor tiebreak symbolically — end-to-end
+    value-graded, like the quantized-IVF row."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(emb)
+    q_rows = (
+        emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    return S.pq_topk(emb, books, queries, k=10)

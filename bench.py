@@ -63,6 +63,7 @@ EXTRA = [
     # PQ search — compare against x_ann_ivf_topk_quantized in the same
     # run: codes-only ADC vs int8 dequant + full IVF
     "x_ann_pq_topk",
+    "x_ann_ivfpq_topk",
 ]
 
 

@@ -680,6 +680,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into
     ``m = len(codebooks)`` contiguous subvectors and store, per
@@ -707,12 +708,16 @@ def pq_encode(
     m = len(codebooks)
     d = len(codebooks[0][0])
 
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    keep = [F.col(c) for c in (keep_cols or [])]
+    base = embeddings.select(
+        F.col(id_col), *keep, _as_double(F.col(vec_col)).alias("vec")
+    )
     # stage each subvector once: every staged column is referenced by
     # all k code distances — multi-referenced non-cheap aliases stay
     # staged (CollapseProject), so the slice evaluates once per row
     staged = base.select(
         F.col(id_col),
+        *keep,
         *[
             F.slice(F.col("vec"), s * d + 1, d).alias(f"__s{s}")
             for s in range(m)
@@ -749,7 +754,7 @@ def pq_encode(
             )
         )
         picks.append(best.alias(f"__p{s}"))
-    picked = staged.select(F.col(id_col), *picks)
+    picked = staged.select(F.col(id_col), *keep, *picks)
     codes = F.concat_ws(
         ",", *[F.col(f"__p{s}")["j"].cast("string") for s in range(m)]
     )
@@ -757,7 +762,7 @@ def pq_encode(
         sum(F.col(f"__p{s}")["d2"] for s in range(m)), 6
     )
     return picked.select(
-        F.col(id_col), codes.alias("pq_codes"), err.alias("pq_err")
+        F.col(id_col), *keep, codes.alias("pq_codes"), err.alias("pq_err")
     )
 
 
@@ -836,3 +841,154 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    res_codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the production ANN index shape (coarse cells prune the
+    search space, residual PQ codes compress what remains): each vector
+    is assigned to its max-cosine coarse cell (plan-literal centroids,
+    zero shuffle), its RESIDUAL against that centroid is PQ-encoded
+    map-side, and a query scans only its ``nprobe`` best cells, scoring
+    candidates by ADC over per-(query, cell) lookup tables carried on a
+    broadcast probe relation. At 100 TB the corpus contribution is
+    m code ints per vector, the scan is cell-pruned, and the float math
+    all lives in literals/LUTs.
+
+    ``centroids[i]`` must be ``(cid, vec)`` with ``cid == i`` (cell ids
+    are positional — asserted); ``queries`` are full-precision. Probe
+    selection and the LUTs are computed driver-side with sequential
+    float64 loops, bit-matching the engines' folds so the ENTIRE
+    pipeline (assignment → residual → codes → probes → ADC → rank)
+    replays symbolically in the DuckDB oracle. Output:
+    ``(query_id, neighbor_id, adc_dist, rank)``; ascending distance,
+    ties to the lowest neighbor, query excluded, rank ≤ k. Exchanges:
+    the per-query top-k window (plus pq_encode's none).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    for i, (cid, _) in enumerate(centroids):
+        if cid != i:
+            raise ValueError(f"centroid ids must be positional, got {cid} at {i}")
+
+    # --- per-row coarse assignment + residual, map-only ---------------
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)).cast("double") for x in c]).alias("c"),
+                F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
+                .cast("double")
+                .alias("cnorm"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    cent_by_pos = F.array(
+        *[
+            F.array(*[F.lit(float(x)).cast("double") for x in c])
+            for _, c in centroids
+        ]
+    )
+    best = F.transform(
+        F.array(l2_norm(F.col("vec"))),
+        lambda vn: F.array_max(
+            F.transform(
+                cells,
+                lambda s: F.struct(
+                    F.round(dot(F.col("vec"), s["c"]) / (vn * s["cnorm"]), 6).alias(
+                        "sim"
+                    ),
+                    (-s["cid"]).alias("neg_cid"),
+                ),
+            )
+        ),
+    )[0]
+    assigned = base.select(
+        F.col(id_col), F.col("vec"), F.inline_outer(F.array(best))
+    ).select(F.col(id_col), "vec", (-F.col("neg_cid")).cast("long").alias("cell"))
+    residual = F.zip_with(
+        F.col("vec"),
+        F.element_at(cent_by_pos, (F.col("cell") + 1).cast("int")),
+        lambda a, b: a - b,
+    )
+    res_df = assigned.select(F.col(id_col), F.col("cell"), residual.alias("res"))
+    codes = pq_encode(
+        res_df, res_codebooks, id_col=id_col, vec_col="res", keep_cols=["cell"]
+    )
+    m = len(res_codebooks)
+    split = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        *[
+            F.get(F.split("pq_codes", ","), s).cast("int").alias(f"__c{s}")
+            for s in range(m)
+        ],
+    )
+
+    # --- driver-side probe selection + per-(query, cell) LUTs ---------
+    d = len(res_codebooks[0][0])
+
+    def _cos(q, c):
+        dq = dc = dp = 0.0
+        for a, b in zip(q, c):
+            dp += a * b
+            dq += a * a
+            dc += b * b
+        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+    probe_rows = []
+    for qid, qvec in queries:
+        qv = [float(x) for x in qvec]
+        sims = sorted(
+            ((_cos(qv, [float(x) for x in c]), -cid) for cid, c in centroids),
+            reverse=True,
+        )[:nprobe]
+        for sim, neg_cid in sims:
+            cell = -neg_cid
+            cvec = [float(x) for x in centroids[cell][1]]
+            qres = [a - b for a, b in zip(qv, cvec)]
+            luts = []
+            for s in range(m):
+                row = []
+                for j in range(len(res_codebooks[s])):
+                    acc = 0.0
+                    for t in range(d):
+                        diff = qres[s * d + t] - float(res_codebooks[s][j][t])
+                        acc += diff * diff
+                    row.append(acc)
+                luts.append(row)
+            probe_rows.append((int(qid), int(cell), *luts))
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cell long, "
+        + ", ".join(f"lut{s} array<double>" for s in range(m)),
+    )
+
+    adc = F.round(
+        sum(
+            F.element_at(F.col(f"lut{s}"), F.col(f"__c{s}") + 1) for s in range(m)
+        ),
+        6,
+    )
+    cand = (
+        split.join(F.broadcast(probe_df), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -3106,3 +3106,147 @@ def x_ann_pq_topk(spark, sf_dir):
     )
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
     return S.pq_topk(emb, books, queries, k=10)
+
+
+@register(
+    "x_ann_ivfpq_topk",
+    oracle="""
+    with centroids as (
+      select vec_id as cid, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), corpus as (
+      select vec_id, cast(embedding as double[]) as v from embeddings
+    ), corpus_scored as (
+      select e.vec_id, c.cid,
+             round(list_dot_product(e.v, c.c)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from corpus e cross join centroids c
+    ), assign as (
+      select vec_id, cid as cell from (
+        select *, row_number() over (
+          partition by vec_id order by sim desc, cid) as rn
+        from corpus_scored) where rn = 1
+    ), res as (
+      select a.vec_id, a.cell,
+             list_transform(range(1, 65), t -> e.v[t] - c.c[t]) as r
+      from assign a
+      join corpus e on e.vec_id = a.vec_id
+      join centroids c on c.cid = a.cell
+    ), rcb as (
+      select s.range as s, r.vec_id - 8 as j,
+             r.r[s.range * 16 + 1 : s.range * 16 + 16] as c
+      from res r cross join range(4) s
+      where r.vec_id between 8 and 15
+    ), d2 as (
+      select r.vec_id, s.range as s, rcb.j,
+             round(list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (r.r[s.range * 16 + t] - rcb.c[t])
+                        * (r.r[s.range * 16 + t] - rcb.c[t]))),
+               (acc, x) -> acc + x), 6) as dist
+      from res r cross join range(4) s
+      join rcb on rcb.s = s.range
+    ), codes as (
+      select vec_id, list(j order by s) as cl from (
+        select *, row_number() over (
+          partition by vec_id, s order by dist, j) as rn
+        from d2) where rn = 1 group by vec_id
+    ), probes as (
+      select vec_id as query_id, cid as cell from (
+        select *, row_number() over (
+          partition by vec_id order by sim desc, cid) as rn
+        from corpus_scored where vec_id < 10) where rn <= 2
+    ), qres as (
+      select p.query_id, p.cell,
+             list_transform(range(1, 65), t -> q.v[t] - c.c[t]) as qr
+      from probes p
+      join corpus q on q.vec_id = p.query_id
+      join centroids c on c.cid = p.cell
+    ), lut as (
+      select qr.query_id, qr.cell, s.range as s, rcb.j,
+             list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (qr.qr[s.range * 16 + t] - rcb.c[t])
+                        * (qr.qr[s.range * 16 + t] - rcb.c[t]))),
+               (acc, x) -> acc + x) as dist
+      from qres qr cross join range(4) s
+      join rcb on rcb.s = s.range
+    ), adc as (
+      select l0.query_id, a.vec_id as neighbor_id,
+             round(l0.dist + l1.dist + l2.dist + l3.dist, 6) as adc_dist
+      from assign a
+      join codes k on k.vec_id = a.vec_id
+      join probes p on p.cell = a.cell and p.query_id <> a.vec_id
+      join lut l0 on l0.query_id = p.query_id and l0.cell = p.cell
+                 and l0.s = 0 and l0.j = k.cl[1]
+      join lut l1 on l1.query_id = p.query_id and l1.cell = p.cell
+                 and l1.s = 1 and l1.j = k.cl[2]
+      join lut l2 on l2.query_id = p.query_id and l2.cell = p.cell
+                 and l2.s = 2 and l2.j = k.cl[3]
+      join lut l3 on l3.query_id = p.query_id and l3.cell = p.cell
+                 and l3.s = 3 and l3.j = k.cl[4]
+    )
+    select query_id, neighbor_id, adc_dist, rank from (
+      select *, cast(row_number() over (
+        partition by query_id order by adc_dist, neighbor_id) as int) as rank
+      from adc)
+    where rank <= 5
+    """,
+)
+def x_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — the production ANN index shape (`similarity.ivfpq_topk`):
+    coarse max-cosine cells (the x_ann_ivf_assign centroids) prune the
+    search to nprobe=2 cells per query; RESIDUALS against the assigned
+    centroid are PQ-encoded (codebooks = the residual subvectors of
+    vec_id 8..15 — the first 8 are the centroids themselves, whose
+    residuals are zero); search scores candidates by ADC over
+    per-(query, cell) LUTs carried on a broadcast probe relation. The
+    oracle replays ALL of it symbolically — assignment, residuals,
+    residual codebooks, codes, probe selection, LUTs, the fixed-order
+    4-term sums, and both tiebreaks. Queries vec_id < 10, k=5 — the
+    same contract as `x_ann_ivf_topk`, but the corpus side of the
+    search touches only 4 code ints per vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+    # residual codebooks from vec_id 8..15, replaying the engine's own
+    # assignment/residual math in python (sequential float64 — matches
+    # both engines' folds)
+    import math
+
+    def cos(q, c):
+        dp = dq = dc = 0.0
+        for a, b in zip(q, c):
+            dp += a * b
+            dq += a * a
+            dc += b * b
+        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+    donor_rows = (
+        emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    res_codebooks = [[] for _ in range(4)]
+    for r in donor_rows:
+        v = [float(x) for x in r["embedding"]]
+        best = max(
+            ((cos(v, c), -cid) for cid, c in centroids)
+        )
+        cvec = centroids[-best[1]][1]
+        resid = [a - b for a, b in zip(v, cvec)]
+        for s in range(4):
+            res_codebooks[s].append(resid[s * 16 : (s + 1) * 16])
+
+    q_rows = emb.where(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
+    ]
+    return S.ivfpq_topk(
+        emb, centroids, res_codebooks, queries, k=5, nprobe=2
+    )

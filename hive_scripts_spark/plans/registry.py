@@ -166,13 +166,13 @@ FRONT_ORDER: list[str] = [
     "x_events_retention",
     "x_length_histogram",
     "x_pii_signals",
-    "x_skew_report",
     "x_text_entropy",
-    # product quantization (r7-added) — first driver rows; they take
-    # the x_vocab_build / x_weighted_sample refresh slots (r3+r5 greens
-    # keep those above the freshness bar)
+    # product quantization + IVF-PQ (r7-added) — first driver rows;
+    # they take the x_vocab_build / x_weighted_sample / x_skew_report
+    # refresh slots (r3+r5 greens keep those above the freshness bar)
     "x_ann_pq_encode",
     "x_ann_pq_topk",
+    "x_ann_ivfpq_topk",
     "g_percentiles",
     # r7-added operators — first driver rows (bloom-prefilter
     # decontamination, cross-corpus exact + near dedup, train/val/test

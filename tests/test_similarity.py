@@ -272,3 +272,48 @@ def test_pq_topk_recall_against_exact_l2(spark):
         assert [rk for rk, _ in mine] == list(range(1, 11))
         dists = [d for _, d in mine]
         assert dists == sorted(dists)
+
+
+def test_ivfpq_candidates_come_only_from_probed_cells(spark):
+    """IVF+PQ structural contract: every returned neighbor's assigned
+    coarse cell must be one of its query's nprobe best cells (replayed
+    in python with the same sequential cosine), ranks contiguous per
+    query, distances ascending, query never its own neighbor."""
+    import math
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    rows = QUERIES["x_ann_ivfpq_topk"](spark, "/root/testdata/sf0.001").collect()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    cents = [(i, vecs[i]) for i in range(8)]
+
+    def cos(q, c):
+        dp = dq = dc = 0.0
+        for a, b in zip(q, c):
+            dp += a * b
+            dq += a * a
+            dc += b * b
+        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+    def probes(v, n=2):
+        return {
+            -neg for _, neg in sorted(
+                ((cos(v, c), -cid) for cid, c in cents), reverse=True
+            )[:n]
+        }
+
+    def cell(v):
+        return -max(((cos(v, c), -cid) for cid, c in cents))[1]
+
+    by_q: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"], r["neighbor_id"]))
+        assert cell(vecs[r["neighbor_id"]]) in probes(vecs[r["query_id"]])
+    for qid, items in by_q.items():
+        items.sort()
+        assert [rk for rk, _, _ in items] == list(range(1, len(items) + 1))
+        dists = [d for _, d, _ in items]
+        assert dists == sorted(dists)
+    assert set(by_q) == set(range(10))

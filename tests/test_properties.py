@@ -311,3 +311,53 @@ def test_bloom_prefilter_agrees_with_broadcast_path(spark, rows, bench_mod, bpg)
         ).collect()
     }
     assert bloomed == plain
+
+
+@SMALL
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_pq_encode_matches_python_replay(spark, vecs, k):
+    """pq_encode vs a pure-python replay (same sequential float64 folds,
+    same 6dp rounding, same lowest-index tiebreak) for arbitrary small
+    vectors and codebooks drawn from the first k vectors — m=2
+    subspaces of 4 dims."""
+    from hive_scripts_spark.operators.similarity import pq_encode
+
+    m, d = 2, 4
+    books = [
+        [[float(v[s * d + t]) for t in range(d)] for v in vecs[:k]]
+        for s in range(m)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["pq_codes"], r["pq_err"])
+        for r in pq_encode(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        codes, err = [], 0.0
+        for s in range(m):
+            best = None
+            for j, c in enumerate(books[s]):
+                acc = 0.0
+                for t in range(d):
+                    diff = float(v[s * d + t]) - c[t]
+                    acc += diff * diff
+                acc = round(acc, 6)
+                if best is None or (acc, j) < best:
+                    best = (acc, j)
+            codes.append(str(best[1]))
+            err += best[0]
+        assert got[i] == (",".join(codes), round(err, 6)), i

@@ -317,3 +317,43 @@ def test_ivfpq_candidates_come_only_from_probed_cells(spark):
         dists = [d for _, d, _ in items]
         assert dists == sorted(dists)
     assert set(by_q) == set(range(10))
+
+
+def test_train_kmeans_reduces_error_on_clustered_data(spark):
+    """On data WITH cluster structure, trained codebooks must beat the
+    first-k data-point books on total quantization error (the property
+    Lloyd optimizes), and training must be deterministic. (On the
+    structureless synthetic testdata they measure equal — documented in
+    train_pq_codebooks.)"""
+    from hive_scripts_spark.operators.similarity import (
+        pq_encode,
+        train_kmeans,
+        train_pq_codebooks,
+    )
+
+    # 3 tight clusters around distinct centers, 8-dim, m=2 subspaces
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    pts = []
+    for i in range(60):
+        c = centers[i % 3]
+        # deterministic jitter
+        pts.append([c[t] + ((i * 7 + t * 13) % 5) * 0.1 for t in range(8)])
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "vec_id long, embedding array<double>"
+    )
+    naive = [
+        [[p[s * 4 + t] for t in range(4)] for p in pts[:3]] for s in range(2)
+    ]
+    trained = train_pq_codebooks(df, m=2, k=3, iters=10, sample=60)
+    assert trained == train_pq_codebooks(df, m=2, k=3, iters=10, sample=60)
+
+    def total_err(books):
+        return sum(
+            r["pq_err"] for r in pq_encode(df, books).collect()
+        )
+
+    assert total_err(trained) < total_err(naive)
+    # core trainer determinism + shape
+    cents = train_kmeans(pts, 3)
+    assert cents == train_kmeans(pts, 3)
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)

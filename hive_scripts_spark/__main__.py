@@ -265,11 +265,6 @@ def cmd_stream_reconcile(args: argparse.Namespace) -> int:
     ).agg(F.count(F.lit(1)).alias("row_count"))
 
     handler = streaming_count_reconcile(
-        streaming_partition_counts(
-            read_event_stream(spark, args.events_dir),
-            partition_col=args.partition_col,
-            watermark=args.watermark,
-        ),
         target_counts,
         partition_col=args.partition_col,
         on_batch=reconcile_parquet_sink(args.output),

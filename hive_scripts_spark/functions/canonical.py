@@ -291,8 +291,24 @@ def train_val_test_split(
     Bucket layout: ``[0, buckets-val-test)`` → train, then val, then
     test. Narrow dependency — no shuffle; the expression pushes into the
     scan projection.
+
+    The key is salted with a ``"split"`` literal so the split bucket is
+    independent of :func:`shard_by_hash` over the same key: unsalted,
+    both are residues of ONE md5 value, correlated mod
+    ``gcd(buckets, n_shards)`` — with the 100/16 defaults each split
+    bucket could reach only 4 of 16 shards and val/test shard sizes
+    skewed ~2:1 by shard residue class.
     """
-    key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= buckets:
+        raise ValueError(
+            f"invalid split percentages: val={val_pct} test={test_pct} "
+            f"of {buckets} buckets leaves no train bucket"
+        )
+    key = F.concat_ws(
+        FIELD_SEP,
+        F.lit("split"),
+        *[F.col(c).cast("string") for c in key_cols],
+    )
     b = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % buckets
     train_hi = buckets - val_pct - test_pct
     split = (

@@ -2828,7 +2828,8 @@ def x_dedup_cross(spark, sf_dir):
     oracle="""
     with assigned as (
       select lang, n_chars,
-             cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+             cast(('0x' || substr(
+                 md5('split' || chr(1) || cast(doc_id as varchar)), 1, 15))
                   as bigint) % 100 as b
       from documents
     )

@@ -20,6 +20,25 @@ _DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """Local-mode JVM heap default, adaptive to the host.
+
+    A fixed 24g default overcommits small hosts (the JVM reserves the
+    heap ceiling lazily, but a loaded box can still OOM-kill the
+    process). Take ~half of physical RAM, clamped to [4g, 24g]; the
+    SPARK_GRAFT_DRIVER_MEM env var stays the explicit override.
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, total_gib // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -42,10 +61,12 @@ def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -
         # effective for the process's FIRST session (the JVM is already
         # up afterwards — ignored then, harmless); the external
         # driver's vanilla session keeps its own defaults, which its
-        # sf0.01 workload fits comfortably.
+        # sf0.01 workload fits comfortably. Default adapts to host RAM
+        # (half of physical, clamped 4-24g) so small hosts don't
+        # overcommit; env var is the explicit override.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

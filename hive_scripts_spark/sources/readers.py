@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as _t
 
 TESTDATA_TABLES = (
     "region",
@@ -103,7 +104,14 @@ def read_jsonl(
         "columnNameOfCorruptRecord", corrupt_col
     )
     if schema is not None:
-        reader = reader.schema(f"{schema}, {corrupt_col} string")
+        # a declared schema may already position the corrupt column;
+        # blind appending would raise an opaque duplicate-column
+        # AnalysisException. Parse the DDL to check by field name.
+        declared = _t.StructType.fromDDL(schema)
+        if corrupt_col in declared.fieldNames():
+            reader = reader.schema(schema)
+        else:
+            reader = reader.schema(f"{schema}, {corrupt_col} string")
     return reader.json(path)
 
 

@@ -69,18 +69,20 @@ def reconcile_count_frames(src: DataFrame, tgt: DataFrame) -> DataFrame:
 
 
 def streaming_count_reconcile(
-    stream_counts: DataFrame,
     target_counts: DataFrame,
     partition_col: str = "event_type",
     table_name: str = "events",
     on_batch: Callable[[DataFrame, int], None] | None = None,
 ):
-    """Reconcile a streaming count frame against a static target.
+    """Reconcile streaming micro-batches of a count frame against a
+    static target.
 
-    ``stream_counts``: streaming ``(window_start, <partition_col>,
-    row_count)`` (append mode — watermark-finalized windows only).
-    ``target_counts``: static frame with the same columns (the "other
-    side" — e.g. the migration target's counts).
+    ``target_counts``: static ``(window_start, <partition_col>,
+    row_count)`` frame (the "other side" — e.g. the migration target's
+    counts). The streaming side arrives per micro-batch via the
+    returned ``foreachBatch`` handler (append mode —
+    watermark-finalized windows only), so no stream frame is passed
+    here: the handler only ever sees ``batch_df``.
 
     Returns a function suitable for ``writeStream.foreachBatch``; if
     ``on_batch`` is given it is invoked with ``(reconciled_df, batch_id)``

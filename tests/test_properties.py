@@ -257,7 +257,10 @@ def test_train_val_test_split_total_property(spark, ids, val, test):
     }
     assert set(out) == set(ids)
     for i in ids:
-        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        # replay the salted key ("split" literal decorrelates the split
+        # bucket from shard_by_hash over the same key — ADVICE r7)
+        salted = f"split\x01{i}".encode()
+        b = int(hashlib.md5(salted).hexdigest()[:15], 16) % 100
         expect = (
             "train"
             if b < 100 - val - test

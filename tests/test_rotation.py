@@ -1,0 +1,66 @@
+"""Unit tests for the generated grading window (rotation.py).
+
+The window is the driver's grading contract, so its generator gets
+pure-function tests on synthetic history plus an integration check
+against the real committed artifacts.
+"""
+
+from hive_scripts_spark.plans.rotation import (
+    WINDOW,
+    compute_front_order,
+    load_green_history,
+    repo_root,
+)
+
+
+def test_priority_order_never_then_stale_then_oldest_fill():
+    names = [f"q{i:02d}" for i in range(8)]
+    # latest round 7 -> stale bar is r6
+    last_green = {
+        "q00": 7,  # fresh
+        "q01": 3,  # stale
+        "q02": 6,  # fresh
+        "q03": 2,  # stale (older than q01)
+        # q04 never graded
+        "q05": 5,  # stale
+        "q06": 4,  # fresh enough? no: 4 < 6 -> stale
+        "q07": 6,  # fresh
+    }
+    out = compute_front_order(names, last_green, 7, window=6)
+    # never-graded first, then stale oldest-first, then oldest fill
+    assert out == ["q04", "q03", "q01", "q06", "q05", "q02"]
+
+
+def test_no_history_keeps_natural_order():
+    assert compute_front_order(["a", "b"], {}, 0) == []
+
+
+def test_overflow_raises():
+    names = [f"q{i}" for i in range(5)]
+    try:
+        compute_front_order(names, {n: 1 for n in names}, 9, window=3)
+    except ValueError as e:
+        assert "overflow" in str(e)
+    else:
+        raise AssertionError("expected rotation overflow to raise")
+
+
+def test_stale_ties_break_by_name():
+    names = ["b", "a", "c"]
+    out = compute_front_order(names, {"a": 2, "b": 2, "c": 9}, 9, window=3)
+    assert out == ["a", "b", "c"]
+
+
+def test_real_artifacts_parse_and_window_covers_all_stale():
+    last_green, latest = load_green_history(repo_root())
+    if latest == 0:
+        return  # fresh checkout, nothing to check
+    from hive_scripts_spark.plans.registry import ORACLES
+
+    window = compute_front_order(
+        [n for n in ORACLES], last_green, latest, window=WINDOW
+    )
+    stale = {
+        n for n in ORACLES if 0 < last_green.get(n, 0) < latest - 1
+    }
+    assert stale <= set(window)

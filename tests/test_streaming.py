@@ -113,7 +113,6 @@ def test_streaming_count_reconcile(spark, tmp_path):
 
     batches: list = []
     handler = streaming_count_reconcile(
-        streaming_partition_counts(read_event_stream(spark, str(d))),
         target_counts,
         on_batch=lambda df, bid: batches.append(df.collect()),
     )

@@ -789,17 +789,42 @@ def pq_topk(
     computation symbolically. Output: ``(query_id, neighbor_id,
     adc_dist)``, ascending distance, ties to the lowest neighbor, the
     query itself excluded. One exchange (the per-query top-k window).
+
+    This convenience form re-encodes the corpus per call; production
+    ("build the index once, search many") persists :func:`pq_encode`
+    output to parquet and searches it with :func:`pq_search_codes`.
+    """
+    encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_search_codes(encoded, codebooks, queries, k=k, id_col=id_col)
+
+
+def pq_search_codes(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC top-k over a STORED PQ-code relation — the persisted-index
+    search face: ``codes`` is (typically) a parquet scan of
+    :func:`pq_encode` output, so the per-call cost is LUT literals +
+    the m-int code scan + one top-k exchange; the encode is amortized
+    across every search. At 100 TB this is THE operating shape — the
+    code table is ~m bytes/vector (64-dim float32 → 4 bytes at m=4),
+    small enough to keep hot, and the full-precision corpus is never
+    read at query time. Same determinism contract and output schema as
+    :func:`pq_topk` (which is now just encode → this).
     """
     from pyspark.sql import Window
 
     m = len(codebooks)
     d = len(codebooks[0][0])
 
-    encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-    split = encoded.select(
+    split = codes.select(
         F.col(id_col),
         *[
-            F.get(F.split("pq_codes", ","), s).cast("int").alias(f"__c{s}")
+            F.get(F.split(codes_col, ","), s).cast("int").alias(f"__c{s}")
             for s in range(m)
         ],
     )
@@ -872,10 +897,36 @@ def ivfpq_topk(
     ``(query_id, neighbor_id, adc_dist, rank)``; ascending distance,
     ties to the lowest neighbor, query excluded, rank ≤ k. Exchanges:
     the per-query top-k window (plus pq_encode's none).
+
+    This convenience form re-encodes the corpus per call; production
+    persists :func:`ivfpq_encode` output parquet-partitioned by
+    ``cell`` and searches it with :func:`ivfpq_search_codes`, whose
+    probe-cell filter then prunes partitions at planning time.
+    """
+    codes = ivfpq_encode(
+        embeddings, centroids, res_codebooks, id_col=id_col, vec_col=vec_col
+    )
+    return ivfpq_search_codes(
+        codes, centroids, res_codebooks, queries, k=k, nprobe=nprobe, id_col=id_col
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    res_codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ index build: coarse max-cosine cell assignment
+    (plan-literal centroids) + residual PQ encode — the write side of
+    the persisted index. Map-only at any corpus size (zero shuffle);
+    write the output ``partitionBy("cell")`` so
+    :func:`ivfpq_search_codes`'s probe filter prunes whole cell
+    directories at planning time. Output: ``(id, cell, pq_codes,
+    pq_err)``.
     """
     import math
-
-    from pyspark.sql import Window
 
     for i, (cid, _) in enumerate(centroids):
         if cid != i:
@@ -924,20 +975,40 @@ def ivfpq_topk(
         lambda a, b: a - b,
     )
     res_df = assigned.select(F.col(id_col), F.col("cell"), residual.alias("res"))
-    codes = pq_encode(
+    return pq_encode(
         res_df, res_codebooks, id_col=id_col, vec_col="res", keep_cols=["cell"]
     )
-    m = len(res_codebooks)
-    split = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        "cell",
-        *[
-            F.get(F.split("pq_codes", ","), s).cast("int").alias(f"__c{s}")
-            for s in range(m)
-        ],
-    )
 
-    # --- driver-side probe selection + per-(query, cell) LUTs ---------
+
+def ivfpq_search_codes(
+    codes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    res_codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Cell-pruned ADC search over a STORED IVF+PQ code relation — the
+    persisted-index search face. ``codes`` is (typically) a parquet
+    scan of :func:`ivfpq_encode` output written ``partitionBy("cell")``;
+    probe cells are selected driver-side from the query vectors, and
+    the union of probed cells is applied as an ``isin`` FILTER on the
+    scan *before* the broadcast LUT join — semantically redundant with
+    the join (inner on ``cell``), but as a static plan literal it
+    lands in ``PartitionFilters``, so a partitioned layout opens only
+    the ``nprobe``-cell directories (pytest-asserted in
+    ``tests/test_similarity.py``). At 100 TB with nlist cells that is
+    an ``nprobe/nlist`` scan-fraction cut before a single byte of code
+    data is read. Same determinism contract and output schema as
+    :func:`ivfpq_topk` (which is now just encode → this).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    m = len(res_codebooks)
     d = len(res_codebooks[0][0])
 
     def _cos(q, c):
@@ -970,11 +1041,25 @@ def ivfpq_topk(
                     row.append(acc)
                 luts.append(row)
             probe_rows.append((int(qid), int(cell), *luts))
-    spark = embeddings.sparkSession
+    spark = codes.sparkSession
     probe_df = spark.createDataFrame(
         probe_rows,
         "query_id long, cell long, "
         + ", ".join(f"lut{s} array<double>" for s in range(m)),
+    )
+
+    # static probe-cell filter: redundant with the join below, but a
+    # plan-literal isin reaches PartitionFilters on a cell-partitioned
+    # layout — the join key alone can't prune directories at planning
+    # time (the probe relation is a runtime row set)
+    probed_cells = sorted({int(cell) for _, cell, *_ in probe_rows})
+    split = codes.where(F.col("cell").isin(probed_cells)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").cast("long").alias("cell"),
+        *[
+            F.get(F.split(codes_col, ","), s).cast("int").alias(f"__c{s}")
+            for s in range(m)
+        ],
     )
 
     adc = F.round(

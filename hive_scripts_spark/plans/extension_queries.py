@@ -3048,9 +3048,11 @@ def _pq_codebooks(emb):
     ]
 
 
-@register(
-    "x_ann_pq_topk",
-    oracle=f"""
+# shared by x_ann_pq_topk (recompute form) and x_ann_pq_index_search
+# (search-from-stored-codes form): the oracle recomputes from
+# `embeddings` alone either way — the persisted index is an
+# implementation detail the grade must not depend on
+_DUCK_PQ_TOPK = f"""
     {_DUCK_PQ}, split as (
       select vec_id,
              list_transform(string_split(pq_codes, ','),
@@ -3088,8 +3090,10 @@ def _pq_codebooks(emb):
         partition by query_id order by adc_dist, neighbor_id) as int) as rank
       from adc)
     where rank <= 10
-    """,
-)
+    """
+
+
+@register("x_ann_pq_topk", oracle=_DUCK_PQ_TOPK)
 def x_ann_pq_topk(spark, sf_dir):
     """Asymmetric-distance PQ search (`similarity.pq_topk`): per-query
     LUTs (squared L2 of each query subvector to every code) computed
@@ -3109,9 +3113,9 @@ def x_ann_pq_topk(spark, sf_dir):
     return S.pq_topk(emb, books, queries, k=10)
 
 
-@register(
-    "x_ann_ivfpq_topk",
-    oracle="""
+# shared by x_ann_ivfpq_topk and x_ann_ivfpq_index_search (see
+# _DUCK_PQ_TOPK note)
+_DUCK_IVFPQ_TOPK = """
     with centroids as (
       select vec_id as cid, cast(embedding as double[]) as c
       from embeddings where vec_id < 8
@@ -3195,8 +3199,10 @@ def x_ann_pq_topk(spark, sf_dir):
         partition by query_id order by adc_dist, neighbor_id) as int) as rank
       from adc)
     where rank <= 5
-    """,
-)
+    """
+
+
+@register("x_ann_ivfpq_topk", oracle=_DUCK_IVFPQ_TOPK)
 def x_ann_ivfpq_topk(spark, sf_dir):
     """IVF+PQ — the production ANN index shape (`similarity.ivfpq_topk`):
     coarse max-cosine cells (the x_ann_ivf_assign centroids) prune the
@@ -3211,6 +3217,18 @@ def x_ann_ivfpq_topk(spark, sf_dir):
     same contract as `x_ann_ivf_topk`, but the corpus side of the
     search touches only 4 code ints per vector."""
     emb = table(spark, sf_dir, "embeddings")
+    centroids, res_codebooks, queries = _ivfpq_model(emb)
+    return S.ivfpq_topk(
+        emb, centroids, res_codebooks, queries, k=5, nprobe=2
+    )
+
+
+def _ivfpq_model(emb):
+    """Shared IVF+PQ model parameters: coarse centroids (vec_id < 8),
+    residual codebooks (the residuals of donors vec_id 8..15, replaying
+    the engine's assignment math in sequential python float64), and the
+    query set (vec_id < 10) — deterministic-from-data, same trick as
+    `_pq_codebooks`."""
     cent_rows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
@@ -3248,6 +3266,66 @@ def x_ann_ivfpq_topk(spark, sf_dir):
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
     ]
-    return S.ivfpq_topk(
-        emb, centroids, res_codebooks, queries, k=5, nprobe=2
+    return centroids, res_codebooks, queries
+
+
+def _ann_scratch(sf_dir: str, name: str):
+    """Fresh repo-local scratch dir for a persisted ANN index (same
+    pattern as `_incremental_demo`): the graded output stays a pure
+    function of `embeddings` — the index on disk is an implementation
+    detail rebuilt per run."""
+    import shutil
+    from pathlib import Path
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    scratch = Path(__file__).resolve().parents[2] / ".scratch" / f"{name}_{tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    return scratch
+
+
+@register("x_ann_pq_index_search", oracle=_DUCK_PQ_TOPK)
+def x_ann_pq_index_search(spark, sf_dir):
+    """Build-once / search-many PQ index (`similarity.pq_encode` →
+    parquet → `similarity.pq_search_codes`): encode the corpus ONCE to
+    a stored code table (4 small ints per 64-dim vector — the ~64×
+    index-memory cut), then answer the same queries as `x_ann_pq_topk`
+    FROM THE STORED CODES — per-query cost is LUT literals + the
+    code-table scan + one top-k exchange; the full-precision corpus is
+    never read at search time. This is the production operating shape
+    at 100 TB (x_ann_pq_topk re-encodes per call, grading the encode
+    path; this row grades the amortized path). Same oracle: the result
+    is a pure function of `embeddings` either way."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(emb)
+    idx = _ann_scratch(sf_dir, "pq_index")
+    S.pq_encode(emb, books).write.mode("overwrite").parquet(str(idx))
+    stored = spark.read.parquet(str(idx))
+    q_rows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
+    ]
+    return S.pq_search_codes(stored, books, queries, k=10)
+
+
+@register("x_ann_ivfpq_index_search", oracle=_DUCK_IVFPQ_TOPK)
+def x_ann_ivfpq_index_search(spark, sf_dir):
+    """Build-once / search-many IVF+PQ index (`similarity.ivfpq_encode`
+    → parquet `partitionBy(cell)` → `similarity.ivfpq_search_codes`):
+    the cell-partitioned layout the ivf_topk docstring promises,
+    materialized — the probe-cell `isin` filter lands in
+    `PartitionFilters`, so a search opens only its nprobe cell
+    directories (plan-asserted in `tests/test_similarity.py`). One
+    file per cell (repartition-by-cell before the write — the
+    incremental module's small-files lesson). Same queries, k, nprobe,
+    and oracle as `x_ann_ivfpq_topk`; this row grades the amortized
+    search path from stored codes."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids, res_codebooks, queries = _ivfpq_model(emb)
+    idx = _ann_scratch(sf_dir, "ivfpq_index")
+    S.ivfpq_encode(emb, centroids, res_codebooks).repartition(
+        "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(str(idx))
+    stored = spark.read.parquet(str(idx))
+    return S.ivfpq_search_codes(
+        stored, centroids, res_codebooks, queries, k=5, nprobe=2
     )

@@ -11,6 +11,21 @@ dependency, so it stays the supported stateful surface here; the TWS
 port is mechanical when the dependency is available (same per-key
 update closure, state tuple moves into ``handle.getValueState``).
 
+State-store note (r8): the **RocksDB state store provider** was
+evaluated against these operators and WORKS on this runtime (unlike
+TWS): two-micro-batch ``running_user_totals`` under
+``RocksDBStateStoreProvider`` + changelog checkpointing carries state
+across batches with exact parity to the batch twin and reports the
+full rocksdb metric set in query progress (pytest-pinned in
+``tests/test_stateful_streaming.py``). It is OPT-IN via
+:func:`enable_rocksdb_state` rather than a blanket default because the
+default HDFS-backed store is faster for the tiny key spaces of local
+tests; at 100 TB — state ∝ live keys, far beyond executor heap — the
+RocksDB provider is the correct choice: state lives on executor-local
+disk (heap holds only block cache), snapshots upload incrementally,
+and changelog checkpointing turns per-batch checkpoint cost from
+O(state) into O(delta).
+
 These are the operators Structured Streaming's built-ins don't express:
 arbitrary per-key state evolved across micro-batches, with Arrow-batched
 Python logic. State is partitioned by key across executors and bounded by
@@ -40,6 +55,34 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+
+#: session confs for the RocksDB state store (see module docstring's
+#: r8 evaluation note). Provider class is read per-query at start, so
+#: these are runtime-settable — no rebuilt SparkSession needed.
+ROCKSDB_STATE_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # per-batch checkpoint uploads the CHANGELOG instead of a full
+    # snapshot: O(delta) not O(state) — the conf that makes large
+    # stateful streams checkpoint-bound instead of state-size-bound
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def enable_rocksdb_state(spark) -> None:
+    """Switch subsequently-started streaming queries on this session to
+    the RocksDB state store (executor-local-disk state + changelog
+    checkpointing). Opt-in: correct choice when live-key state outgrows
+    executor heap; the default HDFS-backed store is faster for small
+    state. Apply to an isolated ``spark.newSession()`` to scope the
+    switch."""
+    for k, v in ROCKSDB_STATE_CONFS.items():
+        spark.conf.set(k, v)
+
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [

@@ -357,3 +357,67 @@ def test_train_kmeans_reduces_error_on_clustered_data(spark):
     cents = train_kmeans(pts, 3)
     assert cents == train_kmeans(pts, 3)
     assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+
+
+def test_persisted_index_search_matches_recompute(spark):
+    """Build-once/search-many parity: the stored-code search faces
+    (x_ann_*_index_search) must return EXACTLY the recompute forms'
+    rows — the index on disk is an implementation detail, not a
+    semantic change (both share one oracle for the same reason)."""
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for stored_q, recompute_q in (
+        ("x_ann_pq_index_search", "x_ann_pq_topk"),
+        ("x_ann_ivfpq_index_search", "x_ann_ivfpq_topk"),
+    ):
+        stored = sorted(map(tuple, QUERIES[stored_q](spark, sf).collect()))
+        recomputed = sorted(map(tuple, QUERIES[recompute_q](spark, sf).collect()))
+        assert stored == recomputed, stored_q
+
+
+def test_ivfpq_stored_search_prunes_cell_partitions(spark, tmp_path):
+    """The cell-partitioned index layout + the probe-cell isin filter
+    must prune at the DIRECTORY level: with one probed cell out of
+    three, the scan's PartitionFilters carries the cell predicate and
+    only that cell's directory is read (the ivf_topk docstring's
+    promise, materialized — VERDICT r7 item 3)."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.1, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    books = [
+        [[0.0, 0.0], [0.1, -0.1]],  # subspace 0 (dims 0-1)
+        [[0.0, 0.0], [-0.1, 0.1]],  # subspace 1 (dims 2-3)
+    ]
+    idx = str(tmp_path / "ivfpq")
+    S.ivfpq_encode(df, cents, books).repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(idx)
+    assert {d for d in os.listdir(idx) if d.startswith("cell=")} == {
+        "cell=0", "cell=1", "cell=2"
+    }
+
+    stored = spark.read.parquet(idx)
+    out = S.ivfpq_search_codes(
+        stored, cents, books, [(0, [1.0, 0.0, 0.0, 0.0])], k=3, nprobe=1
+    )
+    got = out.collect()
+    # query 0 probes only cell 0 → neighbor set is cell 0 minus itself
+    assert {r["neighbor_id"] for r in got} == {1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the probe filter pruned directories at planning time: the cell
+    # equality lands in PartitionFilters (observed form:
+    # `PartitionFilters: [isnotnull(cell#N), (cell#N = 0)]`)
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in pf and "= 0)" in pf

@@ -156,3 +156,61 @@ def test_replay_dedup_batch_matches_streaming(spark, two_batch_dir, tmp_path):
         tuple(r) for r in replay_dedup_batch(batch).select(*cols).collect()
     }
     assert got_batch == got_stream
+
+
+def test_running_totals_on_rocksdb_state_store(spark, two_batch_dir, tmp_path):
+    """r8 state-store evaluation, pinned: the RocksDB provider must (a)
+    carry state across micro-batches with exact count parity to the
+    batch aggregate, and (b) actually be engaged (rocksdb custom
+    metrics in the query progress). Runs on an isolated newSession so
+    the provider switch can't leak into other streaming tests."""
+    from hive_scripts_spark.sources.events import normalize_event_ts
+    from hive_scripts_spark.streaming.stateful import enable_rocksdb_state
+
+    s = spark.newSession()
+    enable_rocksdb_state(s)
+
+    schema = s.read.parquet(two_batch_dir).schema
+    raw = (
+        s.readStream.schema(schema)
+        .format("parquet")
+        .option("path", two_batch_dir)
+        .option("maxFilesPerTrigger", 1)  # force one batch per file
+        .load()
+    )
+    stream = normalize_event_ts(raw).withColumn("ts_long", F.unix_micros("ts"))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("rt_rocksdb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert q.lastProgress["batchId"] >= 1  # state crossed a batch boundary
+    rocks_metrics = {
+        k
+        for op in q.lastProgress.get("stateOperators", [])
+        for k in (op.get("customMetrics") or {})
+        if k.lower().startswith("rocksdb")
+    }
+    assert rocks_metrics, "RocksDB provider not engaged"
+
+    latest = (
+        s.table("rt_rocksdb")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in latest.collect()}
+    ev = s.read.parquet(f"{SF_DIR}/events.parquet")
+    dup = ev.where("event_id % 2 = 0").limit(50)
+    expect = {
+        r["user_id"]: r["n"]
+        for r in ev.unionByName(dup)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect

@@ -897,18 +897,44 @@ def bloom_contamination_overlap(
     n: int = 3,
     bits_per_gram: int = 16,
     num_hashes: int = 4,
+    route: str = "auto",
+    literal_max_docs: int = 1_000,
 ) -> DataFrame:
-    """:func:`contamination_overlap` with a **plan-literal Bloom
-    prefilter** — identical results (Bloom filters have no false
-    negatives; false positives die in the exact verify join), different
-    scale posture.
+    """:func:`contamination_overlap` with a **Bloom prefilter** —
+    identical results (Bloom filters have no false negatives; false
+    positives die in the exact verify join), different scale posture.
 
-    Shape: ONE tiny Spark job over the small side collects the bench
-    grams with their k raw xxhash64 values; the driver folds them into
-    a literal ``array<bigint>`` bitset (m/8 bytes — a 65k-bit filter is
-    8 KB of plan, vs megabytes for a broadcast hash relation of gram
-    strings) and the grams themselves become the verify join's
-    LocalRelation. The corpus side then probes the bitset with pure
+    Two build routes, keyed on benchmark size (``route='auto'`` counts
+    the bench docs — one cheap small-side job — and picks; ``'literal'``
+    / ``'distributed'`` force):
+
+    * **literal** (bench ≤ ``literal_max_docs`` docs; default 1000 —
+      at a 10k-doc bench the literal route measured 25.7 s vs the
+      distributed route's 1.5 s): the original r7
+      shape — one driver collect of the bench grams+hashes, bitset
+      folded in python and embedded as ONE parsed plan-literal array,
+      verify against a LocalRelation of the collected grams. Cheapest
+      when the bitset is KBs and the gram list fits a collect.
+    * **distributed** (above the threshold): nothing gram-shaped ever
+      reaches the driver — grams → k probe positions → ``bit_or`` of
+      the shifted bits grouped by bitset word (a small-side agg whose
+      output is bounded by the BITSET size, not the gram count) →
+      driver assembles the word array (≤ m/64 longs) and ships it as a
+      ONE-ROW broadcast relation (a 1-row BroadcastNestedLoopJoin —
+      constant per executor, never parsed as SQL text); the exact
+      verify joins the DISTRIBUTED bench-gram frame (AQE picks
+      broadcast vs shuffle). Measured (tools/scale_probe.py, 100k-doc
+      corpus, 50k-doc bench): the literal route's driver work (2.4M-row
+      collect + multi-MB plan text + 2.4M-row LocalRelation) is a
+      scale-killer the distributed route removes entirely.
+
+    Literal-route shape: ONE tiny Spark job over the small side
+    collects the bench grams with their k raw xxhash64 values; the
+    driver folds them into a literal ``array<bigint>`` bitset (m/8
+    bytes — a 65k-bit filter is 8 KB of plan, vs megabytes for a
+    broadcast hash relation of gram strings) and the grams themselves
+    become the verify join's LocalRelation. Either way the corpus side
+    probes the bitset with pure
     WholeStageCodegen arithmetic — no broadcast exchange, no hash
     relation build per executor — and only the ~``(1-e^(-k/16))^k``
     (≈2% at the defaults) of grams that pass reach the exact
@@ -918,57 +944,124 @@ def bloom_contamination_overlap(
 
     The bitset is sized from the observed benchmark gram count
     (``bits_per_gram`` bits each, rounded up to a power of two, floor
-    8192) — eval sets are small by definition, so the single
-    gram+hash collect is a bounded metadata operation, the same class
-    as the IVF centroid literals (`similarity.py`).
+    8192) — in the literal route the single gram+hash collect is a
+    bounded metadata operation, the same class as the IVF centroid
+    literals (`similarity.py`); in the distributed route sizing is a
+    count and the fold is a Spark agg.
     """
     seeds = list(range(num_hashes))
-    # ONE job over the small side: grams AND their raw 64-bit hashes
-    # together — sizing, bitset build, and the verify relation all come
-    # from this single collect. (An earlier formulation ran three
-    # separate bench-side evaluations — a count job, a positions job,
-    # and the verify join's own lineage — and the job overhead made the
-    # whole query ~10x the broadcast path's cost at sf0.1.) Python's %
-    # equals Spark's pmod for positive m, so the driver-side mod and
-    # the probe-side pmod place identical bits.
-    gram_rows = (
+    if route == "auto":
+        # one cheap small-side job: the bench is small relative to the
+        # corpus by definition, and a parquet-backed count is
+        # footer-only
+        route = (
+            "literal" if benchmark.count() <= literal_max_docs else "distributed"
+        )
+    if route not in ("literal", "distributed"):
+        raise ValueError(f"unknown bloom route: {route!r}")
+
+    spark = corpus.sparkSession
+    bench_grams = (
         shingle_table(benchmark, text_col, id_col, n)
         .select("shingle")
         .distinct()
-        .select(
+    )
+
+    if route == "literal":
+        # ONE job over the small side: grams AND their raw 64-bit
+        # hashes together — sizing, bitset build, and the verify
+        # relation all come from this single collect. (An earlier
+        # formulation ran three separate bench-side evaluations — a
+        # count job, a positions job, and the verify join's own lineage
+        # — and the job overhead made the whole query ~10x the
+        # broadcast path's cost at sf0.1.) Python's % equals Spark's
+        # pmod for positive m, so the driver-side mod and the
+        # probe-side pmod place identical bits.
+        gram_rows = bench_grams.select(
             "shingle",
             *[
                 F.xxhash64(F.lit(s), "shingle").alias(f"h{i}")
                 for i, s in enumerate(seeds)
             ],
+        ).collect()
+        n_grams = len(gram_rows)
+        m = max(8192, 1 << (max(1, n_grams * bits_per_gram) - 1).bit_length())
+        words = [0] * (m // 64)
+        for r in gram_rows:
+            for i in range(num_hashes):
+                p = r[i + 1] % m
+                words[p // 64] |= 1 << (p % 64)
+        # two's-complement fold to signed 64-bit LongType literals. The
+        # array is built as ONE parsed SQL expression: `F.array(*
+        # [F.lit(w) for w in ...])` costs a py4j round-trip per element
+        # — ~2 s of pure driver time for a 4096-word bitset, every call
+        # — while a single `expr("array(...)")` parses JVM-side in
+        # milliseconds and constant-folds to the same literal.
+        lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        bits = F.expr("array(" + ",".join(f"{w}L" for w in lits) + ")")
+        with_bits = lambda df: df.withColumn("__bits", bits)  # noqa: E731
+        # exact verify against a LocalRelation of the already-collected
+        # grams — zero recompute of the bench lineage, plain broadcast
+        verify_rel = F.broadcast(
+            spark.createDataFrame([(r[0],) for r in gram_rows], "shingle string")
         )
-        .collect()
-    )
-    n_grams = len(gram_rows)
-    m = max(8192, 1 << (max(1, n_grams * bits_per_gram) - 1).bit_length())
-    words = [0] * (m // 64)
-    for r in gram_rows:
-        for i in range(num_hashes):
-            p = r[i + 1] % m
-            words[p // 64] |= 1 << (p % 64)
-    # two's-complement fold to signed 64-bit LongType literals. The
-    # array is built as ONE parsed SQL expression: `F.array(*[F.lit(w)
-    # for w in ...])` costs a py4j round-trip per element — ~2 s of
-    # pure driver time for a 4096-word bitset, every call — while a
-    # single `expr("array(...)")` parses JVM-side in milliseconds and
-    # constant-folds to the same literal.
-    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits = F.expr("array(" + ",".join(f"{w}L" for w in lits) + ")")
+    else:
+        # distributed build: nothing gram-shaped reaches the driver.
+        # Size from a distinct-gram count (small-side agg), then fold
+        # the bitset IN SPARK — each gram's k probe positions become
+        # (word_index, shifted bit) and bit_or-aggregate per word; the
+        # agg output is bounded by the BITSET size (m/64 rows), not the
+        # gram count. The driver only assembles the word array and
+        # ships it back as a ONE-ROW broadcast relation joined on a
+        # constant key (a broadcast of m/8 bytes — never SQL-parsed,
+        # unlike the literal route's plan text).
+        n_grams = bench_grams.count()
+        m = max(8192, 1 << (max(1, n_grams * bits_per_gram) - 1).bit_length())
+        pos = bench_grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(s), "shingle"), F.lit(m))
+                        for s in seeds
+                    ]
+                )
+            ).alias("__p")
+        )
+        word_rows = (
+            pos.groupBy(F.expr("cast(__p div 64 as int)").alias("__w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(cast(1 as bigint), cast(__p % 64 as int))")
+                ).alias("__word")
+            )
+            .collect()
+        )
+        words = [0] * (m // 64)
+        for r in word_rows:
+            words[r["__w"]] = r["__word"]
+        bits_df = spark.createDataFrame(
+            [(1, words)], "__k int, __bits array<bigint>"
+        )
+        # constant-key equi-join against the 1-row bitset relation:
+        # O(corpus)×1, a broadcast hash join on a literal key — not a
+        # data-path cross join
+        with_bits = lambda df: df.withColumn(  # noqa: E731
+            "__k", F.lit(1)
+        ).join(F.broadcast(bits_df), "__k")
+        # exact verify against the DISTRIBUTED gram frame — AQE picks
+        # broadcast vs shuffle by observed size
+        verify_rel = bench_grams
 
     corpus_grams = shingle_table(corpus, text_col, id_col, n)
-    probe = corpus_grams.select(
-        F.col(id_col),
-        "shingle",
-        bits.alias("__bits"),
-        *[
-            F.pmod(F.xxhash64(F.lit(s), "shingle"), F.lit(m)).alias(f"__p{i}")
-            for i, s in enumerate(seeds)
-        ],
+    probe = with_bits(
+        corpus_grams.select(
+            F.col(id_col),
+            "shingle",
+            *[
+                F.pmod(F.xxhash64(F.lit(s), "shingle"), F.lit(m)).alias(f"__p{i}")
+                for i, s in enumerate(seeds)
+            ],
+        )
     )
     # all k bits set → might-contain (PySpark's shiftleft only takes a
     # literal shift count; the SQL expression form takes a column)
@@ -980,13 +1073,8 @@ def bloom_contamination_overlap(
         )
     )
     candidates = probe.where(might).select(F.col(id_col), "shingle")
-    # exact verify against a LocalRelation of the already-collected
-    # grams — zero recompute of the bench lineage, plain broadcast
-    bench_local = corpus.sparkSession.createDataFrame(
-        [(r[0],) for r in gram_rows], "shingle string"
-    )
     return (
-        candidates.join(F.broadcast(bench_local), "shingle")
+        candidates.join(verify_rel, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

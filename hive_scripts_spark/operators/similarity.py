@@ -437,7 +437,11 @@ def ivf_topk(
     constant-folds each centroid's self-norm at plan time). The only
     exchange in the whole search is the final per-query top-k window
     over candidates. With a pre-partitioned corpus (``partitionBy(
-    cell)`` layout on disk) the probe join also prunes partitions.
+    cell)`` layout on disk) the probe join also prunes partitions —
+    that layout is materialized and plan-asserted for the IVF+PQ
+    persisted index (:func:`ivfpq_encode` / :func:`ivfpq_search_codes`,
+    ``tests/test_similarity.py``); the same write recipe applies to a
+    full-precision IVF corpus.
 
     For very large quantizers (plan-literal blowup), swap the literal
     array for a broadcast join + ``max_by`` — one corpus shuffle.

@@ -2789,7 +2789,11 @@ def x_decontaminate_bloom(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
     corpus = docs.where(F.col("doc_id") % 23 != 0)
-    return D.bloom_contamination_overlap(corpus, bench)
+    # route pinned: the bench here is known-small, and auto's sizing
+    # count job is exactly the bench-side job overhead the r7 A/B
+    # showed costing ~10x at sf0.1 (the distributed route exists for
+    # eval sets too big to collect — see tools/scale_probe.py)
+    return D.bloom_contamination_overlap(corpus, bench, route="literal")
 
 
 _NORM_OF = _NORM.replace("text", "{q}.text")

@@ -543,3 +543,47 @@ def test_minhash_verify_same_pairs_without_broadcast(spark, docs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert no_bhj == baseline and baseline
+
+
+def test_bloom_distributed_route_matches_literal(spark, docs):
+    """r8 scale fix: the distributed bitset build (Spark-side bit_or
+    fold + one-row broadcast relation + distributed verify) must return
+    exactly the literal route's rows — the route is a plan choice, not
+    a semantic one. Also exercise the awful-sizing FP path and the
+    empty bench through the distributed code."""
+    bench = docs.where(F.col("doc_id").isin(0))
+    corpus = docs.where(~F.col("doc_id").isin(0))
+    literal = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in D.bloom_contamination_overlap(
+            corpus, bench, route="literal"
+        ).collect()
+    }
+    for bpg, k in ((16, 4), (1, 1)):
+        dist = {
+            (r["doc_id"], r["n_shared_grams"])
+            for r in D.bloom_contamination_overlap(
+                corpus, bench, bits_per_gram=bpg, num_hashes=k,
+                route="distributed",
+            ).collect()
+        }
+        assert dist == literal, (bpg, k)
+    # auto with a tiny threshold must take the distributed route and
+    # still agree
+    auto = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in D.bloom_contamination_overlap(
+            corpus, bench, route="auto", literal_max_docs=0
+        ).collect()
+    }
+    assert auto == literal
+    assert (
+        D.bloom_contamination_overlap(
+            docs, docs.where(F.lit(False)), route="distributed"
+        ).count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="route"):
+        D.bloom_contamination_overlap(corpus, bench, route="nope")

@@ -1,0 +1,207 @@
+"""One-off larger-scale measurement for the r8 scale claims
+(VERDICT r7 item 6): synthesize an sf1-equivalent embeddings/documents
+scratch (≥100× the sf0.1 row counts), then measure warm times +
+exchange counts for
+
+* PQ: recompute-per-query (`pq_topk`) vs build-once/search-from-stored
+  (`pq_encode` → parquet → `pq_search_codes`) — does the persisted
+  index amortize the encode away?
+* IVF+PQ: same pair, with the cell-partitioned layout.
+* decontamination: broadcast exact (`contamination_overlap`) vs
+  plan-literal Bloom prefilter (`bloom_contamination_overlap`) across
+  growing benchmark sizes — does the broadcast→bloom crossover cross?
+
+Synthetic data is deterministic (trig-hash pseudo-noise around 16
+cluster centers; token text from a shared vocab so bench grams really
+overlap) — no RNG state, same rows every run. Results go to stdout as
+one JSON line per probe; paste the summary into PLANS.md.
+
+Usage: python tools/scale_probe.py [--vectors 200000] [--docs 100000]
+                                   [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(df_builder, reps):
+    """Min-of-reps wall time + exchange count of the executed plan."""
+    best, exchanges = None, None
+    for _ in range(max(1, reps)):
+        df = df_builder()
+        t0 = time.perf_counter()
+        _noop(df)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        exchanges = plan.count("Exchange ")
+    return round(best, 2), exchanges
+
+
+def gen_embeddings(spark, n, path):
+    """n 64-dim vectors clustered around 16 deterministic centers."""
+    dim, n_clusters = 64, 16
+    comps = [
+        (
+            F.cos(F.lit(float(i) * 0.71) + (F.col("id") % n_clusters) * 2.39)
+            + 0.1 * F.sin(F.col("id") * 0.137 + F.lit(float(i) * 1.93))
+        ).cast("float")
+        for i in range(dim)
+    ]
+    df = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def gen_documents(spark, n, path, vocab=500, tokens=50):
+    """n docs of `tokens` words from a `vocab`-word pool (shared with
+    the bench generator, so word-trigram overlap is real)."""
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(tokens)),
+            lambda t: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * tokens + t), F.lit(vocab)),
+            ),
+        ),
+    )
+    df = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vectors", type=int, default=200_000)
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from hive_scripts_spark.operators import dedup as D
+    from hive_scripts_spark.operators import similarity as S
+    from hive_scripts_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = Path(__file__).resolve().parents[1] / ".scratch" / "scale_probe"
+    shutil.rmtree(scratch, ignore_errors=True)
+    scratch.mkdir(parents=True)
+    results = {}
+
+    def report(name, **kv):
+        results[name] = kv
+        print(json.dumps({"probe": name, **kv}), flush=True)
+
+    # ---------------- ANN: persisted index vs recompute ----------------
+    emb_path = str(scratch / "embeddings")
+    gen_embeddings(spark, args.vectors, emb_path)
+    emb = spark.read.parquet(emb_path)
+    # model parameters mirror the registered queries' construction
+    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = [
+        [[float(x) for x in r["embedding"][s * 16 : (s + 1) * 16]] for r in rows[:8]]
+        for s in range(4)
+    ]
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:8]
+    ]
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:8]
+    ]
+    res_books = [[] for _ in range(4)]
+    import math
+
+    def cos(q, c):
+        dp = dq = dc = 0.0
+        for a, b in zip(q, c):
+            dp += a * b
+            dq += a * a
+            dc += b * b
+        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+    for r in rows[8:16]:
+        v = [float(x) for x in r["embedding"]]
+        best = max(((cos(v, c), -cid) for cid, c in centroids))
+        cvec = centroids[-best[1]][1]
+        resid = [a - b for a, b in zip(v, cvec)]
+        for s in range(4):
+            res_books[s].append(resid[s * 16 : (s + 1) * 16])
+
+    # PQ build: encode + write stored codes
+    pq_idx = str(scratch / "pq_codes")
+    t0 = time.perf_counter()
+    S.pq_encode(emb, books).write.mode("overwrite").parquet(pq_idx)
+    report("pq_build", sec=round(time.perf_counter() - t0, 2), vectors=args.vectors)
+    stored = spark.read.parquet(pq_idx)
+    sec, ex = _timed(lambda: S.pq_search_codes(stored, books, queries, k=10), args.reps)
+    report("pq_search_stored", sec=sec, exchanges=ex)
+    sec, ex = _timed(lambda: S.pq_topk(emb, books, queries, k=10), args.reps)
+    report("pq_recompute", sec=sec, exchanges=ex)
+
+    # IVF+PQ build: encode + cell-partitioned write
+    ivf_idx = str(scratch / "ivfpq_codes")
+    t0 = time.perf_counter()
+    S.ivfpq_encode(emb, centroids, res_books).repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(ivf_idx)
+    report("ivfpq_build", sec=round(time.perf_counter() - t0, 2))
+    stored_ivf = spark.read.parquet(ivf_idx)
+    sec, ex = _timed(
+        lambda: S.ivfpq_search_codes(
+            stored_ivf, centroids, res_books, queries, k=5, nprobe=2
+        ),
+        args.reps,
+    )
+    report("ivfpq_search_stored", sec=sec, exchanges=ex)
+    sec, ex = _timed(
+        lambda: S.ivfpq_topk(emb, centroids, res_books, queries, k=5, nprobe=2),
+        args.reps,
+    )
+    report("ivfpq_recompute", sec=sec, exchanges=ex)
+
+    # ---------------- decontaminate: broadcast vs bloom crossover ------
+    docs_path = str(scratch / "documents")
+    gen_documents(spark, args.docs, docs_path)
+    corpus = spark.read.parquet(docs_path)
+    for bench_n in (1_000, 10_000, 50_000):
+        bench_path = str(scratch / f"bench_{bench_n}")
+        # offset ids so bench is a distinct doc set from the same vocab
+        gen_documents(spark, bench_n, bench_path)
+        bench = spark.read.parquet(bench_path)
+        sec, ex = _timed(
+            lambda: D.contamination_overlap(corpus, bench), args.reps
+        )
+        report(f"decon_broadcast_{bench_n}", sec=sec, exchanges=ex)
+        for route in ("literal", "distributed"):
+            if route == "literal" and bench_n > 10_000:
+                continue  # measured scale-killer; don't burn minutes on it
+            sec, ex = _timed(
+                lambda: D.bloom_contamination_overlap(corpus, bench, route=route),
+                args.reps,
+            )
+            report(f"decon_bloom_{route}_{bench_n}", sec=sec, exchanges=ex)
+
+    print(json.dumps({"summary": results}))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

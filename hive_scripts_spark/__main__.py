@@ -457,6 +457,96 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build a persisted ANN index ("build once, search many"): fit
+    model parameters on a bounded deterministic sample (k-means), PQ-
+    encode the corpus map-side, and write the code table — partitioned
+    by coarse cell for IVF+PQ, so searches prune whole cell
+    directories — plus the model parameters as ``model.json``."""
+    import json
+    from pathlib import Path
+
+    from hive_scripts_spark.operators import similarity as S
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-ann-build")
+    emb = load_sf_table(spark, args.db, "embeddings")
+    idx = Path(args.index)
+    idx.mkdir(parents=True, exist_ok=True)
+    if args.kind == "pq":
+        books = S.train_pq_codebooks(
+            emb, m=args.m, k=args.codes, sample=args.sample
+        )
+        model = {"kind": "pq", "codebooks": books}
+        S.pq_encode(emb, books).write.mode("overwrite").parquet(
+            str(idx / "codes")
+        )
+    else:
+        centroids, books = S.train_ivfpq_model(
+            emb, nlist=args.nlist, m=args.m, k=args.codes, sample=args.sample
+        )
+        model = {"kind": "ivfpq", "centroids": centroids, "codebooks": books}
+        S.ivfpq_encode(emb, centroids, books).repartition(
+            "cell"
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            str(idx / "codes")
+        )
+    (idx / "model.json").write_text(json.dumps(model))
+    n = spark.read.parquet(str(idx / "codes")).count()
+    print(f"wrote {idx} ({args.kind}, {n} codes)")
+    return 0
+
+
+def cmd_ann_search(args: argparse.Namespace) -> int:
+    """Search a persisted ANN index from its STORED codes: the corpus
+    embeddings are never re-read — per query the cost is LUT literals +
+    the code-table scan (cell-pruned for IVF+PQ) + one top-k exchange.
+    Query vectors come from the db embeddings table by id."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators import similarity as S
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-ann-search")
+    idx = Path(args.index)
+    model = json.loads((idx / "model.json").read_text())
+    codes = spark.read.parquet(str(idx / "codes"))
+    q_ids = [int(x) for x in args.query_ids.split(",")]
+    q_rows = (
+        load_sf_table(spark, args.db, "embeddings")
+        .where(F.col("vec_id").isin(q_ids))
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
+    ]
+    if model["kind"] == "pq":
+        out = S.pq_search_codes(codes, model["codebooks"], queries, k=args.k)
+    else:
+        centroids = [(int(c[0]), c[1]) for c in model["centroids"]]
+        out = S.ivfpq_search_codes(
+            codes,
+            centroids,
+            model["codebooks"],
+            queries,
+            k=args.k,
+            nprobe=args.nprobe,
+        )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    for r in out.orderBy("query_id", "rank").collect():
+        print(
+            f"q={r['query_id']} rank={r['rank']} "
+            f"neighbor={r['neighbor_id']} dist={r['adc_dist']}"
+        )
+    return 0
+
+
 def cmd_reformat(args: argparse.Namespace) -> int:
     from hive_scripts_spark.sources.readers import read_delimited, reformat_delimited
 
@@ -588,6 +678,30 @@ def main(argv: list[str] | None = None) -> int:
         "output by (split, shard)",
     )
     e.set_defaults(fn=cmd_export)
+
+    ab = sub.add_parser(
+        "ann-build",
+        help="build a persisted ANN index (PQ / IVF+PQ codes + model.json)",
+    )
+    ab.add_argument("db", help="sf_dir with embeddings.parquet")
+    ab.add_argument("index", help="index output directory")
+    ab.add_argument("--kind", choices=("pq", "ivfpq"), default="ivfpq")
+    ab.add_argument("--m", type=int, default=4, help="PQ subspaces")
+    ab.add_argument("--codes", type=int, default=8, help="codes per subspace")
+    ab.add_argument("--nlist", type=int, default=8, help="coarse cells (ivfpq)")
+    ab.add_argument("--sample", type=int, default=256, help="training sample")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    asr = sub.add_parser(
+        "ann-search", help="ADC top-k from a stored ANN index's codes"
+    )
+    asr.add_argument("db", help="sf_dir with embeddings.parquet (query source)")
+    asr.add_argument("index", help="index directory from ann-build")
+    asr.add_argument("--query-ids", default="0,1,2", help="comma-sep vec_ids")
+    asr.add_argument("--k", type=int, default=5)
+    asr.add_argument("--nprobe", type=int, default=2, help="probed cells (ivfpq)")
+    asr.add_argument("--output", default=None, help="results parquet dir")
+    asr.set_defaults(fn=cmd_ann_search)
 
     r = sub.add_parser("reformat", help="delimited-text reformatter")
     r.add_argument("input", help="delimited text file")

@@ -1141,3 +1141,51 @@ def train_pq_codebooks(
         train_kmeans([v[s * d : (s + 1) * d] for v in vecs], k, iters)
         for s in range(m)
     ]
+
+
+def train_ivfpq_model(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 10,
+    sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Full IVF+PQ model fit from ONE bounded deterministic sample
+    (lowest ``id_col`` values): k-means the sample into ``nlist``
+    coarse centroids, assign each sample vector to its max-cosine cell
+    with the same sequential float64 + 6dp-round + lowest-cid-tiebreak
+    replay :func:`ivfpq_encode` runs, then k-means each residual
+    subspace into a ``k``-entry codebook. Returns ``(centroids,
+    res_codebooks)`` ready for :func:`ivfpq_encode` /
+    :func:`ivfpq_search_codes`. Model fitting only — the corpus is
+    never collected (same bounded-sample class as
+    :func:`train_pq_codebooks`)."""
+    import math
+
+    rows = embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    cents = train_kmeans(vecs, nlist, iters)
+    centroids = [(i, c) for i, c in enumerate(cents)]
+
+    def _cos(q, c):
+        dp = dq = dc = 0.0
+        for a, b in zip(q, c):
+            dp += a * b
+            dq += a * a
+            dc += b * b
+        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+    residuals = []
+    for v in vecs:
+        best = max(((_cos(v, c), -cid) for cid, c in centroids))
+        cvec = centroids[-best[1]][1]
+        residuals.append([a - b for a, b in zip(v, cvec)])
+    d = len(vecs[0]) // m
+    books = [
+        train_kmeans([r[s * d : (s + 1) * d] for r in residuals], k, iters)
+        for s in range(m)
+    ]
+    return centroids, books

@@ -379,3 +379,71 @@ def test_stream_reconcile_subcommand(spark, tmp_path, capsys):
     # rerun over the same checkpoint: stream is drained -> no new rows
     assert main(args) == 1
     assert spark.read.parquet(str(out)).count() == n_before
+
+
+def test_ann_build_and_search_roundtrip(spark, tmp_path, capsys):
+    """ann-build trains a model on a bounded sample, encodes the corpus,
+    and writes codes + model.json; ann-search answers top-k FROM the
+    stored codes (no corpus re-read) and its results must match calling
+    the search operator directly on the same stored index."""
+    import json
+
+    idx = str(tmp_path / "ivfpq_idx")
+    rc = main(
+        ["ann-build", "/root/testdata/sf0.001", idx, "--kind", "ivfpq",
+         "--nlist", "4", "--sample", "64"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "500 codes" in out
+    model = json.loads(open(f"{idx}/model.json").read())
+    assert model["kind"] == "ivfpq" and len(model["centroids"]) == 4
+    # cell-partitioned layout on disk
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/codes"))
+
+    res = str(tmp_path / "hits")
+    rc = main(
+        ["ann-search", "/root/testdata/sf0.001", idx,
+         "--query-ids", "3,7", "--k", "4", "--output", res]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q=3 rank=1" in out and "q=7 rank=1" in out
+
+    from hive_scripts_spark.operators import similarity as S
+
+    stored = spark.read.parquet(f"{idx}/codes")
+    centroids = [(int(c[0]), c[1]) for c in model["centroids"]]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where("vec_id in (3, 7)").orderBy("vec_id").collect()
+    ]
+    direct = sorted(
+        map(
+            tuple,
+            S.ivfpq_search_codes(
+                stored, centroids, model["codebooks"], queries, k=4, nprobe=2
+            ).collect(),
+        )
+    )
+    via_cli = sorted(map(tuple, spark.read.parquet(res).collect()))
+    assert via_cli == direct
+
+
+def test_ann_build_pq_kind(spark, tmp_path, capsys):
+    idx = str(tmp_path / "pq_idx")
+    rc = main(
+        ["ann-build", "/root/testdata/sf0.001", idx, "--kind", "pq",
+         "--sample", "32"]
+    )
+    assert rc == 0
+    rc = main(
+        ["ann-search", "/root/testdata/sf0.001", idx, "--query-ids", "0",
+         "--k", "3"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q=0 rank=1" in out and "q=0 rank=3" in out

@@ -336,3 +336,53 @@ def shard_by_hash(
     key = F.concat_ws(FIELD_SEP, *[F.col(c).cast("string") for c in key_cols])
     shard = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % n_shards
     return df.withColumn("shard", shard)
+
+
+def temperature_weights(
+    agg: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "total_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights over a pre-aggregated
+    per-group token-count frame — the multilingual-LM mixing rule
+    (sample group i with probability ∝ share_i^alpha, alpha < 1
+    upweighting low-resource groups; alpha=1 is proportional, alpha→0
+    uniform). Adds ``token_share``, ``sample_weight``, and
+    ``upsample_factor`` (= weight/share — how many epochs of group i
+    one epoch of the mixture consumes).
+
+    Runs entirely over the AGGREGATED frame (cardinality = number of
+    groups), so the windows are free at any corpus size; the heavy
+    token count happens upstream in one map-side-partial exchange.
+
+    Engine-determinism: the default ``alpha=0.5`` uses ``sqrt`` —
+    correctly rounded in IEEE 754, so bit-identical across engines,
+    unlike ``pow`` whose libm differs (a non-0.5 alpha is fine for
+    production but not for cross-engine value grading). The scaled
+    shares are 6dp-rounded DECIMALS before the normalizing sum, making
+    the sum order-invariant (same discipline as the fingerprint lanes).
+    """
+    from pyspark.sql import Window
+
+    if alpha == 0.5:
+        scaled = F.sqrt(F.col("__share"))
+    else:
+        scaled = F.pow(F.col("__share"), F.lit(alpha))
+    w = Window.partitionBy()  # over the ~|groups| aggregate rows only
+    shared = agg.withColumn(
+        "__share",
+        F.col(tokens_col) / F.sum(tokens_col).over(w).cast("double"),
+    ).withColumn("__scaled", F.round(scaled, 6).cast("decimal(18,6)"))
+    weight = F.round(
+        F.col("__scaled").cast("double")
+        / F.sum("__scaled").over(w).cast("double"),
+        6,
+    )
+    return shared.select(
+        group_col,
+        *[c for c in agg.columns if c != group_col],
+        F.round(F.col("__share"), 6).alias("token_share"),
+        weight.alias("sample_weight"),
+        F.round(weight / F.col("__share"), 6).alias("upsample_factor"),
+    )

@@ -1708,6 +1708,59 @@ def x_data_mixture(spark, sf_dir):
 
 
 @register(
+    "x_mixture_temperature",
+    oracle=f"""
+    with toks as (
+      select doc_id, source, len(string_split({_NORM}, ' ')) as n_tokens
+      from documents where length({_NORM}) > 0
+    ), agg as (
+      select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_tokens) as bigint) as total_tokens
+      from toks group by source
+    ), sh as (
+      select source, n_docs, total_tokens,
+             total_tokens / cast(sum(total_tokens) over () as double) as share
+      from agg
+    ), sq as (
+      select *, cast(round(sqrt(share), 6) as decimal(18,6)) as sqrt_share
+      from sh
+    )
+    select source, n_docs, total_tokens,
+           round(share, 6) as token_share,
+           round(cast(sqrt_share as double)
+                 / cast(sum(sqrt_share) over () as double), 6) as sample_weight,
+           round((round(cast(sqrt_share as double)
+                 / cast(sum(sqrt_share) over () as double), 6)) / share, 6)
+             as upsample_factor
+    from sq
+    """,
+)
+def x_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights (`functions/canonical.py
+    temperature_weights`, alpha=0.5): the multilingual-LM sampling rule
+    — weight ∝ token_share^0.5, upweighting low-resource sources, with
+    the per-source upsample factor (weight/share). All ratio math runs
+    over the aggregated per-source frame; alpha=0.5 is sqrt (correctly
+    rounded IEEE — cross-engine bit-identical, unlike pow), and the
+    scaled shares are 6dp decimals before the normalizing sum so the
+    sum is order-invariant. Oracle replays share → sqrt → round →
+    decimal sum → weight → upsample symbolically."""
+    from hive_scripts_spark.functions.canonical import temperature_weights
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(normalize_whitespace("text")) > 0).select(
+        "source", X.token_count("text").alias("__n")
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+    )
+    return temperature_weights(agg)
+
+
+@register(
     "x_embed_quantize",
     oracle="""
     with s as (

@@ -266,3 +266,26 @@ def test_train_val_test_split_deterministic_and_exhaustive(spark):
         again.alias("b"), "doc_id"
     ).where("a.split <> b.split").count()
     assert diff == 0
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=0.5 mixing: weights sum to ~1, low-resource groups get
+    upsample_factor > 1 and dominant groups < 1; alpha=1 degrades to
+    proportional (weight == share, upsample == 1)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.functions.canonical import temperature_weights
+
+    agg = spark.createDataFrame(
+        [("big", 90, 9000), ("mid", 9, 900), ("tiny", 1, 100)],
+        "source string, n_docs int, total_tokens long",
+    )
+    rows = {r["source"]: r for r in temperature_weights(agg).collect()}
+    assert abs(sum(r["sample_weight"] for r in rows.values()) - 1.0) < 1e-5
+    assert rows["big"]["upsample_factor"] < 1 < rows["tiny"]["upsample_factor"]
+    assert rows["tiny"]["sample_weight"] > rows["tiny"]["token_share"]
+    # alpha=1: proportional mixing (pow branch)
+    prop = {r["source"]: r for r in temperature_weights(agg, alpha=1.0).collect()}
+    for s, r in prop.items():
+        assert abs(r["sample_weight"] - r["token_share"]) <= 2e-6
+        assert abs(r["upsample_factor"] - 1.0) <= 2e-6

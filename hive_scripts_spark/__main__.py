@@ -473,24 +473,44 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     emb = load_sf_table(spark, args.db, "embeddings")
     idx = Path(args.index)
     idx.mkdir(parents=True, exist_ok=True)
+    if args.append:
+        # incremental index update: the MODEL is fixed at first build
+        # (standard IVF/PQ practice — retraining would orphan existing
+        # codes); only vectors absent from the stored code table are
+        # encoded (left_anti on ids — the stored side scan reads the id
+        # column only) and appended. Idempotent: re-running appends
+        # nothing.
+        model = json.loads((idx / "model.json").read_text())
+        if model["kind"] != args.kind:
+            raise SystemExit(
+                f"--append kind mismatch: index is {model['kind']}"
+            )
+        existing = spark.read.parquet(str(idx / "codes")).select("vec_id")
+        emb = emb.join(existing, "vec_id", "left_anti")
+        mode = "append"
+    else:
+        model = None
+        mode = "overwrite"
     if args.kind == "pq":
-        books = S.train_pq_codebooks(
-            emb, m=args.m, k=args.codes, sample=args.sample
+        books = (
+            model["codebooks"]
+            if model
+            else S.train_pq_codebooks(emb, m=args.m, k=args.codes, sample=args.sample)
         )
         model = {"kind": "pq", "codebooks": books}
-        S.pq_encode(emb, books).write.mode("overwrite").parquet(
-            str(idx / "codes")
-        )
+        S.pq_encode(emb, books).write.mode(mode).parquet(str(idx / "codes"))
     else:
-        centroids, books = S.train_ivfpq_model(
-            emb, nlist=args.nlist, m=args.m, k=args.codes, sample=args.sample
-        )
+        if model:
+            centroids = [(int(c[0]), c[1]) for c in model["centroids"]]
+            books = model["codebooks"]
+        else:
+            centroids, books = S.train_ivfpq_model(
+                emb, nlist=args.nlist, m=args.m, k=args.codes, sample=args.sample
+            )
         model = {"kind": "ivfpq", "centroids": centroids, "codebooks": books}
         S.ivfpq_encode(emb, centroids, books).repartition(
             "cell"
-        ).write.partitionBy("cell").mode("overwrite").parquet(
-            str(idx / "codes")
-        )
+        ).write.partitionBy("cell").mode(mode).parquet(str(idx / "codes"))
     (idx / "model.json").write_text(json.dumps(model))
     n = spark.read.parquet(str(idx / "codes")).count()
     print(f"wrote {idx} ({args.kind}, {n} codes)")
@@ -690,6 +710,12 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--codes", type=int, default=8, help="codes per subspace")
     ab.add_argument("--nlist", type=int, default=8, help="coarse cells (ivfpq)")
     ab.add_argument("--sample", type=int, default=256, help="training sample")
+    ab.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental update: encode only vectors missing from the "
+        "stored code table with the EXISTING model (no retrain)",
+    )
     ab.set_defaults(fn=cmd_ann_build)
 
     asr = sub.add_parser(

@@ -447,3 +447,61 @@ def test_ann_build_pq_kind(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "q=0 rank=1" in out and "q=0 rank=3" in out
+
+
+def test_ann_build_append_is_incremental_and_idempotent(spark, tmp_path, capsys):
+    """--append must (a) keep the first build's model (no retrain), (b)
+    encode ONLY missing vectors, (c) end with search results identical
+    to a one-shot full build, and (d) append nothing when re-run."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_db = tmp_path / "half"
+    full_db = tmp_path / "full"
+    for d, df in ((half_db, full.where("vec_id % 2 = 0")), (full_db, full)):
+        d.mkdir()
+        df.write.parquet(str(d / "embeddings.parquet"))
+
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", str(half_db), idx, "--kind", "ivfpq",
+                 "--nlist", "4", "--sample", "64"]) == 0
+    model_before = json.loads(open(f"{idx}/model.json").read())
+    # append the other half: model unchanged, codes complete
+    assert main(["ann-build", str(full_db), idx, "--kind", "ivfpq",
+                 "--append"]) == 0
+    assert json.loads(open(f"{idx}/model.json").read()) == model_before
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == full.count()
+    assert codes.select("vec_id").distinct().count() == full.count()
+    # idempotent: nothing new to encode
+    assert main(["ann-build", str(full_db), idx, "--kind", "ivfpq",
+                 "--append"]) == 0
+    assert spark.read.parquet(f"{idx}/codes").count() == full.count()
+    # search from the appended index == search from a one-shot build
+    # with the same model (write the model, skip retraining drift, by
+    # encoding directly with the stored parameters)
+    from hive_scripts_spark.operators import similarity as S
+
+    centroids = [(int(c[0]), c[1]) for c in model_before["centroids"]]
+    books = model_before["codebooks"]
+    oneshot = S.ivfpq_encode(full, centroids, books)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in full.where("vec_id in (1, 2)").orderBy("vec_id").collect()
+    ]
+    a = sorted(map(tuple, S.ivfpq_search_codes(
+        spark.read.parquet(f"{idx}/codes"), centroids, books, queries, k=4
+    ).collect()))
+    b = sorted(map(tuple, S.ivfpq_search_codes(
+        oneshot, centroids, books, queries, k=4
+    ).collect()))
+    assert a == b
+    # kind mismatch guard
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["ann-build", str(full_db), idx, "--kind", "pq", "--append"])
+    capsys.readouterr()

@@ -386,3 +386,53 @@ def temperature_weights(
         weight.alias("sample_weight"),
         F.round(weight / F.col("__share"), 6).alias("upsample_factor"),
     )
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Materialize one epoch of a temperature mixture: each document
+    appears ``floor(f)`` times plus one more for the deterministic
+    ``frac(f)`` fraction of its group, where ``f = upsample_factor ×
+    scale`` comes from :func:`temperature_weights` — so low-resource
+    groups REPEAT (f > 1: epochs of repetition, the standard
+    multilingual upsampling) and dominant groups thin out (f < 1:
+    hash-stable downsampling). Output ``(id, group, copy_no)``.
+
+    The fractional keep/extra decision is the md5-prefix bucket idiom
+    (millionths, integer compare — engine-stable), salted with a
+    ``"mix"`` literal so it is independent of the split/shard hashes
+    over the same key. Deterministic: same corpus ⇒ byte-identical
+    epoch, across runs and engines.
+
+    Scale posture: the weights frame is ~|groups| rows (broadcast
+    join); the copy expansion is a generator over a per-row sequence —
+    map-only, no shuffle anywhere; output volume is ``scale ×`` corpus
+    tokens by construction.
+    """
+    f = F.col("upsample_factor") * F.lit(float(scale))
+    key = F.concat_ws(FIELD_SEP, F.lit("mix"), F.col(id_col).cast("string"))
+    b = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % 1_000_000
+    extra_bar = F.round((f - F.floor(f)) * 1_000_000, 0).cast("bigint")
+    n = F.floor(f).cast("bigint") + F.when(b < extra_bar, 1).otherwise(0)
+    staged = docs.join(
+        F.broadcast(weights.select(group_col, "upsample_factor")), group_col
+    ).select(F.col(id_col), F.col(group_col), n.alias("__n"))
+    exploded = staged.where(F.col("__n") >= 1).select(
+        F.col(id_col),
+        F.col(group_col),
+        # generators can't nest inside expressions — cast in the next
+        # projection
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__n"))).alias(
+            "__copy"
+        ),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("__copy").cast("int").alias("copy_no"),
+    )

@@ -1707,9 +1707,10 @@ def x_data_mixture(spark, sf_dir):
     )
 
 
-@register(
-    "x_mixture_temperature",
-    oracle=f"""
+# shared CTE chain ending in `tw` (the temperature-weights table) —
+# used by x_mixture_temperature (reports it) and x_mixture_epoch
+# (materializes it into copies)
+_DUCK_TEMPERATURE = f"""
     with toks as (
       select doc_id, source, len(string_split({_NORM}, ' ')) as n_tokens
       from documents where length({_NORM}) > 0
@@ -1725,15 +1726,26 @@ def x_data_mixture(spark, sf_dir):
     ), sq as (
       select *, cast(round(sqrt(share), 6) as decimal(18,6)) as sqrt_share
       from sh
+    ), tw as (
+      select source, n_docs, total_tokens,
+             round(share, 6) as token_share,
+             round(cast(sqrt_share as double)
+                   / cast(sum(sqrt_share) over () as double), 6)
+               as sample_weight,
+             round((round(cast(sqrt_share as double)
+                   / cast(sum(sqrt_share) over () as double), 6)) / share, 6)
+               as upsample_factor
+      from sq
     )
-    select source, n_docs, total_tokens,
-           round(share, 6) as token_share,
-           round(cast(sqrt_share as double)
-                 / cast(sum(sqrt_share) over () as double), 6) as sample_weight,
-           round((round(cast(sqrt_share as double)
-                 / cast(sum(sqrt_share) over () as double), 6)) / share, 6)
-             as upsample_factor
-    from sq
+"""
+
+
+@register(
+    "x_mixture_temperature",
+    oracle=f"""{_DUCK_TEMPERATURE}
+    select source, n_docs, total_tokens, token_share, sample_weight,
+           upsample_factor
+    from tw
     """,
 )
 def x_mixture_temperature(spark, sf_dir):
@@ -1758,6 +1770,65 @@ def x_mixture_temperature(spark, sf_dir):
         F.sum("__n").cast("bigint").alias("total_tokens"),
     )
     return temperature_weights(agg)
+
+
+def _temperature_agg(spark, sf_dir):
+    """The per-source token aggregate temperature_weights consumes."""
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(normalize_whitespace("text")) > 0).select(
+        "source", X.token_count("text").alias("__n")
+    )
+    return docs, toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "x_mixture_epoch",
+    oracle=f"""{_DUCK_TEMPERATURE}
+    , assigned as (
+      select d.doc_id, d.source,
+             w.upsample_factor * 1.0 as f,
+             cast(('0x' || substr(
+                 md5('mix' || chr(1) || cast(d.doc_id as varchar)), 1, 15))
+                  as bigint) % 1000000 as b
+      from documents d join tw w using (source)
+    ), copies as (
+      select doc_id, source,
+             cast(floor(f) as bigint)
+             + case when b < cast(round((f - floor(f)) * 1000000, 0) as bigint)
+                    then 1 else 0 end as n
+      from assigned
+    )
+    select doc_id, source,
+           cast(unnest(generate_series(1, n)) as int) as copy_no
+    from copies
+    where n >= 1
+    """,
+)
+def x_mixture_epoch(spark, sf_dir):
+    """One materialized epoch of the alpha=0.5 temperature mixture
+    (`functions/canonical.py mixture_materialize`): every doc appears
+    floor(f) times plus one more for the deterministic frac(f) md5
+    bucket of its source, f = the source's upsample factor — so
+    low-resource sources repeat and dominant ones thin, byte-identically
+    across runs and engines ('mix'-salted bucket, independent of the
+    split/shard hashes). Map-only: the weights broadcast (~|sources|
+    rows) and the copies come from a per-row sequence generator; no
+    shuffle anywhere. The oracle replays weights → f → bucket → copy
+    counts → generate_series symbolically."""
+    from hive_scripts_spark.functions.canonical import (
+        mixture_materialize,
+        temperature_weights,
+    )
+
+    docs, agg = _temperature_agg(spark, sf_dir)
+    return mixture_materialize(
+        docs.select("doc_id", "source"), temperature_weights(agg)
+    )
 
 
 @register(

@@ -289,3 +289,41 @@ def test_temperature_weights_properties(spark):
     for s, r in prop.items():
         assert abs(r["sample_weight"] - r["token_share"]) <= 2e-6
         assert abs(r["upsample_factor"] - 1.0) <= 2e-6
+
+
+def test_mixture_materialize_repeats_and_thins(spark):
+    """Materialized epoch: per-group copy counts land within 1 doc of
+    n_docs × f (hash-fraction rounding), low-resource groups gain
+    copies, dominant ones lose, and the epoch is deterministic."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.functions.canonical import (
+        mixture_materialize,
+        temperature_weights,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big").otherwise("tiny").alias("source"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # tokens proportional to docs: share big=0.9 tiny=0.1
+        (F.count(F.lit(1)) * 10).cast("bigint").alias("total_tokens"),
+    )
+    w = temperature_weights(agg)
+    out = mixture_materialize(docs, w)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    f = {r["source"]: r["upsample_factor"] for r in w.collect()}
+    for s, n_docs in (("big", 900), ("tiny", 100)):
+        assert abs(counts[s] - n_docs * f[s]) <= 0.05 * n_docs * f[s] + 1, s
+    assert counts["big"] < 900 and counts["tiny"] > 100
+    # per-doc copy numbering is contiguous from 1
+    bad = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy_no").alias("mx")
+    ).where("n != mx").count()
+    assert bad == 0
+    # deterministic: a second run is byte-identical
+    again = mixture_materialize(docs, w)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

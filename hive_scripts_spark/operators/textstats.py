@@ -515,3 +515,62 @@ def unigram_logprob_score(
         F.size("__seq").cast("bigint").alias("n_tokens"),
         F.round(-ssum / F.size("__seq"), 6).alias("mean_neg_logprob"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Model-based quality filter served from plan literals: per doc,
+    the mean over tokens of ``weights[h(token) % len(weights)]`` — the
+    inference plan of a hashed-bucket linear text classifier (the
+    fastText/CCNet-style quality models used for pretraining curation
+    reduce to exactly this at serving time: hash the token, look up its
+    weight, average, threshold). ``weights`` are MODEL PARAMETERS (a
+    trained model's bucket weights — here a caller-supplied stub, the
+    same swap-in philosophy as the k-means/KenLM notes) embedded as one
+    literal array, so scoring is a zero-shuffle map-side fold at any
+    corpus size.
+
+    Returns ``(id, n_tokens, quality_logit)`` (rounded 6dp; positive =
+    keep under a 0 threshold). The fold is SEQUENTIAL in token position
+    — both engines accumulate the identical operand sequence, so the
+    value is bit-identical. ``portable=True`` buckets tokens with the
+    md5-prefix idiom (DuckDB-replayable — the grading twin);
+    ``portable=False`` uses ``xxhash64`` (~3× cheaper per hash — the
+    production form, no oracle).
+
+    Weight literals are interpolated as decimal strings: strtod is
+    correctly rounded in both engines, so the same string parses to the
+    same double everywhere.
+    """
+    k = len(weights)
+    wlit = F.expr(
+        "array(" + ",".join(f"cast({float(w)!r} as double)" for w in weights) + ")"
+    )
+    if portable:
+        def bucket(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ) % k
+    else:
+        def bucket(t):
+            return F.pmod(F.xxhash64(t), F.lit(k))
+
+    norm = normalize_whitespace(text_col)
+    base = df.where(F.length(norm) > 0).select(
+        F.col(id_col), F.split(norm, " ").alias("__toks")
+    )
+    ssum = F.aggregate(
+        F.col("__toks"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(wlit, (bucket(t) + 1).cast("int")),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.round(ssum / F.size("__toks"), 6).alias("quality_logit"),
+    )

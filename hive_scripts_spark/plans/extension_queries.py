@@ -1707,6 +1707,50 @@ def x_data_mixture(spark, sf_dir):
     )
 
 
+# stub model weights for the hashed linear quality scorer: 64 buckets
+# of exact thousandths from a fixed integer recurrence — deterministic,
+# and the decimal strings parse to identical doubles in every engine
+# (strtod is correctly rounded). A trained model swaps in at the same
+# interface; the PLAN is the load-bearing part.
+_QMODEL_WEIGHTS = [((i * 2654435761) % 2001 - 1000) / 1000.0 for i in range(64)]
+_QMODEL_SQL_LIST = "[" + ",".join(repr(w) for w in _QMODEL_WEIGHTS) + "]"
+
+
+@register(
+    "x_quality_model",
+    oracle=f"""
+    with t as (
+      select doc_id, string_split({_NORM}, ' ') as toks
+      from documents where length({_NORM}) > 0
+    )
+    select doc_id, cast(len(toks) as bigint) as n_tokens,
+           round(list_reduce(
+             list_prepend(cast(0.0 as double),
+               list_transform(toks, t ->
+                 ({_QMODEL_SQL_LIST})[
+                   cast(cast(('0x' || substr(md5(t), 1, 15)) as bigint)
+                        % 64 as int) + 1])),
+             (acc, x) -> acc + x) / len(toks), 6) as quality_logit
+    from t
+    """,
+)
+def x_quality_model(spark, sf_dir):
+    """Model-based quality filtering (`operators/textstats.py
+    hashed_linear_score`): the serving plan of a hashed-bucket linear
+    text classifier — per token, one portable-md5 bucket lookup into a
+    64-entry plan-literal weight array; per doc, the sequential mean.
+    This is the CCNet/fastText-quality-model inference shape reduced to
+    a zero-shuffle map-side fold; the stub weights swap for a trained
+    model's buckets with no plan change (same class as the k-means /
+    KenLM notes). Oracle replays bucket → lookup → ordered fold → mean
+    symbolically; production uses the xxhash64 bucket variant."""
+    from hive_scripts_spark.operators.textstats import hashed_linear_score
+
+    return hashed_linear_score(
+        table(spark, sf_dir, "documents"), _QMODEL_WEIGHTS
+    )
+
+
 # shared CTE chain ending in `tw` (the temperature-weights table) —
 # used by x_mixture_temperature (reports it) and x_mixture_epoch
 # (materializes it into copies)

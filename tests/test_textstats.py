@@ -327,3 +327,35 @@ def test_mixture_materialize_repeats_and_thins(spark):
     # deterministic: a second run is byte-identical
     again = mixture_materialize(docs, w)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_hashed_linear_score_replays_in_python(spark):
+    """Portable bucket + sequential fold must replay exactly in pure
+    python (the same property the DuckDB oracle relies on); empty docs
+    are excluded; the xxhash64 production variant scores the same docs
+    (different buckets, same shape)."""
+    import hashlib
+
+    from hive_scripts_spark.operators.textstats import hashed_linear_score
+
+    W = [0.5, -0.25, 0.125, -1.0, 0.75, -0.5, 0.0625, -0.125]
+    docs = spark.createDataFrame(
+        [(0, "aa bb  aa"), (1, "   "), (2, "zz")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["quality_logit"])
+        for r in hashed_linear_score(docs, W).collect()
+    }
+    assert set(out) == {0, 2}  # blank doc excluded
+    for did, text in ((0, ["aa", "bb", "aa"]), (2, ["zz"])):
+        acc = 0.0
+        for t in text:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % len(W)
+            acc += W[b]
+        assert out[did] == (len(text), round(acc / len(text), 6)), did
+    prod = {
+        r["doc_id"]: r["n_tokens"]
+        for r in hashed_linear_score(docs, W, portable=False).collect()
+    }
+    assert prod == {0: 3, 2: 1}

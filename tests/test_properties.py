@@ -364,3 +364,35 @@ def test_pq_encode_matches_python_replay(spark, vecs, k):
             codes.append(str(best[1]))
             err += best[0]
         assert got[i] == (",".join(codes), round(err, 6)), i
+
+
+@SMALL
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=10**7), min_size=1, max_size=8
+    ),
+)
+def test_temperature_weights_replay_property(spark, toks):
+    """The whole weights chain (share → sqrt → 6dp round → decimal sum
+    → weight → upsample) must replay in pure python for ANY token
+    distribution — the cross-engine determinism contract the DuckDB
+    oracle relies on."""
+    from decimal import Decimal
+
+    from hive_scripts_spark.functions.canonical import temperature_weights
+
+    agg = spark.createDataFrame(
+        [(f"s{i}", 1, int(t)) for i, t in enumerate(toks)],
+        "source string, n_docs int, total_tokens long",
+    )
+    got = {r["source"]: r for r in temperature_weights(agg).collect()}
+
+    total = sum(toks)
+    share = {f"s{i}": t / float(total) for i, t in enumerate(toks)}
+    sqrt_r = {s: Decimal(str(round(v ** 0.5, 6))) for s, v in share.items()}
+    denom = float(sum(sqrt_r.values()))
+    for s, v in share.items():
+        w = round(float(sqrt_r[s]) / denom, 6)
+        assert got[s]["token_share"] == round(v, 6), s
+        assert got[s]["sample_weight"] == w, s
+        assert got[s]["upsample_factor"] == round(w / v, 6), s

@@ -480,6 +480,11 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         # encoded (left_anti on ids — the stored side scan reads the id
         # column only) and appended. Idempotent: re-running appends
         # nothing.
+        if not (idx / "model.json").is_file():
+            raise SystemExit(
+                f"--append needs an existing index: {idx}/model.json not "
+                "found — run a full ann-build first"
+            )
         model = json.loads((idx / "model.json").read_text())
         if model["kind"] != args.kind:
             raise SystemExit(
@@ -541,6 +546,11 @@ def cmd_ann_search(args: argparse.Namespace) -> int:
         .orderBy("vec_id")
         .collect()
     )
+    missing = sorted(set(q_ids) - {int(r["vec_id"]) for r in q_rows})
+    if missing:
+        raise SystemExit(
+            f"query ids not in {args.db}/embeddings: {missing}"
+        )
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
     ]
@@ -557,8 +567,11 @@ def cmd_ann_search(args: argparse.Namespace) -> int:
             nprobe=args.nprobe,
         )
     if args.output:
+        # write once, print from the written parquet — collecting `out`
+        # directly would re-run the whole search a second time
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
+        out = spark.read.parquet(args.output)
     for r in out.orderBy("query_id", "rank").collect():
         print(
             f"q={r['query_id']} rank={r['rank']} "

@@ -370,7 +370,11 @@ def temperature_weights(
     else:
         scaled = F.pow(F.col("__share"), F.lit(alpha))
     w = Window.partitionBy()  # over the ~|groups| aggregate rows only
-    shared = agg.withColumn(
+    # zero-token groups are dropped up front: they contribute nothing
+    # to a token mixture, and share=0 would otherwise make
+    # upsample_factor = 0/0 = NaN — which mixture_materialize would
+    # silently turn into "every doc of this group vanishes"
+    shared = agg.where(F.col(tokens_col) > 0).withColumn(
         "__share",
         F.col(tokens_col) / F.sum(tokens_col).over(w).cast("double"),
     ).withColumn("__scaled", F.round(scaled, 6).cast("decimal(18,6)"))

@@ -909,8 +909,9 @@ def bloom_contamination_overlap(
     / ``'distributed'`` force):
 
     * **literal** (bench ≤ ``literal_max_docs`` docs; default 1000 —
-      at a 10k-doc bench the literal route measured 25.7 s vs the
-      distributed route's 1.5 s): the original r7
+      at a 10k-doc bench the literal route measured 17.9 s vs the
+      distributed route's 2.0 s, while at 1k it is the fastest of all
+      three shapes): the original r7
       shape — one driver collect of the bench grams+hashes, bitset
       folded in python and embedded as ONE parsed plan-literal array,
       verify against a LocalRelation of the collected grams. Cheapest
@@ -924,9 +925,10 @@ def bloom_contamination_overlap(
       constant per executor, never parsed as SQL text); the exact
       verify joins the DISTRIBUTED bench-gram frame (AQE picks
       broadcast vs shuffle). Measured (tools/scale_probe.py, 100k-doc
-      corpus, 50k-doc bench): the literal route's driver work (2.4M-row
-      collect + multi-MB plan text + 2.4M-row LocalRelation) is a
-      scale-killer the distributed route removes entirely.
+      corpus, disjoint bench sets): the literal route's driver work
+      (the gram collect + multi-MB plan text + gram LocalRelation, all
+      growing with the BENCH) is a scale-killer the distributed route
+      removes entirely — 17.9 s vs 2.0 s at a 10k-doc bench.
 
     Literal-route shape: ONE tiny Spark job over the small side
     collects the bench grams with their k raw xxhash64 values; the

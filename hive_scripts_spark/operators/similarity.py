@@ -30,6 +30,24 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def seq_cosine(q: list[float], c: list[float]) -> float:
+    """Driver-side cosine with the EXACT sequential float64 operand
+    order + 6dp round the engines' folds use — the determinism-critical
+    replay shared by probe selection (:func:`ivfpq_search_codes`),
+    model fitting (:func:`train_ivfpq_model`), and the registered
+    queries' model construction. One definition on purpose: a rounding
+    or accumulation-order fix applied to a private copy would silently
+    de-synchronize encode, search, and oracle."""
+    import math
+
+    dp = dq = dc = 0.0
+    for a, b in zip(q, c):
+        dp += a * b
+        dq += a * a
+        dc += b * b
+    return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
+
+
 def dot(a, b):
     """Sequential-fold dot product (deterministic order, double precision)."""
     return F.aggregate(
@@ -1008,26 +1026,16 @@ def ivfpq_search_codes(
     data is read. Same determinism contract and output schema as
     :func:`ivfpq_topk` (which is now just encode → this).
     """
-    import math
-
     from pyspark.sql import Window
 
     m = len(res_codebooks)
     d = len(res_codebooks[0][0])
 
-    def _cos(q, c):
-        dq = dc = dp = 0.0
-        for a, b in zip(q, c):
-            dp += a * b
-            dq += a * a
-            dc += b * b
-        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
-
     probe_rows = []
     for qid, qvec in queries:
         qv = [float(x) for x in qvec]
         sims = sorted(
-            ((_cos(qv, [float(x) for x in c]), -cid) for cid, c in centroids),
+            ((seq_cosine(qv, [float(x) for x in c]), -cid) for cid, c in centroids),
             reverse=True,
         )[:nprobe]
         for sim, neg_cid in sims:
@@ -1163,24 +1171,14 @@ def train_ivfpq_model(
     :func:`ivfpq_search_codes`. Model fitting only — the corpus is
     never collected (same bounded-sample class as
     :func:`train_pq_codebooks`)."""
-    import math
-
     rows = embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     cents = train_kmeans(vecs, nlist, iters)
     centroids = [(i, c) for i, c in enumerate(cents)]
 
-    def _cos(q, c):
-        dp = dq = dc = 0.0
-        for a, b in zip(q, c):
-            dp += a * b
-            dq += a * a
-            dc += b * b
-        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
-
     residuals = []
     for v in vecs:
-        best = max(((_cos(v, c), -cid) for cid, c in centroids))
+        best = max(((seq_cosine(v, c), -cid) for cid, c in centroids))
         cvec = centroids[-best[1]][1]
         residuals.append([a - b for a, b in zip(v, cvec)])
     d = len(vecs[0]) // m

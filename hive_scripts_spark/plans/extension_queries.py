@@ -1803,16 +1803,8 @@ def x_mixture_temperature(spark, sf_dir):
     sum is order-invariant. Oracle replays share → sqrt → round →
     decimal sum → weight → upsample symbolically."""
     from hive_scripts_spark.functions.canonical import temperature_weights
-    from hive_scripts_spark.functions.strings import normalize_whitespace
 
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.where(F.length(normalize_whitespace("text")) > 0).select(
-        "source", X.token_count("text").alias("__n")
-    )
-    agg = toks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__n").cast("bigint").alias("total_tokens"),
-    )
+    _, agg = _temperature_agg(spark, sf_dir)
     return temperature_weights(agg)
 
 
@@ -3406,18 +3398,7 @@ def _ivfpq_model(emb):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
     ]
     # residual codebooks from vec_id 8..15, replaying the engine's own
-    # assignment/residual math in python (sequential float64 — matches
-    # both engines' folds)
-    import math
-
-    def cos(q, c):
-        dp = dq = dc = 0.0
-        for a, b in zip(q, c):
-            dp += a * b
-            dq += a * a
-            dc += b * b
-        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
-
+    # assignment/residual math via the shared sequential-float64 helper
     donor_rows = (
         emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
         .orderBy("vec_id")
@@ -3427,7 +3408,7 @@ def _ivfpq_model(emb):
     for r in donor_rows:
         v = [float(x) for x in r["embedding"]]
         best = max(
-            ((cos(v, c), -cid) for cid, c in centroids)
+            ((S.seq_cosine(v, c), -cid) for cid, c in centroids)
         )
         cvec = centroids[-best[1]][1]
         resid = [a - b for a, b in zip(v, cvec)]

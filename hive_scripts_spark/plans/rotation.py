@@ -78,6 +78,7 @@ def compute_front_order(
     last_green: dict[str, int],
     latest_round: int,
     window: int = WINDOW,
+    strict: bool = True,
 ) -> list[str]:
     """Compute the next grading window for ``names`` (registry order).
 
@@ -85,6 +86,16 @@ def compute_front_order(
     priority order. With no history (``latest_round == 0``) the
     natural registry order already IS the window, so returns ``[]``
     (no reordering).
+
+    ``strict`` governs the overflow case (more never-graded + stale
+    queries than window slots): ``True`` raises — the right behavior
+    for the staleness test and ``tools/rotate.py``, where a human is
+    looking. The registry import uses ``strict=False``: the window
+    still fills deterministically (never-graded first, then stale
+    oldest-first, truncated) and the DATA commands keep working — a
+    grading-bookkeeping problem must not brick ``ann-build`` or
+    ``curate``; the strict guard in ``tests/test_rotation.py`` is
+    where the overflow fails loudly.
     """
     if latest_round == 0:
         return []
@@ -94,7 +105,7 @@ def compute_front_order(
         (n for n in names if 0 < last_green.get(n, 0) < stale_bar),
         key=lambda n: (last_green[n], n),
     )
-    if len(never) + len(stale) > window:
+    if strict and len(never) + len(stale) > window:
         raise ValueError(
             f"rotation overflow: {len(never)} never-graded + "
             f"{len(stale)} stale queries exceed the {window}-slot "
@@ -102,7 +113,7 @@ def compute_front_order(
             "one round — grade backlog must shrink (split new-op "
             "registration across rounds)"
         )
-    head = never + stale
+    head = (never + stale)[:window]
     taken = set(head)
     fill = sorted(
         (n for n in names if n not in taken),

@@ -36,7 +36,10 @@ def _default_driver_mem() -> str:
                     return f"{max(4, min(24, total_gib // 2))}g"
     except OSError:
         pass
-    return "4g"
+    # no /proc/meminfo (macOS/Windows): a mid-range default, not the
+    # clamp floor — dropping silently to 4g would OOM local workloads
+    # that previously ran under the fixed 24g
+    return "8g"
 
 
 def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -> SparkSession:

@@ -64,3 +64,13 @@ def test_real_artifacts_parse_and_window_covers_all_stale():
         n for n in ORACLES if 0 < last_green.get(n, 0) < latest - 1
     }
     assert stale <= set(window)
+
+
+def test_non_strict_overflow_truncates_deterministically():
+    """Registry import must never crash on overflow (strict=False):
+    the window still fills never-first then oldest-stale, truncated."""
+    names = [f"q{i}" for i in range(5)]
+    out = compute_front_order(
+        names, {n: 1 for n in names}, 9, window=3, strict=False
+    )
+    assert out == ["q0", "q1", "q2"]

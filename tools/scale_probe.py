@@ -68,9 +68,11 @@ def gen_embeddings(spark, n, path):
     df.write.mode("overwrite").parquet(path)
 
 
-def gen_documents(spark, n, path, vocab=500, tokens=50):
-    """n docs of `tokens` words from a `vocab`-word pool (shared with
-    the bench generator, so word-trigram overlap is real)."""
+def gen_documents(spark, n, path, vocab=500, tokens=50, start=0):
+    """n docs of `tokens` words from a `vocab`-word pool; pass a
+    disjoint `start` for the bench set so its docs are DISTINCT from
+    the corpus (same vocab → realistic partial trigram overlap, not
+    the degenerate bench⊂corpus 100%-contamination case)."""
     text = F.concat_ws(
         " ",
         F.transform(
@@ -81,7 +83,7 @@ def gen_documents(spark, n, path, vocab=500, tokens=50):
             ),
         ),
     )
-    df = spark.range(0, n, 1, 32).select(
+    df = spark.range(start, start + n, 1, 32).select(
         F.col("id").alias("doc_id"), text.alias("text")
     )
     df.write.mode("overwrite").parquet(path)
@@ -126,19 +128,9 @@ def main() -> int:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:8]
     ]
     res_books = [[] for _ in range(4)]
-    import math
-
-    def cos(q, c):
-        dp = dq = dc = 0.0
-        for a, b in zip(q, c):
-            dp += a * b
-            dq += a * a
-            dc += b * b
-        return round(dp / (math.sqrt(dq) * math.sqrt(dc)), 6)
-
     for r in rows[8:16]:
         v = [float(x) for x in r["embedding"]]
-        best = max(((cos(v, c), -cid) for cid, c in centroids))
+        best = max(((S.seq_cosine(v, c), -cid) for cid, c in centroids))
         cvec = centroids[-best[1]][1]
         resid = [a - b for a, b in zip(v, cvec)]
         for s in range(4):
@@ -183,7 +175,7 @@ def main() -> int:
     for bench_n in (1_000, 10_000, 50_000):
         bench_path = str(scratch / f"bench_{bench_n}")
         # offset ids so bench is a distinct doc set from the same vocab
-        gen_documents(spark, bench_n, bench_path)
+        gen_documents(spark, bench_n, bench_path, start=10_000_000)
         bench = spark.read.parquet(bench_path)
         sec, ex = _timed(
             lambda: D.contamination_overlap(corpus, bench), args.reps

@@ -505,3 +505,24 @@ def test_ann_build_append_is_incremental_and_idempotent(spark, tmp_path, capsys)
     with _pytest.raises(SystemExit):
         main(["ann-build", str(full_db), idx, "--kind", "pq", "--append"])
     capsys.readouterr()
+
+
+def test_ann_search_rejects_unknown_query_ids(spark, tmp_path, capsys):
+    import pytest as _pytest
+
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", "/root/testdata/sf0.001", idx, "--kind", "pq",
+                 "--sample", "16"]) == 0
+    with _pytest.raises(SystemExit, match="999999"):
+        main(["ann-search", "/root/testdata/sf0.001", idx,
+              "--query-ids", "0,999999"])
+    capsys.readouterr()
+
+
+def test_ann_build_append_requires_existing_index(tmp_path, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="full ann-build first"):
+        main(["ann-build", "/root/testdata/sf0.001",
+              str(tmp_path / "nonexistent"), "--append"])
+    capsys.readouterr()

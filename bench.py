@@ -72,6 +72,10 @@ EXTRA = [
     # directories at the scan
     "x_ann_pq_index_search",
     "x_ann_ivfpq_index_search",
+    # r8-added pipeline ops — timing series starts here
+    "x_quality_model",
+    "x_mixture_temperature",
+    "x_mixture_epoch",
 ]
 
 

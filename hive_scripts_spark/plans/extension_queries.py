@@ -923,6 +923,50 @@ def x_events_hourly(spark, sf_dir):
 
 
 @register(
+    "x_events_sliding",
+    oracle="""
+    with starts as (
+      select date_trunc('hour', ts) - to_hours(offs.h) as window_start,
+             event_type, value
+      from events cross join (values (0), (1)) as offs(h)
+    )
+    select window_start, event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) as total_value
+    from starts group by all
+    """,
+)
+def x_events_sliding(spark, sf_dir):
+    """Sliding-window event aggregate: 2-hour windows advancing every
+    hour (`F.window(ts, '2 hours', '1 hour')`), so each event lands in
+    exactly two windows — the overlapping-window shape Structured
+    Streaming shares with this batch form (same expression under
+    `readStream` + a watermark). Decimal-exact value sums (summation-
+    order-invariant). The oracle replicates each event to its two
+    containing window starts (hour-trunc and hour-trunc minus one) —
+    the definition of a 2h/1h slide — and aggregates."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "x_window_top_orders_per_cust",
     oracle="""
     with ranked as (

@@ -52,6 +52,32 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def sliding_event_counts(
+    events: DataFrame, watermark: str = "3 hours"
+) -> DataFrame:
+    """Sliding 2-hour/1-hour counts + value sums per event type — the
+    streaming twin of `x_events_sliding` (same expression; exact batch
+    parity pytest-pinned). Each event contributes to two open windows,
+    so state is 2× the tumbling form's and the watermark must cover the
+    window DURATION plus lateness for append mode to finalize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_partition_counts(
     events: DataFrame, partition_col: str = "event_type", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -274,3 +274,40 @@ def test_watermark_drop_count_sees_late_data(spark, tmp_path):
         for r in late.select(F.date_trunc("hour", "ts").alias("w")).distinct().collect()
     }
     assert not (emitted & late_windows)
+
+
+def test_sliding_event_counts_matches_batch(spark, tmp_path):
+    """Streaming sliding windows (2h/1h) must agree exactly with the
+    x_events_sliding batch form on every emitted window."""
+    import shutil
+
+    from hive_scripts_spark.streaming.windowed import sliding_event_counts
+
+    stream_dir = tmp_path / "events_sliding"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-0000.parquet")
+
+    q = (
+        sliding_event_counts(read_event_stream(spark, str(stream_dir)))
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["x_events_sliding"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("sliding_test").collect()
+    }
+    assert streamed, "stream produced output"
+    for k, v in streamed.items():
+        assert batch[k] == v
+    assert len(streamed) >= 0.8 * len(batch)  # trailing windows stay open

@@ -967,6 +967,149 @@ def x_events_sliding(spark, sf_dir):
 
 
 @register(
+    "x_events_transitions",
+    oracle="""
+    with seq as (
+      select user_id, event_type,
+             lag(event_type) over (
+               partition by user_id order by ts, event_id) as prev_type
+      from events
+    )
+    select prev_type, event_type as next_type,
+           count(*) as n_transitions,
+           cast(count(distinct user_id) as bigint) as n_users
+    from seq where prev_type is not null
+    group by 1, 2
+    """,
+)
+def x_events_transitions(spark, sf_dir):
+    """Per-user event-transition matrix (the Markov-chain feature table
+    behavioral models train on): lag over (user, ts, event_id) pairs
+    each event with its predecessor, then count transitions and
+    distinct users per (prev, next) edge. The event_id tiebreak makes
+    the sequence — and therefore every count — deterministic under
+    equal timestamps. One window exchange on user_id + the edge
+    groupBy; the matrix is |event_types|² rows, trivially small at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "x_events_outliers",
+    oracle="""
+    with v as (
+      select event_type, cast(value as double) as v, event_id from events
+    ), ranked as (
+      select *, row_number() over (
+               partition by event_type order by v, event_id) as rn,
+             count(*) over (partition by event_type) as n
+      from v
+    ), med as (
+      select event_type, v as median_v
+      from ranked where rn = (n + 1) // 2
+    ), ad as (
+      select v.event_type, abs(v.v - m.median_v) as ad, v.event_id
+      from v join med m using (event_type)
+    ), ad_ranked as (
+      select *, row_number() over (
+               partition by event_type order by ad, event_id) as rn,
+             count(*) over (partition by event_type) as n
+      from ad
+    ), mad as (
+      select event_type, ad as mad_v
+      from ad_ranked where rn = (n + 1) // 2
+    )
+    select v.event_type,
+           cast(count(*) as bigint) as n_events,
+           round(m.median_v, 6) as median_v,
+           round(d.mad_v, 6) as mad_v,
+           cast(sum(case when abs(v.v - m.median_v) > 3 * d.mad_v
+                         then 1 else 0 end) as bigint) as n_outliers
+    from v
+    join med m using (event_type)
+    join mad d using (event_type)
+    group by v.event_type, m.median_v, d.mad_v
+    """,
+)
+def x_events_outliers(spark, sf_dir):
+    """Robust per-type outlier report (median/MAD, the data-quality
+    gate that survives heavy tails where mean/stddev don't): lower
+    median and median-absolute-deviation are SELECTED ELEMENTS (rank
+    (n+1) div 2 ordered by (value, event_id)) — no interpolation, so
+    both engines pick the identical double and the |v-med| > 3·MAD
+    boundary is bit-exact. Two rank windows keyed on event_type + the
+    final per-type agg; medians broadcast back (|event_types| rows)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v"), "event_id"
+    )
+
+    def elem_at_median(df, order_col):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(order_col).asc(), F.col("event_id").asc()
+        )
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(order_col),
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(wn).alias("__n"),
+            )
+            .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("event_type", F.col(order_col).alias(f"__med_{order_col}"))
+        )
+
+    med = elem_at_median(ev, "v")
+    ad = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "v",
+        "event_id",
+        F.abs(F.col("v") - F.col("__med_v")).alias("ad"),
+        F.col("__med_v"),
+    )
+    mad = elem_at_median(ad.select("event_type", "ad", "event_id"), "ad")
+    return (
+        ad.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "__med_v", "__med_ad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("ad") > 3 * F.col("__med_ad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("__med_v", 6).alias("median_v"),
+            F.round("__med_ad", 6).alias("mad_v"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
     "x_window_top_orders_per_cust",
     oracle="""
     with ranked as (

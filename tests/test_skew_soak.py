@@ -307,3 +307,66 @@ def test_minhash_lsh_soak_on_cloned_corpus(spark):
     missing = expected_clone_pairs - got
     assert not missing, f"{len(missing)} clone pairs missing of {len(expected_clone_pairs)}"
     assert len(perfect) >= 6 * n_docs
+
+
+def test_events_outliers_median_mad_hand_computed(spark, tmp_path):
+    """Element-based median/MAD on a hand-computed frame: lower median
+    at rank (n+1) div 2 with (value, event_id) tiebreaks, outliers
+    strictly beyond 3*MAD."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    rows = [
+        # type a: values 1,2,3,4,100 -> median 3 (rn 3 of 5),
+        # |v-3| = 2,1,0,1,97 -> sorted 0,1,1,2,97 -> MAD 1
+        # outliers: |v-3| > 3 -> only 100
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+        (4, "a", 4.0), (5, "a", 100.0),
+        # type b: constant -> median 7, MAD 0, every |v-7|>0 is an
+        # outlier -> none (all equal)
+        (6, "b", 7.0), (7, "b", 7.0), (8, "b", 7.0),
+    ]
+    db = tmp_path / "db"
+    db.mkdir()
+    spark.createDataFrame(
+        [(i, t, v) for i, t, v in rows],
+        "event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))).select(
+        "event_id", "ts", F.lit(1).cast("long").alias("user_id"),
+        "event_type", "value", F.lit("{}").alias("props"),
+    ).write.parquet(str(db / "events.parquet"))
+
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["x_events_outliers"](spark, str(db)).collect()
+    }
+    assert out["a"]["median_v"] == 3.0 and out["a"]["mad_v"] == 1.0
+    assert out["a"]["n_outliers"] == 1 and out["a"]["n_events"] == 5
+    assert out["b"]["median_v"] == 7.0 and out["b"]["mad_v"] == 0.0
+    assert out["b"]["n_outliers"] == 0
+
+
+def test_events_transitions_deterministic_sequence(spark, tmp_path):
+    """Equal timestamps: the event_id tiebreak fixes the sequence, so
+    transition counts are exact."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    db = tmp_path / "db"
+    db.mkdir()
+    # user 1: A -> B -> A (same ts, ordered by event_id); user 2: B -> B
+    spark.createDataFrame(
+        [(1, 1, "A"), (2, 1, "B"), (3, 1, "A"), (4, 2, "B"), (5, 2, "B")],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.parquet(str(db / "events.parquet"))
+
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["n_users"])
+        for r in QUERIES["x_events_transitions"](spark, str(db)).collect()
+    }
+    assert out == {("A", "B"): (1, 1), ("B", "A"): (1, 1), ("B", "B"): (1, 1)}

@@ -1192,6 +1192,63 @@ def x_events_sessionize(spark, sf_dir):
 
 
 @register(
+    "x_events_session_stats",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select user_id, ts,
+             cast(sum(new_session) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row)
+                  as bigint) as session_id
+      from marked
+    ), sess as (
+      select user_id, session_id, count(*) as n_events,
+             min(ts) as s, max(ts) as e
+      from numbered group by user_id, session_id
+    )
+    select user_id,
+           cast(count(*) as bigint) as n_sessions,
+           cast(sum(n_events) as bigint) as total_events,
+           round(cast(sum(n_events) as double) / count(*), 6)
+             as avg_events_per_session,
+           cast(sum(epoch_us(e) - epoch_us(s)) as bigint) as active_micros,
+           cast(max(n_events) as bigint) as max_session_events
+    from sess group by user_id
+    """,
+)
+def x_events_session_stats(spark, sf_dir):
+    """Per-user session behavior rollup (the feature table engagement
+    models train on), composed over the 30-minute-gap sessionization:
+    session count, total events, mean events/session (double division
+    of exact bigints — deterministic), total active span in exact
+    epoch micros, and the longest session. The rollup groups the
+    already-aggregated session frame (O(sessions) rows), so the only
+    added exchange beyond sessionize's user window is the per-user
+    groupBy — co-keyed with the window, AQE-coalesced."""
+    sess = x_events_sessionize(spark, sf_dir)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.sum(
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+        )
+        .cast("bigint")
+        .alias("active_micros"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
+@register(
     "x_events_session_window",
     oracle="""
     with marked as (

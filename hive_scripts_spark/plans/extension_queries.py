@@ -1137,9 +1137,11 @@ def x_window_top_orders_per_cust(spark, sf_dir):
     )
 
 
-@register(
-    "x_events_sessionize",
-    oracle="""
+# ONE definition of the 30-minute-gap sessionization CTE chain for all
+# three oracles that replay it (sessionize, session_window, stats) —
+# a gap or tiebreak change edited in one oracle but not the others
+# would diverge them from the shared Spark implementation
+_DUCK_SESSIONIZE = """
     with marked as (
       select user_id, ts, event_id,
              case when lag(ts) over w is null
@@ -1155,6 +1157,12 @@ def x_window_top_orders_per_cust(spark, sf_dir):
                   as bigint) as session_id
       from marked
     )
+"""
+
+
+@register(
+    "x_events_sessionize",
+    oracle=f"""{_DUCK_SESSIONIZE}
     select user_id, session_id, count(*) as n_events,
            min(ts) as session_start, max(ts) as session_end
     from numbered group by user_id, session_id
@@ -1193,22 +1201,8 @@ def x_events_sessionize(spark, sf_dir):
 
 @register(
     "x_events_session_stats",
-    oracle="""
-    with marked as (
-      select user_id, ts, event_id,
-             case when lag(ts) over w is null
-                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
-                  then 1 else 0 end as new_session
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ), numbered as (
-      select user_id, ts,
-             cast(sum(new_session) over (
-               partition by user_id order by ts, event_id
-               rows between unbounded preceding and current row)
-                  as bigint) as session_id
-      from marked
-    ), sess as (
+    oracle=f"""{_DUCK_SESSIONIZE}
+    , sess as (
       select user_id, session_id, count(*) as n_events,
              min(ts) as s, max(ts) as e
       from numbered group by user_id, session_id
@@ -1250,27 +1244,12 @@ def x_events_session_stats(spark, sf_dir):
 
 @register(
     "x_events_session_window",
-    oracle="""
-    with marked as (
-      select user_id, ts, event_id,
-             case when lag(ts) over w is null
-                       or epoch_us(ts) - epoch_us(lag(ts) over w)
-                          > 1800000000
-                  then 1 else 0 end as new_session
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ), numbered as (
-      select user_id, ts,
-             sum(new_session) over (
-               partition by user_id order by ts, event_id
-               rows between unbounded preceding and current row) as sid
-      from marked
-    )
+    oracle=f"""{_DUCK_SESSIONIZE}
     select user_id,
            min(ts) as session_start,
            max(ts) + interval 30 minute as session_end,
            cast(count(*) as bigint) as n_events
-    from numbered group by user_id, sid
+    from numbered group by user_id, session_id
     """,
 )
 def x_events_session_window(spark, sf_dir):

@@ -31,12 +31,20 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return event_stream(spark, path)
 
 
-def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1-hour counts + value sums per event type, late data
-    bounded by ``watermark``."""
+def _windowed_event_counts(
+    events: DataFrame, duration: str, slide: str | None, watermark: str
+) -> DataFrame:
+    """Shared body of the tumbling/sliding count twins: one place owns
+    the decimal(18,2) value-sum contract and the output schema the
+    batch-parity tests pin."""
+    w = (
+        F.window("ts", duration)
+        if slide is None
+        else F.window("ts", duration, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
@@ -50,6 +58,12 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
             "total_value",
         )
     )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event type, late data
+    bounded by ``watermark``."""
+    return _windowed_event_counts(events, "1 hour", None, watermark)
 
 
 def sliding_event_counts(
@@ -57,25 +71,11 @@ def sliding_event_counts(
 ) -> DataFrame:
     """Sliding 2-hour/1-hour counts + value sums per event type — the
     streaming twin of `x_events_sliding` (same expression; exact batch
-    parity pytest-pinned). Each event contributes to two open windows,
-    so state is 2× the tumbling form's and the watermark must cover the
-    window DURATION plus lateness for append mode to finalize."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    parity pytest-pinned). The watermark delay bounds LATENESS only — a
+    window finalizes for append mode when the watermark passes its END,
+    whatever the delay — but each event lives in two open windows, so
+    the sliding form holds 2× the tumbling form's state at any delay."""
+    return _windowed_event_counts(events, "2 hours", "1 hour", watermark)
 
 
 def streaming_partition_counts(

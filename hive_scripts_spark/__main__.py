@@ -26,6 +26,7 @@ from the Hive metastore, which a path database does not have).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from hive_scripts_spark.config import JobConfig, parse_sections, split_kv
@@ -457,6 +458,23 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _merge_parquet_dir(stage, target) -> None:
+    """Move the data files of a committed staged parquet write into an
+    existing parquet directory, merging partition subdirectories
+    (``cell=N/``). Part-file names embed the writing job's UUID, so
+    renames cannot collide with existing files; ``_SUCCESS``/checksum
+    markers are skipped. The stage directory is removed afterwards."""
+    import shutil
+
+    for p in sorted(stage.rglob("*")):
+        if not p.is_file() or p.name.startswith(("_", ".")):
+            continue
+        dest = target / p.relative_to(stage)
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def cmd_ann_build(args: argparse.Namespace) -> int:
     """Build a persisted ANN index ("build once, search many"): fit
     model parameters on a bounded deterministic sample (k-means), PQ-
@@ -478,8 +496,25 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         # (standard IVF/PQ practice — retraining would orphan existing
         # codes); only vectors absent from the stored code table are
         # encoded (left_anti on ids — the stored side scan reads the id
-        # column only) and appended. Idempotent: re-running appends
-        # nothing.
+        # column only). New codes are STAGED to a sibling directory and
+        # moved in only after the job commits: reading and appending the
+        # same directory in one job happens to work (the file listing is
+        # snapshotted at read time) but breaks under a refreshed file
+        # index, a task retry racing the listing, or a concurrent build.
+        # Idempotent: re-running appends nothing.
+        for flag, val in (
+            ("--m", args.m),
+            ("--codes", args.codes),
+            ("--nlist", args.nlist),
+            ("--sample", args.sample),
+        ):
+            if val is not None:
+                raise SystemExit(
+                    f"{flag} conflicts with --append: the model shape is "
+                    "fixed at first build (retraining would orphan the "
+                    "stored codes) — drop the flag, or rebuild without "
+                    "--append to retrain"
+                )
         if not (idx / "model.json").is_file():
             raise SystemExit(
                 f"--append needs an existing index: {idx}/model.json not "
@@ -492,30 +527,37 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
             )
         existing = spark.read.parquet(str(idx / "codes")).select("vec_id")
         emb = emb.join(existing, "vec_id", "left_anti")
-        mode = "append"
     else:
         model = None
-        mode = "overwrite"
+    m = args.m if args.m is not None else 4
+    codes_k = args.codes if args.codes is not None else 8
+    nlist = args.nlist if args.nlist is not None else 8
+    sample = args.sample if args.sample is not None else 256
+    out_dir = (
+        idx / f"codes_stage_pid{os.getpid()}" if args.append else idx / "codes"
+    )
     if args.kind == "pq":
         books = (
             model["codebooks"]
             if model
-            else S.train_pq_codebooks(emb, m=args.m, k=args.codes, sample=args.sample)
+            else S.train_pq_codebooks(emb, m=m, k=codes_k, sample=sample)
         )
         model = {"kind": "pq", "codebooks": books}
-        S.pq_encode(emb, books).write.mode(mode).parquet(str(idx / "codes"))
+        S.pq_encode(emb, books).write.mode("overwrite").parquet(str(out_dir))
     else:
         if model:
             centroids = [(int(c[0]), c[1]) for c in model["centroids"]]
             books = model["codebooks"]
         else:
             centroids, books = S.train_ivfpq_model(
-                emb, nlist=args.nlist, m=args.m, k=args.codes, sample=args.sample
+                emb, nlist=nlist, m=m, k=codes_k, sample=sample
             )
         model = {"kind": "ivfpq", "centroids": centroids, "codebooks": books}
         S.ivfpq_encode(emb, centroids, books).repartition(
             "cell"
-        ).write.partitionBy("cell").mode(mode).parquet(str(idx / "codes"))
+        ).write.partitionBy("cell").mode("overwrite").parquet(str(out_dir))
+    if args.append:
+        _merge_parquet_dir(out_dir, idx / "codes")
     (idx / "model.json").write_text(json.dumps(model))
     n = spark.read.parquet(str(idx / "codes")).count()
     print(f"wrote {idx} ({args.kind}, {n} codes)")
@@ -719,10 +761,18 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("db", help="sf_dir with embeddings.parquet")
     ab.add_argument("index", help="index output directory")
     ab.add_argument("--kind", choices=("pq", "ivfpq"), default="ivfpq")
-    ab.add_argument("--m", type=int, default=4, help="PQ subspaces")
-    ab.add_argument("--codes", type=int, default=8, help="codes per subspace")
-    ab.add_argument("--nlist", type=int, default=8, help="coarse cells (ivfpq)")
-    ab.add_argument("--sample", type=int, default=256, help="training sample")
+    # model-shape flags default to None so --append can detect (and
+    # loudly reject) explicit values: the model is fixed at first build
+    ab.add_argument("--m", type=int, default=None, help="PQ subspaces (default 4)")
+    ab.add_argument(
+        "--codes", type=int, default=None, help="codes per subspace (default 8)"
+    )
+    ab.add_argument(
+        "--nlist", type=int, default=None, help="coarse cells (ivfpq, default 8)"
+    )
+    ab.add_argument(
+        "--sample", type=int, default=None, help="training sample (default 256)"
+    )
     ab.add_argument(
         "--append",
         action="store_true",

@@ -119,6 +119,7 @@ def embedding_near_dup_pairs(
     use_lsh: bool = True,
     lsh_tables: int = 4,
     lsh_bits: int = 4,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -137,7 +138,33 @@ def embedding_near_dup_pairs(
     not the three folds of an inline ``cosine()`` re-evaluated per
     pair. Same doubles (sqrt-of-fold either way), measured 3.4× on the
     exhaustive path at sf0.1.
+
+    **Scale guard** (same contract as
+    :func:`~hive_scripts_spark.operators.dedup.ngram_jaccard_pairs`):
+    the ``use_lsh=False`` path is an O(n²) cross join — fine as an
+    exactness oracle on a bounded frame, a scale-killer on a 100 TB
+    corpus. When ``use_lsh=False`` and the input exceeds ``max_docs``
+    rows, the call warns loudly and routes through the LSH-blocked
+    path anyway (exact cosine still verifies every candidate, so
+    precision is unchanged; recall becomes the LSH knob). Callers
+    whose semantics are exhaustive-by-contract (the ``x_embed_near_dup``
+    oracle twin) pass ``max_docs=None`` to force the cross join.
     """
+    if not use_lsh and max_docs is not None:
+        # bounded probe, not a full count: LocalLimit stops the scan early
+        if embeddings.select(id_col).limit(max_docs + 1).count() > max_docs:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs: use_lsh=False on an input "
+                f"exceeding max_docs={max_docs}; the exhaustive cross "
+                "join is quadratic, so routing through hyperplane-LSH "
+                "blocking (exact cosine verify, LSH-bounded recall). "
+                "Pass max_docs=None to force the cross join.",
+                UserWarning,
+                stacklevel=2,
+            )
+            use_lsh = True
     staged = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )

@@ -311,9 +311,14 @@ def x_ann_brute_topk(spark, sf_dir):
 def x_embed_near_dup(spark, sf_dir):
     # threshold 0.35 ≈ p99.9 of the testdata's cosine distribution — the
     # synthetic embeddings are near-random, so a "duplicate"-grade 0.95
-    # threshold would make the test vacuous (0 rows)
+    # threshold would make the test vacuous (0 rows). max_docs=None:
+    # this row IS the exhaustive oracle twin, so force the cross join
+    # regardless of size (the scale guard would otherwise reroute).
     return S.embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.35, use_lsh=False
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        use_lsh=False,
+        max_docs=None,
     )
 
 
@@ -3646,15 +3651,26 @@ def _ivfpq_model(emb):
 
 
 def _ann_scratch(sf_dir: str, name: str):
-    """Fresh repo-local scratch dir for a persisted ANN index (same
+    """Fresh per-process scratch dir for a persisted ANN index (same
     pattern as `_incremental_demo`): the graded output stays a pure
     function of `embeddings` — the index on disk is an implementation
-    detail rebuilt per run."""
+    detail rebuilt per run.
+
+    Keyed by pid so two concurrent graders/pytest sessions sharing a
+    checkout and sf_dir never delete each other's index mid-read, and
+    falls back to the system temp dir when the package directory is
+    not writable (read-only installs)."""
+    import os
     import shutil
+    import tempfile
     from pathlib import Path
 
     tag = sf_dir.strip("/").replace("/", "_")
-    scratch = Path(__file__).resolve().parents[2] / ".scratch" / f"{name}_{tag}"
+    leaf = f"{name}_{tag}_pid{os.getpid()}"
+    root = Path(__file__).resolve().parents[2] / ".scratch"
+    if not os.access(root.parent, os.W_OK):
+        root = Path(tempfile.gettempdir()) / "hive_scripts_spark_scratch"
+    scratch = root / leaf
     shutil.rmtree(scratch, ignore_errors=True)
     return scratch
 

@@ -36,9 +36,17 @@ def _default_driver_mem() -> str:
                     return f"{max(4, min(24, total_gib // 2))}g"
     except OSError:
         pass
-    # no /proc/meminfo (macOS/Windows): a mid-range default, not the
-    # clamp floor — dropping silently to 4g would OOM local workloads
-    # that previously ran under the fixed 24g
+    # no /proc/meminfo (macOS/Windows): probe total RAM portably via
+    # sysconf before resorting to a constant — a silent drop to 8g
+    # could OOM local workloads that used to fit on large-RAM hosts
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        if pages > 0 and page_size > 0:
+            total_gib = (pages * page_size) // (1024**3)
+            return f"{max(4, min(24, total_gib // 2))}g"
+    except (ValueError, OSError, AttributeError):
+        pass
     return "8g"
 
 

@@ -504,6 +504,28 @@ def test_ann_build_append_is_incremental_and_idempotent(spark, tmp_path, capsys)
 
     with _pytest.raises(SystemExit):
         main(["ann-build", str(full_db), idx, "--kind", "pq", "--append"])
+    # no staging leftovers: the append route stages new codes beside the
+    # code table and must clean up after the move
+    import os
+
+    assert not [
+        d for d in os.listdir(idx) if d.startswith("codes_stage")
+    ]
+    capsys.readouterr()
+
+
+def test_ann_build_append_rejects_model_shape_flags(tmp_path, capsys):
+    """--m/--codes/--nlist/--sample conflict with --append (the model is
+    fixed at first build); the CLI must fail loudly, not silently ignore
+    them (r8 advisor item)."""
+    import pytest as _pytest
+
+    idx = str(tmp_path / "idx")
+    for flags in (["--m", "4"], ["--codes", "8"], ["--nlist", "8"],
+                  ["--sample", "256"]):
+        with _pytest.raises(SystemExit, match="conflicts with --append"):
+            main(["ann-build", "/root/testdata/sf0.001", idx,
+                  "--append", *flags])
     capsys.readouterr()
 
 

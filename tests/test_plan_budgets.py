@@ -47,3 +47,26 @@ def test_exchange_budget(spark, name):
         f"{name}: {n} shuffle exchanges (budget {BUDGETS[name]}) — "
         f"plan grew a shuffle; check PLANS.md and the optimizer traps\n{plan}"
     )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_g_approx_distinct_within_rsd(spark, sf_dir):
+    """`g_approx_distinct` is the registry's one row with no oracle AND
+    no portable twin (HLL is engine-specific by nature), so its
+    verification lives here (r8 judge item 3): the sketch estimate must
+    sit within the configured relative standard deviation of the exact
+    count it is computed alongside. Spark's `approx_count_distinct`
+    default rsd is 0.05; HLL error is ~normal, so 3·rsd is a ≥99.7%
+    envelope — a deterministic-input test failure means the sketch
+    wiring broke, not bad luck."""
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    row = QUERIES["g_approx_distinct"](spark, sf_dir).collect()[0]
+    approx, exact = row["approx_orders"], row["exact_orders"]
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 3 * 0.05, (
+        f"HLL estimate {approx} vs exact {exact} at {sf_dir}: "
+        f"relative error {abs(approx - exact) / exact:.4f} > 0.15"
+    )

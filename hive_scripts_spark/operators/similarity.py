@@ -460,6 +460,42 @@ def ivf_assign(
     )
 
 
+def ivf_cell_stats(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-quality report: per-cell occupancy and quantization
+    quality over the coarse assignment.
+
+    Returns ``(centroid_id, n_vectors, mean_sim, min_sim)`` — cell
+    population (the balance signal: a skewed coarse quantizer makes
+    nprobe recall erratic and one probe-partition hot) plus the mean
+    and worst cosine of the cell's members to their centroid (the
+    quantization-quality signal: a low mean says the centroid no
+    longer represents its cell — retrain). This is the report an index
+    operator watches before/after every retrain or append.
+
+    Scale: rides :func:`ivf_assign`'s zero-shuffle plan-literal
+    assignment; the rollup is ONE groupBy over ``nlist`` keys with
+    map-side partials — output is |cells| rows no matter the corpus.
+    ``mean_sim`` accumulates the 6dp-rounded sims as exact decimals
+    (commutative — summation order cannot flake the value), then
+    divides and re-rounds: the oracle replays it bit-for-bit.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+        F.round(F.min("sim"), 6).alias("min_sim"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -523,6 +523,7 @@ def hashed_linear_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Model-based quality filter served from plan literals: per doc,
     the mean over tokens of ``weights[h(token) % len(weights)]`` — the
@@ -560,9 +561,10 @@ def hashed_linear_score(
         def bucket(t):
             return F.pmod(F.xxhash64(t), F.lit(k))
 
+    keep = keep_cols or []
     norm = normalize_whitespace(text_col)
     base = df.where(F.length(norm) > 0).select(
-        F.col(id_col), F.split(norm, " ").alias("__toks")
+        F.col(id_col), *keep, F.split(norm, " ").alias("__toks")
     )
     ssum = F.aggregate(
         F.col("__toks"),
@@ -571,6 +573,106 @@ def hashed_linear_score(
     )
     return base.select(
         F.col(id_col),
+        *keep,
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.round(ssum / F.size("__toks"), 6).alias("quality_logit"),
+    )
+
+
+def corpus_ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 20,
+    min_total: int = 2,
+) -> DataFrame:
+    """Top-k most repeated word n-grams across the WHOLE corpus — the
+    C4/RefinedWeb-style global repetition analysis that drives
+    boilerplate discovery and line/paragraph-level dedup policy.
+
+    Returns ``(ngram, n_total, n_docs)``: total occurrences and the
+    number of distinct documents containing the gram, ordered by
+    ``n_total`` desc with the gram string as the deterministic
+    tiebreak (the top-k SET is therefore unique — safe to grade).
+
+    Scale shape: two-level aggregation — per-(ngram, doc) counts first
+    (one shuffle keyed on the pair, with map-side partial agg soaking
+    up within-doc repeats), then the per-ngram rollup (second, much
+    smaller shuffle; ``n_docs`` is a plain ``count(*)`` because level 1
+    already made (ngram, doc) unique — no count_distinct expand). The
+    top-k itself is ``orderBy().limit(k)`` = TakeOrderedAndProject:
+    per-partition bounded heaps merged on the driver, never a global
+    sort. Gram text leaves the executors only inside the final k rows.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_whitespace(text_col), " ").alias("__toks"),
+    )
+    t = F.col("__toks")
+    grams = toks.where(F.size(t) >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            )
+        ).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", id_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = per_doc.groupBy("ngram").agg(
+        F.sum("__c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        agg.where(F.col("n_total") >= min_total)
+        .orderBy(F.col("n_total").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def quality_gate_report(
+    df: DataFrame,
+    weights: list[float],
+    group_col: str = "source",
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-group keep/drop report of the hashed-linear quality gate —
+    what a curation run publishes per source before committing a
+    filter threshold.
+
+    Returns ``(group, n_keep, n_drop, keep_frac, mean_logit)`` where
+    keep means ``quality_logit > threshold``. The scoring fold rides
+    :func:`hashed_linear_score` with ``keep_cols=[group_col]`` (the
+    group label is carried through the projection — no re-join on the
+    id at any scale), and the rollup is one groupBy over the handful
+    of sources with map-side partials. ``mean_logit`` accumulates the
+    6dp-rounded logits as exact decimals (commutative), so the oracle
+    replays the value bit-for-bit.
+    """
+    scored = hashed_linear_score(
+        df,
+        weights,
+        text_col=text_col,
+        id_col=id_col,
+        portable=portable,
+        keep_cols=[group_col],
+    )
+    keep = (F.col("quality_logit") > threshold).cast("long")
+    return scored.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(keep).cast("bigint").alias("n_keep"),
+        F.sum(1 - keep).cast("bigint").alias("n_drop"),
+        F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias("keep_frac"),
+        F.round(
+            F.sum(F.col("quality_logit").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logit"),
     )

@@ -202,12 +202,25 @@ def x_dedup_simhash_portable(spark, sf_dir):
     return D.simhash_near_pairs_portable(docs)
 
 
-#: the whole portable-minhash pipeline (shingle → 8 md5-window minhashes
-#: → 4 banded buckets → candidates → exact-Jaccard verify) as CTEs
-#: ending in ``mh_verified (a_id, b_id, jaccard)`` — shared by the
-#: within-corpus twin and the cross-corpus near-dup query.
-_DUCK_MINHASH_VERIFIED = f"""
-    {_DUCK_SHINGLES},
+def _duck_minhash_verified(bucket_cap: int | None = None) -> str:
+    """The whole portable-minhash pipeline (shingle → 8 md5-window
+    minhashes → 4 banded buckets → candidates → exact-Jaccard verify)
+    as CTEs ending in ``mh_verified (a_id, b_id, jaccard)`` — shared by
+    the within-corpus twin, the cross-corpus near-dup query, and (with
+    ``bucket_cap``) the degenerate-bucket-guard twin, which pairs only
+    inside (band, bucket) groups of ≤ cap docs."""
+    if bucket_cap is None:
+        cap_cte, cand_from = "", "from banded x"
+    else:
+        cap_cte = f"""okb as (
+      select b, bucket from banded group by b, bucket
+      having count(*) <= {bucket_cap}
+    ), """
+        cand_from = (
+            "from banded x join okb o on x.b = o.b and x.bucket = o.bucket"
+        )
+    return f"""
+    {{shingles}},
     sig as (
       -- hash i = 8-hex window (i % 4) of md5(seed (i // 4) | shingle):
       -- 4 independent 32-bit draws per digest (disjoint windows of a
@@ -226,9 +239,10 @@ _DUCK_MINHASH_VERIFIED = f"""
                  cast(s[b * 2 + 1] as varchar) || ',' ||
                  cast(s[b * 2 + 2] as varchar)) as bucket
       from sigarr cross join range(4) bb(b)
-    ), cand as (
+    ), {cap_cte}cand as (
       select distinct x.doc_id as a_id, y.doc_id as b_id
-      from banded x join banded y
+      {cand_from}
+      join banded y
         on x.b = y.b and x.bucket = y.bucket and x.doc_id < y.doc_id
     ), sizes as (
       select doc_id, count(*) as n_sh from sh group by doc_id
@@ -248,7 +262,10 @@ _DUCK_MINHASH_VERIFIED = f"""
       where round(cast(n_common as double)
                   / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
     )
-"""
+""".format(shingles=_DUCK_SHINGLES)
+
+
+_DUCK_MINHASH_VERIFIED = _duck_minhash_verified()
 
 
 @register(
@@ -264,6 +281,28 @@ def x_dedup_minhash_portable(spark, sf_dir):
     its candidate sets are engine-specific and graded rows-only)."""
     docs = table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs_portable(docs, threshold=0.2)
+
+
+@register(
+    "x_dedup_minhash_bucketcap",
+    oracle=f"{_duck_minhash_verified(2)} select a_id, b_id, jaccard from mh_verified",
+)
+def x_dedup_minhash_bucketcap(spark, sf_dir):
+    """The degenerate-bucket guard (``max_bucket_size``) made value-
+    gradable: the portable MinHash-LSH pipeline pairing only inside
+    (band, bucket) groups of ≤ 2 docs — oversized buckets (boilerplate
+    signatures, the m²/2-candidate skew risk at corpus scale) are
+    dropped BEFORE pairing, and the oracle replays the cap with a
+    ``having count(*) <= 2`` on the same banded CTE. cap=2 is sized to
+    BITE on the testdata (drops the 3-4-doc buckets: 25 → 22 verified
+    pairs at sf0.01) so a broken guard cannot grade green; production
+    uses :func:`~hive_scripts_spark.operators.dedup.minhash_lsh_pairs`
+    with a ~64-1024 cap (r9 scale probe: 1M near-dup-dense docs, cap
+    64 → 53.8 s vs 58.3 s uncapped, verify join stays AQE-broadcast)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_portable(
+        docs, threshold=0.2, max_bucket_size=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +746,48 @@ def x_ann_ivf_assign(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
     return S.ivf_assign(emb, centroids)
+
+
+@register(
+    "x_ann_ivf_cell_stats",
+    oracle=f"""
+    with centroids as (
+      select vec_id as centroid_id, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), scored as (
+      select e.vec_id, c.centroid_id,
+             round(list_dot_product(cast(e.embedding as double[]), c.c)
+                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
+                                            cast(e.embedding as double[])))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from embeddings e cross join centroids c
+    ), ranked as (
+      select *, row_number() over (
+        partition by vec_id order by sim desc, centroid_id) as rn
+      from scored
+    ), assigned as (
+      select vec_id, centroid_id, sim from ranked where rn = 1
+    )
+    select centroid_id, cast(count(*) as bigint) as n_vectors,
+           round(cast(sum(cast(sim as decimal(18,6))) as double)
+                 / count(*), 6) as mean_sim,
+           round(min(sim), 6) as min_sim
+    from assigned group by centroid_id
+    """,
+)
+def x_ann_ivf_cell_stats(spark, sf_dir):
+    """IVF index-quality report (`similarity.ivf_cell_stats`): per-cell
+    occupancy + mean/worst member-to-centroid cosine over the coarse
+    assignment — the balance/retrain dashboard for a deployed IVF
+    index. Zero corpus shuffle (plan-literal assignment) + one
+    nlist-key rollup; mean accumulates exact decimals so the oracle
+    replays it bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return S.ivf_cell_stats(emb, centroids)
 
 
 @register(
@@ -1754,6 +1835,41 @@ def x_vocab_build(spark, sf_dir):
 
 
 @register(
+    "x_corpus_ngram_topk",
+    oracle=f"""
+    with toks as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    ), grams as (
+      select doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, greatest(len(ws) - 1, 1))]) as ngram
+      from toks where len(ws) >= 3
+    ), dg as (
+      select ngram, doc_id, count(*) as c from grams group by 1, 2
+    ), agg as (
+      select ngram, cast(sum(c) as bigint) as n_total,
+             cast(count(*) as bigint) as n_docs
+      from dg group by ngram
+    )
+    select ngram, n_total, n_docs from agg
+    where n_total >= 2
+    order by n_total desc, ngram
+    limit 20
+    """,
+)
+def x_corpus_ngram_topk(spark, sf_dir):
+    """Global corpus repetition analysis (`textstats.corpus_ngram_topk`):
+    the top-20 most repeated word trigrams with total-occurrence and
+    containing-doc counts — the C4/RefinedWeb boilerplate-discovery
+    rollup. Two-level agg (per-(gram,doc) partials, then per-gram) +
+    TakeOrderedAndProject top-k; ties broken by gram string, so the
+    selected SET is unique and gradable. Oracle replays both levels
+    and the deterministic order-by-limit."""
+    return X.corpus_ngram_topk(table(spark, sf_dir, "documents"))
+
+
+@register(
     "x_events_funnel",
     oracle="""
     with v as (
@@ -1975,6 +2091,50 @@ def x_quality_model(spark, sf_dir):
     from hive_scripts_spark.operators.textstats import hashed_linear_score
 
     return hashed_linear_score(
+        table(spark, sf_dir, "documents"), _QMODEL_WEIGHTS
+    )
+
+
+@register(
+    "x_quality_gate_report",
+    oracle=f"""
+    with t as (
+      select doc_id, source, string_split({_NORM}, ' ') as toks
+      from documents where length({_NORM}) > 0
+    ), scored as (
+      select doc_id, source,
+             round(list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(toks, t ->
+                   ({_QMODEL_SQL_LIST})[
+                     cast(cast(('0x' || substr(md5(t), 1, 15)) as bigint)
+                          % 64 as int) + 1])),
+               (acc, x) -> acc + x) / len(toks), 6) as quality_logit
+      from t
+    )
+    select source,
+           cast(sum(case when quality_logit > 0 then 1 else 0 end)
+                as bigint) as n_keep,
+           cast(sum(case when quality_logit > 0 then 0 else 1 end)
+                as bigint) as n_drop,
+           round(sum(case when quality_logit > 0 then 1 else 0 end)
+                 / cast(count(*) as double), 6) as keep_frac,
+           round(cast(sum(cast(quality_logit as decimal(18,6))) as double)
+                 / count(*), 6) as mean_logit
+    from scored group by source
+    """,
+)
+def x_quality_gate_report(spark, sf_dir):
+    """Per-source keep/drop report of the quality gate
+    (`textstats.quality_gate_report`, threshold 0): what a curation run
+    publishes per source before committing a filter threshold. The
+    group label rides the scoring fold via keep_cols (no doc_id
+    re-join); one |sources|-key rollup with map-side partials;
+    mean_logit accumulates exact decimals so the oracle replays it
+    bit-for-bit."""
+    from hive_scripts_spark.operators.textstats import quality_gate_report
+
+    return quality_gate_report(
         table(spark, sf_dir, "documents"), _QMODEL_WEIGHTS
     )
 

@@ -587,3 +587,24 @@ def test_bloom_distributed_route_matches_literal(spark, docs):
 
     with _pytest.raises(ValueError, match="route"):
         D.bloom_contamination_overlap(corpus, bench, route="nope")
+
+
+def test_minhash_portable_bucket_cap_subsets_pairs(spark):
+    """max_bucket_size on the portable path: capped pairs are a subset
+    of uncapped pairs (candidates only shrink), the cap actually BITES
+    on the testdata, and surviving pairs keep identical jaccard."""
+    from hive_scripts_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs_portable(docs, threshold=0.2).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs_portable(
+            docs, threshold=0.2, max_bucket_size=2
+        ).collect()
+    }
+    assert set(capped) < set(full)  # strict subset: the cap bites
+    assert all(full[k] == v for k, v in capped.items())

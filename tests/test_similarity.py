@@ -451,3 +451,35 @@ def test_ivfpq_stored_search_prunes_cell_partitions(spark, tmp_path):
     # `PartitionFilters: [isnotnull(cell#N), (cell#N = 0)]`)
     pf = plan.split("PartitionFilters")[1][:200]
     assert "cell" in pf and "= 0)" in pf
+
+
+def test_ivf_cell_stats(vecs, spark):
+    """Occupancy and per-cell cosine stats over the coarse assignment:
+    with centroids 0=(x-axis) and 1=(y-axis), vectors {0,1,3} land in
+    cell 0 and {2,4} split by cosine argmax."""
+    from pyspark.sql import functions as F
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(vecs, centroids).collect()
+    }
+    stats = {
+        r["centroid_id"]: r for r in S.ivf_cell_stats(vecs, centroids).collect()
+    }
+    from collections import Counter
+
+    occ = Counter(assigned.values())
+    assert {c: s["n_vectors"] for c, s in stats.items()} == dict(occ)
+    # mean/min are over the assigned members' sims — recompute directly
+    sims = {
+        (r["vec_id"], r["centroid_id"]): r["sim"]
+        for r in S.ivf_assign(vecs, centroids).collect()
+    }
+    for cid, s in stats.items():
+        members = [v for (vid, c), v in sims.items() if c == cid]
+        assert s["min_sim"] == round(min(members), 6)
+        assert abs(s["mean_sim"] - sum(members) / len(members)) < 1e-6

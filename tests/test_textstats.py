@@ -359,3 +359,77 @@ def test_hashed_linear_score_replays_in_python(spark):
         for r in hashed_linear_score(docs, W, portable=False).collect()
     }
     assert prod == {0: 3, 2: 1}
+
+
+def test_corpus_ngram_topk_counts_and_tiebreak(spark):
+    """Known repeats: 'a b c' appears in 3 docs (4 occurrences), 'b c d'
+    in 1 doc twice; singleton grams are cut by min_total."""
+    from hive_scripts_spark.operators.textstats import corpus_ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # grams: 'a b c', 'b c d'
+            (1, "a b c"),            # 'a b c'
+            (2, "x a b c y"),        # 'x a b', 'a b c', 'b c y'
+            (3, "b c d e b c d"),    # 'b c d' x2 (+ others once)
+            (4, "zz"),               # too short — no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["ngram"]: (r["n_total"], r["n_docs"])
+        for r in corpus_ngram_topk(docs, n=3, k=10, min_total=2).collect()
+    }
+    assert out["a b c"] == (3, 3)
+    assert out["b c d"] == (3, 2)  # 2 in doc 3 + 1 in doc 0
+    assert all(t >= 2 for t, _ in out.values())
+    # deterministic top-k set: ordering ties broken by gram string
+    ranked = [
+        r["ngram"]
+        for r in corpus_ngram_topk(docs, n=3, k=1, min_total=2).collect()
+    ]
+    assert ranked == ["a b c"]  # 3-vs-3 tie with 'b c d' → lexical win
+
+
+def test_quality_gate_report_math(spark):
+    """One positive-weight token ('good'), one negative ('bad'): per-source
+    keep/drop counts and the exact-decimal mean must follow."""
+    from hive_scripts_spark.operators.textstats import (
+        hashed_linear_score,
+        quality_gate_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s1", "good good"),
+            (1, "s1", "bad"),
+            (2, "s2", "good bad"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    weights = [0.5 if i % 2 == 0 else -0.25 for i in range(64)]
+    scored = {
+        r["doc_id"]: r["quality_logit"]
+        for r in hashed_linear_score(docs, weights).collect()
+    }
+    rep = {
+        r["source"]: (r["n_keep"], r["n_drop"], r["keep_frac"], r["mean_logit"])
+        for r in quality_gate_report(docs, weights).collect()
+    }
+    for src in ("s1", "s2"):
+        ids = {0: "s1", 1: "s1", 2: "s2"}
+        logits = [v for k, v in scored.items() if ids[k] == src]
+        n_keep = sum(1 for v in logits if v > 0)
+        assert rep[src][0] == n_keep
+        assert rep[src][1] == len(logits) - n_keep
+        assert rep[src][3] == round(sum(logits) / len(logits), 6)
+
+
+def test_hashed_linear_score_keep_cols(spark):
+    from hive_scripts_spark.operators.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(0, "s1", "hello world")], "doc_id long, source string, text string"
+    )
+    row = hashed_linear_score(docs, [0.1] * 64, keep_cols=["source"]).collect()[0]
+    assert row["source"] == "s1" and row["n_tokens"] == 2

@@ -84,6 +84,7 @@ EXTRA = [
     "x_dedup_minhash_bucketcap",
     "x_ann_ivf_cell_stats",
     "x_quality_gate_report",
+    "x_strip_boilerplate",
 ]
 
 

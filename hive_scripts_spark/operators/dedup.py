@@ -123,6 +123,67 @@ def dedup_lines(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal: lines appearing in MORE THAN
+    ``max_doc_freq`` distinct documents are dropped from EVERY document
+    (navigation chrome, cookie banners, license headers). The
+    complement of :func:`dedup_lines`: dedup keeps a line's first
+    occurrence because the content itself is wanted once; boilerplate
+    carries no training signal at ANY occurrence, so it is removed
+    everywhere. Lines under ``min_line_chars`` are exempt (structure,
+    not signal — and blank lines would be the hottest shuffle keys).
+
+    Returns ``(id_col, text_cleaned, n_lines_kept, n_lines_removed)``;
+    documents whose every line was boilerplate vanish from the output.
+
+    Scale posture: doc-frequency is a two-level aggregation (distinct
+    (line, doc) partials, then the per-line rollup), and the resulting
+    boilerplate line SET is small by construction — high-frequency
+    lines only — so membership is a **broadcast anti-join**: the corpus
+    line table shuffles once for the distinct and once for positional
+    reassembly, never on a join. Deterministic: reassembly sorts by
+    position.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("__total"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    exempt = F.length("__line") < min_line_chars
+    candid = lines.where(~exempt)
+    boilerplate = (
+        candid.select("__line", id_col)
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") > max_doc_freq)
+        .select(F.col("__line").alias("__bpline"))
+    )
+    kept_long = candid.join(
+        F.broadcast(boilerplate),
+        F.col("__line") == F.col("__bpline"),
+        "left_anti",
+    )
+    kept = lines.where(exempt).unionByName(kept_long)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_cleaned"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        (F.first("__total") - F.count(F.lit(1))).alias("n_lines_removed"),
+    )
+
+
 def word_ngrams(text_col, n: int = 3):
     """Array of word n-grams of normalized text (space-joined). Empty/short
     docs yield an empty array.

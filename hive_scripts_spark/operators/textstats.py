@@ -417,6 +417,36 @@ def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The redaction itself (:func:`pii_signals` audits, this scrubs):
+    emails → ``<EMAIL>``, 4+-digit runs → ``<NUM>``, returning the
+    redacted text plus the per-doc redaction count — the frame an
+    exporter writes in place of the raw shard. Same conservative ASCII
+    patterns as the audit (identical under Java regex and RE2, so the
+    output TEXT is exactly oracle-checkable); one pure-JVM projection,
+    zero shuffle at any scale.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    digits = r"[0-9][0-9][0-9][0-9]+"
+    t = F.col(text_col)
+    staged = df.select(
+        "doc_id",
+        t.alias("__text"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0)))
+            + F.size(F.regexp_extract_all(t, F.lit(digits), F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_redactions"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("__text"), email, "<EMAIL>"), digits, "<NUM>"
+    )
+    return staged.select(
+        "doc_id", redacted.alias("text_redacted"), "n_redactions"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -79,6 +79,49 @@ def x_dedup_lines(spark, sf_dir):
 
 
 @register(
+    "x_strip_boilerplate",
+    oracle="""
+    with docs as (
+      select doc_id, replace(text, ' line ', chr(10)) as text from documents
+    ), expl as (
+      select doc_id, unnest(l) as line, generate_subscripts(l, 1) as pos,
+             len(l) as total
+      from (select doc_id, string_split(text, chr(10)) as l from docs)
+    ), bp as (
+      select line from (
+        select line, count(distinct doc_id) as d
+        from expl where length(line) >= 10 group by line)
+      where d > 1
+    ), kept as (
+      select doc_id, pos, line, total from expl where length(line) < 10
+      union all
+      select doc_id, pos, line, total from expl
+      where length(line) >= 10 and line not in (select line from bp)
+    )
+    select doc_id,
+           string_agg(line, chr(10) order by pos) as text_cleaned,
+           cast(count(*) as bigint) as n_lines_kept,
+           cast(any_value(total) - count(*) as bigint) as n_lines_removed
+    from kept group by doc_id
+    """,
+)
+def x_strip_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate removal (`dedup.strip_boilerplate`):
+    lines in more than ``max_doc_freq=1`` distinct docs are dropped
+    from EVERY document — the complement of `x_dedup_lines`' keep-first
+    semantics. Same deterministic line derivation as that query
+    (' line ' → newline). The boilerplate set is broadcast-anti-joined
+    (high-frequency lines only — small at any corpus size);
+    max_doc_freq=1 bites on testdata (32 cross-doc lines stripped at
+    sf0.01)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" line "), F.lit("\n")).alias("text"),
+    )
+    return D.strip_boilerplate(docs, max_doc_freq=1, min_line_chars=10)
+
+
+@register(
     "x_dedup_fingerprint",
     oracle=r"""
     select min(doc_id) as doc_id,
@@ -2811,6 +2854,34 @@ def x_pii_signals(spark, sf_dir):
     from hive_scripts_spark.operators.textstats import pii_signals
 
     return pii_signals(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_pii_redact",
+    # 'g' flags: DuckDB regexp_replace is first-match-only by default,
+    # Spark replaces all
+    oracle="""
+    select doc_id,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+             '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') as text_redacted,
+           cast(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+             + len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+'))
+             as bigint) as n_redactions
+    from documents
+    """,
+)
+def x_pii_redact(spark, sf_dir):
+    """The redaction pass itself (`textstats.pii_redact`): emails →
+    <EMAIL>, 4+-digit runs → <NUM>, with the per-doc redaction count —
+    the frame an exporter writes in place of the raw shard. The full
+    redacted TEXT is value-graded (not just its length, as in
+    `x_pii_signals`); one zero-shuffle JVM projection."""
+    from hive_scripts_spark.operators.textstats import pii_redact
+
+    return pii_redact(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -608,3 +608,35 @@ def test_minhash_portable_bucket_cap_subsets_pairs(spark):
     }
     assert set(capped) < set(full)  # strict subset: the cap bites
     assert all(full[k] == v for k, v in capped.items())
+
+
+def test_strip_boilerplate_semantics(spark):
+    """Lines in > max_doc_freq docs vanish EVERYWHERE (not keep-first);
+    short lines are exempt; reassembly preserves order; all-boilerplate
+    docs drop out."""
+    from hive_scripts_spark.operators import dedup as D
+
+    rows = [
+        (0, "unique alpha content\ncookie banner boilerplate\nshort"),
+        (1, "cookie banner boilerplate\nunique beta content"),
+        (2, "cookie banner boilerplate"),
+        (3, "unique gamma content\nshort"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.strip_boilerplate(
+            docs, max_doc_freq=1, min_line_chars=10
+        ).collect()
+    }
+    # the 3-doc banner is stripped everywhere; doc 2 (only banner) vanishes
+    assert set(out) == {0, 1, 3}
+    assert out[0]["text_cleaned"] == "unique alpha content\nshort"
+    assert out[0]["n_lines_removed"] == 1
+    assert out[1]["text_cleaned"] == "unique beta content"
+    # 'short' is exempt despite appearing in docs 0 and 3
+    assert out[3]["text_cleaned"] == "unique gamma content\nshort"
+    assert out[3]["n_lines_removed"] == 0
+    # raising the cap keeps everything
+    kept_all = D.strip_boilerplate(docs, max_doc_freq=3, min_line_chars=10)
+    assert kept_all.agg({"n_lines_removed": "sum"}).collect()[0][0] == 0

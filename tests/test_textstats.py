@@ -433,3 +433,23 @@ def test_hashed_linear_score_keep_cols(spark):
     )
     row = hashed_linear_score(docs, [0.1] * 64, keep_cols=["source"]).collect()[0]
     assert row["source"] == "s1" and row["n_tokens"] == 2
+
+
+def test_pii_redact_text_and_count(spark):
+    from hive_scripts_spark.operators.textstats import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@example.org or call 12345 now"),
+            (1, "clean text only"),
+            (2, "cards 1234 5678 and x@y.io"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[0]["text_redacted"] == "mail me at <EMAIL> or call <NUM> now"
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["text_redacted"] == "clean text only"
+    assert out[1]["n_redactions"] == 0
+    assert out[2]["text_redacted"] == "cards <NUM> <NUM> and <EMAIL>"
+    assert out[2]["n_redactions"] == 3

@@ -189,11 +189,26 @@ def cmd_curate(args: argparse.Namespace) -> int:
     docs = load_sf_table(spark, args.db, "documents")
     bench = None
     corpus = docs
-    if args.bench_mod:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if args.bench_mod:
         bench = docs.where(F.col("doc_id") % args.bench_mod == 0)
         corpus = docs.where(F.col("doc_id") % args.bench_mod != 0)
+    # pre-curation scrubs, in pipeline order: redact first (PII must not
+    # survive into any downstream frame), then corpus-wide boilerplate
+    # removal (so stripped chrome never reaches dedup/quality gates)
+    if args.redact_pii:
+        from hive_scripts_spark.operators.textstats import pii_redact
+
+        corpus = pii_redact(corpus).select(
+            "doc_id", F.col("text_redacted").alias("text")
+        )
+    if args.strip_boilerplate is not None:
+        from hive_scripts_spark.operators.dedup import strip_boilerplate
+
+        corpus = strip_boilerplate(
+            corpus, max_doc_freq=args.strip_boilerplate
+        ).select("doc_id", F.col("text_cleaned").alias("text"))
     curated = curate_documents(corpus, bench)
     curated.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.output}")
@@ -675,6 +690,19 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="doc_id modulus defining the benchmark slice to decontaminate "
         "against (0 = skip decontamination)",
+    )
+    c.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="redact emails/digit-runs (<EMAIL>/<NUM>) before curation",
+    )
+    c.add_argument(
+        "--strip-boilerplate",
+        type=int,
+        default=None,
+        metavar="MAX_DOC_FREQ",
+        help="drop lines appearing in more than MAX_DOC_FREQ distinct "
+        "docs before curation",
     )
     c.set_defaults(fn=cmd_curate)
 

@@ -83,6 +83,38 @@ def test_incremental_subcommand_roundtrip(spark, tmp_path, capsys):
     assert "FAIL: 2" in out
 
 
+def test_curate_with_redact_and_boilerplate_stages(spark, tmp_path, capsys):
+    """--redact-pii and --strip-boilerplate run BEFORE curation: the
+    kept text carries redaction markers where the source had PII, and
+    boilerplate stripping composes without breaking the pipeline."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.__main__ import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    db = tmp_path / "db"
+    db.mkdir()
+    # plant an email into otherwise-normal docs so redaction is visible
+    src.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" x@y.io"))
+        ).otherwise(F.col("text")),
+    ).write.parquet(str(db / "documents.parquet"))
+
+    out = tmp_path / "curated"
+    rc = main(
+        ["curate", "--db", str(db), "--output", str(out),
+         "--redact-pii", "--strip-boilerplate", "1"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    written = spark.read.parquet(str(out))
+    assert written.count() > 0
+    assert written.where("text like '%x@y.io%'").count() == 0
+    assert written.where("text like '%<EMAIL>%'").count() > 0
+
+
 def test_curate_subcommand_writes_parquet_and_report(spark, tmp_path, capsys):
     from hive_scripts_spark.__main__ import main
 

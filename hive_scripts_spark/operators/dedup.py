@@ -371,6 +371,30 @@ def _shingle_hash(seed: int):
     return lambda c: F.xxhash64(F.lit(seed), c)
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than the cap via a count
+    window over the banded frame.
+
+    Why a window and not a size-agg + broadcast anti-join: the agg
+    form's input is a SECOND evaluation of the whole signature chain
+    (no reuse across the agg and the pair join — the chain recomputes),
+    measured 10.9 s vs 4.0 s for this form on the sf0.1 portable path.
+    The window's (band, bucket) exchange is the same partitioning the
+    pair join needs, so the capped frame shuffles once; a degenerate
+    hot bucket lands on one task either way — that's precisely the
+    bucket being dropped."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__m", F.count(F.lit(1)).over(w))
+        .where(F.col("__m") <= max_bucket_size)
+        .drop("__m")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -507,8 +531,9 @@ def minhash_lsh_pairs(
     bucket can still pair through their other ``bands − 1`` buckets, so
     recall only degrades for docs whose EVERY band is hot (true
     boilerplate — usually exactly what dedup wants to ignore or handle
-    via exact dedup first). The oversized-bucket list is tiny by
-    construction → broadcast anti-join, no extra corpus shuffle.
+    via exact dedup first). The cap is a count window riding the pair
+    join's own (band, bucket) partitioning — see :func:`_cap_buckets`
+    for why not a size-agg + anti-join (2.7× measured).
     """
     # signature computation is CPU-dense per row; when the source has
     # fewer input splits than cores (single-row-group files — the local
@@ -518,22 +543,7 @@ def minhash_lsh_pairs(
     if parallelism:
         df = df.repartition(parallelism)
     banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
-    if max_bucket_size is not None:
-        # rename the keys: oversized derives from banded, so a bare
-        # ["band","bucket"] join would resolve both sides to the SAME
-        # attributes (self-join) — a trivially-true condition that
-        # anti-drops every row
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") > max_bucket_size)
-            .select(F.col("band").alias("__ob"), F.col("bucket").alias("__obk"))
-        )
-        banded = banded.join(
-            F.broadcast(oversized),
-            (F.col("band") == F.col("__ob")) & (F.col("bucket") == F.col("__obk")),
-            "left_anti",
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (
@@ -693,22 +703,7 @@ def minhash_lsh_pairs_portable(
     banded = signed.select(
         F.col(id_col), F.posexplode_outer(buckets).alias("band", "bucket")
     )
-    if max_bucket_size is not None:
-        # same shape as minhash_lsh_pairs: the oversized list is tiny by
-        # construction → broadcast anti-join, no extra corpus shuffle
-        # (keys renamed — a bare ["band","bucket"] self-join condition
-        # would anti-drop every row)
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") > max_bucket_size)
-            .select(F.col("band").alias("__ob"), F.col("bucket").alias("__obk"))
-        )
-        banded = banded.join(
-            F.broadcast(oversized),
-            (F.col("band") == F.col("__ob")) & (F.col("bucket") == F.col("__obk")),
-            "left_anti",
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (

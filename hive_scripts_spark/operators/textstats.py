@@ -706,3 +706,31 @@ def quality_gate_report(
             6,
         ).alias("mean_logit"),
     )
+
+
+def length_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-length profile — the calibration report read
+    before setting length-filter thresholds (min-token gates, trim
+    percentiles): doc count, p50/p90 token length (continuous
+    interpolation — matches ``quantile_cont`` cross-engine, the
+    ``g_percentiles``-proven pairing), and the min/max extremes.
+
+    One groupBy over the handful of sources; the token count is a
+    map-side projection, so the shuffle carries (group, n) pairs only.
+    """
+    norm = normalize_whitespace(text_col)
+    staged = df.where(F.length(norm) > 0).select(
+        F.col(group_col).alias("source"),
+        F.size(F.split(norm, " ")).alias("__n"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.percentile("__n", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("__n", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.min("__n").cast("bigint").alias("min_tokens"),
+        F.max("__n").cast("bigint").alias("max_tokens"),
+    )

@@ -2182,6 +2182,33 @@ def x_quality_gate_report(spark, sf_dir):
     )
 
 
+@register(
+    "x_doc_length_profile",
+    oracle=f"""
+    with t as (
+      select source, len(string_split({_NORM}, ' ')) as n
+      from documents where length({_NORM}) > 0
+    )
+    select source, cast(count(*) as bigint) as n_docs,
+           round(quantile_cont(n, 0.5), 4) as p50_tokens,
+           round(quantile_cont(n, 0.9), 4) as p90_tokens,
+           cast(min(n) as bigint) as min_tokens,
+           cast(max(n) as bigint) as max_tokens
+    from t group by source
+    """,
+)
+def x_doc_length_profile(spark, sf_dir):
+    """Per-source token-length profile (`textstats.length_profile`):
+    doc count, p50/p90 token length (continuous interpolation — the
+    `g_percentiles`-proven Spark `percentile` ↔ DuckDB `quantile_cont`
+    pairing), min/max — the calibration read before setting length-
+    filter thresholds. Map-side token count; the shuffle carries
+    (source, n) pairs only."""
+    from hive_scripts_spark.operators.textstats import length_profile
+
+    return length_profile(table(spark, sf_dir, "documents"))
+
+
 # shared CTE chain ending in `tw` (the temperature-weights table) —
 # used by x_mixture_temperature (reports it) and x_mixture_epoch
 # (materializes it into copies)

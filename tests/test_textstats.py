@@ -453,3 +453,25 @@ def test_pii_redact_text_and_count(spark):
     assert out[1]["n_redactions"] == 0
     assert out[2]["text_redacted"] == "cards <NUM> <NUM> and <EMAIL>"
     assert out[2]["n_redactions"] == 3
+
+
+def test_length_profile_percentiles(spark):
+    from hive_scripts_spark.operators.textstats import length_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s1", "a"),              # 1 token
+            (1, "s1", "a b"),            # 2
+            (2, "s1", "a b c"),          # 3
+            (3, "s1", "a b c d"),        # 4
+            (4, "s2", "a b c d e"),      # 5
+            (5, "s2", ""),               # empty — excluded
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in length_profile(docs).collect()}
+    assert out["s1"]["n_docs"] == 4
+    assert out["s1"]["p50_tokens"] == 2.5  # continuous interpolation
+    assert out["s1"]["p90_tokens"] == 3.7  # 1 + 0.9*3 interpolated
+    assert (out["s1"]["min_tokens"], out["s1"]["max_tokens"]) == (1, 4)
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["p50_tokens"] == 5.0

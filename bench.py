@@ -153,6 +153,33 @@ def main() -> None:
             reps[name] = [r0, r1, r2]
         return cold, warm, reps
 
+    # Machine-speed yardsticks (r9): the r8→r9 artifacts showed EVERY
+    # query uniformly +20-80% vs r7 with no per-query plan change and a
+    # near-idle loadavg — the signature of the HOST being slower (rounds
+    # can land on different/throttled boxes), which load averages can't
+    # show. Two fixed workloads whose time scales with machine speed:
+    # a single-thread pure-Python loop (interpreter+core clock) and a
+    # fixed JVM aggregation (codegen throughput across all cores).
+    # Cross-round comparisons should read query_time/probe_time ratios.
+    def _cpu_probe() -> float:
+        start = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc = (acc * 31 + i) & 0xFFFFFFFF
+        return round(time.perf_counter() - start, 3)
+
+    def _jvm_probe() -> float:
+        start = time.perf_counter()
+        spark.range(0, 200_000_000, 1, int(os.cpu_count() or 8)).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - start, 3)
+
+    _cpu_probe()  # warm (first loop pays allocator/branch-predictor cost)
+    cpu_probe_s = min(_cpu_probe() for _ in range(3))
+    _jvm_probe()  # warm (first run pays codegen compile)
+    jvm_probe_s = min(_jvm_probe() for _ in range(3))
+
     load_before = os.getloadavg()
     t_bench_start = time.perf_counter()
     timings, timings_warm, timings_reps = run(HEADLINE)
@@ -188,6 +215,13 @@ def main() -> None:
                 # box load_before[0] should be ~0; a large value means the
                 # numbers were taken on a loaded machine and the warm
                 # series should be read with suspicion.
+                # machine-speed yardsticks: fixed single-thread Python
+                # loop + fixed JVM agg, min-of-3 warm. Read cross-round
+                # deltas as RATIOS to these — if the probes moved the
+                # same way the queries did, the host changed, not the
+                # code.
+                "cpu_probe_s": cpu_probe_s,
+                "jvm_probe_s": jvm_probe_s,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "bench_wall_s": round(time.perf_counter() - t_bench_start, 1),

@@ -159,10 +159,13 @@ def test_minhash_hot_bucket_cap_engages(boilerplate_docs):
     assert near_pairs == {(100, 101), (102, 103), (104, 105)}
 
     capped = minhash_lsh_pairs(boilerplate_docs, threshold=0.5, max_bucket_size=10)
-    # the cap path must be IN the plan (broadcast left-anti on the
-    # oversized bucket list), and it must drop the degenerate clique
+    # the cap path must be IN the plan (count window over (band, bucket)
+    # — the single-shuffle form, see dedup._cap_buckets), and it must
+    # drop the degenerate clique
     plan = _plan(capped)
-    assert "LeftAnti" in plan, f"hot-bucket anti-join missing:\n{plan}"
+    assert "Window" in plan and "windowspecdefinition(band" in plan, (
+        f"hot-bucket count-window cap missing:\n{plan}"
+    )
     capped_pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
     assert not {p for p in capped_pairs if p[0] < 60 and p[1] < 60}
     # docs whose buckets are NOT hot still pair — recall survives the cap

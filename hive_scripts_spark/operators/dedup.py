@@ -123,6 +123,55 @@ def dedup_lines(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Intra-document line dedup: repeated lines WITHIN one document
+    keep only their first occurrence; other documents are untouched.
+
+    The per-page complement of :func:`dedup_lines` (corpus-wide
+    keep-first): a scraped page that repeats its own navigation block
+    or footer five times keeps one copy without any cross-document
+    coordination. Lines shorter than ``min_line_chars`` are exempt
+    (blank/connector lines are structure, not duplication) — the same
+    exemption contract as the corpus-wide pass.
+
+    Returns ``(id_col, text_deduped, n_lines_kept, n_lines_removed)``.
+    Unlike the corpus-wide pass no document can vanish (its first
+    occurrence always survives).
+
+    Scale: a pure per-row projection — split once, keep-first via a
+    positional HOF filter, re-join. ZERO shuffle at any corpus size
+    (the whole point: this pass runs before the shuffle-bearing
+    corpus-wide ones and shrinks what they carry). The keep-first test
+    is ``array_position == own index`` — O(lines²) per doc in the JVM,
+    fine at realistic page sizes and still cheaper than one exchange.
+    """
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("__lines")
+    )
+    kept = staged.select(
+        id_col,
+        "__lines",
+        F.filter(
+            F.col("__lines"),
+            lambda x, i: (F.length(x) < min_line_chars)
+            | (F.array_position(F.col("__lines"), x) == i + F.lit(1)),
+        ).alias("__kept"),
+    )
+    return kept.select(
+        id_col,
+        F.array_join("__kept", "\n").alias("text_deduped"),
+        F.size("__kept").cast("bigint").alias("n_lines_kept"),
+        (F.size("__lines") - F.size("__kept"))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     text_col: str = "text",

@@ -496,6 +496,115 @@ def ivf_cell_stats(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster-then-intra-cluster semantic deduplication.
+
+    The published method (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): coarse-cluster the embeddings, then look for
+    near-duplicates ONLY within each cluster — semantic twins land in
+    the same cell, so the O(n²) all-pairs search collapses to
+    O(Σ cell²) with cells ≈ n/nlist. Within each duplicate group the
+    survivor is the member with the LOWEST cosine to its cluster
+    centroid (the paper's choice — the least-prototypical example
+    carries the most marginal information), ties to the lowest id;
+    transitive groups (A~B, B~C) resolve via connected components, not
+    single-pass pair pruning.
+
+    Returns the SURVIVOR frame ``(id_col, centroid_id, centroid_sim)``
+    — the rows to KEEP (singletons included).
+
+    Scale shape: assignment is :func:`ivf_assign`'s zero-shuffle
+    plan-literal argmax; the candidate join shuffles once keyed on
+    ``centroid_id``; component resolution runs over the (tiny,
+    pairs-only) edge list. Cell sizes are the scale knob — size
+    ``nlist`` so cells stay bounded (audit with :func:`ivf_cell_stats`
+    before running: one degenerate cell is a quadratic hot task).
+    Cross-cell near-duplicates are NOT detected — that recall loss is
+    the method's documented approximation, bounded by clustering
+    quality.
+    """
+    from hive_scripts_spark.operators.dedup import near_dup_survivors
+
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    staged = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    # norms staged once per row BEFORE the pair join (join attributes
+    # cannot be inlined back into the consumer) — the same fold economy
+    # as embedding_near_dup_pairs: one dot + one divide per candidate
+    cells = staged.select(
+        id_col, "vec", l2_norm(F.col("vec")).alias("norm")
+    ).join(assigned.select(id_col, "centroid_id"), id_col)
+    lhs = cells.toDF("a_id", "a_vec", "a_norm", "centroid_id")
+    rhs = cells.toDF("b_id", "b_vec", "b_norm", "centroid_id")
+    edges = (
+        lhs.join(rhs, "centroid_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                6,
+            )
+            >= threshold
+        )
+        .select("a_id", "b_id")
+    )
+    # near_dup_survivors keeps MAX quality per component; the paper
+    # keeps the LOWEST centroid cosine, so feed it the negated sim
+    member_quality = assigned.select(
+        F.col(id_col), (-F.col("sim")).alias("__neg_centroid_sim")
+    )
+    surv = near_dup_survivors(
+        member_quality, edges, id_col=id_col, quality_col="__neg_centroid_sim"
+    )
+    return assigned.join(
+        surv.select(F.col("survivor_id").alias(id_col)), id_col, "left_semi"
+    ).select(id_col, "centroid_id", F.col("sim").alias("centroid_sim"))
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: drop corpus rows whose embedding is
+    within cosine ``threshold`` of ANY benchmark embedding.
+
+    The embedding-space complement of the n-gram routes
+    (:func:`~hive_scripts_spark.operators.dedup.contamination_overlap`):
+    paraphrased or lightly-reworded eval items share no 8-gram with the
+    training copy but sit next to it in embedding space — this is the
+    filter that catches them. Returns the KEPT corpus rows (original
+    columns unchanged).
+
+    Scale shape: a benchmark is small by definition, so the max-cosine
+    against it IS :func:`ivf_assign` with the benchmark vectors as the
+    "centroids" — up to the literal threshold that's a zero-shuffle
+    plan-literal argmax over the corpus (beyond it, one broadcast
+    join); the verdict is then a per-row filter on the max sim and a
+    semi-join back on ``id_col``. Nothing corpus-sized ever shuffles.
+    """
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("centroid_id"),
+        _as_double(F.col(bench_vec_col)).alias("centroid"),
+    )
+    nearest = ivf_assign(corpus, bench, id_col=id_col, vec_col=vec_col)
+    clean_ids = nearest.where(F.col("sim") < threshold).select(id_col)
+    return corpus.join(clean_ids, id_col, "left_semi")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],

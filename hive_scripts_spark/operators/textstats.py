@@ -708,6 +708,68 @@ def quality_gate_report(
     )
 
 
+def compression_signal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document zlib compressibility — the quality signal that
+    catches machine-generated and template-stamped text that passes
+    word-level repetition gates (the DEFLATE window sees long-range
+    byte repeats that n-gram counters miss). Used alongside the Gopher
+    repetition thresholds in published curation recipes: an extreme
+    ``compression_ratio`` (uncompressed/compressed bytes) in either
+    direction is a drop signal — very high = repetitive/templated,
+    very low (≈1) = random-ish bytes, not natural language.
+
+    Returns ``(id_col, n_bytes, n_bytes_zlib, compression_ratio)``;
+    ``compression_ratio`` is NULL for empty documents.
+
+    Scale shape: Arrow-batched ``mapInPandas`` (compression is genuine
+    per-byte CPU — no built-in expression exists), zero shuffle, output
+    is 4 narrow columns per doc. ``zlib``/``pandas`` import INSIDE the
+    closure: a module-level reference would pickle by reference and
+    die on driver-side Python workers that can't import this repo.
+    """
+    schema = (
+        f"{id_col} long, n_bytes bigint, n_bytes_zlib bigint, "
+        "compression_ratio double"
+    )
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    if parallelism:
+        src = src.repartition(parallelism)
+
+    def fold(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf["__text"]
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_zlib = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    # id_col/level close over plain str/int — pickled by
+                    # VALUE, safe off-repo (unlike module references)
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_bytes_zlib": n_zlib,
+                    "compression_ratio": [
+                        round(nb / nz, 6) if nb else None
+                        for nb, nz in zip(n_bytes, n_zlib)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(fold, schema)
+
+
 def length_profile(
     df: DataFrame,
     text_col: str = "text",

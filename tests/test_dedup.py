@@ -640,3 +640,43 @@ def test_strip_boilerplate_semantics(spark):
     # raising the cap keeps everything
     kept_all = D.strip_boilerplate(docs, max_doc_freq=3, min_line_chars=10)
     assert kept_all.agg({"n_lines_removed": "sum"}).collect()[0][0] == 0
+
+
+def test_dedup_lines_within_doc(spark):
+    from hive_scripts_spark.operators.dedup import dedup_lines_within_doc
+
+    nav = "home | products | about us | contact"
+    rows = [
+        # nav repeated 3x inside doc 0 → keep first only
+        (0, f"{nav}\nreal content paragraph one\n{nav}\nmore content\n{nav}"),
+        # doc 1 contains the SAME nav once — untouched (no cross-doc effect)
+        (1, f"{nav}\ncompletely different body text"),
+        # short lines repeat but are exempt
+        (2, "ok\nsubstantial line of content\nok\nanother substantial line\nok"),
+        # no duplicates at all
+        (3, "unique first line of text\nunique second line of text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    assert len(out) == 4  # no document can vanish
+    assert out[0]["text_deduped"] == (
+        f"{nav}\nreal content paragraph one\nmore content"
+    )
+    assert (out[0]["n_lines_kept"], out[0]["n_lines_removed"]) == (3, 2)
+    assert out[1]["text_deduped"] == rows[1][1]  # same nav, different doc: kept
+    assert out[2]["text_deduped"] == rows[2][1]  # short repeats exempt
+    assert out[2]["n_lines_removed"] == 0
+    assert out[3]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_within_doc_zero_shuffle(spark):
+    from hive_scripts_spark.operators.dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = (
+        dedup_lines_within_doc(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection at any corpus size

@@ -483,3 +483,88 @@ def test_ivf_cell_stats(vecs, spark):
         members = [v for (vid, c), v in sims.items() if c == cid]
         assert s["min_sim"] == round(min(members), 6)
         assert abs(s["mean_sim"] - sum(members) / len(members)) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def semdedup_vecs(spark):
+    """Two well-separated clusters with planted near-dup groups.
+
+    Cell 0 (x-axis): 0≈1≈2 a transitive chain (0~1 and 1~2 pair at the
+    threshold; 0~2 may not — components must still group all three),
+    3 a singleton. Cell 1 (y-axis): 10≈11 a pair, 12 a singleton.
+    """
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [9.99, 0.30]),     # ~0.99955 cos with 0
+        (2, [9.95, 0.60]),     # ~0.9996 cos with 1, ~0.9982 with 0
+        (3, [7.0, 2.0]),       # same cell, not a near-dup of anything
+        (10, [0.0, 5.0]),
+        (11, [0.15, 4.99]),    # ~0.9995 cos with 10
+        (12, [2.0, 6.0]),      # same cell, not a near-dup
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def axis_centroids(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def test_semantic_dedup_survivors(semdedup_vecs, axis_centroids):
+    """Paper semantics: one survivor per intra-cell near-dup component,
+    the member FARTHEST from its centroid (lowest cosine)."""
+    kept = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(
+            semdedup_vecs, axis_centroids, threshold=0.999
+        ).collect()
+    }
+    # component {0,1,2}: centroid sims order 0 > 1 > 2 → keep 2.
+    # component {10,11}: 10 is exactly on-axis (sim 1.0) → keep 11.
+    # singletons 3 and 12 survive untouched.
+    assert set(kept) == {2, 3, 11, 12}
+    assert kept[2]["centroid_id"] == 0 and kept[11]["centroid_id"] == 1
+    # centroid_sim is the assignment cosine (rounded to 6dp)
+    assert kept[3]["centroid_sim"] == pytest.approx(
+        7.0 / math.sqrt(7.0**2 + 2.0**2), abs=1e-6
+    )
+
+
+def test_semantic_dedup_cross_cell_blindness(spark, axis_centroids):
+    """Near-identical vectors assigned to DIFFERENT cells both survive —
+    the documented SemDeDup approximation (recall bounded by clustering
+    quality), pinned so a refactor can't silently change semantics."""
+    rows = [(0, [1.0, 0.99]), (1, [0.99, 1.0])]  # ~1.0 cosine, split cells
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = S.semantic_dedup(vecs, axis_centroids, threshold=0.9).collect()
+    assert {r["vec_id"] for r in kept} == {0, 1}
+    assert {r["centroid_id"] for r in kept} == {0, 1}
+
+
+def test_embedding_decontaminate(spark, semdedup_vecs):
+    """Corpus rows within cosine threshold of ANY benchmark vector are
+    dropped; originals pass through with columns unchanged."""
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.03]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    kept = S.embedding_decontaminate(semdedup_vecs, bench, threshold=0.999)
+    assert kept.columns == semdedup_vecs.columns
+    ids = {r["vec_id"] for r in kept.collect()}
+    # 0,1,2 sit within 0.999 of bench 100; 10,11 within 0.999 of 101.
+    # 3 (x-ish but 16° off) and 12 (18° off y) survive.
+    assert ids == {3, 12}
+    # a benchmark nothing is close to drops nothing
+    far_bench = spark.createDataFrame(
+        [(200, [-1.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    all_ids = {
+        r["vec_id"]
+        for r in S.embedding_decontaminate(
+            semdedup_vecs, far_bench, threshold=0.999
+        ).collect()
+    }
+    assert all_ids == {0, 1, 2, 3, 10, 11, 12}

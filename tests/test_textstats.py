@@ -475,3 +475,25 @@ def test_length_profile_percentiles(spark):
     assert out["s1"]["p90_tokens"] == 3.7  # 1 + 0.9*3 interpolated
     assert (out["s1"]["min_tokens"], out["s1"]["max_tokens"]) == (1, 4)
     assert out["s2"]["n_docs"] == 1 and out["s2"]["p50_tokens"] == 5.0
+
+
+def test_compression_signal(spark):
+    import zlib
+
+    from hive_scripts_spark.operators.textstats import compression_signal
+
+    repetitive = "spam and eggs " * 200
+    normal = "The five boxing wizards jump quickly over the lazy brown dog."
+    rows = [(0, repetitive), (1, normal), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_signal(df).collect()}
+    for did, text in rows:
+        raw = text.encode("utf-8")
+        assert out[did]["n_bytes"] == len(raw)
+        assert out[did]["n_bytes_zlib"] == len(zlib.compress(raw, 6))
+    assert out[2]["compression_ratio"] is None  # empty doc
+    assert out[0]["compression_ratio"] == round(
+        out[0]["n_bytes"] / out[0]["n_bytes_zlib"], 6
+    )
+    # the signal separates: templated text compresses far better
+    assert out[0]["compression_ratio"] > 3 * out[1]["compression_ratio"]

@@ -203,12 +203,34 @@ def cmd_curate(args: argparse.Namespace) -> int:
         corpus = pii_redact(corpus).select(
             "doc_id", F.col("text_redacted").alias("text")
         )
+    if args.dedup_intradoc:
+        # zero-shuffle, so it runs BEFORE the corpus-wide boilerplate
+        # pass and shrinks what that pass shuffles
+        from hive_scripts_spark.operators.dedup import dedup_lines_within_doc
+
+        corpus = dedup_lines_within_doc(corpus).select(
+            "doc_id", F.col("text_deduped").alias("text")
+        )
     if args.strip_boilerplate is not None:
         from hive_scripts_spark.operators.dedup import strip_boilerplate
 
         corpus = strip_boilerplate(
             corpus, max_doc_freq=args.strip_boilerplate
         ).select("doc_id", F.col("text_cleaned").alias("text"))
+    if args.max_compression_ratio is not None:
+        # templated/machine-stamped docs compress extremely well; the
+        # gate semi-joins the keep ids back so corpus columns survive
+        from hive_scripts_spark.operators.textstats import compression_signal
+
+        keep = (
+            compression_signal(corpus)
+            .where(
+                F.col("compression_ratio").isNull()
+                | (F.col("compression_ratio") <= args.max_compression_ratio)
+            )
+            .select("doc_id")
+        )
+        corpus = corpus.join(keep, "doc_id", "left_semi")
     curated = curate_documents(corpus, bench)
     curated.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.output}")
@@ -703,6 +725,21 @@ def main(argv: list[str] | None = None) -> int:
         metavar="MAX_DOC_FREQ",
         help="drop lines appearing in more than MAX_DOC_FREQ distinct "
         "docs before curation",
+    )
+    c.add_argument(
+        "--dedup-intradoc",
+        action="store_true",
+        help="keep only the first occurrence of lines repeated WITHIN "
+        "a document before curation (zero-shuffle)",
+    )
+    c.add_argument(
+        "--max-compression-ratio",
+        type=float,
+        default=None,
+        metavar="RATIO",
+        help="drop documents whose zlib compression ratio "
+        "(uncompressed/compressed bytes) exceeds RATIO — a "
+        "templated/machine-generated text gate",
     )
     c.set_defaults(fn=cmd_curate)
 

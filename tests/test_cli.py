@@ -580,3 +580,46 @@ def test_ann_build_append_requires_existing_index(tmp_path, capsys):
         main(["ann-build", "/root/testdata/sf0.001",
               str(tmp_path / "nonexistent"), "--append"])
     capsys.readouterr()
+
+
+def test_curate_intradoc_and_compression_stages(spark, tmp_path, capsys):
+    """--dedup-intradoc collapses lines repeated inside one doc and
+    --max-compression-ratio drops templated docs, composed through the
+    full curate pipeline."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.__main__ import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    db = tmp_path / "db"
+    db.mkdir()
+    # doc_id%11==0: append the SAME marker line twice (intra-doc dup);
+    # doc_id%13==0: make the text a highly-compressible template stamp
+    marker = "repeated navigation chrome line for the dedup stage"
+    src.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("buy now click here " * 200)
+        ).when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws("\n", "text", F.lit(marker), F.lit(marker)),
+        ).otherwise(F.col("text")),
+    ).write.parquet(str(db / "documents.parquet"))
+
+    out = tmp_path / "curated"
+    rc = main(
+        ["curate", "--db", str(db), "--output", str(out),
+         "--dedup-intradoc", "--max-compression-ratio", "4.0"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    written = spark.read.parquet(str(out))
+    assert written.count() > 0
+    # the doubled marker line survives exactly once per doc
+    twice = written.where(
+        F.col("text").contains(marker + "\n" + marker)
+    ).count()
+    assert twice == 0
+    assert written.where(F.col("text").contains(marker)).count() > 0
+    # the template-stamped docs fell to the compression gate
+    assert written.where(F.col("text").contains("buy now click here")).count() == 0

@@ -593,16 +593,18 @@ def embedding_decontaminate(
     against it IS :func:`ivf_assign` with the benchmark vectors as the
     "centroids" — up to the literal threshold that's a zero-shuffle
     plan-literal argmax over the corpus (beyond it, one broadcast
-    join); the verdict is then a per-row filter on the max sim and a
-    semi-join back on ``id_col``. Nothing corpus-sized ever shuffles.
+    join). The verdict joins back as an ANTI-join on the CONTAMINATED
+    ids — contamination is rare by definition, so the broadcast side
+    stays small at any corpus size (a semi-join on the clean ids would
+    broadcast something corpus-sized). Nothing corpus-sized shuffles.
     """
     bench = benchmark.select(
         F.col(bench_id_col).alias("centroid_id"),
         _as_double(F.col(bench_vec_col)).alias("centroid"),
     )
     nearest = ivf_assign(corpus, bench, id_col=id_col, vec_col=vec_col)
-    clean_ids = nearest.where(F.col("sim") < threshold).select(id_col)
-    return corpus.join(clean_ids, id_col, "left_semi")
+    dirty_ids = nearest.where(F.col("sim") >= threshold).select(id_col)
+    return corpus.join(F.broadcast(dirty_ids), id_col, "left_anti")
 
 
 def ivf_topk(

@@ -568,3 +568,42 @@ def test_embedding_decontaminate(spark, semdedup_vecs):
         ).collect()
     }
     assert all_ids == {0, 1, 2, 3, 10, 11, 12}
+
+
+def test_ivf_assign_numpy_route_matches_literal(spark):
+    """Past literal_threshold the assignment runs as a numpy matmul per
+    Arrow batch; on well-separated vectors it must agree with the
+    plan-literal argmax path (same centroids, same data)."""
+    from pyspark.sql import functions as F
+
+    # 12 well-separated centroid directions in 8-dim, 120 vectors each
+    # near one of them (scaled + small orthogonal bump — no near-ties)
+    rows = []
+    for i in range(120):
+        c = i % 12
+        v = [0.0] * 8
+        v[c % 8] = 2.0 + (c // 8)  # distinct axis/magnitude per centroid
+        v[(c + 3) % 8] += 0.05 * ((i % 5) + 1)
+        rows.append((i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = []
+    for c in range(12):
+        v = [0.0] * 8
+        v[c % 8] = 2.0 + (c // 8)
+        cents.append((c, v))
+    centroids = spark.createDataFrame(
+        cents, "centroid_id int, centroid array<double>"
+    )
+    lit = {
+        r["vec_id"]: (r["centroid_id"], r["sim"])
+        for r in S.ivf_assign(vecs, centroids, literal_threshold=64).collect()
+    }
+    np_route = {
+        r["vec_id"]: (r["centroid_id"], r["sim"])
+        for r in S.ivf_assign(vecs, centroids, literal_threshold=4).collect()
+    }
+    assert set(lit) == set(np_route)
+    for vid, (cid, sim) in lit.items():
+        ncid, nsim = np_route[vid]
+        assert ncid == cid
+        assert nsim == pytest.approx(sim, abs=2e-6)  # 6dp rounding ulps

@@ -133,7 +133,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
         "--probe",
-        choices=("all", "ann", "decon", "minhash", "curation"),
+        choices=("all", "ann", "decon", "minhash", "curation", "semdedup"),
         default="all",
         help="which probe family to run (default: all)",
     )
@@ -174,6 +174,8 @@ def main() -> int:
         _probe_minhash(spark, scratch, args, D, report)
     if args.probe in ("all", "curation"):
         _probe_curation(spark, scratch, args, report)
+    if args.probe in ("all", "semdedup"):
+        _probe_semdedup(spark, scratch, args, S, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -314,6 +316,67 @@ def _probe_curation(spark, scratch, args, report):
     )
     report("curation_full_e2e", docs=n, bench=10_000, sec=sec,
            exchanges=ex, bhj=bhj, smj=smj)
+
+
+def _probe_semdedup(spark, scratch, args, S, report):
+    # ------------- SemDeDup at 100k vectors, 512 cells ------------------
+    # (r9): the intra-cell pair join is the scale-sensitive stage —
+    # cells ≈ n/nlist, candidate volume Σ cell². 512 data-vector
+    # "centroids" (no k-means needed for a probe) keep cells ~200, the
+    # operating shape the PLANS row claims. Also measures the
+    # embedding-decontamination argmax at the same corpus size.
+    n = min(args.vectors, 100_000)
+    emb_path = str(scratch / f"semdedup_emb_{n}")
+    # gen_embeddings' 0.1-amplitude noise makes every same-cluster pair a
+    # near-dup (kept=512 of 100k — a 99.5%-duplicate corpus, nothing like
+    # the ~5% of a real crawl and a degenerate clique workload for the
+    # component stage). Dedicated generator: 0.5-amplitude noise keeps
+    # ordinary same-cluster cosine ~0.8, and every 20th vector is a
+    # planted twin of its predecessor (0.01 perturbation → cosine
+    # ≈ 0.9999+) — ~5% true duplicate rate.
+    dim, n_clusters = 64, 16
+    base = F.col("id") - F.when(F.col("id") % 20 == 19, 1).otherwise(0)
+    # noise frequency varies PER DIM (0.137 + 0.0911·i): a single shared
+    # frequency makes every pair's noise vectors phase-correlated
+    # sinusoids (cosine up to 1 → accidental twins everywhere); distinct
+    # frequencies decorrelate the dot product across dims
+    comps = [
+        (
+            F.cos(F.lit(float(i) * 0.71) + (base % n_clusters) * 2.39)
+            + 0.5 * F.sin(base * F.lit(0.137 + 0.0911 * i) + F.lit(float(i) * 1.93))
+            + 0.01 * F.sin(F.col("id") * F.lit(0.611 + 0.0407 * i) + F.lit(float(i) * 2.17))
+        ).cast("float")
+        for i in range(dim)
+    ]
+    spark.range(0, n, 1, 32).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    ).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    cents = emb.where(F.col("vec_id") < 512).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    t0 = time.perf_counter()
+    survivors = S.semantic_dedup(emb, cents, threshold=0.9999)
+    kept = survivors.count()
+    report(
+        "semantic_dedup",
+        vectors=n,
+        nlist=512,
+        kept=kept,
+        dropped=n - kept,
+        sec=round(time.perf_counter() - t0, 2),
+        exchanges=survivors._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange "),
+    )
+    bench = emb.where(F.col("vec_id") % 997 == 0).limit(100)
+    sec, ex = _timed(
+        lambda: S.embedding_decontaminate(emb, bench, threshold=0.9999),
+        args.reps,
+    )
+    report("embedding_decontaminate", vectors=n, bench=100, sec=sec, exchanges=ex)
 
 
 if __name__ == "__main__":

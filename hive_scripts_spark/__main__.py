@@ -274,6 +274,56 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_semdedup(args: argparse.Namespace) -> int:
+    """SemDeDup as a command: semantic near-dup removal over the
+    embeddings table (arXiv:2303.09540). Centroids default to the first
+    ``--nlist`` vectors (a deterministic coarse quantizer — adequate
+    because SemDeDup only needs cells to CO-LOCATE twins, not to be
+    optimal); pass ``--train-sample N`` to Lloyd-train them from a
+    deterministic N-vector sample instead. Writes the survivor frame
+    ``(vec_id, centroid_id, centroid_sim)`` as parquet and prints the
+    kept/dropped counts."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.similarity import (
+        semantic_dedup,
+        train_kmeans,
+    )
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-semdedup")
+    emb = load_sf_table(spark, args.db, "embeddings")
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    if args.train_sample:
+        pts = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.select(to_double.alias("embedding"))
+            .orderBy("vec_id")
+            .limit(args.train_sample)
+            .collect()
+        ]
+        cents = train_kmeans(pts, k=args.nlist)
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id long, centroid array<double>",
+        )
+    else:
+        centroids = emb.orderBy("vec_id").limit(args.nlist).select(
+            F.col("vec_id").alias("centroid_id"), to_double.alias("centroid")
+        )
+    survivors = semantic_dedup(emb, centroids, threshold=args.threshold)
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_total = emb.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(f"wrote {args.output}")
+    print(
+        f"kept {n_kept} of {n_total} vectors "
+        f"(dropped {n_total - n_kept} semantic near-dups at "
+        f"cos>={args.threshold}, nlist={args.nlist})"
+    )
+    return 0
+
+
 def cmd_stream_reconcile(args: argparse.Namespace) -> int:
     """Micro-batch UC#1 as a command: stream the events directory
     (``availableNow`` — drain-and-stop; drop the trigger for a live
@@ -742,6 +792,26 @@ def main(argv: list[str] | None = None) -> int:
         "templated/machine-generated text gate",
     )
     c.set_defaults(fn=cmd_curate)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="semantic near-dup removal over embeddings (SemDeDup)",
+    )
+    sd.add_argument("--db", required=True, help="dir containing embeddings.parquet")
+    sd.add_argument("--output", required=True, help="survivor parquet directory")
+    sd.add_argument("--nlist", type=int, default=64, help="coarse cells")
+    sd.add_argument(
+        "--threshold", type=float, default=0.95, help="near-dup cosine"
+    )
+    sd.add_argument(
+        "--train-sample",
+        type=int,
+        default=None,
+        metavar="N",
+        help="Lloyd-train centroids from the first N vectors "
+        "(default: first --nlist vectors ARE the centroids)",
+    )
+    sd.set_defaults(fn=cmd_semdedup)
 
     k = sub.add_parser(
         "chunk", help="overlapping fixed-token chunk export over documents"

@@ -623,3 +623,23 @@ def test_curate_intradoc_and_compression_stages(spark, tmp_path, capsys):
     assert written.where(F.col("text").contains(marker)).count() > 0
     # the template-stamped docs fell to the compression gate
     assert written.where(F.col("text").contains("buy now click here")).count() == 0
+
+
+def test_semdedup_subcommand(spark, tmp_path, capsys):
+    """semdedup writes the survivor frame and reports kept/dropped."""
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "semdedup"
+    rc = main(
+        ["semdedup", "--db", "/root/testdata/sf0.001",
+         "--output", str(out), "--nlist", "8", "--threshold", "0.999"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "kept" in printed
+    written = spark.read.parquet(str(out))
+    assert set(written.columns) == {"vec_id", "centroid_id", "centroid_sim"}
+    n_emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert 0 < written.count() <= n_emb

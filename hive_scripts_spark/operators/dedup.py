@@ -192,12 +192,16 @@ def strip_boilerplate(
     documents whose every line was boilerplate vanish from the output.
 
     Scale posture: doc-frequency is a two-level aggregation (distinct
-    (line, doc) partials, then the per-line rollup), and the resulting
-    boilerplate line SET is small by construction — high-frequency
-    lines only — so membership is a **broadcast anti-join**: the corpus
-    line table shuffles once for the distinct and once for positional
-    reassembly, never on a join. Deterministic: reassembly sorts by
-    position.
+    (line, doc) partials, then the per-line rollup); the corpus line
+    table shuffles once for the distinct and once for positional
+    reassembly. The anti-join carries NO broadcast hint: the
+    boilerplate set is small for sane thresholds (high-frequency lines
+    only), but at ``max_doc_freq=1`` it is every line shared by ≥2
+    docs — potentially corpus-scale — and a forced broadcast would
+    collect that through the driver; un-hinted, AQE broadcasts when it
+    measures small and degrades to a shuffle join when it isn't (the
+    same OOM-proofing contract as the minhash verify join).
+    Deterministic: reassembly sorts by position.
     """
     lines = df.select(
         F.col(id_col),
@@ -215,7 +219,7 @@ def strip_boilerplate(
         .select(F.col("__line").alias("__bpline"))
     )
     kept_long = candid.join(
-        F.broadcast(boilerplate),
+        boilerplate,
         F.col("__line") == F.col("__bpline"),
         "left_anti",
     )

@@ -399,8 +399,6 @@ def ivf_assign(
     """
     import math
 
-    from pyspark.sql import Window
-
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )

@@ -392,17 +392,25 @@ def length_histogram(
     )
 
 
+#: shared by :func:`pii_signals` (audit) and :func:`pii_redact`
+#: (scrub) — ONE definition so the two can never desynchronize;
+#: deliberately conservative ASCII classes that behave identically
+#: under Java regex (Spark) and RE2 (DuckDB). The x_pii_* oracles
+#: embed the same literals.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_DIGITS_RE = r"[0-9][0-9][0-9][0-9]+"
+
+
 def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII indicators: email-shaped matches, long digit
     runs, and the text length after redacting both.
 
-    Patterns are deliberately conservative ASCII classes that behave
-    identically under Java regex (Spark) and RE2 (DuckDB), so the
-    operator is exactly oracle-checkable. Pure JVM projections — the
-    scrub pass a training-data exporter runs over every shard.
+    Patterns (:data:`PII_EMAIL_RE` / :data:`PII_DIGITS_RE`) are exactly
+    oracle-checkable. Pure JVM projections — the scrub pass a
+    training-data exporter runs over every shard.
     """
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-    digits = r"[0-9][0-9][0-9][0-9]+"
+    email = PII_EMAIL_RE
+    digits = PII_DIGITS_RE
     t = F.col(text_col)
     redacted = F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), digits, "<NUM>")
     return df.select(
@@ -421,29 +429,38 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The redaction itself (:func:`pii_signals` audits, this scrubs):
     emails → ``<EMAIL>``, 4+-digit runs → ``<NUM>``, returning the
     redacted text plus the per-doc redaction count — the frame an
-    exporter writes in place of the raw shard. Same conservative ASCII
-    patterns as the audit (identical under Java regex and RE2, so the
-    output TEXT is exactly oracle-checkable); one pure-JVM projection,
-    zero shuffle at any scale.
+    exporter writes in place of the raw shard. Shared patterns with
+    the audit (:data:`PII_EMAIL_RE` / :data:`PII_DIGITS_RE`); one
+    pure-JVM projection chain, zero shuffle at any scale.
+
+    ``n_redactions`` counts the substitutions actually made: digit
+    runs are counted on the EMAIL-REDACTED text, so digits inside a
+    matched address (``user1234@…`` → one ``<EMAIL>``) are not
+    double-counted — the count reconciles exactly against the
+    placeholder markers in ``text_redacted``.
     """
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-    digits = r"[0-9][0-9][0-9][0-9]+"
+    email = PII_EMAIL_RE
+    digits = PII_DIGITS_RE
     t = F.col(text_col)
+    # stage the email pass once: __t1 feeds BOTH the digit count and
+    # the final replace (two references — CollapseProject keeps the
+    # non-cheap regexp staged rather than inlining it twice)
     staged = df.select(
         "doc_id",
-        t.alias("__text"),
+        F.regexp_replace(t, email, "<EMAIL>").alias("__t1"),
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("__ne"),
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_replace(F.col("__t1"), digits, "<NUM>").alias("text_redacted"),
         (
-            F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0)))
-            + F.size(F.regexp_extract_all(t, F.lit(digits), F.lit(0)))
+            F.col("__ne")
+            + F.size(F.regexp_extract_all(F.col("__t1"), F.lit(digits), F.lit(0)))
         )
         .cast("long")
         .alias("n_redactions"),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("__text"), email, "<EMAIL>"), digits, "<NUM>"
-    )
-    return staged.select(
-        "doc_id", redacted.alias("text_redacted"), "n_redactions"
     )
 
 
@@ -686,6 +703,14 @@ def quality_gate_report(
     of sources with map-side partials. ``mean_logit`` accumulates the
     6dp-rounded logits as exact decimals (commutative), so the oracle
     replays the value bit-for-bit.
+
+    Denominator contract: empty/whitespace-only documents are OUTSIDE
+    the report — :func:`hashed_linear_score` scores only non-empty
+    text, so ``n_keep + n_drop`` counts scoreable docs, not corpus
+    rows, and a group whose every doc is empty emits no row. Reconcile
+    against a raw per-group ``count(*)`` if the empty share matters to
+    the threshold decision (empties are typically dropped by the
+    length gate before this report is read).
     """
     scored = hashed_linear_score(
         df,

@@ -2886,18 +2886,26 @@ def x_pii_signals(spark, sf_dir):
 @register(
     "x_pii_redact",
     # 'g' flags: DuckDB regexp_replace is first-match-only by default,
-    # Spark replaces all
+    # Spark replaces all. Digit runs are counted on the EMAIL-REDACTED
+    # text (t1) so digits inside a matched address don't double-count —
+    # replaying pii_redact's reconcilable-count semantics.
     oracle="""
+    with s as (
+      select doc_id,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g') as t1,
+             cast(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+               as bigint) as ne
+      from documents
+    )
     select doc_id,
-           regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
-             '<EMAIL>', 'g'),
-             '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') as text_redacted,
-           cast(len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
-             + len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+'))
+           regexp_replace(t1, '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g')
+             as text_redacted,
+           ne + cast(len(regexp_extract_all(t1, '[0-9][0-9][0-9][0-9]+'))
              as bigint) as n_redactions
-    from documents
+    from s
     """,
 )
 def x_pii_redact(spark, sf_dir):
@@ -3917,8 +3925,13 @@ def _ann_scratch(sf_dir: str, name: str):
     Keyed by pid so two concurrent graders/pytest sessions sharing a
     checkout and sf_dir never delete each other's index mid-read, and
     falls back to the system temp dir when the package directory is
-    not writable (read-only installs)."""
+    not writable (read-only installs). Sibling dirs left by DEAD pids
+    are swept on entry (pid-keying alone would accumulate one full
+    index copy per past process, unboundedly); live pids are left
+    alone — that's the concurrency guarantee.
+    """
     import os
+    import re
     import shutil
     import tempfile
     from pathlib import Path
@@ -3928,6 +3941,18 @@ def _ann_scratch(sf_dir: str, name: str):
     root = Path(__file__).resolve().parents[2] / ".scratch"
     if not os.access(root.parent, os.W_OK):
         root = Path(tempfile.gettempdir()) / "hive_scripts_spark_scratch"
+    prefix = f"{name}_{tag}_pid"
+    if root.is_dir():
+        for sib in root.iterdir():
+            m = re.fullmatch(re.escape(prefix) + r"(\d+)", sib.name)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(sib, ignore_errors=True)
+            except PermissionError:
+                pass  # pid exists under another uid — leave it
     scratch = root / leaf
     shutil.rmtree(scratch, ignore_errors=True)
     return scratch

@@ -443,6 +443,9 @@ def test_pii_redact_text_and_count(spark):
             (0, "mail me at a.b+c@example.org or call 12345 now"),
             (1, "clean text only"),
             (2, "cards 1234 5678 and x@y.io"),
+            # digits INSIDE a matched email: one substitution, count 1
+            # (n_redactions reconciles against markers in the output)
+            (3, "write user1234@example.com today"),
         ],
         "doc_id long, text string",
     )
@@ -453,6 +456,8 @@ def test_pii_redact_text_and_count(spark):
     assert out[1]["n_redactions"] == 0
     assert out[2]["text_redacted"] == "cards <NUM> <NUM> and <EMAIL>"
     assert out[2]["n_redactions"] == 3
+    assert out[3]["text_redacted"] == "write <EMAIL> today"
+    assert out[3]["n_redactions"] == 1
 
 
 def test_length_profile_percentiles(spark):

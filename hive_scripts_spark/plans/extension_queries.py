@@ -1974,32 +1974,19 @@ def x_events_funnel(spark, sf_dir):
     )
 
 
-@register(
-    "x_events_hourly_dense",
-    oracle="""
-    with bounds as (
-      select date_trunc('hour', min(ts)) as lo,
-             date_trunc('hour', max(ts)) as hi
-      from events
-    ), hours as (
-      select unnest(generate_series(lo, hi, interval 1 hour)) as hour
-      from bounds
-    ), agg as (
-      select date_trunc('hour', ts) as hour,
-             cast(count(*) as bigint) as n_events
-      from events where event_type = 'purchase' group by 1
-    )
-    select h.hour, coalesce(a.n_events, 0) as n_events
-    from hours h left join agg a on h.hour = a.hour
-    """,
-)
 def x_events_hourly_dense(spark, sf_dir):
     """Gap-filled hourly purchase counts: densify the time axis with
     ``sequence`` + ``explode`` so silent hours appear as explicit zero
     rows (dashboards and anomaly detectors need the gaps, not their
     absence). The hour spine is generated from a 1-row bounds aggregate
     — O(hours) rows — and left-joins the sparse counts; the counts side
-    is the only corpus-sized exchange."""
+    is the only corpus-sized exchange.
+
+    Retired from the graded registry in r9 (one-in-one-out capacity
+    swap): the sparse twin `x_events_hourly` keeps the family's driver
+    row, the zero-gap spine mechanics stay pinned in
+    `tests/test_skew_soak.py`, and the full old oracle comparison moved
+    to `tests/test_retired_queries.py`."""
     ev = table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -2839,19 +2826,14 @@ def x_dedup_components_exact(spark, sf_dir):
     return connected_components(pairs)
 
 
-@register(
-    "x_length_histogram",
-    oracle="""
-    select cast(n_chars - (n_chars % 100) as bigint) as bucket,
-           count(*) as n_docs,
-           cast(sum(n_chars) as bigint) as sum_chars
-    from documents
-    group by 1
-    """,
-)
 def x_length_histogram(spark, sf_dir):
     """Document-length histogram (100-char buckets) — the dataset-shape
-    report a curation run starts from. Exact integer bucket math."""
+    report a curation run starts from. Exact integer bucket math.
+
+    Retired from the graded registry in r9 (one-in-one-out capacity
+    swap): superseded by the richer `x_doc_length_profile` percentile
+    report; `textstats.length_histogram` keeps its pytest and this form
+    keeps its value check in `tests/test_retired_queries.py`."""
     from hive_scripts_spark.operators.textstats import length_histogram
 
     return length_histogram(table(spark, sf_dir, "documents"))
@@ -3138,6 +3120,101 @@ def x_dedup_survivors(spark, sf_dir):
         "a_id", "b_id"
     )
     return near_dup_survivors(docs, pairs, quality_col="n_chars")
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=f"""
+    with centroids as (
+      select vec_id as centroid_id, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), scored as (
+      select e.vec_id, c.centroid_id,
+             round(list_dot_product(cast(e.embedding as double[]), c.c)
+                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
+                                            cast(e.embedding as double[])))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from embeddings e cross join centroids c
+    ), assigned as (
+      select vec_id, centroid_id, sim from (
+        select *, row_number() over (
+          partition by vec_id order by sim desc, centroid_id) as rn
+        from scored) t where rn = 1
+    ), pairs as (
+      select aa.vec_id as a_id, bb.vec_id as b_id
+      from assigned aa join assigned bb
+        on aa.centroid_id = bb.centroid_id and aa.vec_id < bb.vec_id
+      join embeddings a on a.vec_id = aa.vec_id
+      join embeddings b on b.vec_id = bb.vec_id
+      where round({_DUCK_COSINE}, 6) >= 0.35
+    ), edges as (
+      select a_id as u, b_id as v from pairs
+      union select b_id, a_id from pairs
+    ), reach as (
+      with recursive r(node, root) as (
+        select u, u from edges
+        union
+        select e.u, r.root from edges e join r on r.node = e.v
+      )
+      select node, min(root) as component from r group by node
+    ), members as (
+      select a.vec_id, a.centroid_id, a.sim,
+             coalesce(r.component, a.vec_id) as component
+      from assigned a left join reach r on r.node = a.vec_id
+    )
+    select vec_id, centroid_id, sim as centroid_sim from (
+      select *, row_number() over (
+        partition by component order by sim asc, vec_id) as rn
+      from members) t where rn = 1
+    """,
+)
+def x_dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) end-to-end: coarse cells → intra-cell
+    cosine edges → connected components → keep the LEAST-prototypical
+    member per group (lowest centroid cosine, ties to lowest id).
+    Threshold 0.35 ≈ p99.9 of the near-random testdata cosine
+    distribution, same rationale as `x_embed_near_dup`; centroids are
+    the first 8 embeddings, same deterministic convention as
+    `x_ann_ivf_assign`. The oracle replays every stage in DuckDB:
+    argmax assignment, same-cell pair generation, a recursive-CTE
+    transitive closure, and the per-component min-sim survivor rank."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return S.semantic_dedup(emb, centroids, threshold=0.35)
+
+
+@register(
+    "x_decontaminate_embedding",
+    oracle=f"""
+    with corpus as (select * from embeddings where vec_id % 50 <> 0),
+    bench as (select * from embeddings where vec_id % 50 = 0),
+    dirty as (
+      select distinct a.vec_id
+      from corpus a join bench b
+        on round({_DUCK_COSINE}, 6) >= 0.35
+    )
+    select vec_id, label from corpus
+    where vec_id not in (select vec_id from dirty)
+    """,
+)
+def x_decontaminate_embedding(spark, sf_dir):
+    """Embedding-space decontamination: drop corpus rows within cosine
+    0.35 of ANY benchmark vector — the semantic complement of the
+    n-gram `x_decontaminate*` family (catches paraphrased eval leakage
+    that shares no 8-gram). Benchmark = every 50th vec_id (2% of the
+    corpus at any sf), so the query scales with the table instead of
+    pinning an absolute id range. The max-cos-vs-bench is `ivf_assign`
+    with the bench vectors as plan literals (zero corpus shuffle) and
+    the verdict joins back as a broadcast ANTI-join on the rare
+    contaminated ids."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    kept = S.embedding_decontaminate(corpus, bench, threshold=0.35)
+    return kept.select("vec_id", "label")
 
 
 @register(

@@ -252,14 +252,15 @@ def a4_deterministic_sample(spark, sf_dir):
     )
 
 
-@register(
-    "a4_limit_sample",
-    oracle="""
-    select o_orderkey, o_orderstatus, o_totalprice
-    from orders order by o_orderkey limit 10
-    """,
-)
 def a4_limit_sample(spark, sf_dir):
+    """Deterministic head-N sample (`sort | head` semantics).
+
+    Retired from the graded registry in r9 (one-in-one-out capacity
+    swap, COVERAGE.md "Registry capacity"): the A4 sampling family
+    stays graded via `a4_deterministic_sample` + `a4_stratified_sample`
+    and this limit form keeps its value check in
+    `tests/test_retired_queries.py` against the same DuckDB oracle the
+    driver used through r8."""
     orders = table(spark, sf_dir, "orders")
     return (
         orders.orderBy("o_orderkey")
@@ -273,11 +274,15 @@ def a4_limit_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "p2_project_all",
-    oracle="select * from nation",
-)
 def p2_project_all(spark, sf_dir):
+    """P2 project-all (SELECT * — verizon_automation_script.sh export
+    projection).
+
+    Retired from the graded registry in r9 (one-in-one-out capacity
+    swap): project-all is implicitly re-proven by every full-row graded
+    query (e.g. `x_pii_redact` grades an entire text column), and this
+    exact form keeps its value check in
+    `tests/test_retired_queries.py`."""
     return table(spark, sf_dir, "nation").select("*")
 
 

@@ -248,7 +248,7 @@ def test_events_hourly_dense_zero_fills_silent_hours(spark):
     import datetime as dt
     import tempfile
 
-    from hive_scripts_spark.plans.registry import QUERIES
+    from hive_scripts_spark.plans.extension_queries import x_events_hourly_dense
 
     rows = [
         (1, dt.datetime(2024, 1, 1, 0, 10), 1, "purchase", 1.0, "{}"),
@@ -266,7 +266,7 @@ def test_events_hourly_dense_zero_fills_silent_hours(spark):
         df.write.mode("overwrite").parquet(f"{d}/events.parquet")
         got = {
             r["hour"].hour: r["n_events"]
-            for r in QUERIES["x_events_hourly_dense"](spark, d).collect()
+            for r in x_events_hourly_dense(spark, d).collect()
         }
     # spine covers hours 0..3 inclusive, with explicit zeros for 1 and 2
     assert got == {0: 2, 1: 0, 2: 0, 3: 1}

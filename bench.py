@@ -85,6 +85,12 @@ EXTRA = [
     "x_ann_ivf_cell_stats",
     "x_quality_gate_report",
     "x_strip_boilerplate",
+    # r9 registry swap — the two semantic-curation faces graded from
+    # this round: SemDeDup (cell-blocked matmul pairing + components)
+    # and embedding-space decontamination (plan-literal max-cos vs a
+    # 2% bench split, anti-join on the rare dirty side)
+    "x_dedup_semantic",
+    "x_decontaminate_embedding",
 ]
 
 

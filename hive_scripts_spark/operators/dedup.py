@@ -237,6 +237,112 @@ def strip_boilerplate(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    every ``k``-word span that occurs MORE THAN ONCE anywhere in the
+    corpus — across documents or within one — survives only at its
+    first occurrence (lowest ``(doc_id, position)``); every other
+    occurrence's token positions are cut from their documents.
+
+    The span-granular complement of the document-granular passes:
+    near-dup/minhash drops whole documents, :func:`strip_boilerplate`
+    drops whole lines, this removes the duplicated *passage* while
+    keeping the unique remainder of the page. Published measurements
+    (the paper's ExactSubstr, suffix-array based, 50-token threshold)
+    show this catches ~10× more duplicate text than document-level
+    dedup on web corpora.
+
+    Returns ``(id_col, text_cleaned, n_tokens_kept, n_tokens_removed)``
+    for EVERY input document (documents shorter than ``k`` tokens pass
+    through untouched). Tokenization is ``trim`` + whitespace split and
+    the cleaned text rejoins with single spaces — layout inside the
+    surviving tokens is normalized, the documented trade of every
+    token-granular pass here.
+
+    Scale shape: the suffix array the paper builds is a single-machine
+    structure; the distributed re-expression is hash-grouped span
+    occurrences — each document emits its ``n-k+1`` overlapping span
+    hashes POSITIONALLY (an array-level ``transform`` over a staged
+    token array: no token-granular explode, one 8-byte
+    ``portable_hash60`` per span), and only ``(doc_id, pos, hash)``
+    triples shuffle, keyed on the span hash — O(total tokens) rows of
+    fixed width, never the text itself. Duplicate detection + keeper
+    election is ONE ``row_number`` window over that key (rn > 1 ⇔ a
+    non-first occurrence of a duplicated span). Cut positions aggregate
+    per document — rare by definition in a mostly-clean corpus — and
+    join back UN-hinted (AQE broadcasts the small cut side; degrades to
+    a shuffle join on a pathological all-duplicate corpus instead of
+    OOMing the driver, the same contract as the minhash verify join).
+    The final cut is a per-row positional ``filter`` — no exchange.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    grams = staged.select(
+        id_col,
+        "__toks",
+        F.when(
+            F.size("__toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__grams"),
+    )
+    occ = grams.select(
+        F.col(id_col), F.posexplode("__grams").alias("__pos", "__gh")
+    )
+    w = Window.partitionBy("__gh").orderBy(id_col, "__pos")
+    cuts = (
+        occ.select(id_col, "__pos", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__cut_starts"))
+    )
+    joined = grams.join(cuts, id_col, "left")
+    kept = joined.select(
+        id_col,
+        F.size("__toks").alias("__total"),
+        F.when(F.col("__cut_starts").isNull(), F.col("__toks"))
+        .otherwise(
+            F.filter(
+                "__toks",
+                lambda x, i: ~F.exists(
+                    "__cut_starts", lambda s: (s <= i) & (i < s + k)
+                ),
+            )
+        )
+        .alias("__kept"),
+    )
+    return kept.select(
+        id_col,
+        F.concat_ws(" ", "__kept").alias("text_cleaned"),
+        F.size("__kept").cast("bigint").alias("n_tokens_kept"),
+        (F.col("__total") - F.size("__kept"))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+
+
 def word_ngrams(text_col, n: int = 3):
     """Array of word n-grams of normalized text (space-joined). Empty/short
     docs yield an empty array.

@@ -680,3 +680,107 @@ def test_dedup_lines_within_doc_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # pure projection at any corpus size
+
+
+def test_remove_repeated_spans_cross_doc_keeper(spark):
+    from hive_scripts_spark.operators.dedup import remove_repeated_spans
+
+    rows = [
+        (1, "a b c d e f"),  # every 3-gram's first occurrence → untouched
+        (2, "x y a b c z"),  # "a b c" again → its 3 tokens cut
+        (3, "c d e c d e h"),  # "c d e" dup vs doc 1 AND intra-doc
+        (4, "p q"),  # shorter than k → pass-through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, k=3).collect()}
+    assert len(out) == 4  # every document present
+    assert out[1]["text_cleaned"] == "a b c d e f"
+    assert (out[1]["n_tokens_kept"], out[1]["n_tokens_removed"]) == (6, 0)
+    assert out[2]["text_cleaned"] == "x y z"
+    assert out[2]["n_tokens_removed"] == 3
+    # doc 3: "c d e" keeper is (doc 1, pos 2); both doc-3 occurrences
+    # (pos 0 and pos 3) cut → positions 0-5 removed, only "h" survives
+    assert out[3]["text_cleaned"] == "h"
+    assert (out[3]["n_tokens_kept"], out[3]["n_tokens_removed"]) == (1, 6)
+    assert out[4]["text_cleaned"] == "p q"
+    assert out[4]["n_tokens_removed"] == 0
+
+
+def test_remove_repeated_spans_overlap_union_and_determinism(spark):
+    from hive_scripts_spark.operators.dedup import remove_repeated_spans
+
+    # doc 2 repeats doc 1's full 4-token run: the two overlapping dup
+    # 3-grams ("a b c" at pos 2, "b c d" at pos 3) union to one 4-token
+    # cut — tokens are not double-counted
+    rows = [
+        (1, "a b c d x"),
+        (2, "u v a b c d w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = {r["doc_id"]: r for r in remove_repeated_spans(df, k=3).collect()}
+    assert first[2]["text_cleaned"] == "u v w"
+    assert first[2]["n_tokens_removed"] == 4
+    assert first[1]["text_cleaned"] == "a b c d x"
+    again = {r["doc_id"]: r for r in remove_repeated_spans(df, k=3).collect()}
+    assert {i: (r["text_cleaned"], r["n_tokens_removed"]) for i, r in first.items()} == {
+        i: (r["text_cleaned"], r["n_tokens_removed"]) for i, r in again.items()
+    }
+
+
+def test_remove_repeated_spans_matches_duckdb_replay(spark):
+    """Value check against a DuckDB replay of the whole pipeline (the
+    oracle this operator will register with when a window slot frees):
+    same md5-span hash family, same rn>1 cut rule, same positional
+    filter."""
+    import duckdb
+
+    from hive_scripts_spark.operators.dedup import remove_repeated_spans
+    from tests.conftest import SF_DIR
+
+    k = 5
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), k=k
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF_DIR}/documents.parquet'"
+    )
+    rows = con.execute(f"""
+    with toks as (
+      select doc_id, string_split_regex(trim(text), '\\s+') as t
+      from documents
+    ), occ as (
+      select doc_id, g.i as pos,
+             cast(('0x' || substr(md5(array_to_string(t[g.i + 1 : g.i + {k}], ' ')),
+                                  1, 15)) as bigint) as gh
+      from toks, unnest(generate_series(0, len(t) - {k})) as g(i)
+      where len(t) >= {k}
+    ), cuts as (
+      select doc_id, pos from (
+        select doc_id, pos,
+               row_number() over (partition by gh order by doc_id, pos) as rn
+        from occ) where rn > 1
+    ), cutlist as (
+      select doc_id, list(distinct p) as ps
+      from cuts, unnest(generate_series(pos, pos + {k} - 1)) as u(p)
+      group by doc_id
+    )
+    select tk.doc_id,
+           -- coalesce: duckdb's array_to_string is NULL on an empty list
+           -- (fully-cut doc) where spark's concat_ws gives ''
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(
+                 list_zip(tk.t, generate_series(0, len(tk.t) - 1)),
+                 z -> cl.ps is null or not list_contains(cl.ps, z[2])),
+               z -> z[1]),
+             ' '), '') as text_cleaned
+    from toks tk left join cutlist cl using (doc_id)
+    """).fetchall()
+    duck = dict(rows)
+    assert set(duck) == set(got)
+    mismatches = [d for d in duck if duck[d] != got[d]["text_cleaned"]]
+    assert mismatches == []

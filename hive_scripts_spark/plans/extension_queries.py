@@ -122,6 +122,148 @@ def x_strip_boilerplate(spark, sf_dir):
 
 
 @register(
+    "x_dedup_intradoc_lines",
+    oracle="""
+    with lined as (
+      select doc_id, replace(text, ' line ', chr(10)) as text from documents
+    ), docs as (
+      -- every 5th doc repeats its own first line at the end: the
+      -- synthetic corpus has no natural intra-doc duplicates, so the
+      -- cut path would otherwise never fire (same planted-duplication
+      -- idiom as x_dedup_repeated_spans / x_dedup_cross)
+      select doc_id,
+             case when doc_id % 5 = 0
+                  then text || chr(10) || string_split(text, chr(10))[1]
+                  else text end as text
+      from lined
+    ), arr as (
+      select doc_id, string_split(text, chr(10)) as l from docs
+    ), kept as (
+      select doc_id, l,
+             list_filter(l, (x, i) -> length(x) < 10
+                                      or list_position(l, x) = i) as k
+      from arr
+    )
+    select doc_id,
+           array_to_string(k, chr(10)) as text_deduped,
+           cast(len(k) as bigint) as n_lines_kept,
+           cast(len(l) - len(k) as bigint) as n_lines_removed
+    from kept
+    """,
+)
+def x_dedup_intradoc_lines(spark, sf_dir):
+    """Intra-document line dedup (`dedup.dedup_lines_within_doc`):
+    repeated lines WITHIN one document keep only their first occurrence,
+    short lines exempt, no cross-document effect — the zero-shuffle
+    per-page complement of `x_dedup_lines` (plan pinned Exchange-free in
+    `test_dedup.py`). Same deterministic line derivation as the corpus-
+    wide query (' line ' → newline), plus every 5th doc repeats its own
+    first line at the end so the cut path demonstrably fires (planted-
+    duplication idiom of `x_dedup_repeated_spans`); keep-first is
+    `array_position == own index` on both engines (1-based on both)."""
+    lined = F.replace(F.col("text"), F.lit(" line "), F.lit("\n"))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", lined.alias("text")
+    )
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                F.element_at(F.split(F.col("text"), "\n"), 1),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.dedup_lines_within_doc(docs, min_line_chars=10)
+
+
+#: shared passage appended to every 7th document for the repeated-span
+#: query: 12 whitespace tokens, so k=8 yields 5 shared spans per tagged
+#: doc — deterministically present duplication, like x_dedup_cross's
+#: %10 slice (the synthetic corpus has no natural cross-doc k-grams).
+_SPAN_PASSAGE = (
+    "shared boilerplate passage tokens alpha beta gamma delta "
+    "epsilon zeta eta theta"
+)
+
+
+@register(
+    "x_dedup_repeated_spans",
+    oracle=f"""
+    with docs as (
+      select doc_id,
+             case when doc_id % 7 = 0
+                  then trim(text) || ' ' || '{_SPAN_PASSAGE}'
+                  else text end as text
+      from documents
+    ), toks as (
+      select doc_id, string_split_regex(trim(text), '\\s+') as t from docs
+    ), occ as (
+      select doc_id, g.i as pos,
+             md5(array_to_string(t[g.i + 1 : g.i + 8], ' ')) as m
+      from toks, unnest(generate_series(0, len(t) - 8)) as g(i)
+      where len(t) >= 8
+    ), occ2 as (
+      -- spark keys on two 60-bit md5 halves (chars 1-15, 17-31);
+      -- replay the exact pair so keeper election matches
+      select doc_id, pos,
+             cast(('0x' || substr(m, 1, 15)) as bigint) as h1,
+             cast(('0x' || substr(m, 17, 15)) as bigint) as h2
+      from occ
+    ), cuts as (
+      select doc_id, pos from (
+        select doc_id, pos,
+               row_number() over (partition by h1, h2
+                                  order by doc_id, pos) as rn
+        from occ2) where rn > 1
+    ), cutlist as (
+      select doc_id, list(distinct p) as ps
+      from cuts, unnest(generate_series(pos, pos + 7)) as u(p)
+      group by doc_id
+    ), toklists as (
+      select tk.doc_id, tk.t,
+             list_transform(
+               list_filter(
+                 list_zip(tk.t, generate_series(0, len(tk.t) - 1)),
+                 z -> cl.ps is null or not list_contains(cl.ps, z[2])),
+               z -> z[1]) as kept
+      from toks tk left join cutlist cl using (doc_id)
+    )
+    select doc_id,
+           -- coalesce: duckdb array_to_string is NULL on an empty list
+           -- (fully-cut doc) where spark concat_ws gives ''
+           coalesce(array_to_string(kept, ' '), '') as text_cleaned,
+           cast(len(kept) as bigint) as n_tokens_kept,
+           cast(len(t) - len(kept) as bigint) as n_tokens_removed
+    from toklists
+    """,
+)
+def x_dedup_repeated_spans(spark, sf_dir):
+    """ExactSubstr repeated-span removal (`dedup.remove_repeated_spans`,
+    Lee et al. 2107.06499): every duplicated 8-token span survives only
+    at its first (doc_id, pos) occurrence; other occurrences' tokens are
+    cut. Duplication is deterministically planted (a 12-token passage
+    appended to every 7th doc, same construction idiom as
+    `x_dedup_cross`'s %10 slice). Keeper election is the de-skewed
+    groupBy-min + AQE-splittable equi-join over 120-bit (two-long) md5
+    span keys; the oracle replays the identical hash pair in DuckDB."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.trim(F.col("text")), F.lit(_SPAN_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.remove_repeated_spans(docs, k=8)
+
+
+@register(
     "x_dedup_fingerprint",
     oracle=r"""
     select min(doc_id) as doc_id,
@@ -1402,57 +1544,15 @@ def x_events_session_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _curation_oracle() -> str:
-    from hive_scripts_spark.operators.textstats import LANG_STOPWORDS
-
-    langs = sorted(LANG_STOPWORDS)
-    hit_exprs = ",\n             ".join(
-        f"len(list_filter(lt, w -> list_contains({_duck_stoplist(LANG_STOPWORDS[lang])}, w)))"
-        f" as hits_{lang}"
-        for lang in langs
-    )
-    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
-    first_max = " ".join(f"when hits_{lang} = {m} then '{lang}'" for lang in langs)
-    norm_lower = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
-    return f"""
-    with base as (
-      -- stage 1: exact dedup on normalized content (min doc_id survives,
-      -- and its raw text — arg_min keeps the survivor's own payload)
-      select min(doc_id) as doc_id, arg_min(text, doc_id) as text
-      from documents
-      group by md5({_NORM})
-    ), toks as (
-      select doc_id, text,
-             case when length({_NORM}) = 0 then cast([] as varchar[])
-                  else string_split({_NORM}, ' ') end as t,
-             case when length(trim(lower(text))) = 0 then cast([] as varchar[])
-                  else string_split({norm_lower}, ' ') end as lt
-      from base
-    ), feat as (
-      -- stage 2: quality gate (alpha ratio ≥ 0.5 and ≥ 10 tokens)
-      select doc_id, t, lt,
-             cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
-               / greatest(length(text), 1) as alpha_ratio
-      from toks
-    ), gated as (
-      select * from feat where alpha_ratio >= 0.5 and len(t) >= 10
-    ), lang as (
-      -- stage 3: language-ID
-      select doc_id, len(t) as n_tokens,
-             {hit_exprs}
-      from gated
-    )
-    select case when {m} = 0 then 'und' {first_max} end as predicted_lang,
-           count(*) as n_docs,
-           cast(sum(n_tokens) as bigint) as total_tokens
-    from lang
-    group by all
-    """
-
-
-@register("x_curation_pipeline", oracle=_curation_oracle())
 def x_curation_pipeline(spark, sf_dir):
     """Filter → dedup → language-partition → token budget, end to end.
+
+    RETIRED from the graded registry in the r10 capacity swap: a strict
+    subset of `x_curation_full` (which adds decontamination + repetition
+    gates around the identical dedup/quality/lang-rollup stages), so the
+    family stays graded by the richer chain while this row's slot funds
+    `x_dedup_repeated_spans`. Still value-checked against its exact r9
+    oracle SQL in `tests/test_retired_queries.py`.
 
     Every stage is partition-parallel: dedup is a hash-groupBy on the
     content hash; the quality gate and language-ID are projections; the

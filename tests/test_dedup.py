@@ -754,15 +754,21 @@ def test_remove_repeated_spans_matches_duckdb_replay(spark):
       from documents
     ), occ as (
       select doc_id, g.i as pos,
-             cast(('0x' || substr(md5(array_to_string(t[g.i + 1 : g.i + {k}], ' ')),
-                                  1, 15)) as bigint) as gh
+             md5(array_to_string(t[g.i + 1 : g.i + {k}], ' ')) as m
       from toks, unnest(generate_series(0, len(t) - {k})) as g(i)
       where len(t) >= {k}
+    ), occ2 as (
+      -- the spark side keys on two 60-bit md5 halves (chars 1-15 and
+      -- 17-31); replay the exact same pair so keeper election matches
+      select doc_id, pos,
+             cast(('0x' || substr(m, 1, 15)) as bigint) as h1,
+             cast(('0x' || substr(m, 17, 15)) as bigint) as h2
+      from occ
     ), cuts as (
       select doc_id, pos from (
         select doc_id, pos,
-               row_number() over (partition by gh order by doc_id, pos) as rn
-        from occ) where rn > 1
+               row_number() over (partition by h1, h2 order by doc_id, pos) as rn
+        from occ2) where rn > 1
     ), cutlist as (
       select doc_id, list(distinct p) as ps
       from cuts, unnest(generate_series(pos, pos + {k} - 1)) as u(p)
@@ -784,3 +790,47 @@ def test_remove_repeated_spans_matches_duckdb_replay(spark):
     assert set(duck) == set(got)
     mismatches = [d for d in duck if duck[d] != got[d]["text_cleaned"]]
     assert mismatches == []
+
+
+def test_remove_repeated_spans_hot_span_no_window(spark):
+    """A corpus-hot span — the exact skew case the r10 de-skew targets —
+    dedups correctly, and the plan carries NO Window operator: keeper
+    election is a partial-aggregable groupBy + AQE-splittable equi-join
+    (windows get neither map-side combine nor AQE skew-splitting)."""
+    from hive_scripts_spark.operators.dedup import remove_repeated_spans
+
+    # one 3-gram ("hot span three") shared by every document; the two
+    # other 3-grams per doc are unique (carry the doc-local tokens)
+    rows = [(i, f"u{i} v{i} hot span three") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    result = remove_repeated_spans(df, k=3)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out = {r["doc_id"]: r for r in result.collect()}
+    assert len(out) == 300
+    assert out[0]["text_cleaned"] == "u0 v0 hot span three"  # keeper doc
+    assert out[0]["n_tokens_removed"] == 0
+    for i in (1, 7, 299):
+        assert out[i]["text_cleaned"] == f"u{i} v{i}"
+        assert out[i]["n_tokens_removed"] == 3
+
+
+def test_dedup_lines_hot_line_no_window(spark):
+    """Corpus-hot boilerplate line: every doc shares one long line; the
+    keeper (min doc_id, pos) survives, every other copy drops, and the
+    plan has no Window — election is groupBy-min + a semi-join whose
+    3-part key (line, doc_id, pos) is skew-free by construction."""
+    from hive_scripts_spark.operators.dedup import dedup_lines
+
+    hot = "common hot boilerplate navigation line"
+    rows = [(i, f"unique content line number {i}\n{hot}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    result = dedup_lines(df)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out = {r["doc_id"]: r for r in result.collect()}
+    assert len(out) == 300
+    assert out[0]["text_deduped"] == f"unique content line number 0\n{hot}"
+    for i in (1, 13, 299):
+        assert out[i]["text_deduped"] == f"unique content line number {i}"
+        assert out[i]["n_lines_removed"] == 1

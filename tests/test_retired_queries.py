@@ -1,13 +1,15 @@
-"""Value checks for the four queries retired from the graded registry
-in the r9 one-in-one-out capacity swap (COVERAGE.md "Registry
+"""Value checks for the queries retired from the graded registry in
+the r9 and r10 one-in-one-out capacity swaps (COVERAGE.md "Registry
 capacity").
 
 Retirement dropped their driver rows, not their semantics: each
 function stayed in the plans modules and is compared here against the
-EXACT oracle SQL the driver graded it with through r8, using the same
+EXACT oracle SQL the driver last graded it with (r8 for the r9
+retirees, r9 for ``x_curation_pipeline``), using the same
 order-insensitive digest as ``tools/parity.py``. This keeps the
 "every operator value-checked somewhere" invariant while freeing the
-window slots for `x_dedup_semantic` / `x_decontaminate_embedding`.
+window slots for `x_dedup_semantic` / `x_decontaminate_embedding`
+(r9) and `x_dedup_repeated_spans` (r10).
 """
 
 from __future__ import annotations
@@ -53,6 +55,46 @@ RETIRED = {
            cast(sum(n_chars) as bigint) as sum_chars
     from documents
     group by 1
+    """,
+    # retired r10 (slot funds x_dedup_repeated_spans); frozen verbatim
+    # from the r9 registry's generated _curation_oracle() output
+    "x_curation_pipeline": r"""
+    with base as (
+      -- stage 1: exact dedup on normalized content (min doc_id survives,
+      -- and its raw text — arg_min keeps the survivor's own payload)
+      select min(doc_id) as doc_id, arg_min(text, doc_id) as text
+      from documents
+      group by md5(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g')))
+    ), toks as (
+      select doc_id, text,
+             case when length(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g'))) = 0 then cast([] as varchar[])
+                  else string_split(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g')), ' ') end as t,
+             case when length(trim(lower(text))) = 0 then cast([] as varchar[])
+                  else string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') end as lt
+      from base
+    ), feat as (
+      -- stage 2: quality gate (alpha ratio ≥ 0.5 and ≥ 10 tokens)
+      select doc_id, t, lt,
+             cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+               / greatest(length(text), 1) as alpha_ratio
+      from toks
+    ), gated as (
+      select * from feat where alpha_ratio >= 0.5 and len(t) >= 10
+    ), lang as (
+      -- stage 3: language-ID
+      select doc_id, len(t) as n_tokens,
+             len(list_filter(lt, w -> list_contains(['das', 'der', 'die', 'ein', 'ist', 'nicht', 'und'], w))) as hits_de,
+             len(list_filter(lt, w -> list_contains(['a', 'and', 'in', 'is', 'of', 'the', 'to'], w))) as hits_en,
+             len(list_filter(lt, w -> list_contains(['de', 'el', 'en', 'la', 'los', 'que', 'y'], w))) as hits_es,
+             len(list_filter(lt, w -> list_contains(['de', 'des', 'et', 'la', 'le', 'les', 'un'], w))) as hits_fr,
+             len(list_filter(lt, w -> list_contains(['了', '和', '在', '我', '是', '有', '的'], w))) as hits_zh
+      from gated
+    )
+    select case when greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 then 'und' when hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'de' when hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'en' when hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'es' when hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'fr' when hits_zh = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'zh' end as predicted_lang,
+           count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens
+    from lang
+    group by all
     """,
 }
 

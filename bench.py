@@ -91,6 +91,12 @@ EXTRA = [
     # 2% bench split, anti-join on the rare dirty side)
     "x_dedup_semantic",
     "x_decontaminate_embedding",
+    # r10 registry swap — the two span/line-granular dedup faces graded
+    # from this round: intra-doc line dedup (zero-shuffle projection)
+    # and ExactSubstr repeated-span removal (de-skewed groupBy-min
+    # keeper election over 120-bit span keys)
+    "x_dedup_intradoc_lines",
+    "x_dedup_repeated_spans",
 ]
 
 

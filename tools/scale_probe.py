@@ -133,7 +133,16 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
         "--probe",
-        choices=("all", "ann", "decon", "minhash", "curation", "semdedup"),
+        choices=(
+            "all",
+            "ann",
+            "decon",
+            "minhash",
+            "curation",
+            "semdedup",
+            "semdedup1m",
+            "spans",
+        ),
         default="all",
         help="which probe family to run (default: all)",
     )
@@ -176,6 +185,11 @@ def main() -> int:
         _probe_curation(spark, scratch, args, report)
     if args.probe in ("all", "semdedup"):
         _probe_semdedup(spark, scratch, args, S, report)
+    # the two r10 probes are opt-in (1M-row scale — not part of "all")
+    if args.probe == "semdedup1m":
+        _probe_semdedup_1m(spark, scratch, args, S, report)
+    if args.probe == "spans":
+        _probe_spans(spark, scratch, args, D, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -318,23 +332,17 @@ def _probe_curation(spark, scratch, args, report):
            exchanges=ex, bhj=bhj, smj=smj)
 
 
-def _probe_semdedup(spark, scratch, args, S, report):
-    # ------------- SemDeDup at 100k vectors, 512 cells ------------------
-    # (r9): the intra-cell pair join is the scale-sensitive stage —
-    # cells ≈ n/nlist, candidate volume Σ cell². 512 data-vector
-    # "centroids" (no k-means needed for a probe) keep cells ~200, the
-    # operating shape the PLANS row claims. Also measures the
-    # embedding-decontamination argmax at the same corpus size.
-    n = min(args.vectors, 100_000)
-    emb_path = str(scratch / f"semdedup_emb_{n}")
-    # gen_embeddings' 0.1-amplitude noise makes every same-cluster pair a
-    # near-dup (kept=512 of 100k — a 99.5%-duplicate corpus, nothing like
-    # the ~5% of a real crawl and a degenerate clique workload for the
-    # component stage). Dedicated generator: 0.5-amplitude noise keeps
-    # ordinary same-cluster cosine ~0.8, and every 20th vector is a
-    # planted twin of its predecessor (0.01 perturbation → cosine
-    # ≈ 0.9999+) — ~5% true duplicate rate.
-    dim, n_clusters = 64, 16
+def gen_semdedup_embeddings(spark, n, path, dim=64, n_clusters=16):
+    """Twin-planted embeddings for SemDeDup probes.
+
+    gen_embeddings' 0.1-amplitude noise makes every same-cluster pair a
+    near-dup (kept=512 of 100k — a 99.5%-duplicate corpus, nothing like
+    the ~5% of a real crawl and a degenerate clique workload for the
+    component stage). This generator: 0.5-amplitude noise keeps
+    ordinary same-cluster cosine ~0.8, and every 20th vector is a
+    planted twin of its predecessor (0.01 perturbation → cosine
+    ≈ 0.9999+) — ~5% true duplicate rate.
+    """
     base = F.col("id") - F.when(F.col("id") % 20 == 19, 1).otherwise(0)
     # noise frequency varies PER DIM (0.137 + 0.0911·i): a single shared
     # frequency makes every pair's noise vectors phase-correlated
@@ -350,7 +358,19 @@ def _probe_semdedup(spark, scratch, args, S, report):
     ]
     spark.range(0, n, 1, 32).select(
         F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
-    ).write.mode("overwrite").parquet(emb_path)
+    ).write.mode("overwrite").parquet(path)
+
+
+def _probe_semdedup(spark, scratch, args, S, report):
+    # ------------- SemDeDup at 100k vectors, 512 cells ------------------
+    # (r9): the intra-cell pair join is the scale-sensitive stage —
+    # cells ≈ n/nlist, candidate volume Σ cell². 512 data-vector
+    # "centroids" (no k-means needed for a probe) keep cells ~200, the
+    # operating shape the PLANS row claims. Also measures the
+    # embedding-decontamination argmax at the same corpus size.
+    n = min(args.vectors, 100_000)
+    emb_path = str(scratch / f"semdedup_emb_{n}")
+    gen_semdedup_embeddings(spark, n, emb_path)
     emb = spark.read.parquet(emb_path)
     cents = emb.where(F.col("vec_id") < 512).select(
         F.col("vec_id").alias("centroid_id"),
@@ -377,6 +397,87 @@ def _probe_semdedup(spark, scratch, args, S, report):
         args.reps,
     )
     report("embedding_decontaminate", vectors=n, bench=100, sec=sec, exchanges=ex)
+
+
+def _probe_semdedup_1m(spark, scratch, args, S, report):
+    # ---------- SemDeDup at 1M vectors, nlist 2048 (r10 item 7) ---------
+    # 10× the r9 probe and past the 256-literal threshold, so coarse
+    # assignment takes the numpy mapInPandas route; cells average
+    # ~n/nlist ≈ 500. Two runs: the default cap (65536 — never engages,
+    # the pre-cap plan shape) and a forced max_cell_size=256 (every cell
+    # sub-blocks into g≈2 groups → 3 tasks/cell) to price the exact
+    # sub-blocking machinery against its straggler insurance.
+    n = args.vectors
+    nlist = 2048
+    emb_path = str(scratch / f"semdedup1m_emb_{n}")
+    gen_semdedup_embeddings(spark, n, emb_path)
+    emb = spark.read.parquet(emb_path)
+    cents = emb.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    for tag, cap in (("default_cap", 65536), ("forced_cap256", 256)):
+        t0 = time.perf_counter()
+        survivors = S.semantic_dedup(
+            emb, cents, threshold=0.9999, max_cell_size=cap
+        )
+        kept = survivors.count()
+        report(
+            f"semantic_dedup_1m_{tag}",
+            vectors=n,
+            nlist=nlist,
+            max_cell_size=cap,
+            kept=kept,
+            dropped=n - kept,
+            sec=round(time.perf_counter() - t0, 2),
+            exchanges=survivors._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange "),
+        )
+
+
+#: 12-token passage planted by the hot-span probe (5 hot 8-gram hashes
+#: shared by every tagged doc — the straggler shape the r10 de-skew of
+#: remove_repeated_spans exists to survive)
+_PROBE_PASSAGE = (
+    "shared boilerplate passage tokens alpha beta gamma delta "
+    "epsilon zeta eta theta"
+)
+
+
+def _probe_spans(spark, scratch, args, D, report):
+    # -------- ExactSubstr repeated-span removal (r10 item 7) ------------
+    # Clean corpus: unique per-doc token streams (dup spans are hash
+    # accidents only) — prices the groupBy-min keeper election + 1:1
+    # join at full occ volume (~docs × (tokens-7) span rows). Hot
+    # corpus: every 10th doc carries the same 12-token passage → 5 span
+    # hashes with docs/10 occurrences EACH. Pre-r10 this was a single
+    # row_number straggler partition; the de-skewed election partial-
+    # aggregates it map-side and the 1:1 probe join AQE-splits.
+    n = args.docs
+    path = str(scratch / f"spans_docs_{n}")
+    gen_documents(spark, n, path)
+    docs = spark.read.parquet(path)
+    sec, ex = _timed(lambda: D.remove_repeated_spans(docs, k=8), args.reps)
+    report("repeated_spans_clean", docs=n, sec=round(sec, 2), exchanges=ex)
+    hot = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_PROBE_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sec, ex = _timed(lambda: D.remove_repeated_spans(hot, k=8), args.reps)
+    report(
+        "repeated_spans_hot10pct",
+        docs=n,
+        hot_occurrences=n // 10,
+        sec=round(sec, 2),
+        exchanges=ex,
+    )
 
 
 if __name__ == "__main__":

@@ -329,6 +329,53 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_mhindex(args: argparse.Namespace) -> int:
+    """Persisted MinHash LSH index: ``build`` writes the signature table
+    + parameter record once over a corpus; ``append`` folds a new shard
+    in under the STORED parameters; ``dedup`` reports a batch's near-dup
+    survivors against the index (and within the batch, keep-first)
+    without recomputing anything over indexed text — the dedup
+    counterpart of ``ann-build``'s build-once/search-many contract."""
+    from hive_scripts_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-mhindex")
+    docs = load_sf_table(spark, args.db, "documents")
+    if args.action == "build":
+        minhash_index_build(
+            docs,
+            args.index,
+            n=args.ngram,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+        )
+        n = spark.read.parquet(f"{args.index}/signatures").count()
+        print(f"built {args.index}: {n} signatures")
+        return 0
+    if args.action == "append":
+        before = spark.read.parquet(f"{args.index}/signatures").count()
+        minhash_index_append(docs, args.index)
+        after = spark.read.parquet(f"{args.index}/signatures").count()
+        print(f"appended {after - before} signatures ({after} total)")
+        return 0
+    if not args.output:
+        raise SystemExit("dedup needs --output for the survivor parquet")
+    kept = minhash_index_dedup(docs, args.index, threshold=args.threshold)
+    kept.write.mode("overwrite").parquet(args.output)
+    n_total = docs.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(f"wrote {args.output}")
+    print(
+        f"kept {n_kept} of {n_total} docs (dropped {n_total - n_kept} "
+        f"near-dups of the index/batch at est_jaccard>={args.threshold})"
+    )
+    return 0
+
+
 def cmd_stream_reconcile(args: argparse.Namespace) -> int:
     """Micro-batch UC#1 as a command: stream the events directory
     (``availableNow`` — drain-and-stop; drop the trigger for a live
@@ -824,6 +871,20 @@ def main(argv: list[str] | None = None) -> int:
         "hash-group pair tasks (exact — survivors unchanged)",
     )
     sd.set_defaults(fn=cmd_semdedup)
+
+    mh = sub.add_parser(
+        "mhindex",
+        help="persisted MinHash index: build/append/dedup-batch",
+    )
+    mh.add_argument("action", choices=("build", "append", "dedup"))
+    mh.add_argument("--db", required=True, help="dir containing documents.parquet")
+    mh.add_argument("--index", required=True, help="index directory")
+    mh.add_argument("--output", help="survivor parquet dir (dedup only)")
+    mh.add_argument("--threshold", type=float, default=0.5)
+    mh.add_argument("--ngram", type=int, default=3, help="shingle width (build)")
+    mh.add_argument("--num-hashes", type=int, default=32, help="(build)")
+    mh.add_argument("--bands", type=int, default=8, help="(build)")
+    mh.set_defaults(fn=cmd_mhindex)
 
     k = sub.add_parser(
         "chunk", help="overlapping fixed-token chunk export over documents"

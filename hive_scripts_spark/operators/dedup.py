@@ -1392,6 +1392,218 @@ def cross_corpus_dedup(
     return lhs.join(rhs, ["__h1", "__h2"], "left_anti").drop("__h1", "__h2")
 
 
+# ---------------------------------------------------------------------------
+# persisted MinHash index (build once, dedup many batches)
+# ---------------------------------------------------------------------------
+
+
+def _bands_from_signature(sig, num_hashes: int, bands: int):
+    """Band-bucket array derived from a STORED signature — byte-identical
+    to the buckets :func:`minhash_band_buckets` computes inline (same
+    ``xxhash64(band, rows...)`` combine), so an index built from
+    signatures interoperates with the recompute chain."""
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            *[
+                F.element_at(sig, b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        ),
+    )
+
+
+def _index_meta_path(index_dir: str) -> str:
+    return f"{index_dir}/meta"
+
+
+def _write_index_meta(spark, index_dir: str, meta: dict) -> None:
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+        _index_meta_path(index_dir)
+    )
+
+
+def read_minhash_index_meta(spark, index_dir: str) -> dict:
+    """Load and return the index's parameter record (raises on a
+    missing/unreadable index)."""
+    row = spark.read.json(_index_meta_path(index_dir)).collect()[0]
+    return {k: row[k] for k in ("id_col", "n", "num_hashes", "bands")}
+
+
+def minhash_index_build(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Build a persisted MinHash LSH index: the ``(id, minhash)``
+    signature table as parquet plus a parameter record that
+    :func:`minhash_index_dedup_pairs` validates on every use.
+
+    The dedup counterpart of the ANN build-once faces
+    (``pq_encode``/``ivfpq_encode``): shingling + the minhash fold —
+    the CPU-dense stage — runs ONCE over the historical corpus; every
+    subsequent batch dedups against the stored signatures without
+    re-reading a byte of historical TEXT. Only signatures persist
+    (~32 longs/doc — single source of truth, ~3 orders smaller than
+    the text); band buckets re-derive from them per batch as cheap
+    long-hashes over a metadata-sized scan (:func:`_bands_from_signature`).
+
+    Scale: the build is the map-only signature projection + one
+    parquet write; no shuffle.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    _write_index_meta(
+        df.sparkSession,
+        index_dir,
+        {"id_col": id_col, "n": n, "num_hashes": num_hashes, "bands": bands},
+    )
+
+
+def minhash_index_append(
+    df: DataFrame, index_dir: str, text_col: str = "text"
+) -> None:
+    """Append a batch's signatures to an existing index (the
+    ``ann-build --append`` staging discipline: parameters come from the
+    stored meta, never from arguments that could drift). The caller
+    owns id-uniqueness across appends — same contract as any
+    append-only log."""
+    meta = read_minhash_index_meta(df.sparkSession, index_dir)
+    sigs = minhash_signatures(
+        df, text_col, meta["id_col"], int(meta["n"]), int(meta["num_hashes"])
+    )
+    sigs.write.mode("append").parquet(f"{index_dir}/signatures")
+
+
+def minhash_index_dedup_pairs(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted index (plus,
+    by default, within the batch itself) WITHOUT recomputing anything
+    over the historical corpus.
+
+    Returns ``(new_id, match_id, match_source, est_jaccard)`` where
+    ``match_source`` is ``'index'`` or ``'batch'`` and ``est_jaccard``
+    is the signature-agreement estimate (matching minhash slots /
+    num_hashes — the standard unbiased Jaccard estimator, ±1/√k). The
+    exact-verify stage of the inline chain needs both texts; an
+    incremental index deliberately stores none, so the estimate IS the
+    verdict — with k=32 the estimator's σ ≈ 0.09, callers wanting
+    exactness re-verify the (rare) reported pairs against source text.
+
+    Scale shape: the batch side is small by definition — its buckets
+    and signatures broadcast under AQE. The index side contributes one
+    metadata-sized scan (signatures parquet, no text), the bucket
+    equi-join on ``(band, bucket)``, and a candidate-keyed signature
+    attach that AQE broadcasts (candidates are rare). Nothing
+    corpus-sized shuffles; ``max_bucket_size`` drops degenerate
+    buckets exactly like the inline chain (:func:`_cap_buckets`).
+    """
+    spark = new_df.sparkSession
+    meta = read_minhash_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    n, num_hashes, bands = (
+        int(meta["n"]),
+        int(meta["num_hashes"]),
+        int(meta["bands"]),
+    )
+    idx_sigs = spark.read.parquet(f"{index_dir}/signatures")
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n, num_hashes)
+
+    def buckets(sigs):
+        b = sigs.select(
+            F.col(id_col),
+            F.posexplode_outer(
+                _bands_from_signature(F.col("minhash"), num_hashes, bands)
+            ).alias("band", "bucket"),
+        )
+        return _cap_buckets(b, max_bucket_size)
+
+    new_b = buckets(new_sigs).toDF("new_id", "band", "bucket")
+    idx_b = buckets(idx_sigs).toDF("match_id", "band", "bucket")
+    cross = (
+        new_b.join(idx_b, ["band", "bucket"])
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("match_source", F.lit("index"))
+    )
+    candidates = cross
+    if include_batch_pairs:
+        rhs = new_b.toDF("match_id", "band", "bucket")
+        batch = (
+            new_b.join(rhs, ["band", "bucket"])
+            .where(F.col("new_id") > F.col("match_id"))  # keep-first: match the OLDER id
+            .select("new_id", "match_id")
+            .distinct()
+            .withColumn("match_source", F.lit("batch"))
+        )
+        candidates = cross.unionByName(batch)
+    a_side = new_sigs.toDF("new_id", "__a_sig")
+    b_side = (
+        idx_sigs.toDF("match_id", "__b_sig")
+        .withColumn("match_source", F.lit("index"))
+        .unionByName(
+            new_sigs.toDF("match_id", "__b_sig").withColumn(
+                "match_source", F.lit("batch")
+            )
+        )
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("__a_sig", "__b_sig", lambda a, b: a == b),
+            lambda v: v,
+        )
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        candidates.join(a_side, "new_id")
+        .join(b_side, ["match_id", "match_source"])
+        .select(
+            "new_id",
+            "match_id",
+            "match_source",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_index_dedup(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Keep-first incremental dedup: the NEW batch's rows minus those
+    near-duplicating the index or a lower-id batch sibling (original
+    columns intact). The anti-join broadcasts the DUPLICATE id set —
+    rare by definition, the same rare-side contract as
+    :func:`~hive_scripts_spark.operators.similarity.embedding_decontaminate`."""
+    meta = read_minhash_index_meta(new_df.sparkSession, index_dir)
+    id_col = meta["id_col"]
+    pairs = minhash_index_dedup_pairs(
+        new_df,
+        index_dir,
+        text_col,
+        threshold,
+        max_bucket_size,
+        include_batch_pairs=True,
+    )
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(F.broadcast(dup_ids), id_col, "left_anti")
+
+
 def contamination_substring(
     corpus: DataFrame,
     benchmark_snippets: DataFrame,

@@ -643,3 +643,31 @@ def test_semdedup_subcommand(spark, tmp_path, capsys):
         "/root/testdata/sf0.001/embeddings.parquet"
     ).count()
     assert 0 < written.count() <= n_emb
+
+
+def test_mhindex_build_append_dedup_roundtrip(spark, tmp_path, capsys):
+    """mhindex e2e: build over sf0.001 documents, append is counted,
+    dedup of the same table against its own index drops everything
+    (every doc matches itself at est_jaccard 1.0)."""
+    from hive_scripts_spark.__main__ import main
+
+    idx = tmp_path / "mhidx"
+    out = tmp_path / "kept"
+    rc = main(
+        ["mhindex", "build", "--db", "/root/testdata/sf0.001",
+         "--index", str(idx)]
+    )
+    assert rc == 0
+    assert "500 signatures" in capsys.readouterr().out
+    rc = main(
+        ["mhindex", "dedup", "--db", "/root/testdata/sf0.001",
+         "--index", str(idx), "--output", str(out)]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "kept 0 of 500" in printed
+    # meta round-trips the build parameters
+    from hive_scripts_spark.operators.dedup import read_minhash_index_meta
+
+    meta = read_minhash_index_meta(spark, str(idx))
+    assert (meta["n"], meta["num_hashes"], meta["bands"]) == (3, 32, 8)

@@ -834,3 +834,111 @@ def test_dedup_lines_hot_line_no_window(spark):
     for i in (1, 13, 299):
         assert out[i]["text_deduped"] == f"unique content line number {i}"
         assert out[i]["n_lines_removed"] == 1
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash index (build once, dedup many batches)
+# ---------------------------------------------------------------------------
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and runs through "
+    "the quiet forest near the wide river bank at dawn today"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_build_and_dedup(spark, tmp_path):
+    """Build-once/dedup-many: a batch near-dup of an INDEXED doc is
+    caught via the stored signatures (match_source='index'), a
+    within-batch near-dup via keep-first (match_source='batch'), and
+    the survivor frame keeps originals intact."""
+    from hive_scripts_spark.operators import dedup as D
+
+    idx = str(tmp_path / "mh_index")
+    corpus = _docs(
+        spark,
+        [
+            (1, _BASE),
+            (2, _BASE.replace("dawn", "noon").replace("fox", "cat")),
+            (3, "completely different text about spark physical plans "
+                "and shuffle exchanges in adaptive query execution"),
+        ],
+    )
+    D.minhash_index_build(corpus, idx)
+    meta = D.read_minhash_index_meta(spark, idx)
+    assert (meta["n"], meta["num_hashes"], meta["bands"]) == (3, 32, 8)
+
+    batch = _docs(
+        spark,
+        [
+            (101, _BASE.replace("today", "tonight")),  # near-dup of doc 1
+            (102, "fresh unrelated content line about parquet footers "
+                  "predicate pushdown and column pruning at scale"),
+            (103, "fresh unrelated content line about parquet footers "
+                  "predicate pushdown and column pruning at speed"),  # ~102
+        ],
+    )
+    pairs = {
+        (r["new_id"], r["match_id"]): r
+        for r in D.minhash_index_dedup_pairs(batch, idx, threshold=0.5).collect()
+    }
+    assert (101, 1) in pairs
+    assert pairs[(101, 1)]["match_source"] == "index"
+    assert pairs[(101, 1)]["est_jaccard"] >= 0.5
+    assert (103, 102) in pairs  # keep-first: newer id matches the older
+    assert pairs[(103, 102)]["match_source"] == "batch"
+    assert (102, 103) not in pairs
+
+    kept = D.minhash_index_dedup(batch, idx, threshold=0.5)
+    assert kept.columns == batch.columns
+    assert {r["doc_id"] for r in kept.collect()} == {102}
+
+
+def test_minhash_index_append_and_estimator(spark, tmp_path):
+    """Append extends the index under the STORED parameters, and the
+    signature-agreement estimate is exact (1.0) for identical text."""
+    from hive_scripts_spark.operators import dedup as D
+
+    idx = str(tmp_path / "mh_index")
+    D.minhash_index_build(_docs(spark, [(1, _BASE)]), idx)
+    appended = _docs(
+        spark,
+        [(50, "a second corpus shard with its own distinctive words "
+              "covering streaming watermarks and stateful aggregation")],
+    )
+    D.minhash_index_append(appended, idx)
+
+    batch = _docs(spark, [(200, appended.collect()[0]["text"])])  # verbatim
+    pairs = D.minhash_index_dedup_pairs(batch, idx, threshold=0.5).collect()
+    assert {(r["new_id"], r["match_id"]) for r in pairs} == {(200, 50)}
+    assert pairs[0]["est_jaccard"] == 1.0
+    assert pairs[0]["match_source"] == "index"
+
+
+def test_minhash_index_interoperates_with_inline_chain(spark, tmp_path):
+    """Bucket derivation from STORED signatures is byte-identical to
+    minhash_band_buckets' inline finish lambda — an index built from
+    signatures and the recompute chain block identically."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators import dedup as D
+
+    docs = _docs(spark, [(1, _BASE), (2, _BASE.replace("dawn", "noon"))])
+    inline = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in D.minhash_band_buckets(docs).collect()
+    }
+    sigs = D.minhash_signatures(docs)
+    derived = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in sigs.select(
+            "doc_id",
+            F.posexplode_outer(
+                D._bands_from_signature(F.col("minhash"), 32, 8)
+            ).alias("band", "bucket"),
+        ).collect()
+    }
+    assert inline == derived

@@ -322,13 +322,24 @@ def remove_repeated_spans(
         .otherwise(F.array().cast("array<string>"))
         .alias("__grams"),
     )
-    occ = grams.select(
-        F.col(id_col), F.posexplode("__grams").alias("__pos", "__m")
-    ).select(
-        id_col,
-        "__pos",
-        F.conv(F.substring("__m", 1, 15), 16, 10).cast("long").alias("__h1"),
-        F.conv(F.substring("__m", 17, 15), 16, 10).cast("long").alias("__h2"),
+    # posexplode_OUTER, not posexplode: InferFiltersFromGenerate gives
+    # the non-outer generator a pushed-down `size(__grams) > 0` guard
+    # with full expression substitution — the whole md5-span transform
+    # re-evaluates inside the filter (measured 4.6 s vs 0.45 s at
+    # sf0.1, the same ≈10× trap as minhash_band_buckets). The outer
+    # variant is exempt; short docs emit one NULL row dropped right
+    # after (a filter on the generator OUTPUT — nothing to substitute).
+    occ = (
+        grams.select(
+            F.col(id_col), F.posexplode_outer("__grams").alias("__pos", "__m")
+        )
+        .where(F.col("__m").isNotNull())
+        .select(
+            id_col,
+            "__pos",
+            F.conv(F.substring("__m", 1, 15), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring("__m", 17, 15), 16, 10).cast("long").alias("__h2"),
+        )
     )
     dup_keepers = (
         occ.groupBy("__h1", "__h2")
@@ -350,7 +361,10 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("__pos").alias("__cut_starts"))
     )
-    joined = grams.join(cuts, id_col, "left")
+    # the final cut needs only __toks — joining `staged` (not `grams`)
+    # spares the join branch a second full evaluation of the md5-span
+    # transform (DataFrame branches share no CSE)
+    joined = staged.join(cuts, id_col, "left")
     kept = joined.select(
         id_col,
         F.size("__toks").alias("__total"),

@@ -357,9 +357,11 @@ def vocabulary(
     total-doc count (table stat, not a data-path collect).
     """
     n_docs = df.where(F.length(normalize_whitespace(text_col)) > 0).count()
+    # explode_outer + null-drop: the non-outer form's inferred
+    # size-guard re-evaluates the whole tokenize regexp chain per row
     toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    )
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("term")
+    ).where(F.col("term").isNotNull())
     vocab = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct(id_col).alias("doc_freq"),
@@ -541,8 +543,13 @@ def unigram_logprob_score(
     plan (no giant map literal).
     """
     norm = normalize_whitespace(text_col)
+    # posexplode_OUTER: the non-outer form's inferred size-guard
+    # re-evaluates the normalize+split chain per row (split is never
+    # empty — worst case [""] — so outer changes only the skipped
+    # recompute)
     toked = df.where(F.length(norm) > 0).select(
-        F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "term")
+        F.col(id_col),
+        F.posexplode_outer(F.split(norm, " ")).alias("pos", "term"),
     )
     counts = toked.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
     total = counts.agg(F.sum("__c").cast("double").alias("__total"))
@@ -657,9 +664,15 @@ def corpus_ngram_topk(
         F.split(normalize_whitespace(text_col), " ").alias("__toks"),
     )
     t = F.col("__toks")
+    # explode_OUTER: the non-outer generator gets an inferred
+    # size(...)>0 filter with full expression substitution — the whole
+    # n-gram transform would re-evaluate per row (the ≈10× posexplode
+    # trap measured on remove_repeated_spans). The where(size>=n) above
+    # already guarantees non-empty arrays, so outer changes nothing but
+    # the skipped recompute.
     grams = toks.where(F.size(t) >= n).select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.size(t) - (n - 1)),
                 lambda i: F.concat_ws(

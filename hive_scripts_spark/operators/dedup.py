@@ -95,10 +95,18 @@ def dedup_lines(
     survivor choice is min ``(doc_id, pos)``, reassembly sorts by
     position.
     """
+    # stage the split once: the single-projection form evaluates
+    # split() three times per row (size, the generator, and the
+    # inferred size-guard the non-outer generator gets); the staged
+    # alias is multi-referenced and non-cheap, so CollapseProject keeps
+    # it, and posexplode_OUTER skips the guard (split is never empty —
+    # worst case [""]).
     lines = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("__l")
+    ).select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("__total"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.size("__l").alias("__total"),
+        F.posexplode_outer("__l").alias("__pos", "__line"),
     )
     exempt = F.length("__line") < min_line_chars
     contested = lines.where(~exempt)
@@ -214,10 +222,18 @@ def strip_boilerplate(
     same OOM-proofing contract as the minhash verify join).
     Deterministic: reassembly sorts by position.
     """
+    # stage the split once: the single-projection form evaluates
+    # split() three times per row (size, the generator, and the
+    # inferred size-guard the non-outer generator gets); the staged
+    # alias is multi-referenced and non-cheap, so CollapseProject keeps
+    # it, and posexplode_OUTER skips the guard (split is never empty —
+    # worst case [""]).
     lines = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("__l")
+    ).select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("__total"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.size("__l").alias("__total"),
+        F.posexplode_outer("__l").alias("__pos", "__line"),
     )
     exempt = F.length("__line") < min_line_chars
     candid = lines.where(~exempt)

@@ -125,7 +125,27 @@ def main() -> None:
     # null + the error string; the JSON line always prints.
     errors: dict[str, str] = {}
 
-    def run_once(name: str) -> float | None:
+    # CPU-steal telemetry (r10): this box is a VM whose host steals CPU
+    # in multi-second bursts (measured: 11 CPU-seconds taken in one 5s
+    # window while the guest was the only thing running) — enough to
+    # turn a 0.9s query into a 9s rep while loadavg and the pre-bench
+    # probes both look healthy, because the bursts are transient and
+    # land mid-run. /proc/stat's steal counter is the ground truth the
+    # hypervisor exposes; recording its delta PER REP makes every
+    # contaminated number self-explaining from the artifact alone:
+    # a slow rep with steal_s ≈ the excess is the host, not the plan.
+    _clk_tck = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+
+    def _steal_ticks() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8]) if parts and parts[0] == "cpu" else 0
+        except Exception:  # noqa: BLE001 — telemetry must never fail a run
+            return 0
+
+    def run_once(name: str) -> tuple[float | None, float]:
+        steal0 = _steal_ticks()
         start = time.perf_counter()
         try:
             QUERIES[name](spark, SF_DIR).write.format("noop").mode(
@@ -133,8 +153,10 @@ def main() -> None:
             ).save()
         except Exception as exc:  # noqa: BLE001 — isolate, report, go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            return None
-        return round(time.perf_counter() - start, 3)
+            return None, 0.0
+        elapsed = round(time.perf_counter() - start, 3)
+        steal_s = round((_steal_ticks() - steal0) / _clk_tck, 2)
+        return elapsed, steal_s
 
     def run(
         names: list[str],
@@ -142,6 +164,7 @@ def main() -> None:
         dict[str, float | None],
         dict[str, float | None],
         dict[str, list[float | None]],
+        dict[str, list[float]],
     ]:
         """Each query executes THREE times, back to back. The FIRST
         timing is the historical cold series (`value`/`queries` stay
@@ -153,17 +176,22 @@ def main() -> None:
         (r8 judge directive: measurement integrity) is emitted under
         `queries_reps`/`queries_extra_reps` so a reader can tell
         environmental contamination (rep2 ≉ rep1, high variance) from a
-        genuine plan regression (all reps uniformly slower)."""
+        genuine plan regression (all reps uniformly slower); the
+        per-rep CPU-steal list (`queries_steal_s`, CPU-seconds the
+        hypervisor took from the guest during that rep) pins which of
+        the two it was."""
         cold: dict[str, float | None] = {}
         warm: dict[str, float | None] = {}
         reps: dict[str, list[float | None]] = {}
+        steals: dict[str, list[float]] = {}
         for name in names:
-            r0 = run_once(name)
-            r1 = run_once(name) if r0 is not None else None
-            r2 = run_once(name) if r1 is not None else None
+            r0, s0 = run_once(name)
+            r1, s1 = run_once(name) if r0 is not None else (None, 0.0)
+            r2, s2 = run_once(name) if r1 is not None else (None, 0.0)
             cold[name], warm[name] = r0, r1
             reps[name] = [r0, r1, r2]
-        return cold, warm, reps
+            steals[name] = [s0, s1, s2]
+        return cold, warm, reps, steals
 
     # Machine-speed yardsticks (r9): the r8→r9 artifacts showed EVERY
     # query uniformly +20-80% vs r7 with no per-query plan change and a
@@ -194,12 +222,29 @@ def main() -> None:
 
     load_before = os.getloadavg()
     t_bench_start = time.perf_counter()
-    timings, timings_warm, timings_reps = run(HEADLINE)
-    extra, extra_warm, extra_reps = run(EXTRA)
+    timings, timings_warm, timings_reps, timings_steal = run(HEADLINE)
+    extra, extra_warm, extra_reps, extra_steal = run(EXTRA)
     load_after = os.getloadavg()
 
     def total_of(d: dict[str, float | None]) -> float:
         return round(sum(t for t in d.values() if t is not None), 3)
+
+    # Min-of-reps "best" series (r10): the steal counter proved this
+    # box's interference is bursty but NOT always CPU-steal (same-run
+    # tries show one random query 3-6x slow with steal~0 — host IO /
+    # memory-bandwidth noise the guest can't attribute). min over the
+    # 3 back-to-back reps is the same load-robust statistic
+    # tools/sweep.py already ranks by; it is the right series for
+    # round-over-round comparison on a shared host. warm (rep 2) stays
+    # for continuity with r7-r9 artifacts.
+    def best_of(reps: dict[str, list[float | None]]) -> dict[str, float | None]:
+        return {
+            name: (min(v for v in rs if v is not None) if any(v is not None for v in rs) else None)
+            for name, rs in reps.items()
+        }
+
+    timings_best = best_of(timings_reps)
+    extra_best = best_of(extra_reps)
 
     total = total_of(timings)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -220,6 +265,17 @@ def main() -> None:
                 "total_extra_warm": total_of(extra_warm),
                 "queries_reps": timings_reps,
                 "queries_extra_reps": extra_reps,
+                # min-of-3-reps: the load-robust series (see best_of).
+                "queries_best": timings_best,
+                "total_best": total_of(timings_best),
+                "queries_extra_best": extra_best,
+                "total_extra_best": total_of(extra_best),
+                # per-rep CPU-seconds stolen by the hypervisor during
+                # that rep (from /proc/stat; 0.0 when the guest had the
+                # CPUs to itself). A slow rep whose steal_s accounts for
+                # the excess is host contention, not a plan regression.
+                "queries_steal_s": timings_steal,
+                "queries_extra_steal_s": extra_steal,
                 # contamination telemetry (r8 judge: the artifact must let
                 # a reader tell noise from regression): 1/5/15-min load
                 # average BEFORE the first timed query and AFTER the last,

@@ -54,6 +54,22 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # whole-sweep CPU-steal total (r10): this box's hypervisor steals
+    # CPU in multi-second bursts; min-of-reps already deflects most of
+    # it, but the artifact should say how contested the run was.
+    def _steal_ticks() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8]) if parts and parts[0] == "cpu" else 0
+        except Exception:  # noqa: BLE001 — telemetry only
+            return 0
+
+    import os as _os
+
+    _clk = float(_os.sysconf("SC_CLK_TCK")) if hasattr(_os, "sysconf") else 100.0
+    steal0 = _steal_ticks()
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
@@ -70,8 +86,18 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — isolate, report, go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    steal_total_s = round((_steal_ticks() - steal0) / _clk, 1)
     if args.json:
-        print(json.dumps({"sf_dir": args.sf_dir, "times": times, "errors": errors}))
+        print(
+            json.dumps(
+                {
+                    "sf_dir": args.sf_dir,
+                    "times": times,
+                    "errors": errors,
+                    "steal_total_s": steal_total_s,
+                }
+            )
+        )
     else:
         for name, err in errors.items():
             print(f"ERR   {name}: {err}")
@@ -80,6 +106,7 @@ def main() -> int:
         print(
             f"total {round(sum(times.values()), 1)} s over {len(times)} queries"
             + (f", {len(errors)} errors" if errors else "")
+            + f", {steal_total_s} CPU-s stolen by hypervisor"
         )
     spark.stop()
     return 1 if errors else 0

@@ -125,3 +125,57 @@ def skew_report(
             "share", F.col("n_rows").cast("double") / F.lit(float(total))
         )
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    k: int,
+    salt_from: str,
+    salts: int = 32,
+    rank_name: str = "pick_order",
+) -> DataFrame:
+    """EXACT per-group top-``k`` that survives hot groups.
+
+    The natural form — one ``row_number() over (partition by group
+    order by ...)`` — puts EVERY row of a hot group into a single
+    window partition, and windows get no AQE skew-splitting (the
+    straggler shape the r9 review flagged in the line/span keeper
+    elections; those were fixable with groupBy-min because they only
+    needed rank 1 — top-k needs the window, so it gets the salted
+    two-level treatment instead).
+
+    Level 1 ranks within ``(group, salt)`` — the hot group's rows
+    spread over ``salts`` window partitions — and keeps each salt's
+    local top-k. No candidate is lost: a row in the group's global
+    top-k is, a fortiori, in the top-k of its own salt. Level 2 ranks
+    the ≤ ``salts * k`` survivors per group on the same key — bounded
+    input per window partition regardless of group size. Result:
+    exactly the ``k`` first rows per group in ``order_cols`` order,
+    with their 1-based global rank as ``rank_name`` — bit-identical to
+    the single-window form (which is therefore the correct ORACLE SQL
+    for any query built on this: the salt is a physical detail, not a
+    semantic one).
+
+    ``order_cols`` must be a total order (include a unique id as the
+    last tiebreak) or ranks are nondeterministic. ``salt_from`` feeds
+    the deterministic salt (never ``rand()`` — reruns repartition
+    identically).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    local = (
+        df.withColumn("__salt", salt_column(salt_from, salts))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        local.withColumn(rank_name, F.row_number().over(w2))
+        .where(F.col(rank_name) <= k)
+        .drop("__salt")
+    )

@@ -179,22 +179,37 @@ def embedding_near_dup_pairs(
             )
             for t in range(lsh_tables)
         ]
+        # NARROW blocking (r10): emit (id, tbl, sig) only — no vectors.
+        # The previous shape carried (vec, norm) through the self-join
+        # and the pair dedup, which (a) shuffles O(candidates x vec
+        # bytes) through dropDuplicates — the same melt-traffic trap
+        # _verify_pairs_jaccard documents — and (b) evaluates the
+        # hyperplane-signature fold (tables x bits x dim HOF mults, the
+        # dominant CPU) once PER JOIN BRANCH under a broadcast
+        # self-join. Narrow rows are 3 longs; the shared repartition
+        # makes the two branches' shuffle stages canonically identical
+        # so AQE computes the signature fold ONCE and reuses the stage;
+        # vectors attach AFTER the 16-byte pair dedup via two id-keyed
+        # joins that AQE broadcasts (or shuffles once per side above
+        # broadcast size) — the verify-join posture.
         blocked = base.select(
-            id_col, "vec", "norm", F.explode(F.array(*sigs)).alias("ts")
+            id_col, F.explode(F.array(*sigs)).alias("ts")
         ).select(
             id_col,
-            "vec",
-            "norm",
             F.col("ts.tbl").alias("tbl"),
             F.col("ts.sig").alias("sig"),
         )
-        a = blocked.toDF("a_id", "a_vec", "a_norm", "tbl", "sig")
-        b = blocked.toDF("b_id", "b_vec", "b_norm", "tbl", "sig")
-        pairs = (
-            a.join(b, ["tbl", "sig"])
+        blocked = blocked.repartition("tbl", "sig")
+        lhs = blocked.toDF("a_id", "tbl", "sig")
+        rhs = blocked.toDF("b_id", "tbl", "sig")
+        cand = (
+            lhs.join(rhs, ["tbl", "sig"])
             .where(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "a_vec", "a_norm", "b_id", "b_vec", "b_norm")
-            .dropDuplicates(["a_id", "b_id"])
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
+            base.toDF("b_id", "b_vec", "b_norm"), "b_id"
         )
     else:
         a = base.toDF("a_id", "a_vec", "a_norm")
@@ -328,10 +343,9 @@ def embedding_lsh_pairs_portable(
             bit_cols.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bit_cols)
 
+    # narrow blocking + late vector attach — see embedding_near_dup_pairs
     sigs = base.select(
         F.col(id_col),
-        "vec",
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -344,18 +358,20 @@ def embedding_lsh_pairs_portable(
         ).alias("__s"),
     ).select(
         id_col,
-        "vec",
-        "norm",
         F.col("__s.tbl").alias("tbl"),
         F.col("__s.sig").alias("sig"),
     )
-    a = sigs.toDF("a_id", "a_vec", "a_norm", "tbl", "sig")
-    b = sigs.toDF("b_id", "b_vec", "b_norm", "tbl", "sig")
-    pairs = (
-        a.join(b, ["tbl", "sig"])
+    sigs = sigs.repartition("tbl", "sig")
+    lhs = sigs.toDF("a_id", "tbl", "sig")
+    rhs = sigs.toDF("b_id", "tbl", "sig")
+    cand = (
+        lhs.join(rhs, ["tbl", "sig"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "a_norm", "b_vec", "b_norm")
-        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
+        base.toDF("b_id", "b_vec", "b_norm"), "b_id"
     )
     sim = F.round(
         dot(F.col("a_vec"), F.col("b_vec"))
@@ -532,6 +548,91 @@ def ivf_cell_stats(
             6,
         ).alias("mean_sim"),
         F.round(F.min("sim"), 6).alias("min_sim"),
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    cap_per_cell: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_threshold: int = 256,
+    salts: int = 32,
+) -> DataFrame:
+    """Cluster-balanced subsampling (topic balancing): at most
+    ``cap_per_cell`` vectors per k-means cell, picked in portable-md5
+    order of the id.
+
+    The diversity-preserving downsampling step of an embedding-curated
+    training mix (the cluster-then-balance recipe of SemDeDup-style
+    pipelines, arXiv:2303.09540 §2: cluster the corpus, then bound
+    each cluster's contribution so giant near-duplicate topics — SEO
+    boilerplate, licence pages — can't dominate the sample). The md5
+    pick order is a deterministic uniform draw WITHIN each cell:
+    reruns, engines, and the DuckDB oracle agree row-for-row, unlike
+    ``rand()``-based sampling.
+
+    Scale shape: assignment is :func:`ivf_assign` (literal-centroid
+    argmax — zero corpus shuffle); the per-cell pick is
+    :func:`~hive_scripts_spark.functions.skew.topk_per_group`, the
+    salted two-level EXACT top-k, so a degenerate hot cell (the very
+    thing balancing exists to neutralize) spreads over ``salts``
+    window partitions instead of becoming one straggler task. The
+    salting is bit-transparent: results equal the single-window form,
+    which is therefore the oracle SQL
+    (``row_number() over (partition by centroid_id
+    order by md5(cast(id as varchar)), id) <= cap``).
+
+    Returns ``(id_col, centroid_id, sim, pick_order)`` — ``sim`` is
+    the member→centroid cosine (6dp), ``pick_order`` the 1-based
+    within-cell pick rank.
+    """
+    from ..functions.skew import topk_per_group
+
+    assigned = ivf_assign(
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        literal_threshold=literal_threshold,
+    )
+    return topk_per_group(
+        assigned,
+        ["centroid_id"],
+        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        cap_per_cell,
+        salt_from=id_col,
+        salts=salts,
+        rank_name="pick_order",
+    )
+
+
+def cluster_balance_report(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    cap_per_cell: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Before/after audit for :func:`cluster_balanced_sample` WITHOUT
+    materializing the sample: per cell, the member count, the count the
+    cap would keep, and the kept fraction. One groupBy over |cells|
+    keys with map-side partials — |cells| output rows at any corpus
+    size; ``kept_fraction`` is one IEEE divide of exact ints
+    (oracle-comparable)."""
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    kept = F.least(F.col("n_vectors"), F.lit(cap_per_cell).cast("bigint"))
+    return counts.select(
+        "centroid_id",
+        "n_vectors",
+        kept.alias("n_kept"),
+        F.round(kept.cast("double") / F.col("n_vectors"), 6).alias(
+            "kept_fraction"
+        ),
     )
 
 

@@ -134,3 +134,28 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == uf_components(edges, nodes), f"seed {seed}"
+
+
+def test_topk_per_group_matches_single_window(spark):
+    """Salted two-level top-k must be bit-identical to the naive
+    single-window form (which is the oracle SQL for queries built on
+    it), including on a hot group and with k > group size."""
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.skew import topk_per_group
+
+    rows = [(i, "hot" if i % 10 else "cold", f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string, payload string")
+    order = [F.md5(F.col("id").cast("string")), F.col("id")]
+    for k, salts in [(7, 4), (3, 32), (100, 8)]:
+        got = topk_per_group(df, ["grp"], order, k, salt_from="id", salts=salts)
+        w = Window.partitionBy("grp").orderBy(*order)
+        want = df.withColumn("pick_order", F.row_number().over(w)).where(
+            F.col("pick_order") <= k
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (k, salts)
+    # k larger than the cold group (50 rows): every cold row survives
+    got = topk_per_group(df, ["grp"], order, 100, salt_from="id", salts=8)
+    assert got.where("grp = 'cold'").count() == 50

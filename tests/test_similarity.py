@@ -710,3 +710,65 @@ def test_ivf_assign_numpy_route_matches_literal(spark):
         ncid, nsim = np_route[vid]
         assert ncid == cid
         assert nsim == pytest.approx(sim, abs=2e-6)  # 6dp rounding ulps
+
+
+def test_cluster_balanced_sample_matches_single_window(
+    semdedup_vecs, axis_centroids, spark
+):
+    """The salted pick equals the naive one-window replay (the oracle
+    form), ranks are contiguous from 1, and reruns are identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = S.cluster_balanced_sample(
+        semdedup_vecs, axis_centroids, cap_per_cell=2, salts=4
+    )
+    assigned = S.ivf_assign(semdedup_vecs, axis_centroids)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    want = assigned.withColumn("pick_order", F.row_number().over(w)).where(
+        "pick_order <= 2"
+    )
+    key = lambda r: (r["centroid_id"], r["pick_order"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert sorted(key(r) for r in got.collect()) == [(0, 1), (0, 2), (1, 1), (1, 2)]
+    rerun = S.cluster_balanced_sample(
+        semdedup_vecs, axis_centroids, cap_per_cell=2, salts=4
+    )
+    assert sorted(map(tuple, rerun.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_cluster_balanced_sample_hot_cell(spark, axis_centroids):
+    """A degenerate one-cell corpus (the straggler shape the salting
+    exists for): exact cap, identical to the single-window form."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, [10.0 + (i % 7) * 0.01, float(i % 3) * 0.02]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.cluster_balanced_sample(emb, axis_centroids, cap_per_cell=9, salts=4)
+    assert got.count() == 9
+    assert {r["centroid_id"] for r in got.collect()} == {0}
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    want = (
+        S.ivf_assign(emb, axis_centroids)
+        .withColumn("pick_order", F.row_number().over(w))
+        .where("pick_order <= 9")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cluster_balance_report(semdedup_vecs, axis_centroids):
+    out = {
+        r["centroid_id"]: r
+        for r in S.cluster_balance_report(
+            semdedup_vecs, axis_centroids, cap_per_cell=3
+        ).collect()
+    }
+    assert out[0]["n_vectors"] == 4 and out[0]["n_kept"] == 3
+    assert out[1]["n_vectors"] == 3 and out[1]["n_kept"] == 3
+    assert abs(out[0]["kept_fraction"] - 0.75) < 1e-9
+    assert out[1]["kept_fraction"] == 1.0

@@ -329,6 +329,65 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_balance(args: argparse.Namespace) -> int:
+    """Cluster-balanced subsampling as a command: keep at most
+    ``--cap`` vectors per k-means cell (topic balancing — giant
+    near-duplicate topics can't dominate the training mix). Same
+    centroid conventions as ``semdedup``: first ``--nlist`` vectors,
+    or ``--train-sample N`` to Lloyd-train. Writes the picked frame
+    ``(vec_id, centroid_id, sim, pick_order)`` as parquet and prints
+    the per-cell balance report."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.similarity import (
+        cluster_balance_report,
+        cluster_balanced_sample,
+        train_kmeans,
+    )
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-balance")
+    emb = load_sf_table(spark, args.db, "embeddings")
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    if args.train_sample:
+        pts = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.select(to_double.alias("embedding"))
+            .orderBy("vec_id")
+            .limit(args.train_sample)
+            .collect()
+        ]
+        cents = train_kmeans(pts, k=args.nlist)
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id long, centroid array<double>",
+        )
+    else:
+        centroids = emb.orderBy("vec_id").limit(args.nlist).select(
+            F.col("vec_id").alias("centroid_id"), to_double.alias("centroid")
+        )
+    picked = cluster_balanced_sample(emb, centroids, cap_per_cell=args.cap)
+    picked.write.mode("overwrite").parquet(args.output)
+    n_total = emb.count()
+    n_kept = spark.read.parquet(args.output).count()
+    print(f"wrote {args.output}")
+    print(
+        f"kept {n_kept} of {n_total} vectors "
+        f"(cap {args.cap}/cell, nlist={args.nlist})"
+    )
+    # the report is |cells| rows — bounded output, safe to print
+    for r in (
+        cluster_balance_report(emb, centroids, cap_per_cell=args.cap)
+        .orderBy("centroid_id")
+        .collect()
+    ):
+        print(
+            f"cell {r['centroid_id']}: {r['n_kept']}/{r['n_vectors']} "
+            f"kept ({r['kept_fraction']:.4f})"
+        )
+    return 0
+
+
 def cmd_mhindex(args: argparse.Namespace) -> int:
     """Persisted MinHash LSH index: ``build`` writes the signature table
     + parameter record once over a corpus; ``append`` folds a new shard
@@ -871,6 +930,26 @@ def main(argv: list[str] | None = None) -> int:
         "hash-group pair tasks (exact — survivors unchanged)",
     )
     sd.set_defaults(fn=cmd_semdedup)
+
+    bal = sub.add_parser(
+        "balance",
+        help="cluster-balanced subsampling over embeddings (topic balancing)",
+    )
+    bal.add_argument("--db", required=True, help="dir containing embeddings.parquet")
+    bal.add_argument("--output", required=True, help="picked parquet directory")
+    bal.add_argument("--nlist", type=int, default=64, help="coarse cells")
+    bal.add_argument(
+        "--cap", type=int, default=100, help="max vectors kept per cell"
+    )
+    bal.add_argument(
+        "--train-sample",
+        type=int,
+        default=None,
+        metavar="N",
+        help="Lloyd-train centroids from the first N vectors "
+        "(default: first --nlist vectors ARE the centroids)",
+    )
+    bal.set_defaults(fn=cmd_balance)
 
     mh = sub.add_parser(
         "mhindex",

@@ -671,3 +671,23 @@ def test_mhindex_build_append_dedup_roundtrip(spark, tmp_path, capsys):
 
     meta = read_minhash_index_meta(spark, str(idx))
     assert (meta["n"], meta["num_hashes"], meta["bands"]) == (3, 32, 8)
+
+
+def test_balance_subcommand(spark, tmp_path, capsys):
+    """balance writes the picked frame (cap per cell honored) and
+    prints the per-cell report."""
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "balanced"
+    rc = main(
+        ["balance", "--db", "/root/testdata/sf0.001",
+         "--output", str(out), "--nlist", "8", "--cap", "5"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "kept" in printed and "cell 0:" in printed
+    written = spark.read.parquet(str(out))
+    assert set(written.columns) == {"vec_id", "centroid_id", "sim", "pick_order"}
+    per_cell = written.groupBy("centroid_id").count().collect()
+    assert per_cell and all(r["count"] <= 5 for r in per_cell)
+    assert written.where("pick_order > 5").count() == 0

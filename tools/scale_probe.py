@@ -142,6 +142,7 @@ def main() -> int:
             "semdedup",
             "semdedup1m",
             "spans",
+            "balance",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -190,6 +191,8 @@ def main() -> int:
         _probe_semdedup_1m(spark, scratch, args, S, report)
     if args.probe == "spans":
         _probe_spans(spark, scratch, args, D, report)
+    if args.probe == "balance":
+        _probe_balance(spark, scratch, args, S, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -478,6 +481,53 @@ def _probe_spans(spark, scratch, args, D, report):
         sec=round(sec, 2),
         exchanges=ex,
     )
+
+
+def _probe_balance(spark, scratch, args, S, report):
+    # ----- cluster-balanced sampling at --vectors, nlist 2048 (r10) -----
+    # Normal shape: cells ≈ n/nlist; the pick's level-1 window rides
+    # (cell, salt). Hot shape: ONE centroid — every vector lands in one
+    # cell, the exact straggler the salting insures against — measured
+    # salted vs the naive single-window form (same results, pinned by
+    # tests; here we price the physical difference).
+    from pyspark.sql.window import Window
+
+    n = args.vectors
+    nlist = 2048
+    emb_path = str(scratch / f"balance_emb_{n}")
+    gen_semdedup_embeddings(spark, n, emb_path)
+    emb = spark.read.parquet(emb_path)
+    cents = emb.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    sec, ex = _timed(
+        lambda: S.cluster_balanced_sample(emb, cents, cap_per_cell=100),
+        args.reps,
+    )
+    report("cluster_balanced_sample", vectors=n, nlist=nlist, cap=100,
+           sec=sec, exchanges=ex)
+
+    cents1 = cents.where(F.col("centroid_id") < 1)
+    sec, ex = _timed(
+        lambda: S.cluster_balanced_sample(emb, cents1, cap_per_cell=100),
+        args.reps,
+    )
+    report("cluster_balanced_sample_hot", vectors=n, nlist=1, cap=100,
+           sec=sec, exchanges=ex)
+
+    def naive():
+        assigned = S.ivf_assign(emb, cents1)
+        w = Window.partitionBy("centroid_id").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        return assigned.withColumn(
+            "pick_order", F.row_number().over(w)
+        ).where(F.col("pick_order") <= 100)
+
+    sec, ex = _timed(naive, args.reps)
+    report("cluster_balanced_sample_hot_naive_window", vectors=n, nlist=1,
+           cap=100, sec=sec, exchanges=ex)
 
 
 if __name__ == "__main__":

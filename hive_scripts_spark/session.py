@@ -61,7 +61,17 @@ def get_spark(app_name: str = "hive_scripts_spark", master: str | None = None) -
     * **Arrow on** for any Pandas-UDF path (the only Python hot paths we
       allow are Arrow-batched).
     * **ANSI on** (Spark 4 default kept): typed errors over silent wrap.
+    * **single-threaded BLAS in Python workers**: Spark already
+      parallelizes the numpy paths (`ivf_assign`, `semantic_dedup`'s
+      cell matmuls, PQ LUTs) across one worker per input split; a
+      multi-threaded OpenBLAS/MKL inside EACH of 32 workers
+      oversubscribes the box ~32× and thrashes (measured: the 1M×2048
+      coarse assignment warm 13.5 → 8.8 s with the pin). ``setdefault``
+      so an explicit user env always wins; must be set before the JVM
+      launches (local-mode python workers inherit this process's env).
     """
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         # local-mode JVM heap: Spark's default is 1g, shared by the

@@ -141,14 +141,16 @@ def embedding_near_dup_pairs(
 
     **Scale guard** (same contract as
     :func:`~hive_scripts_spark.operators.dedup.ngram_jaccard_pairs`):
-    the ``use_lsh=False`` path is an O(n²) cross join — fine as an
-    exactness oracle on a bounded frame, a scale-killer on a 100 TB
-    corpus. When ``use_lsh=False`` and the input exceeds ``max_docs``
-    rows, the call warns loudly and routes through the LSH-blocked
-    path anyway (exact cosine still verifies every candidate, so
-    precision is unchanged; recall becomes the LSH knob). Callers
-    whose semantics are exhaustive-by-contract (the ``x_embed_near_dup``
-    oracle twin) pass ``max_docs=None`` to force the cross join.
+    the ``use_lsh=False`` path does O(n²) work — fine as an exactness
+    oracle on a bounded frame, a scale-killer on a 100 TB corpus (the
+    blocked-matmul form below spreads the n² over parallel bounded
+    tasks, but cannot change the FLOP count). When ``use_lsh=False``
+    and the input exceeds ``max_docs`` rows, the call warns loudly and
+    routes through the LSH-blocked path anyway (exact cosine still
+    verifies every candidate, so precision is unchanged; recall
+    becomes the LSH knob). Callers whose semantics are
+    exhaustive-by-contract (the ``x_embed_near_dup`` oracle twin) pass
+    ``max_docs=None`` to force the exhaustive path.
     """
     if not use_lsh and max_docs is not None:
         # bounded probe, not a full count: LocalLimit stops the scan early
@@ -157,10 +159,10 @@ def embedding_near_dup_pairs(
 
             warnings.warn(
                 f"embedding_near_dup_pairs: use_lsh=False on an input "
-                f"exceeding max_docs={max_docs}; the exhaustive cross "
-                "join is quadratic, so routing through hyperplane-LSH "
+                f"exceeding max_docs={max_docs}; the exhaustive path "
+                "is quadratic, so routing through hyperplane-LSH "
                 "blocking (exact cosine verify, LSH-bounded recall). "
-                "Pass max_docs=None to force the cross join.",
+                "Pass max_docs=None to force the exhaustive path.",
                 UserWarning,
                 stacklevel=2,
             )
@@ -211,18 +213,126 @@ def embedding_near_dup_pairs(
         pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
             base.toDF("b_id", "b_vec", "b_norm"), "b_id"
         )
-    else:
-        a = base.toDF("a_id", "a_vec", "a_norm")
-        b = base.toDF("b_id", "b_vec", "b_norm")
-        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    sim = F.round(
-        dot(F.col("a_vec"), F.col("b_vec"))
-        / (F.col("a_norm") * F.col("b_norm")),
-        6,
+        sim = F.round(
+            dot(F.col("a_vec"), F.col("b_vec"))
+            / (F.col("a_norm") * F.col("b_norm")),
+            6,
+        )
+        return (
+            pairs.select("a_id", "b_id", sim.alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold)
+        )
+    # Exhaustive all-pairs, BLOCKED (r10): still O(n²) FLOPs — that is
+    # this path's declared contract (the exactness baseline for the LSH
+    # route) — but as bounded blocked-matmul tasks instead of a
+    # BroadcastNestedLoopJoin evaluating an interpreted dim-length fold
+    # per pair. Same machinery as semantic_dedup's over-cap cells: the
+    # corpus hash-splits into g = ceil(n / block_rows) groups, each row
+    # replicates to its g unordered group-pair tasks, a (gi == gj) task
+    # emits its upper triangle and a cross task only cross pairs — every
+    # pair lands in EXACTLY ONE task, per-task input ≤ ~2×block_rows
+    # rows, and the n² work spreads over g(g+1)/2 parallel tasks instead
+    # of one nested-loop stage. Cosines round to 6dp like every exact
+    # path (boundary ulps vs a sequential fold are the numpy routes'
+    # documented tolerance — same status as semantic_dedup's edges).
+    # Measured at sf0.1 (10k vecs): 16.7 s (clean-window sweep) → ~3 s.
+    block_rows = 4096
+    ng = base.agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / block_rows)
+        )
+        .cast("int")
+        .alias("__ng")
+    ).withColumn("__one", F.lit(1))
+    rows = (
+        base.withColumn("__one", F.lit(1))
+        .join(F.broadcast(ng), "__one")
+        .select(
+            id_col,
+            "vec",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__ng"))
+            .cast("int")
+            .alias("__g"),
+            "__ng",
+        )
     )
-    return (
-        pairs.select("a_id", "b_id", sim.alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= threshold)
+    tasks = rows.select(
+        id_col,
+        "vec",
+        "__g",
+        F.explode(F.sequence(F.lit(0), F.col("__ng") - 1)).alias("__p"),
+    ).select(
+        id_col,
+        "vec",
+        "__g",
+        F.least("__g", "__p").alias("__gi"),
+        F.greatest("__g", "__p").alias("__gj"),
+    )
+    id_dtype = embeddings.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def pair_sims(key, pdf):
+        # self-contained: imports inside (pickles by value off-repo)
+        import numpy as np
+        import pandas as pd
+
+        gi, gj = key
+        empty = pd.DataFrame(
+            {
+                "a_id": pdf[id_col].to_numpy()[:0],
+                "b_id": pdf[id_col].to_numpy()[:0],
+                "cosine_sim": np.zeros(0),
+            }
+        )
+
+        def sorted_block(sub):
+            ids = sub[id_col].to_numpy()
+            order = np.argsort(ids)
+            V = np.array(sub["vec"].tolist(), dtype=np.float64)[order]
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = np.inf
+            return ids[order], V / n[:, None]
+
+        a_out, b_out, s_out = [], [], []
+        slab = 2048
+        if gi == gj:
+            if len(pdf) < 2:
+                return empty
+            ids, Vn = sorted_block(pdf)
+            for s in range(0, len(ids), slab):
+                sims = np.round(Vn[s : s + slab] @ Vn.T, 6)
+                ii, jj = np.nonzero(sims >= thr)
+                g_row = ii + s
+                keep = g_row < jj
+                a_out.append(ids[g_row[keep]])
+                b_out.append(ids[jj[keep]])
+                s_out.append(sims[ii[keep], jj[keep]])
+        else:
+            left = pdf[pdf["__g"] == gi]
+            right = pdf[pdf["__g"] == gj]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            ids_l, Vl = sorted_block(left)
+            ids_r, Vr = sorted_block(right)
+            for s in range(0, len(ids_l), slab):
+                sims = np.round(Vl[s : s + slab] @ Vr.T, 6)
+                ii, jj = np.nonzero(sims >= thr)
+                la, rb = ids_l[ii + s], ids_r[jj]
+                a_out.append(np.minimum(la, rb))
+                b_out.append(np.maximum(la, rb))
+                s_out.append(sims[ii, jj])
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_out),
+                "b_id": np.concatenate(b_out),
+                "cosine_sim": np.concatenate(s_out),
+            }
+        )
+
+    return tasks.groupBy("__gi", "__gj").applyInPandas(
+        pair_sims, f"a_id {id_dtype}, b_id {id_dtype}, cosine_sim double"
     )
 
 

@@ -97,6 +97,17 @@ EXTRA = [
     # keeper election over 120-bit span keys)
     "x_dedup_intradoc_lines",
     "x_dedup_repeated_spans",
+    # r10 perf-fix cohort — timing series starts here to track the two
+    # self-join fixes (shared blocking shuffle: the signature pipeline
+    # evaluates once, not per join branch; narrow pair rows) and the
+    # blocked-matmul exhaustive baseline (16.7 -> ~1.3 s warm at the
+    # fix). x_embed_near_dup is the declared O(n^2) exactness oracle —
+    # its cost scales quadratically BY CONTRACT; read it against the
+    # LSH-blocked x_ann_lsh_pairs in the same run.
+    "x_ann_lsh_pairs",
+    "x_dedup_simhash",
+    "x_dedup_ngram_jaccard",
+    "x_embed_near_dup",
 ]
 
 

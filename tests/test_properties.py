@@ -396,3 +396,40 @@ def test_temperature_weights_replay_property(spark, toks):
         assert got[s]["token_share"] == round(v, 6), s
         assert got[s]["sample_weight"] == w, s
         assert got[s]["upsample_factor"] == round(w / v, 6), s
+
+
+@SMALL
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=3),  # group key: few, hot
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(min_value=1, max_value=7),
+    salts=st.sampled_from([1, 2, 5, 32]),
+)
+def test_topk_per_group_equals_window_form(spark, rows, k, salts):
+    """Property (r10): the salted two-level exact top-k is bit-identical
+    to the naive single-window form for ANY rows/k/salts — including
+    salts=1 (degenerate: level 1 IS the window form) and groups smaller
+    than k. This identity is what licenses using the window form as the
+    DuckDB oracle for queries built on topk_per_group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.skew import topk_per_group
+
+    df = spark.createDataFrame(rows, "id long, grp int")
+    order = [F.md5(F.col("id").cast("string")), F.col("id")]
+    got = topk_per_group(df, ["grp"], order, k, salt_from="id", salts=salts)
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = df.withColumn("pick_order", F.row_number().over(w)).where(
+        F.col("pick_order") <= k
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

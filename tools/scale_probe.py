@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -36,6 +37,23 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def _steal_ticks() -> int:
+    """Hypervisor CPU-steal counter (/proc/stat col 9) — same telemetry
+    as bench.py/sweep.py: this box's host steals CPU in multi-second
+    bursts that loadavg and pre-run probes can't see; a probe report
+    whose steal accounts for its excess is host contention, not a plan
+    change."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" else 0
+    except Exception:  # noqa: BLE001 — telemetry must never fail a probe
+        return 0
+
+
+_CLK_TCK = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
 
 
 def _timed(df_builder, reps):
@@ -52,14 +70,19 @@ def _timed_full(df_builder, reps):
     best, exchanges, bhj, smj = None, None, None, None
     for _ in range(max(1, reps)):
         df = df_builder()
+        steal0 = _steal_ticks()
         t0 = time.perf_counter()
         _noop(df)
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        steal = (_steal_ticks() - steal0) / _CLK_TCK
+        if best is None or dt < best:
+            best, best_steal = dt, steal
         plan = df._jdf.queryExecution().executedPlan().toString()
         exchanges = plan.count("Exchange ")
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
+    print(json.dumps({"telemetry": "best_rep_steal_s",
+                      "value": round(best_steal, 2)}), flush=True)
     return round(best, 2), exchanges, bhj, smj
 
 

@@ -286,6 +286,7 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from hive_scripts_spark.operators.similarity import (
+        kmeans_fit,
         semantic_dedup,
         train_kmeans,
     )
@@ -294,7 +295,9 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     spark = get_spark("hive-scripts-spark-semdedup")
     emb = load_sf_table(spark, args.db, "embeddings")
     to_double = F.transform("embedding", lambda x: x.cast("double"))
-    if args.train_sample:
+    if getattr(args, "train_full", None):
+        centroids = kmeans_fit(emb, k=args.nlist, iters=args.train_full)
+    elif args.train_sample:
         pts = [
             [float(x) for x in r["embedding"]]
             for r in emb.select(to_double.alias("embedding"))
@@ -342,6 +345,7 @@ def cmd_balance(args: argparse.Namespace) -> int:
     from hive_scripts_spark.operators.similarity import (
         cluster_balance_report,
         cluster_balanced_sample,
+        kmeans_fit,
         train_kmeans,
     )
     from hive_scripts_spark.plans.registry import table as load_sf_table
@@ -349,7 +353,9 @@ def cmd_balance(args: argparse.Namespace) -> int:
     spark = get_spark("hive-scripts-spark-balance")
     emb = load_sf_table(spark, args.db, "embeddings")
     to_double = F.transform("embedding", lambda x: x.cast("double"))
-    if args.train_sample:
+    if getattr(args, "train_full", None):
+        centroids = kmeans_fit(emb, k=args.nlist, iters=args.train_full)
+    elif args.train_sample:
         pts = [
             [float(x) for x in r["embedding"]]
             for r in emb.select(to_double.alias("embedding"))
@@ -929,6 +935,15 @@ def main(argv: list[str] | None = None) -> int:
         help="enforced per-cell cap: hotter cells sub-block into "
         "hash-group pair tasks (exact — survivors unchanged)",
     )
+    sd.add_argument(
+        "--train-full",
+        type=int,
+        default=None,
+        metavar="ITERS",
+        help="distributed Lloyd over the FULL table for ITERS "
+        "iterations (one map-only pass per iteration; overrides "
+        "--train-sample)",
+    )
     sd.set_defaults(fn=cmd_semdedup)
 
     bal = sub.add_parser(
@@ -948,6 +963,15 @@ def main(argv: list[str] | None = None) -> int:
         metavar="N",
         help="Lloyd-train centroids from the first N vectors "
         "(default: first --nlist vectors ARE the centroids)",
+    )
+    bal.add_argument(
+        "--train-full",
+        type=int,
+        default=None,
+        metavar="ITERS",
+        help="distributed Lloyd over the FULL table for ITERS "
+        "iterations (one map-only pass per iteration; overrides "
+        "--train-sample)",
     )
     bal.set_defaults(fn=cmd_balance)
 

@@ -1644,6 +1644,118 @@ def ivfpq_search_codes(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means over the full table — the trainer that
+    scales where :func:`train_kmeans`'s collected-sample fitting stops.
+
+    Each iteration is ONE map-only pass over the corpus: an Arrow-
+    batched ``mapInPandas`` task assigns its rows to the max-cosine
+    centroid (the same metric as :func:`ivf_assign`, so the fitted
+    centroids drive assignment exactly as trained) and accumulates
+    per-centroid member counts and vector sums ACROSS its whole
+    partition, emitting k partial rows per task. Partials then combine
+    with one ``groupBy(cid).applyInPandas`` (k reducers, each summing
+    |partitions| fixed-width rows) and the k finished centroids — model
+    parameters, not data — collect to the driver for the next
+    iteration's closure. Nothing corpus-sized ever shuffles or
+    collects: per iteration the shuffle is |partitions| × k rows of
+    dim doubles and the collect is k rows, at ANY corpus size.
+
+    Deterministic: init = the k lowest-``id_col`` vectors; float64
+    numpy accumulation per partition, combined in cid order. Empty
+    cells keep their previous centroid (same rule as
+    :func:`train_kmeans`). Centroid update is the plain member mean —
+    under cosine assignment the centroid's own norm is irrelevant, so
+    the mean and the re-normalized (spherical) mean assign
+    identically.
+
+    Returns a ``(centroid_id long, centroid array<double>)`` DataFrame
+    ready for :func:`ivf_assign` / :func:`semantic_dedup` /
+    :func:`cluster_balanced_sample`.
+    """
+    spark = embeddings.sparkSession
+    staged = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    head = staged.orderBy(id_col).limit(k).collect()
+    cents = [[float(x) for x in r["vec"]] for r in head]
+    k_eff = len(cents)  # fewer rows than k: fit what exists
+    dim = len(cents[0]) if cents else 0
+
+    for _ in range(max(0, iters)):
+        cmat = [list(c) for c in cents]  # plain lists: pickles by value
+
+        def partials_fn(batches, _cmat=cmat, _k=k_eff, _dim=dim):
+            # self-contained: imports inside (safe off-repo drivers)
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(_cmat, dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = np.inf
+            Cn = C / cn[:, None]
+            sums = np.zeros((_k, _dim), dtype=np.float64)
+            counts = np.zeros(_k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0.0] = np.inf
+                amax = np.argmax((V / vn[:, None]) @ Cn.T, axis=1)
+                np.add.at(sums, amax, V)
+                counts += np.bincount(amax, minlength=_k)
+            if not seen:
+                return
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(_k, dtype=np.int64),
+                    "n": counts,
+                    "s": list(sums),
+                }
+            )
+
+        def combine_fn(pdf):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "cid": pdf["cid"].iloc[:1],
+                    "n": [int(pdf["n"].sum())],
+                    "s": [
+                        np.array(pdf["s"].tolist(), dtype=np.float64).sum(
+                            axis=0
+                        )
+                    ],
+                }
+            )
+
+        schema = "cid long, n long, s array<double>"
+        partials = staged.mapInPandas(partials_fn, schema)
+        combined = partials.groupBy("cid").applyInPandas(combine_fn, schema)
+        new_cents = list(cents)
+        for r in combined.collect():  # k rows — model params only
+            if r["n"] > 0:
+                new_cents[int(r["cid"])] = [
+                    float(x) / r["n"] for x in r["s"]
+                ]
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id long, centroid array<double>",
+    )
+
+
 def train_kmeans(points: list[list[float]], k: int, iters: int = 10) -> list[list[float]]:
     """Deterministic driver-side Lloyd k-means: init = the first ``k``
     points, fixed iteration count, sequential float64 arithmetic —

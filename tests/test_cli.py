@@ -691,3 +691,20 @@ def test_balance_subcommand(spark, tmp_path, capsys):
     per_cell = written.groupBy("centroid_id").count().collect()
     assert per_cell and all(r["count"] <= 5 for r in per_cell)
     assert written.where("pick_order > 5").count() == 0
+
+
+def test_balance_train_full(spark, tmp_path, capsys):
+    """--train-full fits centroids distributedly (one map pass per
+    iteration) and the pick still honors the cap."""
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "balanced_full"
+    rc = main(
+        ["balance", "--db", "/root/testdata/sf0.001",
+         "--output", str(out), "--nlist", "4", "--cap", "10",
+         "--train-full", "2"]
+    )
+    assert rc == 0
+    written = spark.read.parquet(str(out))
+    per_cell = written.groupBy("centroid_id").count().collect()
+    assert per_cell and all(r["count"] <= 10 for r in per_cell)

@@ -772,3 +772,40 @@ def test_cluster_balance_report(semdedup_vecs, axis_centroids):
     assert out[1]["n_vectors"] == 3 and out[1]["n_kept"] == 3
     assert abs(out[0]["kept_fraction"] - 0.75) < 1e-9
     assert out[1]["kept_fraction"] == 1.0
+
+
+def test_kmeans_fit_improves_quantization(spark):
+    """Distributed Lloyd on the 16-cluster testdata embeddings: the
+    fitted centroids' mean member->centroid cosine must beat the
+    first-k init's, and the fit must be deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    init = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("centroid_id"), to_double.alias("centroid")
+    )
+    fitted = S.kmeans_fit(emb, k=8, iters=4)
+
+    def mean_sim(cents):
+        rows = S.ivf_cell_stats(emb, cents).collect()
+        total = sum(r["n_vectors"] for r in rows)
+        return sum(r["mean_sim"] * r["n_vectors"] for r in rows) / total
+
+    before, after = mean_sim(init), mean_sim(fitted)
+    assert after > before, (before, after)
+    refit = S.kmeans_fit(emb, k=8, iters=4)
+    assert sorted(map(tuple, refit.collect())) == sorted(
+        map(tuple, fitted.collect())
+    )
+
+
+def test_kmeans_fit_edge_cases(spark):
+    """k exceeding the row count fits what exists; iters=0 returns the
+    deterministic first-k init unchanged."""
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.kmeans_fit(emb, k=10, iters=2).collect()
+    assert len(out) == 3
+    out0 = {r["centroid_id"]: r["centroid"] for r in S.kmeans_fit(emb, k=2, iters=0).collect()}
+    assert out0 == {0: [0.0, 1.0], 1: [1.0, 1.0]}

@@ -166,6 +166,7 @@ def main() -> int:
             "semdedup1m",
             "spans",
             "balance",
+            "kmeansfit",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -216,6 +217,8 @@ def main() -> int:
         _probe_spans(spark, scratch, args, D, report)
     if args.probe == "balance":
         _probe_balance(spark, scratch, args, S, report)
+    if args.probe == "kmeansfit":
+        _probe_kmeansfit(spark, scratch, args, S, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -551,6 +554,34 @@ def _probe_balance(spark, scratch, args, S, report):
     sec, ex = _timed(naive, args.reps)
     report("cluster_balanced_sample_hot_naive_window", vectors=n, nlist=1,
            cap=100, sec=sec, exchanges=ex)
+
+
+def _probe_kmeansfit(spark, scratch, args, S, report):
+    # ---- distributed Lloyd at --vectors, k 256 (r10 new trainer) ----
+    # Per-iteration cost is ONE map-only corpus pass (assign + partial
+    # sums) + a (partitions x k)-row combine + a k-row collect; what
+    # this probe pins is that per-iteration wall time is flat across
+    # iterations (no state accumulates) and the end-to-end fit is
+    # ~iters x one-pass, i.e. the bounded-collect design holds at 1M.
+    import time as _t
+
+    n = args.vectors
+    k = 256
+    emb_path = str(scratch / f"kmeansfit_emb_{n}")
+    gen_semdedup_embeddings(spark, n, emb_path)
+    emb = spark.read.parquet(emb_path)
+    for iters in (1, 3):
+        t0 = _t.perf_counter()
+        cents = S.kmeans_fit(emb, k=k, iters=iters)
+        n_cents = cents.count()
+        report(
+            f"kmeans_fit_iters{iters}",
+            vectors=n,
+            k=k,
+            iters=iters,
+            centroids=n_cents,
+            sec=round(_t.perf_counter() - t0, 2),
+        )
 
 
 if __name__ == "__main__":

@@ -138,7 +138,28 @@ def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
     if not db:
         return spark.table(name)
     if "/" in db or db.startswith("file:") or db.startswith("s3"):
-        return spark.read.parquet(f"{db.rstrip('/')}/{name}.parquet")
+        base = f"{db.rstrip('/')}/{name}"
+        # Format fallback (r10): parquet is the lake default, but a
+        # table delivered as ORC / JSONL / CSV should load by the same
+        # name — the interchange formats a training-data pipeline
+        # actually receives. Resolution is by extension, checked on
+        # the local filesystem only (remote lakes stay parquet-fast-
+        # path: no existence probes over object storage). CSV assumes
+        # a header and uses schema inference — fine for reports and
+        # small reference tables, declare schemas for anything graded.
+        from pathlib import Path as _P
+
+        local = db.split(":", 1)[-1] if db.startswith("file:") else db
+        if "://" not in db and not _P(f"{local}/{name}.parquet").exists():
+            if _P(f"{local}/{name}.orc").exists():
+                return spark.read.orc(f"{base}.orc")
+            if _P(f"{local}/{name}.jsonl").exists():
+                return read_jsonl(spark, f"{base}.jsonl")
+            if _P(f"{local}/{name}.csv").exists():
+                return spark.read.option("header", "true").option(
+                    "inferSchema", "true"
+                ).csv(f"{base}.csv")
+        return spark.read.parquet(f"{base}.parquet")
     return spark.table(f"{db}.{name}")
 
 

@@ -71,3 +71,26 @@ def test_read_jsonl_declared_schema_is_single_pass(spark, tmp_path):
     # "oops" cannot be a long -> that LINE quarantines, not the file
     assert rows[0]["a"] == 1
     assert rows[1]["a"] is None and rows[1]["_corrupt_record"] is not None
+
+
+def test_load_table_format_fallback(spark, tmp_path):
+    """File-lake tables resolve by extension when no parquet exists:
+    ORC and JSONL load by the same name; parquet wins when present."""
+    from hive_scripts_spark.sources.readers import load_table
+
+    rows = [(1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    df.write.orc(str(tmp_path / "t_orc.orc"))
+    df.toPandas().to_json(
+        str(tmp_path / "t_jsonl.jsonl"), orient="records", lines=True
+    )
+    df.write.parquet(str(tmp_path / "both.parquet"))
+    df.selectExpr("id + 10 as id", "s").write.orc(str(tmp_path / "both.orc"))
+
+    got_orc = load_table(spark, str(tmp_path), "t_orc")
+    assert sorted((r["id"], r["s"]) for r in got_orc.collect()) == rows
+    got_jsonl = load_table(spark, str(tmp_path), "t_jsonl")
+    assert sorted((r["id"], r["s"]) for r in got_jsonl.select("id", "s").collect()) == rows
+    # parquet present -> parquet wins over the sibling orc
+    got_both = load_table(spark, str(tmp_path), "both")
+    assert sorted(r["id"] for r in got_both.collect()) == [1, 2]

@@ -4188,3 +4188,53 @@ def x_ann_ivfpq_index_search(spark, sf_dir):
     return S.ivfpq_search_codes(
         stored, centroids, res_codebooks, queries, k=5, nprobe=2
     )
+
+
+@register(
+    "x_cluster_balanced_sample",
+    oracle="""
+    with centroids as (
+      select vec_id as centroid_id, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), scored as (
+      select e.vec_id, c.centroid_id,
+             round(list_dot_product(cast(e.embedding as double[]), c.c)
+                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
+                                            cast(e.embedding as double[])))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from embeddings e cross join centroids c
+    ), ranked as (
+      select *, row_number() over (
+        partition by vec_id order by sim desc, centroid_id) as rn
+      from scored
+    ), assigned as (
+      select vec_id, centroid_id, sim from ranked where rn = 1
+    )
+    select vec_id, centroid_id, sim,
+           cast(row_number() over (
+             partition by centroid_id
+             order by md5(cast(vec_id as varchar)), vec_id) as int
+           ) as pick_order
+    from assigned
+    qualify pick_order <= 40
+    """,
+)
+def x_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling: assign every embedding to its
+    nearest centroid (the `x_ann_ivf_assign` cells) then take a
+    deterministic per-cell cap via portable-md5 pick order — the
+    curation pattern for diversity-preserving downsampling of a
+    100 TB corpus. The Spark side is a salted two-level exact top-k
+    (`functions/skew.py`): zero corpus-wide window, hot cells split
+    across salt groups then reduced, bit-identical to this oracle's
+    single `row_number` window form
+    (`test_properties.test_topk_per_group_equals_window_form`).
+    Pre-verified vs DuckDB at sf0.001 AND sf0.01 before registration
+    (r10's `tests/test_queued_r11.py`). Cap 40 cuts every cell at both
+    sfs (~62 members/cell at sf0.001, ~625 at sf0.01)."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return S.cluster_balanced_sample(emb, centroids, cap_per_cell=40)

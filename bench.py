@@ -259,57 +259,72 @@ def main() -> None:
 
     total = total_of(timings)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total seconds for 12 headline queries (reconcile, "
-                "fingerprint, TPC-H-ish aggs/joins, dedup, ANN, text, "
-                "multimodal, event-time)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": timings_warm,
-                "total_warm": total_of(timings_warm),
-                "queries_extra": extra,
-                "total_extra": total_of(extra),
-                "queries_extra_warm": extra_warm,
-                "total_extra_warm": total_of(extra_warm),
-                "queries_reps": timings_reps,
-                "queries_extra_reps": extra_reps,
-                # min-of-3-reps: the load-robust series (see best_of).
-                "queries_best": timings_best,
-                "total_best": total_of(timings_best),
-                "queries_extra_best": extra_best,
-                "total_extra_best": total_of(extra_best),
-                # per-rep CPU-seconds stolen by the hypervisor during
-                # that rep (from /proc/stat; 0.0 when the guest had the
-                # CPUs to itself). A slow rep whose steal_s accounts for
-                # the excess is host contention, not a plan regression.
-                "queries_steal_s": timings_steal,
-                "queries_extra_steal_s": extra_steal,
-                # contamination telemetry (r8 judge: the artifact must let
-                # a reader tell noise from regression): 1/5/15-min load
-                # average BEFORE the first timed query and AFTER the last,
-                # plus wall time of the timed region. On an idle local[32]
-                # box load_before[0] should be ~0; a large value means the
-                # numbers were taken on a loaded machine and the warm
-                # series should be read with suspicion.
-                # machine-speed yardsticks: fixed single-thread Python
-                # loop + fixed JVM agg, min-of-3 warm. Read cross-round
-                # deltas as RATIOS to these — if the probes moved the
-                # same way the queries did, the host changed, not the
-                # code.
-                "cpu_probe_s": cpu_probe_s,
-                "jvm_probe_s": jvm_probe_s,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "bench_wall_s": round(time.perf_counter() - t_bench_start, 1),
-                "cpus": os.cpu_count(),
-                "sf": float(sf),
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # Sidecar (r11): BENCH_r09/r10 recorded "parsed": null because the
+    # full payload (per-query extras, 3-rep series, steal telemetry)
+    # overflowed the driver's stdout tail capture. The rich record now
+    # goes to bench_detail.json next to this script; stdout carries ONE
+    # COMPACT final line with the contract fields (metric/value/unit/
+    # queries/sf) plus the small cross-round totals and host yardsticks.
+    detail = {
+        "queries": timings,
+        "queries_warm": timings_warm,
+        "queries_extra": extra,
+        "queries_extra_warm": extra_warm,
+        "queries_reps": timings_reps,
+        "queries_extra_reps": extra_reps,
+        # min-of-3-reps: the load-robust series (see best_of).
+        "queries_best": timings_best,
+        "queries_extra_best": extra_best,
+        # per-rep CPU-seconds stolen by the hypervisor during
+        # that rep (from /proc/stat; 0.0 when the guest had the
+        # CPUs to itself). A slow rep whose steal_s accounts for
+        # the excess is host contention, not a plan regression.
+        "queries_steal_s": timings_steal,
+        "queries_extra_steal_s": extra_steal,
+        # contamination telemetry (r8 judge: the artifact must let
+        # a reader tell noise from regression): 1/5/15-min load
+        # average BEFORE the first timed query and AFTER the last,
+        # plus wall time of the timed region. On an idle local[32]
+        # box load_before[0] should be ~0; a large value means the
+        # numbers were taken on a loaded machine and the warm
+        # series should be read with suspicion.
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "bench_wall_s": round(time.perf_counter() - t_bench_start, 1),
+        **({"errors": errors} if errors else {}),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        detail_path = None  # read-only checkout: summary still prints
+    summary = {
+        "metric": "total seconds for 12 headline queries (reconcile, "
+        "fingerprint, TPC-H-ish aggs/joins, dedup, ANN, text, "
+        "multimodal, event-time)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "total_warm": total_of(timings_warm),
+        # min-of-3-reps: the load-robust cross-round series.
+        "total_best": total_of(timings_best),
+        "total_extra": total_of(extra),
+        "total_extra_warm": total_of(extra_warm),
+        "total_extra_best": total_of(extra_best),
+        # machine-speed yardsticks: fixed single-thread Python
+        # loop + fixed JVM agg, min-of-3 warm. Read cross-round
+        # deltas as RATIOS to these — if the probes moved the
+        # same way the queries did, the host changed, not the code.
+        "cpu_probe_s": cpu_probe_s,
+        "jvm_probe_s": jvm_probe_s,
+        "cpus": os.cpu_count(),
+        "sf": float(sf),
+        "detail": detail_path,
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -213,9 +213,23 @@ def embedding_near_dup_pairs(
         pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
             base.toDF("b_id", "b_vec", "b_norm"), "b_id"
         )
+        # zero-norm guard: dot/(0*n) is a DIVIDE_BY_ZERO error under
+        # ANSI (Spark 4 default) and NaN otherwise — and Spark orders
+        # NaN ABOVE every number so NaN >= threshold would pass. The
+        # exhaustive numpy path maps zero norms to inf (sim 0); pin
+        # this path to the same sim-0 / excluded convention via
+        # try_divide (NULL on zero divisor) -> coalesce 0 -> nanvl 0.
         sim = F.round(
-            dot(F.col("a_vec"), F.col("b_vec"))
-            / (F.col("a_norm") * F.col("b_norm")),
+            F.nanvl(
+                F.coalesce(
+                    F.try_divide(
+                        dot(F.col("a_vec"), F.col("b_vec")),
+                        F.col("a_norm") * F.col("b_norm"),
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            ),
             6,
         )
         return (
@@ -293,6 +307,13 @@ def embedding_near_dup_pairs(
             n[n == 0.0] = np.inf
             return ids[order], V / n[:, None]
 
+        def r6(x):
+            # HALF_UP at 6dp (round .5 away from zero) — np.round is
+            # half-EVEN, which can diverge from the LSH path's F.round
+            # and the DuckDB oracle's round() at exact boundaries; this
+            # path is the declared exactness baseline, so match them.
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
         a_out, b_out, s_out = [], [], []
         slab = 2048
         if gi == gj:
@@ -300,7 +321,7 @@ def embedding_near_dup_pairs(
                 return empty
             ids, Vn = sorted_block(pdf)
             for s in range(0, len(ids), slab):
-                sims = np.round(Vn[s : s + slab] @ Vn.T, 6)
+                sims = r6(Vn[s : s + slab] @ Vn.T)
                 ii, jj = np.nonzero(sims >= thr)
                 g_row = ii + s
                 keep = g_row < jj
@@ -315,7 +336,7 @@ def embedding_near_dup_pairs(
             ids_l, Vl = sorted_block(left)
             ids_r, Vr = sorted_block(right)
             for s in range(0, len(ids_l), slab):
-                sims = np.round(Vl[s : s + slab] @ Vr.T, 6)
+                sims = r6(Vl[s : s + slab] @ Vr.T)
                 ii, jj = np.nonzero(sims >= thr)
                 la, rb = ids_l[ii + s], ids_r[jj]
                 a_out.append(np.minimum(la, rb))
@@ -483,9 +504,20 @@ def embedding_lsh_pairs_portable(
     pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
         base.toDF("b_id", "b_vec", "b_norm"), "b_id"
     )
+    # zero-norm guard: sim must read 0 (excluded), never NaN or an
+    # ANSI DIVIDE_BY_ZERO error (same convention as
+    # embedding_near_dup_pairs' two paths).
     sim = F.round(
-        dot(F.col("a_vec"), F.col("b_vec"))
-        / (F.col("a_norm") * F.col("b_norm")),
+        F.nanvl(
+            F.coalesce(
+                F.try_divide(
+                    dot(F.col("a_vec"), F.col("b_vec")),
+                    F.col("a_norm") * F.col("b_norm"),
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
+        ),
         6,
     )
     return (
@@ -1668,7 +1700,10 @@ def kmeans_fit(
     dim doubles and the collect is k rows, at ANY corpus size.
 
     Deterministic: init = the k lowest-``id_col`` vectors; float64
-    numpy accumulation per partition, combined in cid order. Empty
+    numpy accumulation per partition; partials carry a deterministic
+    partition tag (min id seen) and each cid's reducer sorts by it
+    before summing, so the non-associative float64 combine order is
+    run-to-run stable regardless of shuffle arrival order. Empty
     cells keep their previous centroid (same rule as
     :func:`train_kmeans`). Centroid update is the plain member mean —
     under cosine assignment the centroid's own norm is irrelevant, so
@@ -1688,7 +1723,9 @@ def kmeans_fit(
     k_eff = len(cents)  # fewer rows than k: fit what exists
     dim = len(cents[0]) if cents else 0
 
-    for _ in range(max(0, iters)):
+    # empty input: nothing to iterate (and the worker-side
+    # np.asarray([]) would be 1-D, crashing the axis-1 norm)
+    for _ in range(max(0, iters) if k_eff else 0):
         cmat = [list(c) for c in cents]  # plain lists: pickles by value
 
         def partials_fn(batches, _cmat=cmat, _k=k_eff, _dim=dim):
@@ -1703,10 +1740,14 @@ def kmeans_fit(
             sums = np.zeros((_k, _dim), dtype=np.float64)
             counts = np.zeros(_k, dtype=np.int64)
             seen = False
+            tag = None  # deterministic partition label: min id seen
             for pdf in batches:
                 if not len(pdf):
                     continue
                 seen = True
+                batch_min = pdf.iloc[:, 0].min()
+                if tag is None or batch_min < tag:
+                    tag = batch_min
                 V = np.array(pdf["vec"].tolist(), dtype=np.float64)
                 vn = np.linalg.norm(V, axis=1)
                 vn[vn == 0.0] = np.inf
@@ -1720,6 +1761,7 @@ def kmeans_fit(
                     "cid": np.arange(_k, dtype=np.int64),
                     "n": counts,
                     "s": list(sums),
+                    "tag": str(tag),
                 }
             )
 
@@ -1727,6 +1769,11 @@ def kmeans_fit(
             import numpy as np
             import pandas as pd
 
+            # float64 addition is not associative: sort partials by
+            # their deterministic partition tag so the sum order is
+            # run-to-run stable regardless of shuffle arrival order
+            # (parquet splits are deterministic, so tags are too)
+            pdf = pdf.sort_values("tag", kind="mergesort")
             return pd.DataFrame(
                 {
                     "cid": pdf["cid"].iloc[:1],
@@ -1739,9 +1786,12 @@ def kmeans_fit(
                 }
             )
 
-        schema = "cid long, n long, s array<double>"
-        partials = staged.mapInPandas(partials_fn, schema)
-        combined = partials.groupBy("cid").applyInPandas(combine_fn, schema)
+        partials = staged.mapInPandas(
+            partials_fn, "cid long, n long, s array<double>, tag string"
+        )
+        combined = partials.groupBy("cid").applyInPandas(
+            combine_fn, "cid long, n long, s array<double>"
+        )
         new_cents = list(cents)
         for r in combined.collect():  # k rows — model params only
             if r["n"] > 0:

@@ -121,7 +121,9 @@ def reformat_delimited(df: DataFrame, joiner: str = " ") -> DataFrame:
     return df.select(F.concat_ws(joiner, *df.columns).alias("line"))
 
 
-def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, db: str, name: str, csv_schema: str | None = None
+) -> DataFrame:
     """S4: read one named table from a "database".
 
     Three addressing modes, mirroring the reference's ``use $db; ...
@@ -134,6 +136,10 @@ def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
       against Hive with ``enableHiveSupport`` or the session catalog);
     * ``db`` empty → unqualified ``spark.table(name)`` (current
       database).
+
+    ``csv_schema``: optional DDL schema for the CSV fallback. Declared
+    schemas skip ``inferSchema``'s second full scan and cannot mistype
+    columns — pass one for anything beyond a small report table.
     """
     if not db:
         return spark.table(name)
@@ -145,20 +151,30 @@ def load_table(spark: SparkSession, db: str, name: str) -> DataFrame:
         # actually receives. Resolution is by extension, checked on
         # the local filesystem only (remote lakes stay parquet-fast-
         # path: no existence probes over object storage). CSV assumes
-        # a header and uses schema inference — fine for reports and
-        # small reference tables, declare schemas for anything graded.
+        # a header; without ``csv_schema`` it falls back to inference
+        # (a second scan — fine for reports, declare for real tables).
         from pathlib import Path as _P
 
-        local = db.split(":", 1)[-1] if db.startswith("file:") else db
-        if "://" not in db and not _P(f"{local}/{name}.parquet").exists():
-            if _P(f"{local}/{name}.orc").exists():
-                return spark.read.orc(f"{base}.orc")
-            if _P(f"{local}/{name}.jsonl").exists():
-                return read_jsonl(spark, f"{base}.jsonl")
-            if _P(f"{local}/{name}.csv").exists():
-                return spark.read.option("header", "true").option(
-                    "inferSchema", "true"
-                ).csv(f"{base}.csv")
+        # normalize every file: spelling (file:/x, file://x,
+        # file:///x) to a bare local path so the remote check below
+        # treats them all as local — 'file:///x' contains '://' and
+        # would otherwise silently skip the fallback resolution
+        local = db
+        if db.startswith("file:"):
+            local = "/" + db.split(":", 1)[1].lstrip("/")
+        if "://" not in local and not _P(f"{local}/{name}.parquet").exists():
+            lbase = f"{local.rstrip('/')}/{name}"
+            if _P(f"{lbase}.orc").exists():
+                return spark.read.orc(f"{lbase}.orc")
+            if _P(f"{lbase}.jsonl").exists():
+                return read_jsonl(spark, f"{lbase}.jsonl")
+            if _P(f"{lbase}.csv").exists():
+                reader = spark.read.option("header", "true")
+                if csv_schema is not None:
+                    reader = reader.schema(csv_schema)
+                else:
+                    reader = reader.option("inferSchema", "true")
+                return reader.csv(f"{lbase}.csv")
         return spark.read.parquet(f"{base}.parquet")
     return spark.table(f"{db}.{name}")
 

@@ -94,3 +94,37 @@ def test_load_table_format_fallback(spark, tmp_path):
     # parquet present -> parquet wins over the sibling orc
     got_both = load_table(spark, str(tmp_path), "both")
     assert sorted(r["id"] for r in got_both.collect()) == [1, 2]
+
+
+def test_load_table_file_url_spellings_resolve_fallback(spark, tmp_path):
+    """ADVICE r10: 'file:/x', 'file://x' and 'file:///x' must all get
+    the same extension-fallback resolution as the bare path — the
+    '://' remote check runs on the NORMALIZED local path."""
+    import pandas as pd
+
+    from hive_scripts_spark.sources.readers import load_table
+
+    pd.DataFrame({"id": [1, 2], "s": ["a", "b"]}).to_json(
+        str(tmp_path / "t.jsonl"), orient="records", lines=True
+    )
+    for url in (f"file:{tmp_path}", f"file:/{tmp_path}", f"file://{tmp_path}"):
+        got = load_table(spark, url, "t")
+        assert sorted(r["id"] for r in got.select("id").collect()) == [1, 2], url
+
+
+def test_load_table_csv_declared_schema_single_pass(spark, tmp_path):
+    """CSV fallback with a declared schema: no inferSchema second
+    scan, and types are exactly as declared (a leading-zero code
+    stays a string instead of inferring to int)."""
+    from hive_scripts_spark.sources.readers import load_table
+
+    (tmp_path / "t.csv").write_text("id,code\n1,007\n2,042\n")
+    got = load_table(spark, str(tmp_path), "t", csv_schema="id long, code string")
+    assert dict(got.dtypes) == {"id": "bigint", "code": "string"}
+    assert sorted((r["id"], r["code"]) for r in got.collect()) == [
+        (1, "007"),
+        (2, "042"),
+    ]
+    # without a schema the inference path still loads (report-table mode)
+    inferred = load_table(spark, str(tmp_path), "t")
+    assert sorted(r["id"] for r in inferred.collect()) == [1, 2]

@@ -645,6 +645,11 @@ def test_graded_threshold_ulp_margin(sf):
     sims = Vn @ Vn.T
     iu = np.triu_indices(len(V), k=1)
     assert np.abs(sims[iu] - 0.35).min() > 1e-6
+    # VERDICT r10 item 7: ALSO assert post-rounding — no pair's
+    # 6dp-rounded cosine lands within 1e-6 of the gate (i.e. rounds
+    # to exactly 0.350000), so a testdata regeneration cannot park a
+    # pair ON the threshold where `>=` holds only by rounding luck.
+    assert np.abs(np.round(sims[iu], 6) - 0.35).min() >= 1e-6
 
 
 def test_embedding_decontaminate(spark, semdedup_vecs):
@@ -809,3 +814,34 @@ def test_kmeans_fit_edge_cases(spark):
     assert len(out) == 3
     out0 = {r["centroid_id"]: r["centroid"] for r in S.kmeans_fit(emb, k=2, iters=0).collect()}
     assert out0 == {0: [0.0, 1.0], 1: [1.0, 1.0]}
+
+
+def test_kmeans_fit_empty_input(spark):
+    """ADVICE r10: an empty embeddings table with iters>0 must return
+    an empty centroids frame instead of crashing in workers on the
+    1-D np.asarray([]) axis-1 norm."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.kmeans_fit(emb, k=4, iters=3)
+    assert out.columns == ["centroid_id", "centroid"]
+    assert out.count() == 0
+
+
+def test_embed_near_dup_zero_norm_excluded_both_paths(spark):
+    """ADVICE r10: a zero-norm vector must be EXCLUDED (sim 0) by both
+    the LSH-verified path and the exhaustive numpy path — previously
+    the Spark-side dot/(0*n) produced NaN, which Spark orders above
+    all numbers so NaN >= threshold passed."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),       # dup of 0
+        (2, [0.0, 0.0, 0.0]),       # zero norm: must pair with nobody
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for use_lsh in (False, True):
+        got = S.embedding_near_dup_pairs(
+            emb, threshold=0.9, use_lsh=use_lsh, max_docs=None
+        ).collect()
+        pairs = sorted((r["a_id"], r["b_id"]) for r in got)
+        assert pairs == [(0, 1)], (use_lsh, pairs)
+        assert all(r["cosine_sim"] >= 0.9 for r in got)

@@ -33,6 +33,10 @@ BUDGETS = {
     "a3_table_fingerprint": 2,  # 1 agg + 1 parallelism-knob repartition
     "x_doc_chunk": 0,  # map-only chunking
     "x_dedup_fingerprint": 1,
+    # salted two-level exact top-k: salt-level + reduce-level window
+    # exchanges, both WindowGroupLimit-bounded (<= cap*salts rows/cell
+    # shuffle); assignment is a map-only literal argmax (no exchange)
+    "x_cluster_balanced_sample": 2,
 }
 
 

@@ -65,11 +65,26 @@ def l2_norm(a):
     )
 
 
+def guarded_div(num, den):
+    """``num / den`` with the zero-divisor edge pinned to 0.0.
+
+    A zero-norm vector makes every raw cosine divide either an ANSI
+    ``DIVIDE_BY_ZERO`` error (Spark 4 default) or a NaN that Spark
+    orders ABOVE every number — so it would rank as the #1 neighbor in
+    every top-k window and pass every ``>= threshold`` gate.
+    ``try_divide`` returns NULL on a zero divisor; coalesce/nanvl map
+    NULL and NaN to 0.0, the same convention as the numpy paths (zero
+    norms mapped to inf → sim 0). For any non-zero divisor this is
+    bit-identical to the plain IEEE divide, so oracle parity is
+    untouched."""
+    return F.nanvl(F.coalesce(F.try_divide(num, den), F.lit(0.0)), F.lit(0.0))
+
+
 def cosine(a, b):
     """cosine = dot / (|a| * |b|); computed dot-first, same shape as the
     DuckDB oracle expression so values match to the ULP (rounded to 6dp
-    at the query surface)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    at the query surface; zero-norm edge via :func:`guarded_div`)."""
+    return guarded_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -213,22 +228,12 @@ def embedding_near_dup_pairs(
         pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
             base.toDF("b_id", "b_vec", "b_norm"), "b_id"
         )
-        # zero-norm guard: dot/(0*n) is a DIVIDE_BY_ZERO error under
-        # ANSI (Spark 4 default) and NaN otherwise — and Spark orders
-        # NaN ABOVE every number so NaN >= threshold would pass. The
-        # exhaustive numpy path maps zero norms to inf (sim 0); pin
-        # this path to the same sim-0 / excluded convention via
-        # try_divide (NULL on zero divisor) -> coalesce 0 -> nanvl 0.
+        # zero-norm guard: see guarded_div — sim 0 / excluded, the
+        # numpy exhaustive path's convention
         sim = F.round(
-            F.nanvl(
-                F.coalesce(
-                    F.try_divide(
-                        dot(F.col("a_vec"), F.col("b_vec")),
-                        F.col("a_norm") * F.col("b_norm"),
-                    ),
-                    F.lit(0.0),
-                ),
-                F.lit(0.0),
+            guarded_div(
+                dot(F.col("a_vec"), F.col("b_vec")),
+                F.col("a_norm") * F.col("b_norm"),
             ),
             6,
         )
@@ -308,10 +313,15 @@ def embedding_near_dup_pairs(
             return ids[order], V / n[:, None]
 
         def r6(x):
-            # HALF_UP at 6dp (round .5 away from zero) — np.round is
-            # half-EVEN, which can diverge from the LSH path's F.round
-            # and the DuckDB oracle's round() at exact boundaries; this
-            # path is the declared exactness baseline, so match them.
+            # 6dp round-half-away-from-zero ON THE FP-SCALED VALUE —
+            # measured bit-identical to the DuckDB oracle's round()
+            # over 40k doubles incl. 20k planted .5e-6 ties (np.round's
+            # half-even diverged on 9.8k of them). NOT identical to
+            # Spark's F.round (BigDecimal on the shortest decimal
+            # repr), which differs from BOTH at shortest-decimal ties
+            # like 0.0001245 — that residual LSH-path divergence is
+            # fenced by the testdata ulp-margin guard
+            # (test_graded_threshold_ulp_margin).
             return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
         a_out, b_out, s_out = [], [], []
@@ -504,19 +514,12 @@ def embedding_lsh_pairs_portable(
     pairs = cand.join(base.toDF("a_id", "a_vec", "a_norm"), "a_id").join(
         base.toDF("b_id", "b_vec", "b_norm"), "b_id"
     )
-    # zero-norm guard: sim must read 0 (excluded), never NaN or an
-    # ANSI DIVIDE_BY_ZERO error (same convention as
-    # embedding_near_dup_pairs' two paths).
+    # zero-norm guard: see guarded_div — sim 0, never NaN or an ANSI
+    # DIVIDE_BY_ZERO (same convention as embedding_near_dup_pairs)
     sim = F.round(
-        F.nanvl(
-            F.coalesce(
-                F.try_divide(
-                    dot(F.col("a_vec"), F.col("b_vec")),
-                    F.col("a_norm") * F.col("b_norm"),
-                ),
-                F.lit(0.0),
-            ),
-            F.lit(0.0),
+        guarded_div(
+            dot(F.col("a_vec"), F.col("b_vec")),
+            F.col("a_norm") * F.col("b_norm"),
         ),
         6,
     )
@@ -594,7 +597,7 @@ def ivf_assign(
                     cells,
                     lambda s: F.struct(
                         F.round(
-                            dot(F.col("vec"), s["c"]) / (vn * s["cnorm"]), 6
+                            guarded_div(dot(F.col("vec"), s["c"]), vn * s["cnorm"]), 6
                         ).alias("sim"),
                         (-s["cid"]).alias("neg_cid"),
                     ),
@@ -1093,7 +1096,9 @@ def ivf_topk(
         return F.transform(
             cells,
             lambda s: F.struct(
-                F.round(dot(vec, s["c"]) / (vnorm * s["cnorm"]), 6).alias("sim"),
+                F.round(guarded_div(dot(vec, s["c"]), vnorm * s["cnorm"]), 6).alias(
+                    "sim"
+                ),
                 (-s["cid"]).alias("neg_cid"),
             ),
         )
@@ -1156,7 +1161,10 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            guarded_div(
+                dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ),
             6,
         ).alias("cosine_sim"),
     )
@@ -1565,9 +1573,9 @@ def ivfpq_encode(
             F.transform(
                 cells,
                 lambda s: F.struct(
-                    F.round(dot(F.col("vec"), s["c"]) / (vn * s["cnorm"]), 6).alias(
-                        "sim"
-                    ),
+                    F.round(
+                        guarded_div(dot(F.col("vec"), s["c"]), vn * s["cnorm"]), 6
+                    ).alias("sim"),
                     (-s["cid"]).alias("neg_cid"),
                 ),
             )

@@ -155,15 +155,42 @@ def load_table(
         # (a second scan — fine for reports, declare for real tables).
         from pathlib import Path as _P
 
-        # normalize every file: spelling (file:/x, file://x,
-        # file:///x) to a bare local path so the remote check below
-        # treats them all as local — 'file:///x' contains '://' and
-        # would otherwise silently skip the fallback resolution
+        # Normalize file: spellings to a bare local path so the remote
+        # check treats them all as local ('file:///x' contains '://'
+        # and would otherwise silently skip fallback resolution).
+        # RFC 8089 forms: 'file:/x' and 'file:x' are the path as-is
+        # (absolute / relative); 'file://<auth>/x' strips an empty or
+        # localhost authority; any OTHER authority is a genuinely
+        # remote host — no local probing for it.
         local = db
         if db.startswith("file:"):
-            local = "/" + db.split(":", 1)[1].lstrip("/")
-        if "://" not in local and not _P(f"{local}/{name}.parquet").exists():
+            rest = db[len("file:"):]
+            if rest.startswith("//"):
+                tail = rest[2:]
+                slash = tail.find("/")
+                auth, path_part = (
+                    (tail[:slash], tail[slash:]) if slash >= 0 else (tail, "/")
+                )
+                if auth in ("", "localhost"):
+                    local = path_part
+                else:
+                    # 'file://tmp/x' is ambiguous: RFC authority 'tmp',
+                    # or the common 'file:/' + '/abs' concatenation
+                    # meaning /tmp/x. If the authority reads as the
+                    # first segment of an existing local directory,
+                    # that's what the caller meant; a genuinely remote
+                    # authority won't exist here and skips local probing.
+                    cand = f"/{auth}{path_part}"
+                    local = cand if _P(cand).is_dir() else None
+            else:
+                local = rest
+        if local is not None and "://" not in local:
             lbase = f"{local.rstrip('/')}/{name}"
+            # every local read uses the NORMALIZED path: Hadoop rejects
+            # 'file://tmp/x' (authority 'tmp') with Wrong FS even
+            # though the probe above resolved it fine
+            if _P(f"{lbase}.parquet").exists():
+                return spark.read.parquet(f"{lbase}.parquet")
             if _P(f"{lbase}.orc").exists():
                 return spark.read.orc(f"{lbase}.orc")
             if _P(f"{lbase}.jsonl").exists():

@@ -97,9 +97,11 @@ def test_load_table_format_fallback(spark, tmp_path):
 
 
 def test_load_table_file_url_spellings_resolve_fallback(spark, tmp_path):
-    """ADVICE r10: 'file:/x', 'file://x' and 'file:///x' must all get
-    the same extension-fallback resolution as the bare path — the
-    '://' remote check runs on the NORMALIZED local path."""
+    """ADVICE r10: 'file:{abs}', 'file:/{abs}' and 'file://{abs}' must
+    all get the same extension-fallback resolution as the bare path —
+    the '://' remote check runs on the NORMALIZED local path — and the
+    parquet read itself must use the normalized path too (Hadoop
+    rejects 'file://tmp/x' — authority 'tmp' — with Wrong FS)."""
     import pandas as pd
 
     from hive_scripts_spark.sources.readers import load_table
@@ -107,9 +109,20 @@ def test_load_table_file_url_spellings_resolve_fallback(spark, tmp_path):
     pd.DataFrame({"id": [1, 2], "s": ["a", "b"]}).to_json(
         str(tmp_path / "t.jsonl"), orient="records", lines=True
     )
-    for url in (f"file:{tmp_path}", f"file:/{tmp_path}", f"file://{tmp_path}"):
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.parquet(
+        str(tmp_path / "tp.parquet")
+    )
+    spellings = (
+        f"file:{tmp_path}",        # file:/abs (tmp_path is absolute)
+        f"file:/{tmp_path}",       # file://abs -> empty authority? no: //+abs
+        f"file://{tmp_path}",      # file:///abs
+        f"file://localhost{tmp_path}",  # RFC 8089 localhost authority
+    )
+    for url in spellings:
         got = load_table(spark, url, "t")
         assert sorted(r["id"] for r in got.select("id").collect()) == [1, 2], url
+        gotp = load_table(spark, url, "tp")  # parquet via the SAME url
+        assert sorted(r["id"] for r in gotp.collect()) == [1, 2], url
 
 
 def test_load_table_csv_declared_schema_single_pass(spark, tmp_path):

@@ -649,7 +649,12 @@ def test_graded_threshold_ulp_margin(sf):
     # 6dp-rounded cosine lands within 1e-6 of the gate (i.e. rounds
     # to exactly 0.350000), so a testdata regeneration cannot park a
     # pair ON the threshold where `>=` holds only by rounding luck.
+    # Checked under BOTH live conventions: half-even (np.round — the
+    # semdedup numpy paths) and scaled half-away (the exhaustive
+    # path's r6, measured bit-identical to DuckDB's round()).
     assert np.abs(np.round(sims[iu], 6) - 0.35).min() >= 1e-6
+    away = np.sign(sims[iu]) * np.floor(np.abs(sims[iu]) * 1e6 + 0.5) / 1e6
+    assert np.abs(away - 0.35).min() >= 1e-6
 
 
 def test_embedding_decontaminate(spark, semdedup_vecs):
@@ -845,3 +850,28 @@ def test_embed_near_dup_zero_norm_excluded_both_paths(spark):
         pairs = sorted((r["a_id"], r["b_id"]) for r in got)
         assert pairs == [(0, 1)], (use_lsh, pairs)
         assert all(r["cosine_sim"] >= 0.9 for r in got)
+
+
+def test_zero_norm_never_ranks_first(spark):
+    """guarded_div: a zero-norm corpus vector reads cosine 0 in the
+    ranking paths (brute-force and IVF) — never NaN, which Spark
+    orders above every number and would rank it the #1 neighbor of
+    every query."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero norm
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where("vec_id = 0")
+    got = S.brute_force_topk(emb, queries, k=3).collect()
+    by_rank = {r["rank"]: (r["neighbor_id"], r["cosine_sim"]) for r in got}
+    assert by_rank[1][0] == 1                      # true nearest, not the NaN
+    # zero-norm vec 2 reads sim 0.0 exactly, tying vec 3 ([0,1], sim 0)
+    # and ranking by the id tiebreak — NOT floating to rank 1 as NaN would
+    assert by_rank[2] == (2, 0.0) and by_rank[3] == (3, 0.0)
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    ivf = {r["neighbor_id"]: r for r in S.ivf_topk(emb, cents, queries, k=3, nprobe=2).collect()}
+    assert ivf[2]["cosine_sim"] == 0.0

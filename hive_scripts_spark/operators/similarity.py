@@ -564,6 +564,16 @@ def ivf_assign(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     lits = centroids.limit(literal_threshold + 1).collect()
+    if not lits:
+        # empty model: no cell to assign to — an empty assignment frame
+        # with the contract schema, not an AnalysisException from an
+        # element-less (VOID-typed) literal array. Callers compose
+        # sanely: embedding_decontaminate on an empty benchmark drops
+        # nothing, ivf_cell_stats reports zero cells.
+        id_dtype = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} {id_dtype}, centroid_id long, sim double"
+        )
     if len(lits) <= literal_threshold:
         # centroid self-norms computed in PYTHON from the collected model
         # params (sequential sum == both engines' sequential folds, so

@@ -1,0 +1,211 @@
+"""Empty-input sweep: every DataFrame→DataFrame operator must handle
+an empty corpus (and, where a model/benchmark side exists, an empty
+model side) without crashing — returning an empty frame with the
+documented schema, or a well-defined degenerate result.
+
+This is the bug class ADVICE r10 item 3 caught in ``kmeans_fit`` (a
+worker-side ``np.asarray([])`` axis error reachable only on an empty
+table): driver-side ``collect()[0]`` indexing, literal-embedding of
+empty collected models, and numpy axis assumptions all live here. A
+100 TB pipeline hits empty inputs constantly — an empty partition of a
+curation filter chain, a benchmark table not yet loaded, a first
+incremental batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_scripts_spark.operators import dedup as D
+from hive_scripts_spark.operators import similarity as S
+from hive_scripts_spark.operators import textstats as X
+
+DOCS_SCHEMA = "doc_id long, text string"
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOCS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")],
+        DOCS_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])], EMB_SCHEMA
+    )
+
+
+# ---- text/dedup operators over an EMPTY corpus --------------------
+
+TEXT_OPS = [
+    ("exact_dedup", lambda df: D.exact_dedup(df, ["text"])),
+    ("fingerprint_dedup", lambda df: D.fingerprint_dedup(df)),
+    ("dedup_lines", lambda df: D.dedup_lines(df)),
+    ("dedup_lines_within_doc", lambda df: D.dedup_lines_within_doc(df)),
+    ("strip_boilerplate", lambda df: D.strip_boilerplate(df)),
+    ("remove_repeated_spans", lambda df: D.remove_repeated_spans(df)),
+    ("ngram_jaccard_pairs", lambda df: D.ngram_jaccard_pairs(df, threshold=0.5)),
+    ("minhash_lsh_pairs", lambda df: D.minhash_lsh_pairs(df)),
+    ("minhash_lsh_pairs_portable", lambda df: D.minhash_lsh_pairs_portable(df)),
+    (
+        "near_dup_survivors",
+        lambda df: D.near_dup_survivors(
+            df.selectExpr("doc_id", "text", "length(text) as n_chars"),
+            D.minhash_lsh_pairs(df),
+        ),
+    ),
+    ("simhash_near_pairs", lambda df: D.simhash_near_pairs(df)),
+    ("simhash_near_pairs_portable", lambda df: D.simhash_near_pairs_portable(df)),
+    ("quality_features", lambda df: X.quality_features(df)),
+    ("language_id", lambda df: X.language_id(df)),
+    ("doc_fingerprint", lambda df: X.doc_fingerprint(df)),
+    ("repetition_signals", lambda df: X.repetition_signals(df)),
+    ("word_entropy", lambda df: X.word_entropy(df)),
+    ("vocabulary", lambda df: X.vocabulary(df)),
+    (
+        "length_histogram",
+        lambda df: X.length_histogram(
+            df.selectExpr("doc_id", "length(text) as n_chars")
+        ),
+    ),
+    ("pii_signals", lambda df: X.pii_signals(df)),
+    ("pii_redact", lambda df: X.pii_redact(df)),
+    ("chunk_documents", lambda df: X.chunk_documents(df)),
+    ("unigram_logprob_score", lambda df: X.unigram_logprob_score(df)),
+    ("corpus_ngram_topk", lambda df: X.corpus_ngram_topk(df)),
+    (
+        "quality_gate_report",
+        lambda df: X.quality_gate_report(
+            df.selectExpr("doc_id", "text", "'web' as source"),
+            weights=[0.1] * 8,
+        ),
+    ),
+    ("compression_signal", lambda df: X.compression_signal(df)),
+    (
+        "length_profile",
+        lambda df: X.length_profile(
+            df.selectExpr("doc_id", "text", "'web' as source")
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,op", TEXT_OPS, ids=[n for n, _ in TEXT_OPS])
+def test_text_op_on_empty_corpus(empty_docs, name, op):
+    out = op(empty_docs)
+    assert out.count() == 0
+
+
+# ---- embedding operators over an EMPTY corpus ----------------------
+
+
+def test_brute_force_topk_empty_corpus(empty_emb, small_emb):
+    assert S.brute_force_topk(empty_emb, small_emb, k=3).count() == 0
+
+
+def test_brute_force_topk_empty_queries(small_emb, empty_emb):
+    assert S.brute_force_topk(small_emb, empty_emb, k=3).count() == 0
+
+
+@pytest.mark.parametrize("use_lsh", [False, True])
+def test_near_dup_pairs_empty_corpus(empty_emb, use_lsh):
+    out = S.embedding_near_dup_pairs(
+        empty_emb, threshold=0.5, use_lsh=use_lsh, max_docs=None
+    )
+    assert out.count() == 0
+
+
+def test_lsh_portable_empty_corpus(empty_emb):
+    assert S.embedding_lsh_pairs_portable(empty_emb, threshold=0.5).count() == 0
+
+
+def test_ivf_assign_empty_corpus(spark, empty_emb, small_emb):
+    cents = small_emb.selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    assert S.ivf_assign(empty_emb, cents).count() == 0
+    assert S.ivf_cell_stats(empty_emb, cents).count() == 0
+
+
+def test_cluster_balanced_sample_empty_corpus(empty_emb, small_emb):
+    cents = small_emb.selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    assert S.cluster_balanced_sample(empty_emb, cents, cap_per_cell=5).count() == 0
+
+
+def test_semantic_dedup_empty_corpus(empty_emb, small_emb):
+    cents = small_emb.selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    assert S.semantic_dedup(empty_emb, cents, threshold=0.9).count() == 0
+
+
+def test_embedding_decontaminate_empty_corpus(empty_emb, small_emb):
+    assert S.embedding_decontaminate(empty_emb, small_emb).count() == 0
+
+
+def test_quantize_embeddings_empty(empty_emb):
+    assert S.quantize_embeddings(empty_emb).count() == 0
+
+
+# ---- EMPTY model / benchmark sides ---------------------------------
+
+
+def test_embedding_decontaminate_empty_benchmark(small_emb, empty_emb):
+    """An empty benchmark means NOTHING is contaminated — every corpus
+    row survives (not a crash, not an empty result)."""
+    out = S.embedding_decontaminate(small_emb, empty_emb)
+    assert out.count() == 3
+
+
+def test_contamination_overlap_empty_benchmark(spark, small_docs, empty_docs):
+    """Documented contract: only docs with >= 1 shared gram are
+    returned — an empty benchmark therefore yields an empty overlap
+    frame (nothing contaminated), not a crash."""
+    assert D.contamination_overlap(small_docs, empty_docs).count() == 0
+
+
+def test_ivf_assign_empty_model(spark, small_emb, empty_emb):
+    """An empty centroids frame returns an empty assignment with the
+    contract schema — previously an AnalysisException from an
+    element-less (VOID-typed) literal struct array."""
+    cents = empty_emb.selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    out = S.ivf_assign(small_emb, cents)
+    assert out.columns == ["vec_id", "centroid_id", "sim"]
+    assert out.count() == 0
+
+
+def test_contamination_overlap_empty_corpus(empty_docs, small_docs):
+    assert D.contamination_overlap(empty_docs, small_docs).count() == 0
+
+
+def test_cross_corpus_dedup_empty_reference(small_docs, empty_docs):
+    """Nothing in the reference corpus -> every doc survives."""
+    out = D.cross_corpus_dedup(small_docs, empty_docs)
+    assert out.count() == 2
+
+
+def test_cross_corpus_dedup_empty_corpus(empty_docs, small_docs):
+    assert D.cross_corpus_dedup(empty_docs, small_docs).count() == 0

@@ -209,3 +209,64 @@ def test_cross_corpus_dedup_empty_reference(small_docs, empty_docs):
 
 def test_cross_corpus_dedup_empty_corpus(empty_docs, small_docs):
     assert D.cross_corpus_dedup(empty_docs, small_docs).count() == 0
+
+
+# ---- degenerate VALUES (the other certain-at-scale input class) -----
+
+DEGENERATE_ROWS = [
+    (1, None),                # null text
+    (2, ""),                  # empty
+    (3, " "),                 # whitespace-only
+    (4, "a"),                 # single char
+    (5, "normal text with several words here"),
+    (6, "\n\n\n"),            # newlines only
+    (7, "x" * 10_000),        # one huge token
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    return spark.createDataFrame(DEGENERATE_ROWS, DOCS_SCHEMA)
+
+
+DEGENERATE_OPS = [
+    ("exact_dedup", lambda df: D.exact_dedup(df, ["text"])),
+    ("fingerprint_dedup", lambda df: D.fingerprint_dedup(df)),
+    ("dedup_lines", lambda df: D.dedup_lines(df)),
+    ("dedup_lines_within_doc", lambda df: D.dedup_lines_within_doc(df)),
+    ("strip_boilerplate", lambda df: D.strip_boilerplate(df)),
+    ("remove_repeated_spans", lambda df: D.remove_repeated_spans(df)),
+    ("ngram_jaccard_pairs", lambda df: D.ngram_jaccard_pairs(df, threshold=0.5)),
+    ("minhash_lsh_pairs", lambda df: D.minhash_lsh_pairs(df)),
+    ("simhash_near_pairs", lambda df: D.simhash_near_pairs(df)),
+    (
+        "contamination_substring",
+        lambda df: D.contamination_substring(
+            df, df.where("doc_id = 5").selectExpr("doc_id", "text as snippet")
+        ),
+    ),
+    ("quality_features", lambda df: X.quality_features(df)),
+    ("language_id", lambda df: X.language_id(df)),
+    ("doc_fingerprint", lambda df: X.doc_fingerprint(df)),
+    ("repetition_signals", lambda df: X.repetition_signals(df)),
+    ("word_entropy", lambda df: X.word_entropy(df)),
+    ("vocabulary", lambda df: X.vocabulary(df)),
+    ("pii_signals", lambda df: X.pii_signals(df)),
+    ("pii_redact", lambda df: X.pii_redact(df)),
+    ("chunk_documents", lambda df: X.chunk_documents(df)),
+    ("unigram_logprob_score", lambda df: X.unigram_logprob_score(df)),
+    ("corpus_ngram_topk", lambda df: X.corpus_ngram_topk(df)),
+    ("compression_signal", lambda df: X.compression_signal(df)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,op", DEGENERATE_OPS, ids=[n for n, _ in DEGENERATE_OPS]
+)
+def test_op_on_degenerate_text(degenerate_docs, name, op):
+    """Null text, empty/whitespace-only strings, a single char, a
+    100k-char single token: every operator must run, never crash.
+    (Row counts are each operator's own semantics — pair generators
+    may emit zero, per-doc signals may skip token-less docs; the pin
+    here is NO EXCEPTION on the value shapes a real corpus contains.)"""
+    op(degenerate_docs).collect()  # materialize fully, not just count

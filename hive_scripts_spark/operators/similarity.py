@@ -30,6 +30,19 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _drop_invalid_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude null/empty embedding rows at staging — a missing
+    embedding can never be a neighbor, a duplicate, or a training
+    point, and letting one through crashes the numpy matmul paths
+    (``np.array(None)`` → object array) and the per-element size
+    divides. The predicate pushes to the parquet scan. Dimension
+    uniformity among the surviving rows remains the table's schema
+    contract (a ragged table is data corruption, not an edge case —
+    the numpy paths fail loudly on it by design)."""
+    c = F.col(vec_col)
+    return df.where(c.isNotNull() & (F.size(c) > 0))
+
+
 def seq_cosine(q: list[float], c: list[float]) -> float:
     """Driver-side cosine with the EXACT sequential float64 operand
     order + 6dp round the engines' folds use — the determinism-critical
@@ -182,7 +195,7 @@ def embedding_near_dup_pairs(
                 stacklevel=2,
             )
             use_lsh = True
-    staged = embeddings.select(
+    staged = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     base = staged.select(id_col, "vec", l2_norm(F.col("vec")).alias("norm"))
@@ -449,7 +462,7 @@ def embedding_lsh_pairs_portable(
     """
     from hive_scripts_spark.operators.dedup import portable_hash60
 
-    staged = embeddings.select(
+    staged = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     # norms staged pre-join: one dot fold + divide per verified pair
@@ -560,7 +573,7 @@ def ivf_assign(
     """
     import math
 
-    base = embeddings.select(
+    base = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     lits = centroids.limit(literal_threshold + 1).collect()
@@ -848,7 +861,7 @@ def semantic_dedup(
     assigned = ivf_assign(
         embeddings, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    staged = embeddings.select(
+    staged = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     cells = staged.join(assigned.select(id_col, "centroid_id"), id_col)
@@ -1208,7 +1221,9 @@ def quantize_embeddings(
     Scale shape: pure map-side HOF arithmetic in double precision — no
     shuffle, no UDF; plugs in front of :func:`ivf_assign` unchanged.
     """
-    staged = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    staged = _drop_invalid_vecs(df, vec_col).select(
+        F.col(id_col), _as_double(vec_col).alias("__v")
+    )
     v = F.col("__v")
     staged2 = staged.select(
         id_col, "__v", F.array_min(v).alias("__lo"), F.array_max(v).alias("__hi")
@@ -1334,7 +1349,7 @@ def pq_encode(
     d = len(codebooks[0][0])
 
     keep = [F.col(c) for c in (keep_cols or [])]
-    base = embeddings.select(
+    base = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), *keep, _as_double(F.col(vec_col)).alias("vec")
     )
     # stage each subvector once: every staged column is referenced by
@@ -1733,8 +1748,15 @@ def kmeans_fit(
     :func:`cluster_balanced_sample`.
     """
     spark = embeddings.sparkSession
-    staged = embeddings.select(
+    staged = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    # training additionally excludes non-finite vectors: one NaN
+    # element would poison its centroid's running sum forever (and
+    # Arrow maps NaN inside nested pandas lists to NULL on the partial
+    # frames, crashing the driver-side float() on collect)
+    staged = staged.where(
+        F.forall(F.col("vec"), lambda x: x.isNotNull() & ~F.isnan(x))
     )
     head = staged.orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r["vec"]] for r in head]
@@ -1875,7 +1897,13 @@ def train_pq_codebooks(
     k-means GUARANTEES (and pytest pins, on a clustered fixture) is
     lower total quantization error when structure exists — which real
     embedding corpora have and this testdata deliberately lacks."""
-    rows = embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    rows = (
+        _drop_invalid_vecs(embeddings, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     d = len(vecs[0]) // m
     return [
@@ -1904,7 +1932,13 @@ def train_ivfpq_model(
     :func:`ivfpq_search_codes`. Model fitting only — the corpus is
     never collected (same bounded-sample class as
     :func:`train_pq_codebooks`)."""
-    rows = embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    rows = (
+        _drop_invalid_vecs(embeddings, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     cents = train_kmeans(vecs, nlist, iters)
     centroids = [(i, c) for i, c in enumerate(cents)]

@@ -270,3 +270,76 @@ def test_op_on_degenerate_text(degenerate_docs, name, op):
     may emit zero, per-doc signals may skip token-less docs; the pin
     here is NO EXCEPTION on the value shapes a real corpus contains.)"""
     op(degenerate_docs).collect()  # materialize fully, not just count
+
+
+# ---- degenerate EMBEDDING values ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, []), (3, [float("nan"), 1.0]),
+         (4, [0.0, 0.0]), (5, [0.9, 0.1]), (6, [1.0, 0.0])],
+        EMB_SCHEMA,
+    )
+
+
+def test_near_dup_paths_on_degenerate_embeddings(degenerate_emb):
+    """Null/empty vectors are excluded at staging (can never be
+    near-dups); NaN vectors read sim NaN→excluded numpy-side and
+    sim 0 Spark-side; both paths emit exactly the one real dup pair."""
+    # cos(0,6)=1 (exact dup); cos(0,5)=cos(6,5)~0.9934 — all three
+    # clear 0.99; the NaN vector (3) and the zero vector (4) never pair
+    for use_lsh in (False, True):
+        got = S.embedding_near_dup_pairs(
+            degenerate_emb, threshold=0.99, use_lsh=use_lsh, max_docs=None
+        ).collect()
+        pairs = sorted((r["a_id"], r["b_id"]) for r in got)
+        assert pairs == [(0, 5), (0, 6), (5, 6)], (use_lsh, pairs)
+
+
+def test_ivf_assign_routes_on_degenerate_embeddings(spark, degenerate_emb):
+    """Both ivf_assign routes (plan-literal and numpy mapInPandas)
+    run over null/empty/NaN rows: null/empty staged out, the rest
+    assigned — the numpy route previously crashed on the object array
+    np.array builds from ragged/None rows."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    lit = S.ivf_assign(degenerate_emb, cents)
+    np_route = S.ivf_assign(degenerate_emb, cents, literal_threshold=1)
+    assert lit.count() == np_route.count() == 5  # 7 - null - empty
+    lit_ids = {r["vec_id"] for r in lit.collect()}
+    assert lit_ids == {0, 3, 4, 5, 6}
+
+
+def test_training_and_quantize_on_degenerate_embeddings(spark, degenerate_emb):
+    """kmeans_fit excludes non-finite vectors from training (one NaN
+    element would poison a centroid sum forever; Arrow also maps NaN
+    inside nested pandas lists to NULL); quantize/pq/ivfpq drop only
+    null/empty rows."""
+    fitted = S.kmeans_fit(degenerate_emb, k=2, iters=2).collect()
+    assert len(fitted) == 2
+    for r in fitted:
+        assert all(x == x for x in r["centroid"])  # no NaN poisoning
+    assert S.quantize_embeddings(degenerate_emb).count() == 5
+    books = S.train_pq_codebooks(degenerate_emb, m=2, k=2)
+    assert S.pq_encode(degenerate_emb, books).count() == 5
+    cents, res = S.train_ivfpq_model(degenerate_emb, nlist=2, m=2, k=2)
+    assert len(cents) == 2
+
+
+def test_semantic_dedup_on_degenerate_embeddings(spark, degenerate_emb):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    survivors = {r["vec_id"] for r in S.semantic_dedup(
+        degenerate_emb, cents, threshold=0.9).collect()}
+    # {0,5,6} form one near-dup cluster (pairwise cosine >= 0.99) ->
+    # exactly ONE survives per the keep policy; null/empty staged out;
+    # the NaN row (3) and zero vector (4) survive as singletons
+    # (their sims read NaN/0 -> no pair)
+    assert len(survivors & {0, 5, 6}) == 1, survivors
+    assert {3, 4} <= survivors

@@ -177,7 +177,9 @@ def decode_image_meta(
             return None, None
 
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # a NULL payload arrives as None — decode it like any
+            # other unparseable input (NULL metadata), don't crash
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             digests = [_hl.md5(p).hexdigest() for p in payloads]
             if fake:
                 metas = [
@@ -477,7 +479,9 @@ def resize_images(
             return None
 
         for pdf in it:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # a NULL payload arrives as None — decode it like any
+            # other unparseable input (NULL metadata), don't crash
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
                 tag = f"{tw}x{th}".encode()
                 yield pd.DataFrame(
@@ -602,7 +606,9 @@ def audio_features(
             return None, None, None
 
         for pdf in it:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # a NULL payload arrives as None — decode it like any
+            # other unparseable input (NULL metadata), don't crash
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
                 n = pd.Series([len(p) for p in payloads], dtype="int64")
                 rms = []
@@ -740,7 +746,9 @@ def video_meta(
             return None, None, None
 
         for pdf in it:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # a NULL payload arrives as None — decode it like any
+            # other unparseable input (NULL metadata), don't crash
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
                 metas = []
                 for p in payloads:

@@ -343,3 +343,42 @@ def test_semantic_dedup_on_degenerate_embeddings(spark, degenerate_emb):
     # (their sims read NaN/0 -> no pair)
     assert len(survivors & {0, 5, 6}) == 1, survivors
     assert {3, 4} <= survivors
+
+
+# ---- degenerate BINARY payloads (multimodal) ------------------------
+
+
+def test_multimodal_on_degenerate_payloads(spark):
+    """Null payloads, empty/1-byte payloads, garbage, truncated
+    headers, and a RIFF header lying about its sizes: every decode
+    path emits a row with NULL metadata instead of crashing the batch
+    (the published-format parsers' documented contract; the NULL
+    payload previously crashed bytes(None) before parsing began)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators import multimodal as M
+
+    rows = [
+        (1, None),
+        (2, b""),
+        (3, b"\x00"),
+        (4, b"garbage not an image at all"),
+        (5, b"BM" + b"\x00" * 10),                 # truncated BMP
+        (6, b"\x89PNG\r\n\x1a\n" + b"\x00" * 8),   # truncated PNG
+        (7, b"RIFF\x00\x00\x00\x00WAVE"),          # truncated WAV
+        (8, b"RIFF\xff\xff\xff\xffWAVEfmt "),      # sizes lie
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.lit("image").alias("modality"),
+        F.octet_length("payload").alias("byte_len"),
+    )
+    assert M.decode_image_meta(docs).count() == 8
+    assert M.audio_features(docs).count() == 8
+    assert M.video_meta(docs).count() == 8
+    assert M.resize_images(docs).count() == 8
+    # none of the degenerate payloads may fabricate dimensions
+    metas = {r["doc_id"]: r for r in M.decode_image_meta(docs).collect()}
+    for i in (1, 2, 3, 4):
+        assert metas[i]["width"] is None and metas[i]["height"] is None, i

@@ -177,21 +177,35 @@ def decode_image_meta(
             return None, None
 
         for pdf in batches:
-            # a NULL payload arrives as None — decode it like any
-            # other unparseable input (NULL metadata), don't crash
-            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
-            digests = [_hl.md5(p).hexdigest() for p in payloads]
+            # a NULL payload stays None end-to-end: NULL byte_len and
+            # content_md5, not len 0 / md5(b"") — hashing the absence
+            # of bytes as empty bytes would collapse every failed
+            # fetch and every genuinely empty payload into ONE
+            # content-dedup survivor downstream
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
+            digests = [
+                None if p is None else _hl.md5(p).hexdigest()
+                for p in payloads
+            ]
             if fake:
                 metas = [
-                    (1 + int(d[:4], 16) % 1024, 1 + int(d[4:8], 16) % 1024)
+                    (None, None)
+                    if d is None
+                    else (1 + int(d[:4], 16) % 1024, 1 + int(d[4:8], 16) % 1024)
                     for d in digests
                 ]
             else:
-                metas = [header_dims(p) for p in payloads]
+                metas = [
+                    (None, None) if p is None else header_dims(p)
+                    for p in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "byte_len": pd.Series(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int64",
+                    ),
                     "content_md5": digests,
                     "width": pd.Series([m[0] for m in metas], dtype="Int32"),
                     "height": pd.Series([m[1] for m in metas], dtype="Int32"),
@@ -479,25 +493,34 @@ def resize_images(
             return None
 
         for pdf in it:
-            # a NULL payload arrives as None — decode it like any
-            # other unparseable input (NULL metadata), don't crash
-            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            # a NULL payload stays None: NULL dims/hash, never a
+            # fabricated md5(b"")-derived value (see decode_image_meta)
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
                 tag = f"{tw}x{th}".encode()
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype("int64"),
-                        "width": pd.Series([tw] * len(pdf), dtype="int32"),
-                        "height": pd.Series([th] * len(pdf), dtype="int32"),
+                        "width": pd.Series(
+                            [None if p is None else tw for p in payloads],
+                            dtype="Int32",
+                        ),
+                        "height": pd.Series(
+                            [None if p is None else th for p in payloads],
+                            dtype="Int32",
+                        ),
                         "resized_md5": [
-                            _hl.md5(p + tag).hexdigest() for p in payloads
+                            None
+                            if p is None
+                            else _hl.md5(p + tag).hexdigest()
+                            for p in payloads
                         ],
                     }
                 )
                 continue
             widths, heights, hashes = [], [], []
             for p in payloads:
-                px = decode_rgb(p)
+                px = None if p is None else decode_rgb(p)
                 if px is None:
                     widths.append(None)
                     heights.append(None)
@@ -606,28 +629,35 @@ def audio_features(
             return None, None, None
 
         for pdf in it:
-            # a NULL payload arrives as None — decode it like any
-            # other unparseable input (NULL metadata), don't crash
-            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            # a NULL payload stays None: NULL features, never a
+            # fabricated 0-sample/0-energy reading (see
+            # decode_image_meta)
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
-                n = pd.Series([len(p) for p in payloads], dtype="int64")
+                n_list = [None if p is None else len(p) for p in payloads]
                 rms = []
                 for p in payloads:
                     if p:
                         a = np.frombuffer(p, dtype=np.uint8).astype("i8")
                         rms.append(math.sqrt(int((a * a).sum()) / len(p)))
                     else:
-                        rms.append(0.0)
+                        rms.append(None if p is None else 0.0)
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype("int64"),
-                        "n_samples": n,
-                        "duration_s": (n / float(sample_rate)).astype("f8"),
-                        "rms_energy": pd.Series(rms, dtype="f8"),
+                        "n_samples": pd.Series(n_list, dtype="Int64"),
+                        "duration_s": [
+                            None if v is None else v / float(sample_rate)
+                            for v in n_list
+                        ],
+                        "rms_energy": rms,
                     }
                 )
             else:
-                feats = [wav_features(p) for p in payloads]
+                feats = [
+                    (None, None, None) if p is None else wav_features(p)
+                    for p in payloads
+                ]
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype("int64"),
@@ -746,17 +776,23 @@ def video_meta(
             return None, None, None
 
         for pdf in it:
-            # a NULL payload arrives as None — decode it like any
-            # other unparseable input (NULL metadata), don't crash
-            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            # a NULL payload stays None: NULL container/duration/frames,
+            # never md5(b"")-fabricated metadata (see decode_image_meta)
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
             if fake:
                 metas = []
                 for p in payloads:
+                    if p is None:
+                        metas.append((None, None, None))
+                        continue
                     d = _hl.md5(p).hexdigest()
                     frames = 1 + int(d[:4], 16) % 3600
                     metas.append(("fake", frames / 30.0, frames))
             else:
-                metas = [real_meta(p) for p in payloads]
+                metas = [
+                    (None, None, None) if p is None else real_meta(p)
+                    for p in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

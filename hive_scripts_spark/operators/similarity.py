@@ -181,8 +181,11 @@ def embedding_near_dup_pairs(
     ``max_docs=None`` to force the exhaustive path.
     """
     if not use_lsh and max_docs is not None:
-        # bounded probe, not a full count: LocalLimit stops the scan early
-        if embeddings.select(id_col).limit(max_docs + 1).count() > max_docs:
+        # bounded probe, not a full count: LocalLimit stops the scan
+        # early. Count the FILTERED frame — null/empty rows never reach
+        # the quadratic stage, so they must not trip the reroute.
+        probe = _drop_invalid_vecs(embeddings, vec_col).select(id_col)
+        if probe.limit(max_docs + 1).count() > max_docs:
             import warnings
 
             warnings.warn(
@@ -674,11 +677,19 @@ def ivf_assign(
             vn[vn == 0.0] = np.inf
             sims = (V / vn[:, None]) @ Cn.T
             amax = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(amax)), amax]
+            # NaN-element vectors read sim 0, matching the literal
+            # route's guarded_div/nanvl convention — raw NaN here
+            # would order ABOVE every threshold Spark-side, silently
+            # flipping e.g. embedding_decontaminate's >= gate between
+            # the two routes (np.argmax on an all-NaN row returns 0 =
+            # the lowest cid, the same cell the literal route picks)
+            best = np.where(np.isnan(best), 0.0, best)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "centroid_id": ids[amax],
-                    "sim": np.round(sims[np.arange(len(amax)), amax], 6),
+                    "sim": np.round(best, 6),
                 }
             )
 
@@ -756,10 +767,20 @@ def cluster_balanced_sample(
 
     Returns ``(id_col, centroid_id, sim, pick_order)`` — ``sim`` is
     the member→centroid cosine (6dp), ``pick_order`` the 1-based
-    within-cell pick rank.
+    within-cell pick rank. Rows with null/empty embeddings are
+    unassignable and therefore outside the sample (a sample is a
+    subset selection — handle invalid rows upstream if they must be
+    retained). An empty ``centroids`` frame raises ``ValueError``: a
+    silent zero-row "sample" of a non-empty corpus is data loss, not
+    sampling.
     """
     from ..functions.skew import topk_per_group
 
+    if centroids.limit(1).count() == 0:
+        raise ValueError(
+            "cluster_balanced_sample requires a non-empty centroids "
+            "frame: with zero cells the sample would be silently empty"
+        )
     assigned = ivf_assign(
         embeddings,
         centroids,
@@ -829,7 +850,13 @@ def semantic_dedup(
     single-pass pair pruning.
 
     Returns the SURVIVOR frame ``(id_col, centroid_id, centroid_sim)``
-    — the rows to KEEP (singletons included).
+    — the rows to KEEP (singletons included). Rows with null/empty
+    embeddings cannot be compared, so they can never be duplicates:
+    they SURVIVE, emitted with NULL ``centroid_id``/``centroid_sim``
+    (unassignable). An empty ``centroids`` frame raises ``ValueError``
+    — with no cells NOTHING would be compared, and silently returning
+    an empty survivor frame would read as "drop the whole corpus" to
+    a keep-the-survivors pipeline.
 
     Scale shape: assignment is :func:`ivf_assign`'s zero-shuffle
     plan-literal argmax; the candidate join shuffles once keyed on
@@ -853,6 +880,13 @@ def semantic_dedup(
     """
     from hive_scripts_spark.operators.dedup import near_dup_survivors
 
+    if centroids.limit(1).count() == 0:
+        raise ValueError(
+            "semantic_dedup requires a non-empty centroids frame: with "
+            "zero cells nothing is compared and nothing would survive "
+            "(check the trainer's input — kmeans_fit on an empty/"
+            "all-invalid corpus returns zero centroids)"
+        )
     # the assignment feeds THREE consumers (cell join, survivor quality,
     # final output) — without a checkpoint each one re-evaluates the
     # whole argmax over the corpus (no DataFrame CSE across branches);
@@ -987,9 +1021,19 @@ def semantic_dedup(
     surv = near_dup_survivors(
         member_quality, edges, id_col=id_col, quality_col="__neg_centroid_sim"
     )
-    return assigned.join(
+    kept = assigned.join(
         surv.select(F.col("survivor_id").alias(id_col)), id_col, "left_semi"
     ).select(id_col, "centroid_id", F.col("sim").alias("centroid_sim"))
+    # null/empty-embedding rows are unassignable, hence incomparable,
+    # hence never duplicates: they survive with a NULL assignment
+    # (map-only predicate — the complement of _drop_invalid_vecs)
+    c = F.col(vec_col)
+    unassignable = embeddings.where(c.isNull() | (F.size(c) <= 0)).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("centroid_id"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+    )
+    return kept.unionByName(unassignable)
 
 
 def embedding_decontaminate(
@@ -1756,7 +1800,12 @@ def kmeans_fit(
     # Arrow maps NaN inside nested pandas lists to NULL on the partial
     # frames, crashing the driver-side float() on collect)
     staged = staged.where(
-        F.forall(F.col("vec"), lambda x: x.isNotNull() & ~F.isnan(x))
+        F.forall(
+            F.col("vec"),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) < F.lit(float("inf"))),
+        )
     )
     head = staged.orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r["vec"]] for r in head]
@@ -1905,6 +1954,12 @@ def train_pq_codebooks(
         .collect()
     )
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    if not vecs:
+        raise ValueError(
+            "train_pq_codebooks: no valid embeddings to train on "
+            "(corpus empty or every row null/empty) — a codebook "
+            "cannot be fit from zero samples"
+        )
     d = len(vecs[0]) // m
     return [
         train_kmeans([v[s * d : (s + 1) * d] for v in vecs], k, iters)
@@ -1940,6 +1995,12 @@ def train_ivfpq_model(
         .collect()
     )
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    if not vecs:
+        raise ValueError(
+            "train_ivfpq_model: no valid embeddings to train on "
+            "(corpus empty or every row null/empty) — a model cannot "
+            "be fit from zero samples"
+        )
     cents = train_kmeans(vecs, nlist, iters)
     centroids = [(i, c) for i, c in enumerate(cents)]
 

@@ -335,14 +335,92 @@ def test_semantic_dedup_on_degenerate_embeddings(spark, degenerate_emb):
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
         "centroid_id long, centroid array<double>",
     )
-    survivors = {r["vec_id"] for r in S.semantic_dedup(
+    out = {r["vec_id"]: r for r in S.semantic_dedup(
         degenerate_emb, cents, threshold=0.9).collect()}
+    survivors = set(out)
     # {0,5,6} form one near-dup cluster (pairwise cosine >= 0.99) ->
-    # exactly ONE survives per the keep policy; null/empty staged out;
-    # the NaN row (3) and zero vector (4) survive as singletons
-    # (their sims read NaN/0 -> no pair)
+    # exactly ONE survives per the keep policy; the NaN row (3) and
+    # zero vector (4) survive as singletons (their sims read NaN/0 ->
+    # no pair); the null (1) and empty (2) rows are UNASSIGNABLE, can
+    # never be duplicates, and survive with a NULL assignment
     assert len(survivors & {0, 5, 6}) == 1, survivors
-    assert {3, 4} <= survivors
+    assert {1, 2, 3, 4} <= survivors
+    for vid in (1, 2):
+        assert out[vid]["centroid_id"] is None
+        assert out[vid]["centroid_sim"] is None
+
+
+def test_empty_model_raises_where_silence_is_data_loss(spark, small_emb, empty_emb):
+    """semantic_dedup / cluster_balanced_sample with ZERO centroids
+    would silently return an empty survivor/sample frame — which a
+    keep-the-survivors pipeline reads as 'drop the whole corpus'.
+    They raise instead; the trainers raise on an empty/all-invalid
+    corpus (a model cannot be fit from zero samples)."""
+    no_cents = empty_emb.selectExpr(
+        "vec_id as centroid_id",
+        "transform(embedding, x -> cast(x as double)) as centroid",
+    )
+    with pytest.raises(ValueError, match="non-empty centroids"):
+        S.semantic_dedup(small_emb, no_cents)
+    with pytest.raises(ValueError, match="non-empty centroids"):
+        S.cluster_balanced_sample(small_emb, no_cents, cap_per_cell=2)
+    with pytest.raises(ValueError, match="zero samples"):
+        S.train_pq_codebooks(empty_emb, m=2, k=2)
+    with pytest.raises(ValueError, match="zero samples"):
+        S.train_ivfpq_model(empty_emb, nlist=2, m=2, k=2)
+
+
+def test_ivf_assign_numpy_route_nan_sim_matches_literal(spark):
+    """Both ivf_assign routes must emit sim 0 for a NaN-element vector
+    — raw NaN from the numpy route would order above every threshold
+    Spark-side, silently flipping embedding_decontaminate's >= gate
+    between routes."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    lit = {r["vec_id"]: r for r in S.ivf_assign(emb, cents).collect()}
+    np_route = {
+        r["vec_id"]: r
+        for r in S.ivf_assign(emb, cents, literal_threshold=1).collect()
+    }
+    for route in (lit, np_route):
+        assert route[1]["sim"] == 0.0
+        assert route[1]["centroid_id"] == lit[1]["centroid_id"]
+
+
+def test_kmeans_fit_excludes_infinite_vectors(spark):
+    """+/-Inf elements poison centroid sums exactly like NaN — the
+    training filter must exclude them too."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("inf"), 0.0]),
+         (2, [0.9, 0.1]), (3, [float("-inf"), 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.kmeans_fit(emb, k=2, iters=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert all(x == x and abs(x) != float("inf") for x in r["centroid"])
+
+
+def test_near_dup_max_docs_probe_ignores_invalid_rows(spark, recwarn):
+    """The exhaustive-guard probe counts only rows that reach the
+    quadratic stage: 3 valid vectors + 3 null rows with max_docs=4
+    must NOT reroute to LSH (no warning)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, None), (3, None),
+         (4, [0.0, 1.0]), (5, [1.0, 0.0])],
+        EMB_SCHEMA,
+    )
+    pairs = S.embedding_near_dup_pairs(
+        emb, threshold=0.99, use_lsh=False, max_docs=4
+    ).collect()
+    assert not [w for w in recwarn.list if issubclass(w.category, UserWarning)]
+    assert sorted((r["a_id"], r["b_id"]) for r in pairs) == [(0, 5)]
 
 
 # ---- degenerate BINARY payloads (multimodal) ------------------------
@@ -382,3 +460,9 @@ def test_multimodal_on_degenerate_payloads(spark):
     metas = {r["doc_id"]: r for r in M.decode_image_meta(docs).collect()}
     for i in (1, 2, 3, 4):
         assert metas[i]["width"] is None and metas[i]["height"] is None, i
+    # a NULL payload must read NULL content_md5/byte_len — md5(b"")
+    # would collapse every failed fetch and every genuinely empty
+    # payload into one content-dedup survivor downstream
+    assert metas[1]["content_md5"] is None and metas[1]["byte_len"] is None
+    assert metas[2]["content_md5"] is not None and metas[2]["byte_len"] == 0
+    assert metas[1]["content_md5"] != metas[2]["content_md5"]

@@ -777,6 +777,14 @@ def cluster_balanced_sample(
     from ..functions.skew import topk_per_group
 
     if centroids.limit(1).count() == 0:
+        if embeddings.limit(1).count() == 0:
+            # empty-in/empty-out (see semantic_dedup)
+            id_dtype = embeddings.schema[id_col].dataType.simpleString()
+            return embeddings.sparkSession.createDataFrame(
+                [],
+                f"{id_col} {id_dtype}, centroid_id long, sim double, "
+                "pick_order int",
+            )
         raise ValueError(
             "cluster_balanced_sample requires a non-empty centroids "
             "frame: with zero cells the sample would be silently empty"
@@ -881,6 +889,14 @@ def semantic_dedup(
     from hive_scripts_spark.operators.dedup import near_dup_survivors
 
     if centroids.limit(1).count() == 0:
+        if embeddings.limit(1).count() == 0:
+            # empty-in/empty-out: an empty incremental batch through a
+            # --train-full pipeline yields zero centroids AND zero rows
+            # — that is a well-defined empty result, not a misconfig
+            id_dtype = embeddings.schema[id_col].dataType.simpleString()
+            return embeddings.sparkSession.createDataFrame(
+                [], f"{id_col} {id_dtype}, centroid_id long, centroid_sim double"
+            )
         raise ValueError(
             "semantic_dedup requires a non-empty centroids frame: with "
             "zero cells nothing is compared and nothing would survive "

@@ -364,6 +364,10 @@ def test_empty_model_raises_where_silence_is_data_loss(spark, small_emb, empty_e
         S.semantic_dedup(small_emb, no_cents)
     with pytest.raises(ValueError, match="non-empty centroids"):
         S.cluster_balanced_sample(small_emb, no_cents, cap_per_cell=2)
+    # ...but empty corpus + empty model is empty-in/empty-out (an
+    # empty incremental batch through a --train-full pipeline)
+    assert S.semantic_dedup(empty_emb, no_cents).count() == 0
+    assert S.cluster_balanced_sample(empty_emb, no_cents, cap_per_cell=2).count() == 0
     with pytest.raises(ValueError, match="zero samples"):
         S.train_pq_codebooks(empty_emb, m=2, k=2)
     with pytest.raises(ValueError, match="zero samples"):

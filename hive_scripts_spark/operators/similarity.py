@@ -89,7 +89,15 @@ def guarded_div(num, den):
     NULL and NaN to 0.0, the same convention as the numpy paths (zero
     norms mapped to inf → sim 0). For any non-zero divisor this is
     bit-identical to the plain IEEE divide, so oracle parity is
-    untouched."""
+    untouched.
+
+    **NULL-numerator caveat**: the same coalesce maps a NULL ``num``
+    (a null/empty vector operand upstream) to 0.0 — a valid-LOOKING
+    score. Callers must therefore stage their frames through
+    :func:`_drop_invalid_vecs` BEFORE scoring (every scoring path in
+    this module does); this helper deliberately does not distinguish
+    "zero norm" from "missing input" because by contract missing
+    inputs never reach it."""
     return F.nanvl(F.coalesce(F.try_divide(num, den), F.lit(0.0)), F.lit(0.0))
 
 
@@ -112,13 +120,19 @@ def brute_force_topk(
     ``queries`` is expected small (it is broadcast). Rank ties break by
     neighbor id — fully deterministic output. Returns
     ``(query_id, neighbor_id, cosine_sim, rank)``.
+
+    Both sides stage through :func:`_drop_invalid_vecs`: a null/empty
+    embedding can never be a neighbor (unfiltered, its NULL dot would
+    coalesce to cosine 0.0 in :func:`guarded_div` and outrank genuine
+    negative-similarity neighbors), and a null/empty query has no
+    neighbor list at all — the module-wide convention.
     """
     from pyspark.sql import Window
 
-    q = queries.select(
+    q = _drop_invalid_vecs(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    c = embeddings.select(
+    c = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (
@@ -897,11 +911,23 @@ def semantic_dedup(
             return embeddings.sparkSession.createDataFrame(
                 [], f"{id_col} {id_dtype}, centroid_id long, centroid_sim double"
             )
+        if _drop_invalid_vecs(embeddings, vec_col).limit(1).count() == 0:
+            # a corpus whose rows are ALL null/empty-embedding
+            # legitimately trains zero centroids; by the unassignable-
+            # survivor convention below every such row survives with a
+            # NULL assignment — erroring here would wrongly reject the
+            # all-invalid batch a real lake occasionally emits
+            return embeddings.select(
+                F.col(id_col),
+                F.lit(None).cast("long").alias("centroid_id"),
+                F.lit(None).cast("double").alias("centroid_sim"),
+            )
         raise ValueError(
-            "semantic_dedup requires a non-empty centroids frame: with "
-            "zero cells nothing is compared and nothing would survive "
-            "(check the trainer's input — kmeans_fit on an empty/"
-            "all-invalid corpus returns zero centroids)"
+            "semantic_dedup requires a non-empty centroids frame when "
+            "the corpus has valid vectors: with zero cells nothing is "
+            "compared and nothing would survive (check the trainer's "
+            "input — kmeans_fit on an empty/all-invalid corpus returns "
+            "zero centroids)"
         )
     # the assignment feeds THREE consumers (cell join, survivor quality,
     # final output) — without a checkpoint each one re-evaluates the
@@ -1192,7 +1218,9 @@ def ivf_topk(
         # inlines single-use attributes back into the consumer)
         return F.transform(F.array(l2_norm(vec)), inner)[0]
 
-    corpus = embeddings.select(
+    # null/empty rows never score (module convention — unfiltered they
+    # would coalesce to cosine 0.0 in guarded_div and rank as neighbors)
+    corpus = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     if parallelism:
@@ -1211,7 +1239,7 @@ def ivf_topk(
         ).alias("__a"),
     ).select("neighbor_id", "c_vec", "__a.cell", "__a.c_norm")
 
-    q = queries.select(
+    q = _drop_invalid_vecs(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
     probes = q.select(
@@ -1833,7 +1861,7 @@ def kmeans_fit(
     for _ in range(max(0, iters) if k_eff else 0):
         cmat = [list(c) for c in cents]  # plain lists: pickles by value
 
-        def partials_fn(batches, _cmat=cmat, _k=k_eff, _dim=dim):
+        def partials_fn(batches, _cmat=cmat, _k=k_eff, _dim=dim, _id=id_col):
             # self-contained: imports inside (safe off-repo drivers)
             import numpy as np
             import pandas as pd
@@ -1850,7 +1878,10 @@ def kmeans_fit(
                 if not len(pdf):
                     continue
                 seen = True
-                batch_min = pdf.iloc[:, 0].min()
+                # by NAME, not position: a reorder of the staged
+                # projection must not silently re-tag by vector column
+                # and scramble the deterministic combine order
+                batch_min = pdf[_id].min()
                 if tag is None or batch_min < tag:
                     tag = batch_min
                 V = np.array(pdf["vec"].tolist(), dtype=np.float64)

@@ -176,12 +176,31 @@ def load_table(
                 else:
                     # 'file://tmp/x' is ambiguous: RFC authority 'tmp',
                     # or the common 'file:/' + '/abs' concatenation
-                    # meaning /tmp/x. If the authority reads as the
-                    # first segment of an existing local directory,
-                    # that's what the caller meant; a genuinely remote
-                    # authority won't exist here and skips local probing.
+                    # meaning /tmp/x. Repair ONLY when the full
+                    # candidate TABLE exists at /auth/path — a merely
+                    # existing directory prefix (say /media for
+                    # 'file://media/share/db') is not evidence the
+                    # caller meant a local read, and silently scanning
+                    # the wrong filesystem is the worst outcome. When
+                    # the table is absent, raise: Hadoop's local FS
+                    # rejects a non-empty authority anyway ("Wrong
+                    # FS"), so there is no remote fallback to preserve
+                    # — only a clearer error to give.
                     cand = f"/{auth}{path_part}"
-                    local = cand if _P(cand).is_dir() else None
+                    cbase = f"{cand.rstrip('/')}/{name}"
+                    if any(
+                        _P(f"{cbase}.{ext}").exists()
+                        for ext in ("parquet", "orc", "jsonl", "csv")
+                    ):
+                        local = cand
+                    else:
+                        raise ValueError(
+                            f"ambiguous file URI {db!r}: authority "
+                            f"{auth!r} is not a local-FS concept and no "
+                            f"table {name!r} exists under {cand!r}. "
+                            "Spell a local path as 'file:///abs/path' "
+                            "(empty authority) or a bare '/abs/path'."
+                        )
             else:
                 local = rest
         if local is not None and "://" not in local:

@@ -125,6 +125,35 @@ def test_load_table_file_url_spellings_resolve_fallback(spark, tmp_path):
         assert sorted(r["id"] for r in gotp.collect()) == [1, 2], url
 
 
+def test_load_table_ambiguous_authority_requires_full_table(spark, tmp_path):
+    """ADVICE r11: the 'file://<auth>/...' concatenation repair fires
+    ONLY when the full candidate table exists at /<auth>/<path> — a
+    merely existing directory prefix must not silently redirect a
+    remote-looking URI to the local filesystem; absent the table it
+    raises a spelled-out error instead of Hadoop's opaque Wrong FS."""
+    import pytest
+
+    from hive_scripts_spark.sources.readers import load_table
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.parquet(
+        str(tmp_path / "t.parquet")
+    )
+    # the genuinely ambiguous spelling: 'file://' + path minus its
+    # leading slash, so the first segment parses as an authority
+    # ('file://tmp/pytest-…'); the table exists at the concatenated
+    # local path -> repair reads it
+    url = "file://" + str(tmp_path).lstrip("/")
+    got = load_table(spark, url, "t")
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    # same spelling, table absent -> explicit ValueError, no silent
+    # local probe and no Wrong FS fallback
+    with pytest.raises(ValueError, match="ambiguous file URI"):
+        load_table(spark, url, "missing_table")
+    # a clearly remote authority (no such local dir at all) also raises
+    with pytest.raises(ValueError, match="ambiguous file URI"):
+        load_table(spark, "file://nas-host/exports/lake", "t")
+
+
 def test_load_table_csv_declared_schema_single_pass(spark, tmp_path):
     """CSV fallback with a declared schema: no inferSchema second
     scan, and types are exactly as declared (a leading-zero code

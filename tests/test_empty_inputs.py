@@ -330,6 +330,47 @@ def test_training_and_quantize_on_degenerate_embeddings(spark, degenerate_emb):
     assert len(cents) == 2
 
 
+def test_topk_paths_exclude_invalid_vectors(spark, degenerate_emb):
+    """ADVICE r11 (medium): brute_force_topk / ivf_topk must stage
+    through _drop_invalid_vecs on BOTH sides — unfiltered, a
+    null/empty corpus row's NULL dot coalesces to cosine 0.0 in
+    guarded_div and ranks ABOVE genuine negative-similarity
+    neighbors; a null/empty query row would fabricate a neighbor
+    list for a vector that does not exist."""
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, None), (102, [])], EMB_SCHEMA
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    for out in (
+        S.brute_force_topk(degenerate_emb, queries, k=10),
+        S.ivf_topk(degenerate_emb, cents, queries, k=10, nprobe=2),
+    ):
+        rows = out.collect()
+        # invalid queries (101, 102) produce no neighbor lists
+        assert {r["query_id"] for r in rows} == {100}
+        # invalid corpus rows (1 null, 2 empty) are never neighbors
+        assert not {r["neighbor_id"] for r in rows} & {1, 2}
+
+
+def test_semantic_dedup_all_invalid_corpus_zero_centroids_survives(spark):
+    """ADVICE r11 (low): a corpus whose rows are ALL null/empty
+    embeddings legitimately trains zero centroids; by the
+    unassignable-survivor convention every row survives with a NULL
+    assignment — this must not trip the empty-model guard (which
+    exists for the 'valid vectors but no model' misconfig)."""
+    all_invalid = spark.createDataFrame(
+        [(7, None), (8, []), (9, None)], EMB_SCHEMA
+    )
+    no_cents = spark.createDataFrame(
+        [], "centroid_id long, centroid array<double>"
+    )
+    out = {r["vec_id"]: r for r in S.semantic_dedup(
+        all_invalid, no_cents, threshold=0.9).collect()}
+    assert set(out) == {7, 8, 9}
+    for r in out.values():
+        assert r["centroid_id"] is None and r["centroid_sim"] is None
+
+
 def test_semantic_dedup_on_degenerate_embeddings(spark, degenerate_emb):
     cents = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])],

@@ -205,26 +205,30 @@ def group_cap(
     with the raw key as tie-break. Emits ``pick_order`` (1-based rank)
     so callers can tighten the cap downstream without re-ranking.
 
-    Scale: one shuffle on the group columns; the per-group sort is
-    O(group size log group size) within a partition. A hot group is
-    bounded by the same salting/AQE toolkit as any hot key, but note
-    the cap itself is the mitigation in practice — downstream sees at
-    most ``n`` rows per group no matter how hot the input group was.
+    Scale (r12): delegates to the salted two-level exact top-k
+    (:func:`~hive_scripts_spark.functions.skew.topk_per_group`, bit-
+    identity-proven against the single-window form in
+    ``tests/test_properties.py``) — a hot group's rows rank inside
+    ``salts`` window partitions first and only the ≤ ``salts × n``
+    local survivors meet a group-keyed window, so per-task input is
+    bounded no matter how hot the group. The cap itself still bounds
+    what DOWNSTREAM sees; this bounds what the ranking task sees.
     """
-    from pyspark.sql import Window
+    from hive_scripts_spark.functions.skew import topk_per_group
 
     if "pick_order" in df.columns:
         raise ValueError(
             "group_cap emits a 'pick_order' column; the input already has "
             "one — rename it first (silently overwriting would corrupt it)"
         )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.md5(F.col(order_key).cast("string")), F.col(order_key)
+    capped = topk_per_group(
+        df,
+        group_cols,
+        order_cols=[F.md5(F.col(order_key).cast("string")), F.col(order_key)],
+        k=n,
+        salt_from=order_key,
     )
-    return (
-        df.withColumn("pick_order", F.row_number().over(w).cast("long"))
-        .where(F.col("pick_order") <= n)
-    )
+    return capped.withColumn("pick_order", F.col("pick_order").cast("long"))
 
 
 def rank_trim(
@@ -246,30 +250,113 @@ def rank_trim(
     subtly across engines — so any SQL engine selects the identical
     row set.
 
-    Scale: both window functions share one partitioning on the group
-    columns → a single exchange; no second pass.
+    Scale (r12): ranks are EXACT but no window ever partitions on the
+    raw group key over the full table — the straggler shape a hot
+    group (one language = half the corpus) makes of the naive
+    ``row_number() over (partition by group)``. Instead:
+
+    1. per-group ``approx_percentile`` boundaries on ``value_col``
+       split each group's value domain into ~``buckets`` ranges
+       (boundaries only steer PARTITIONING — the output is invariant
+       to where they land, so approx is safe);
+    2. rows rank inside ``(group, bucket)`` — bounded partitions —
+       while per-bucket counts fold into a sorted per-group prefix
+       array (≤ ``buckets`` entries, broadcast back);
+    3. global rank = bucket prefix + local rank; the trim predicate
+       is unchanged bigint arithmetic.
+
+    Equal values share a bucket (bucket = #boundaries < value is
+    monotone w.r.t. the (value, order_key) total order), so ranks are
+    bit-identical to the single-window form — the identity the
+    unchanged DuckDB oracle and ``tests/test_properties.py`` pin. The
+    price of skew immunity is two extra aggregate passes over the
+    input (boundaries, bucket counts); the heavy sort still happens
+    exactly once, now on bounded partitions. A group where ONE value
+    holds most rows re-concentrates its bucket — ties are
+    indivisible under any order-preserving partitioning; that shape
+    needs an upstream tie-break column, not a different trim.
     """
     from pyspark.sql import Window
 
-    clash = [c for c in ("__rn", "__n") if c in df.columns]
+    clash = [
+        c
+        for c in ("__rn", "__n", "__bkt", "__pfx", "__bnds", "__cl", "__g0")
+        if c in df.columns and c not in group_cols
+    ]
     if clash:
         raise ValueError(
             f"rank_trim uses temp columns {clash} which already exist in "
             "the input — rename them first (they would be silently "
             "replaced and then dropped)"
         )
-    w = Window.partitionBy(*group_cols).orderBy(
+    if not group_cols:
+        # degenerate global trim: a constant key keeps one plan shape
+        # (an empty using-list would turn the stats join cartesian)
+        return rank_trim(
+            df.withColumn("__g0", F.lit(0)),
+            ["__g0"],
+            value_col,
+            order_key,
+            lo_pct,
+            hi_pct,
+        ).drop("__g0")
+    buckets = 32
+    probs = [i / buckets for i in range(1, buckets)]
+    # group frame: count + range boundaries (both partial-agg'd; the
+    # result is |groups| rows — curation domains, broadcastable)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(F.col(value_col).cast("double"), probs).alias(
+            "__bnds"
+        ),
+    )
+    val = F.col(value_col).cast("double")
+    bucketed = df.join(F.broadcast(stats), group_cols).withColumn(
+        "__bkt",
+        F.when(
+            val.isNull(), F.lit(-1)  # Spark windows order NULLS FIRST
+        ).otherwise(
+            F.size(F.filter(F.col("__bnds"), lambda b: b < val))
+        ),
+    )
+    # per-(group, bucket) counts -> sorted per-group (bucket, count)
+    # array; prefix(b) = rows in earlier buckets, via one groupBy (no
+    # raw-group-key window even on the tiny counts frame)
+    prefixes = (
+        bucketed.groupBy(*group_cols, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__bkt", "__c"))
+            ).alias("__cl")
+        )
+    )
+    w = Window.partitionBy(*group_cols, "__bkt").orderBy(
         F.col(value_col), F.col(order_key)
     )
-    cnt = Window.partitionBy(*group_cols)
+    ranked = (
+        bucketed.join(F.broadcast(prefixes), group_cols)
+        .withColumn(
+            "__pfx",
+            F.aggregate(
+                F.filter(F.col("__cl"), lambda s: s["__bkt"] < F.col("__bkt")),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["__c"],
+            ),
+        )
+        .withColumn(
+            "__rn", F.col("__pfx") + F.row_number().over(w).cast("long")
+        )
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w).cast("long"))
-        .withColumn("__n", F.count(F.lit(1)).over(cnt))
-        .where(
+        ranked.where(
             (F.col("__rn") * 100 > F.col("__n") * lo_pct)
             & (F.col("__rn") * 100 <= F.col("__n") * hi_pct)
         )
-        .drop("__rn", "__n")
+        # using-column joins hoist the keys to the front: restore the
+        # caller's column order (and drop the temps) in one projection
+        .select(*df.columns)
     )
 
 

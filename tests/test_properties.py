@@ -433,3 +433,49 @@ def test_topk_per_group_equals_window_form(spark, rows, k, salts):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@SMALL
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # unique order key
+            st.integers(min_value=0, max_value=2),      # group key: hot
+            st.integers(min_value=0, max_value=9),      # value: many ties
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    lo=st.integers(min_value=0, max_value=30),
+    span=st.integers(min_value=0, max_value=100),
+)
+def test_rank_trim_equals_window_form(spark, rows, lo, span):
+    """Property (r12): the range-bucketed exact-rank trim is bit-
+    identical to the naive single-window form for ANY rows / bounds —
+    including all-ties groups (every row one bucket), bounds that trim
+    nothing (0/100) or everything, and single-row groups. This
+    identity is what licenses keeping the window form as the DuckDB
+    oracle for x_length_trim after the r12 skew retrofit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    hi = min(100, lo + span)
+    df = spark.createDataFrame(rows, "id long, grp int, val int")
+    got = rank_trim(df, ["grp"], "val", "id", lo_pct=lo, hi_pct=hi)
+    w = Window.partitionBy("grp").orderBy(F.col("val"), F.col("id"))
+    cnt = Window.partitionBy("grp")
+    want = (
+        df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("__rn") * 100 > F.col("__n") * lo)
+            & (F.col("__rn") * 100 <= F.col("__n") * hi)
+        )
+        .drop("__rn", "__n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

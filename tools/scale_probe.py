@@ -167,6 +167,8 @@ def main() -> int:
             "spans",
             "balance",
             "kmeansfit",
+            "trim",
+            "sessionize",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -219,6 +221,10 @@ def main() -> int:
         _probe_balance(spark, scratch, args, S, report)
     if args.probe == "kmeansfit":
         _probe_kmeansfit(spark, scratch, args, S, report)
+    if args.probe == "trim":
+        _probe_trim(spark, scratch, args, report)
+    if args.probe == "sessionize":
+        _probe_sessionize(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -581,6 +587,116 @@ def _probe_kmeansfit(spark, scratch, args, S, report):
             iters=iters,
             centroids=n_cents,
             sec=round(_t.perf_counter() - t0, 2),
+        )
+
+
+def _probe_trim(spark, scratch, args, report):
+    # ---- group_cap / rank_trim hot-group posture (VERDICT r11 item 3) --
+    # Clean corpus: 200 uniform groups. Hot corpus: ONE group holds 50%
+    # of all rows — the straggler shape the r12 retrofit (salted two-
+    # level top-k for group_cap, range-bucketed exact ranks for
+    # rank_trim) is supposed to absorb: hot must price ≤ clean, where
+    # the old single-window form made the hot group one sorting task.
+    from hive_scripts_spark.functions.canonical import group_cap, rank_trim
+
+    n = args.docs
+    base = spark.range(0, n, 1, 32).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10_000))
+        .cast("int")
+        .alias("val"),
+    )
+    clean_path = str(scratch / f"trim_clean_{n}")
+    hot_path = str(scratch / f"trim_hot_{n}")
+    base.withColumn(
+        "grp", F.pmod(F.col("id"), F.lit(200)).cast("int")
+    ).write.mode("overwrite").parquet(clean_path)
+    base.withColumn(
+        "grp",
+        F.when(F.col("id") < n // 2, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(200)))
+        .cast("int"),
+    ).write.mode("overwrite").parquet(hot_path)
+    for label, path in (("clean", clean_path), ("hot50pct", hot_path)):
+        df = spark.read.parquet(path)
+        sec, ex = _timed(
+            lambda d=df: group_cap(d, ["grp"], n=20, order_key="id"),
+            args.reps,
+        )
+        report(f"group_cap_{label}", rows=n, sec=round(sec, 2), exchanges=ex)
+        sec, ex = _timed(
+            lambda d=df: rank_trim(
+                d, ["grp"], "val", order_key="id", lo_pct=1, hi_pct=99
+            ),
+            args.reps,
+        )
+        report(f"rank_trim_{label}", rows=n, sec=round(sec, 2), exchanges=ex)
+
+
+def _probe_sessionize(spark, scratch, args, report):
+    # ---- sessionize hot-user posture (VERDICT r11 item 4) --------------
+    # The user_id window (lag + running sum) is the one data-path window
+    # on an unbounded external key. Clean: 10k uniform users. Hot: ONE
+    # user owns 30% of all events — its whole stream lands in a single
+    # window partition (windows get no AQE skew split). This probe
+    # prices that task: the Done bar is hot ≤ ~1.5× clean.
+    from pyspark.sql.window import Window
+
+    n = args.docs
+    base = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.xxhash64(F.col("id")), F.lit(86_400_000))
+            * 1_000_000
+        ).alias("ts"),
+    )
+    clean_path = str(scratch / f"sess_clean_{n}")
+    hot_path = str(scratch / f"sess_hot_{n}")
+    base.withColumn(
+        "user_id", F.pmod(F.col("event_id"), F.lit(10_000))
+    ).write.mode("overwrite").parquet(clean_path)
+    base.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(0)).otherwise(
+            F.pmod(F.col("event_id"), F.lit(10_000))
+        ),
+    ).write.mode("overwrite").parquet(hot_path)
+
+    def sessionized(ev):
+        # the exact x_events_sessionize window chain (30-min gap)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        marked = ev.withColumn(
+            "new_session",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 1800 * 1_000_000
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        w2 = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            marked.withColumn("session_id", F.sum("new_session").over(w2))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+        )
+
+    for label, path in (("clean", clean_path), ("hot30pct", hot_path)):
+        ev = spark.read.parquet(path)
+        sec, ex = _timed(lambda e=ev: sessionized(e), args.reps)
+        report(
+            f"sessionize_{label}", events=n, sec=round(sec, 2), exchanges=ex
         )
 
 

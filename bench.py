@@ -47,10 +47,10 @@ EXTRA = [
     "x_dedup_lines",
     "x_events_session_window",
     "x_text_entropy",
-    # r6-added — the memory-lean ANN path (compare vs x_ann_ivf_topk in
-    # the same run: same plan + a fused dequant projection) and the
-    # map-only chunking pass
-    "x_ann_ivf_topk_quantized",
+    # r6-added — the map-only chunking pass (its r6 sibling
+    # x_ann_ivf_topk_quantized retired from the registry in the r12
+    # capacity swap; its int8-dequant composition stays value-pinned in
+    # tests/test_retired_queries.py and its timing series ends at r11)
     "x_doc_chunk",
     # r7-added — compare x_decontaminate_bloom against x_decontaminate
     # (same answer, plan-literal bitset prefilter vs broadcast join) in
@@ -108,6 +108,10 @@ EXTRA = [
     "x_dedup_simhash",
     "x_dedup_ngram_jaccard",
     "x_embed_near_dup",
+    # r12 registry swap — real baseline-JPEG entropy-decode + IDCT +
+    # resample inside mapInPandas (per-doc 159-byte payloads); timing
+    # series starts here
+    "x_multimodal_resize_jpeg",
 ]
 
 

@@ -21,8 +21,11 @@ plumbing-oracle queries and anywhere reproducible fixtures matter:
   features.
 * ``resize_images`` is REAL nearest-neighbor resampling for the
   formats whose pixels are reachable without a codec library: raw
-  PPM P6, uncompressed 24-bit BMP, and 8-bit-RGB PNG (stdlib ``zlib``
-  IDAT inflate + per-scanline unfilter); other formats yield NULL rows.
+  PPM P6, uncompressed 24-bit BMP, 8-bit-RGB PNG (stdlib ``zlib``
+  IDAT inflate + per-scanline unfilter), and — new r12 — **baseline-
+  DCT JPEG** (numpy entropy decode + IDCT: generic DQT/DHT, SOF0/1,
+  restart markers, grayscale + JFIF YCbCr with subsampling);
+  progressive/arithmetic/12-bit JPEG and other formats yield NULL rows.
 * ``video_meta`` parses REAL container headers (MP4 ``moov``→``mvhd``
   duration, AVI ``avih`` frame count/rate).
   Nothing in this module raises on real payloads — decode failures
@@ -235,13 +238,18 @@ def resize_images(
 
     The default is a REAL nearest-neighbor resample for the formats
     whose pixels are reachable without a codec library — PPM ``P6``
-    (binary RGB), uncompressed 24-bit BMP, and non-interlaced 8-bit
+    (binary RGB), uncompressed 24-bit BMP, non-interlaced 8-bit
     truecolor PNG (stdlib ``zlib`` inflate of the IDAT stream +
-    per-scanline unfilter; alpha dropped for RGBA) — decoded and
-    index-sampled with numpy; ``resized_md5`` hashes the resized RGB
-    buffer, so identical images resize to identical fingerprints
-    regardless of their container. Other/corrupt payloads yield NULL
-    dims/hash (one bad object must not kill the batch).
+    per-scanline unfilter; alpha dropped for RGBA), and baseline-DCT
+    JPEG (r12: numpy-only T.81 decode — generic DQT/DHT parsing,
+    SOF0/SOF1 frames, restart markers, grayscale and JFIF YCbCr with
+    pixel-replication chroma upsampling; round-tripped at the
+    coefficient level against an independent encoder in
+    ``tests/test_multimodal.py``) — decoded and index-sampled with
+    numpy; ``resized_md5`` hashes the resized RGB buffer, so identical
+    images resize to identical fingerprints regardless of their
+    container. Progressive/arithmetic JPEG and other/corrupt payloads
+    yield NULL dims/hash (one bad object must not kill the batch).
 
     The fake path emits the target dims plus a deterministic pseudo
     "resized content" hash (md5 of payload + dims) so downstream plumbing
@@ -488,9 +496,253 @@ def resize_images(
                     return np.ascontiguousarray(
                         out.reshape(h, w, ch)[..., :3]
                     )
+                if b[:2] == b"\xff\xd8":
+                    return decode_jpeg(b)
             except Exception:
                 pass
             return None
+
+        def decode_jpeg(b: bytes):
+            # Baseline-DCT JPEG pixel decode (ITU-T T.81), numpy-only:
+            # generic DQT/DHT parsing, SOF0/SOF1 frames, restart
+            # markers, grayscale + JFIF YCbCr with h/v subsampling
+            # (pixel-replication chroma upsampling). Progressive
+            # (SOF2), arithmetic-coded, hierarchical, and 12-bit
+            # frames return None (NULL row) per the module contract —
+            # JPEG is the dominant real-lake image format, so the
+            # resize path decodes it for real; one bad payload still
+            # must never kill the batch.
+            ZZ = np.array(
+                [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+                 12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14,
+                 21, 28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23,
+                 30, 37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60,
+                 61, 54, 47, 55, 62, 63], np.int32)
+            qt: dict[int, np.ndarray] = {}
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            frame = None  # (h, w, [(cid, ch, cv, tq), ...])
+            dri = 0
+            i, n = 2, len(b)
+            scan = None
+            while i + 4 <= n:
+                if b[i] != 0xFF:
+                    return None
+                m = b[i + 1]
+                if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                         0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # non-baseline-huffman frame
+                ln = int.from_bytes(b[i + 2 : i + 4], "big")
+                seg = b[i + 4 : i + 2 + ln]
+                if m == 0xDB:  # DQT: one or more tables
+                    j = 0
+                    while j < len(seg):
+                        pq, tq = seg[j] >> 4, seg[j] & 15
+                        j += 1
+                        if pq == 0:
+                            qt[tq] = np.frombuffer(
+                                seg[j : j + 64], np.uint8
+                            ).astype(np.int32)
+                            j += 64
+                        else:
+                            qt[tq] = np.frombuffer(
+                                seg[j : j + 128], ">u2"
+                            ).astype(np.int32)
+                            j += 128
+                elif m == 0xC4:  # DHT: one or more tables
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        counts = list(seg[j + 1 : j + 17])
+                        j += 17
+                        table, code = {}, 0
+                        for length in range(1, 17):
+                            for _ in range(counts[length - 1]):
+                                table[(length, code)] = seg[j]
+                                j += 1
+                                code += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                elif m in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+                    if seg[0] != 8:
+                        return None  # 12-bit precision
+                    fh = int.from_bytes(seg[1:3], "big")
+                    fw = int.from_bytes(seg[3:5], "big")
+                    ncomp = seg[5]
+                    comps = []
+                    for c in range(ncomp):
+                        o = 6 + 3 * c
+                        comps.append(
+                            (seg[o], seg[o + 1] >> 4, seg[o + 1] & 15,
+                             seg[o + 2])
+                        )
+                    frame = (fh, fw, comps)
+                elif m == 0xDD:  # DRI
+                    dri = int.from_bytes(seg[0:2], "big")
+                elif m == 0xDA:  # SOS: scan header, then entropy data
+                    ns = seg[0]
+                    smap = {}
+                    for c in range(ns):
+                        smap[seg[1 + 2 * c]] = (
+                            seg[2 + 2 * c] >> 4,
+                            seg[2 + 2 * c] & 15,
+                        )
+                    scan = (smap, i + 2 + ln)
+                    break
+                i += 2 + ln
+            if frame is None or scan is None:
+                return None
+            fh, fw, comps = frame
+            if fh == 0 or fw == 0 or len(comps) not in (1, 3):
+                return None
+            smap, pos = scan
+            # split entropy data into restart segments, unstuffing FF00
+            segments, cur = [], bytearray()
+            while pos + 1 < n:
+                byte = b[pos]
+                if byte != 0xFF:
+                    cur.append(byte)
+                    pos += 1
+                    continue
+                nxt = b[pos + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    pos += 2
+                else:
+                    break  # EOI or next marker
+            segments.append(bytes(cur))
+
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            planes = {}
+            for cid, ch_, cv, _tq in comps:
+                planes[cid] = np.zeros(
+                    (mcuy * cv * 8, mcux * ch_ * 8), np.float64
+                )
+            # batched IDCT basis: A[x,u] = c(u)/2 cos((2x+1)uπ/16)
+            xs = np.arange(8)
+            A = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2
+            A[:, 0] *= 1 / np.sqrt(2)
+
+            # DQT stores entries in ZIGZAG order (T.81 B.2.4.1);
+            # coefficients below are reassembled in natural order, so
+            # de-zigzag each table once up front
+            qnat = {}
+            for tq, zq in qt.items():
+                nat = np.empty(64, np.int32)
+                nat[ZZ] = zq
+                qnat[tq] = nat
+
+            seg_idx, bitbuf, bitcnt, bpos = 0, 0, 0, 0
+            data = segments[0]
+
+            def getbit():
+                nonlocal bitbuf, bitcnt, bpos
+                if bitcnt == 0:
+                    if bpos >= len(data):
+                        raise EOFError
+                    bitbuf = data[bpos]
+                    bpos += 1
+                    bitcnt = 8
+                bitcnt -= 1
+                return (bitbuf >> bitcnt) & 1
+
+            def getbits(k):
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | getbit()
+                return v
+
+            def huffdec(table):
+                length, code = 0, 0
+                while length < 16:
+                    code = (code << 1) | getbit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise EOFError
+
+            def extend(v, s):
+                return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+            pred = {cid: 0 for cid, *_ in comps}
+            mcus_done = 0
+            coef = np.zeros(64, np.int32)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcus_done and mcus_done % dri == 0:
+                        seg_idx += 1  # restart: new segment, reset DC
+                        if seg_idx >= len(segments):
+                            raise EOFError
+                        data = segments[seg_idx]
+                        bpos, bitcnt = 0, 0
+                        pred = {cid: 0 for cid, *_ in comps}
+                    for cid, ch_, cv, tq in comps:
+                        dct, act = smap[cid]
+                        dtab, atab = huff[(0, dct)], huff[(1, act)]
+                        q = qnat[tq]
+                        for by in range(cv):
+                            for bx in range(ch_):
+                                coef[:] = 0
+                                s = huffdec(dtab)
+                                pred[cid] += extend(getbits(s), s)
+                                coef[0] = pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = huffdec(atab)
+                                    r, sz = rs >> 4, rs & 15
+                                    if sz == 0:
+                                        if r != 15:
+                                            break
+                                        k += 16
+                                        continue
+                                    k += r
+                                    if k > 63:
+                                        raise EOFError
+                                    coef[ZZ[k]] = extend(getbits(sz), sz)
+                                    k += 1
+                                # coef is natural-order (written via
+                                # ZZ); q was de-zigzagged to match
+                                blk8 = (coef * q).reshape(8, 8)
+                                px = A @ blk8.astype(np.float64) @ A.T
+                                y0 = (my * cv + by) * 8
+                                x0 = (mx * ch_ + bx) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+                    mcus_done += 1
+            out_planes = []
+            for cid, ch_, cv, _tq in comps:
+                p = planes[cid]
+                # upsample by pixel replication to full-frame sampling,
+                # then crop to the frame dims
+                if ch_ != hmax or cv != vmax:
+                    p = p.repeat(vmax // cv, axis=0).repeat(
+                        hmax // ch_, axis=1
+                    )
+                out_planes.append(p[:fh, :fw])
+            if len(out_planes) == 1:
+                g = np.clip(np.round(out_planes[0] + 128), 0, 255)
+                return np.ascontiguousarray(
+                    np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+                )
+            Y, Cb, Cr = (pl + 128 for pl in out_planes)
+            Cb, Cr = Cb - 128, Cr - 128
+            rgb = np.stack(
+                [
+                    Y + 1.402 * Cr,
+                    Y - 0.344136 * Cb - 0.714136 * Cr,
+                    Y + 1.772 * Cb,
+                ],
+                axis=2,
+            )
+            return np.ascontiguousarray(
+                np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            )
 
         for pdf in it:
             # a NULL payload stays None: NULL dims/hash, never a

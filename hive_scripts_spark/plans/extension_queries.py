@@ -1841,61 +1841,11 @@ def x_ann_ivf_topk(spark, sf_dir):
     )
 
 
-@register(
-    "x_ann_ivf_topk_quantized",
-    oracle="""
-    with corpus0 as (
-      select vec_id, cast(embedding as double[]) as v from embeddings
-    ), bounds as (
-      select vec_id, v, list_min(v) as lo, list_max(v) as hi from corpus0
-    ), recon as (
-      -- int8-range quantize then dequantize: the corpus the search sees
-      select vec_id,
-             case when hi = lo then list_transform(v, x -> lo)
-                  else list_transform(v, x -> lo +
-                    cast(floor((x - lo) * 255.0 / (hi - lo) + 0.5) as int)
-                    * ((hi - lo) / 255.0)) end as v
-      from bounds
-    ), centroids as (
-      select vec_id as cid, cast(embedding as double[]) as c
-      from embeddings where vec_id < 8
-    ), assign as (
-      select vec_id as neighbor_id, cell from (
-        select r.vec_id, c.cid as cell, row_number() over (
-          partition by r.vec_id order by
-            round(list_dot_product(r.v, c.c)
-                  / (sqrt(list_dot_product(r.v, r.v))
-                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
-        ) as rn
-        from recon r cross join centroids c) where rn = 1
-    ), probes as (
-      -- queries ride FULL-precision (asymmetric distance)
-      select vec_id as query_id, cell from (
-        select q.vec_id, c.cid as cell, row_number() over (
-          partition by q.vec_id order by
-            round(list_dot_product(q.v, c.c)
-                  / (sqrt(list_dot_product(q.v, q.v))
-                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
-        ) as rn
-        from corpus0 q cross join centroids c where q.vec_id < 10)
-      where rn <= 2
-    ), cand as (
-      select p.query_id, a.neighbor_id,
-             round(list_dot_product(q.v, r.v)
-                   / (sqrt(list_dot_product(q.v, q.v))
-                      * sqrt(list_dot_product(r.v, r.v))), 6) as cosine_sim
-      from probes p
-      join assign a on a.cell = p.cell and a.neighbor_id <> p.query_id
-      join corpus0 q on q.vec_id = p.query_id
-      join recon r on r.vec_id = a.neighbor_id
-    ), ranked as (
-      select query_id, neighbor_id, cosine_sim, row_number() over (
-        partition by query_id order by cosine_sim desc, neighbor_id) as rank
-      from cand
-    )
-    select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
-    """,
-)
+# RETIRED from the graded registry r12 (one-in-one-out capacity swap:
+# slot funds x_multimodal_resize_jpeg; COVERAGE.md "Registry capacity").
+# The int8-dequant composition stays value-checked against this exact
+# oracle in tests/test_retired_queries.py; x_ann_ivf_topk grades the
+# IVF plan shape and x_ann_pq_topk the compressed-search family.
 def x_ann_ivf_topk_quantized(spark, sf_dir):
     """The memory-lean ANN path under the driver gate: IVF search over
     the int8-QUANTIZED corpus (4x smaller index), dequantized on the fly
@@ -3054,6 +3004,90 @@ def x_multimodal_resize_real(spark, sf_dir):
     )
     return M.resize_images(
         M.binarize(framed, "ppm_text"),
+        target=(2, 2),
+        fake=False,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
+
+
+#: four 159-byte constant-gray baseline JPEGs (8x8, one block, flat
+#: q=16 tables, custom canonical DHT) generated by the coefficient-
+#: level encoder in tests/jpeg_codec.py. Gray levels {16,64,100,126}
+#: are chosen so the DC round-trip is EXACT: g-128 even => DC=8(g-128)
+#: divisible by q[0]=16, so decode reproduces the constant g bit-for-
+#: bit and the resized buffer's md5 is pure SQL (md5 of 12 repeated
+#: single-byte chars — all < 128, so DuckDB's UTF-8 md5 sees the same
+#: bytes Spark hashes). The streams differ only in the DC Huffman
+#: table + scan bits; header/DQT/SOF/SOS bytes are shared.
+_JPEG_GRAY_HEX = {
+    16: (
+        "ffd8ffe000104a46494600010100000100010000ffdb00430010101010101010"
+        "1010101010101010101010101010101010101010101010101010101010101010"
+        "10101010101010101010101010101010101010101010101010ffc0000b080008"
+        "000801011100ffc40014000100000000000000000000000000000006ffc40014"
+        "100100000000000000000000000000000000ffda0008010100003f000effd9"
+    ),
+    64: (
+        "ffd8ffe000104a46494600010100000100010000ffdb00430010101010101010"
+        "1010101010101010101010101010101010101010101010101010101010101010"
+        "10101010101010101010101010101010101010101010101010ffc0000b080008"
+        "000801011100ffc40014000100000000000000000000000000000006ffc40014"
+        "100100000000000000000000000000000000ffda0008010100003f003effd9"
+    ),
+    100: (
+        "ffd8ffe000104a46494600010100000100010000ffdb00430010101010101010"
+        "1010101010101010101010101010101010101010101010101010101010101010"
+        "10101010101010101010101010101010101010101010101010ffc0000b080008"
+        "000801011100ffc40014000100000000000000000000000000000004ffc40014"
+        "100100000000000000000000000000000000ffda0008010100003f000bffd9"
+    ),
+    126: (
+        "ffd8ffe000104a46494600010100000100010000ffdb00430010101010101010"
+        "1010101010101010101010101010101010101010101010101010101010101010"
+        "10101010101010101010101010101010101010101010101010ffc0000b080008"
+        "000801011100ffc40014000100000000000000000000000000000001ffc40014"
+        "100100000000000000000000000000000000ffda0008010100003f001fffd9"
+    ),
+}
+
+
+@register(
+    "x_multimodal_resize_jpeg",
+    # decode of a constant-gray baseline JPEG is exact (DC multiple of
+    # the quant step, zero AC), so the 2x2 resized RGB buffer is 12
+    # copies of the gray byte — md5-computable in pure SQL
+    oracle="""
+    select doc_id,
+           cast(2 as int) as width,
+           cast(2 as int) as height,
+           md5(repeat(chr(case cast(doc_id % 4 as int)
+                          when 0 then 16 when 1 then 64
+                          when 2 then 100 else 126 end), 12)) as resized_md5
+    from documents
+    """,
+)
+def x_multimodal_resize_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode + resize (r12, VERDICT r11 item
+    5): each document selects one of four constant-gray 8x8 baseline-
+    DCT JPEG payloads by doc_id % 4; ``resize_images`` runs the actual
+    numpy entropy-decode -> dequant -> IDCT -> resample path
+    (JPEG being the dominant real-lake image format), and the oracle
+    recomputes each resized buffer's md5 from the exactness argument
+    above. Huffman/zigzag/subsampling/restart coverage beyond the
+    constant-DC case is coefficient-level pytest
+    (tests/test_multimodal.py round-trips against an independent
+    encoder)."""
+    docs = table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[16])))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[64])))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[100])))
+        .otherwise(F.lit(bytes.fromhex(_JPEG_GRAY_HEX[126])))
+        .alias("payload"),
+    )
+    return M.resize_images(
+        framed,
         target=(2, 2),
         fake=False,
         parallelism=min(8, spark.sparkContext.defaultParallelism),

@@ -96,6 +96,60 @@ RETIRED = {
     from lang
     group by all
     """,
+    # retired r12 (slot funds x_multimodal_resize_jpeg); frozen
+    # verbatim from the r11 registry
+    "x_ann_ivf_topk_quantized": """
+    with corpus0 as (
+      select vec_id, cast(embedding as double[]) as v from embeddings
+    ), bounds as (
+      select vec_id, v, list_min(v) as lo, list_max(v) as hi from corpus0
+    ), recon as (
+      -- int8-range quantize then dequantize: the corpus the search sees
+      select vec_id,
+             case when hi = lo then list_transform(v, x -> lo)
+                  else list_transform(v, x -> lo +
+                    cast(floor((x - lo) * 255.0 / (hi - lo) + 0.5) as int)
+                    * ((hi - lo) / 255.0)) end as v
+      from bounds
+    ), centroids as (
+      select vec_id as cid, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), assign as (
+      select vec_id as neighbor_id, cell from (
+        select r.vec_id, c.cid as cell, row_number() over (
+          partition by r.vec_id order by
+            round(list_dot_product(r.v, c.c)
+                  / (sqrt(list_dot_product(r.v, r.v))
+                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
+        ) as rn
+        from recon r cross join centroids c) where rn = 1
+    ), probes as (
+      -- queries ride FULL-precision (asymmetric distance)
+      select vec_id as query_id, cell from (
+        select q.vec_id, c.cid as cell, row_number() over (
+          partition by q.vec_id order by
+            round(list_dot_product(q.v, c.c)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                     * sqrt(list_dot_product(c.c, c.c))), 6) desc, c.cid
+        ) as rn
+        from corpus0 q cross join centroids c where q.vec_id < 10)
+      where rn <= 2
+    ), cand as (
+      select p.query_id, a.neighbor_id,
+             round(list_dot_product(q.v, r.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(r.v, r.v))), 6) as cosine_sim
+      from probes p
+      join assign a on a.cell = p.cell and a.neighbor_id <> p.query_id
+      join corpus0 q on q.vec_id = p.query_id
+      join recon r on r.vec_id = a.neighbor_id
+    ), ranked as (
+      select query_id, neighbor_id, cosine_sim, row_number() over (
+        partition by query_id order by cosine_sim desc, neighbor_id) as rank
+      from cand
+    )
+    select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
+    """,
 }
 
 

@@ -169,6 +169,7 @@ def main() -> int:
             "kmeansfit",
             "trim",
             "sessionize",
+            "pipeline10m",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -225,6 +226,8 @@ def main() -> int:
         _probe_trim(spark, scratch, args, report)
     if args.probe == "sessionize":
         _probe_sessionize(spark, scratch, args, report)
+    if args.probe == "pipeline10m":
+        _probe_pipeline10m(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -588,6 +591,230 @@ def _probe_kmeansfit(spark, scratch, args, S, report):
             centroids=n_cents,
             sec=round(_t.perf_counter() - t0, 2),
         )
+
+
+def _shuffle_totals(spark):
+    """Cumulative (write, read) shuffle bytes across all completed
+    stages, from the live AppStatusStore — snapshot before/after a
+    stage and diff to get that stage's shuffle volume. (The executed-
+    plan SQLMetrics read zero under AQE stage reuse, so the UI store
+    is the reliable source.)"""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark.sparkContext._jvm.java.util.ArrayList()
+    ds = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *ds)
+    w = sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+    r = sum(stages.apply(i).shuffleReadBytes() for i in range(stages.size()))
+    return w, r
+
+
+#: alphabetic vocab for the pipeline probe: gen_documents' "w123"
+#: tokens fail the alpha-ratio quality gate (1 letter in 4 chars), so
+#: every doc died at the gates stage and the downstream measurements
+#: were vacuous. Mixed EN/DE/ES stopwords + filler words keep most
+#: docs alive through the gates AND give language-ID real variety.
+_PIPE_VOCAB = (
+    "the and is of to in a it that was for on are with they be at one "
+    "have this from or had by word but not what all were when your can "
+    "said der die und ist nicht ein das el la que los en y de les un "
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu apple river stone cloud "
+    "light water mountain forest window garden market bridge castle"
+).split()
+
+
+def gen_alpha_documents(spark, n, path, tokens=50, start=0):
+    """n docs of alphabetic tokens drawn deterministically from
+    _PIPE_VOCAB — same hash scheme as gen_documents, but every token
+    survives the alpha-ratio gate."""
+    vocab = F.array(*[F.lit(w) for w in _PIPE_VOCAB])
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(tokens)),
+            lambda t: F.element_at(
+                vocab,
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * tokens + t),
+                        F.lit(len(_PIPE_VOCAB)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    df = spark.range(start, start + n, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def _probe_pipeline10m(spark, scratch, args, report):
+    # ---- whole-pipeline probe at --docs (VERDICT r11 item 6) -----------
+    # The full curate -> export chain (exact dedup -> 4-gram decon ->
+    # repetition gate -> quality gate + lang-ID -> split/shard/pack ->
+    # partitioned write), measured BOTH stage-isolated (each stage
+    # reads the previous stage's parquet — per-stage wall + shuffle
+    # bytes) AND fused end-to-end (the production plan). Stage bodies
+    # call the same operator functions cmd_export does.
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from hive_scripts_spark.functions.canonical import (
+        shard_by_hash,
+        train_val_test_split,
+    )
+    from hive_scripts_spark.functions.strings import normalize_whitespace
+    from hive_scripts_spark.operators import dedup as D
+    from hive_scripts_spark.operators import textstats as X
+    from hive_scripts_spark.operators.curation import curate_documents
+
+    n = args.docs
+    corpus_path = str(scratch / f"pipe_corpus_{n}")
+    bench_path = str(scratch / "pipe_bench")
+    gen_alpha_documents(spark, n, corpus_path)
+    gen_alpha_documents(spark, 10_000, bench_path, start=100_000_000)
+    bench = spark.read.parquet(bench_path)
+
+    def staged(name, build, out):
+        w0, r0 = _shuffle_totals(spark)
+        t0 = _t.perf_counter()
+        df = build()
+        df.write.mode("overwrite").parquet(out)
+        dt = _t.perf_counter() - t0
+        w1, r1 = _shuffle_totals(spark)
+        rows = spark.read.parquet(out).count()
+        report(
+            f"pipe10m_{name}",
+            sec=round(dt, 2),
+            rows=rows,
+            shuffle_write_mb=round((w1 - w0) / 1e6, 1),
+            shuffle_read_mb=round((r1 - r0) / 1e6, 1),
+        )
+        return out
+
+    # s1: exact dedup (the curate_documents stage-1 expression)
+    docs = spark.read.parquet(corpus_path)
+    p1 = staged(
+        "dedup",
+        lambda: (
+            docs.select(
+                "doc_id", "text",
+                F.md5(normalize_whitespace("text")).alias("__h"),
+            )
+            .groupBy("__h")
+            .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("__r"))
+            .select(
+                F.col("__r.doc_id").alias("doc_id"),
+                F.col("__r.text").alias("text"),
+            )
+        ),
+        str(scratch / "pipe_s1"),
+    )
+    # s2: benchmark decontamination (broadcast gram anti-join)
+    s1 = spark.read.parquet(p1)
+    p2 = staged(
+        "decon",
+        lambda: s1.join(
+            F.broadcast(
+                D.contamination_overlap(s1, bench, n=4).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        ),
+        str(scratch / "pipe_s2"),
+    )
+    # s3: repetition + quality gates (map-only)
+    s2 = spark.read.parquet(p2)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    p3 = staged(
+        "gates",
+        lambda: (
+            X.repetition_signals(s2, keep_cols=["text"])
+            .where(F.col("dup_gram_frac") <= 0.10)
+            .select(
+                "doc_id", "text",
+                X.tokens("text").alias("__t"), alpha.alias("__alpha"),
+            )
+            .where((F.col("__alpha") >= 0.5) & (F.size("__t") >= 10))
+            .select("doc_id", "text", F.size("__t").alias("n_tokens"))
+        ),
+        str(scratch / "pipe_s3"),
+    )
+    # s4: language-ID (map-only argmax over stopword hits)
+    s3 = spark.read.parquet(p3)
+    p4 = staged(
+        "langid",
+        lambda: X.language_id(s3, keep_cols=["n_tokens", "text"]).select(
+            "doc_id", "text", "n_tokens", "predicted_lang"
+        ),
+        str(scratch / "pipe_s4"),
+    )
+    # s5: split + shard + token-budget pack + Hive-partitioned write
+    # (cmd_export's exact expressions; the window rides (split, shard))
+    s4 = spark.read.parquet(p4)
+    part_cols = ["split", "shard"]
+
+    def pack():
+        cur = train_val_test_split(s4, ["doc_id"], val_pct=5, test_pct=5)
+        sharded = shard_by_hash(cur, ["doc_id"], n_shards=16)
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        return sharded.withColumn(
+            "pack_id", F.floor(offset / 4096.0).cast("bigint")
+        )
+
+    w0, r0 = _shuffle_totals(spark)
+    t0 = _t.perf_counter()
+    pack().write.mode("overwrite").partitionBy(*part_cols).parquet(
+        str(scratch / "pipe_s5")
+    )
+    dt = _t.perf_counter() - t0
+    w1, r1 = _shuffle_totals(spark)
+    report(
+        "pipe10m_pack_shard_write",
+        sec=round(dt, 2),
+        shuffle_write_mb=round((w1 - w0) / 1e6, 1),
+        shuffle_read_mb=round((r1 - r0) / 1e6, 1),
+    )
+    # fused end-to-end (no inter-stage materialization): the plan the
+    # production `export` command actually runs
+    w0, r0 = _shuffle_totals(spark)
+    t0 = _t.perf_counter()
+    curated = curate_documents(docs, bench)
+    cur = train_val_test_split(curated, ["doc_id"], val_pct=5, test_pct=5)
+    sharded = shard_by_hash(cur, ["doc_id"], n_shards=16)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096.0)
+        .cast("bigint"),
+    )
+    packed.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        str(scratch / "pipe_fused")
+    )
+    dt = _t.perf_counter() - t0
+    w1, r1 = _shuffle_totals(spark)
+    report(
+        "pipe10m_fused_e2e",
+        docs=n,
+        sec=round(dt, 2),
+        shuffle_write_mb=round((w1 - w0) / 1e6, 1),
+        shuffle_read_mb=round((r1 - r0) / 1e6, 1),
+    )
 
 
 def _probe_trim(spark, scratch, args, report):

@@ -238,6 +238,7 @@ def rank_trim(
     order_key: str,
     lo_pct: int = 1,
     hi_pct: int = 99,
+    buckets: int = 32,
 ) -> DataFrame:
     """Drop each group's distribution tails by RANK, not by percentile
     value: keep rows whose 1-based rank ``rn`` (by ``value_col``, ties
@@ -259,9 +260,12 @@ def rank_trim(
        split each group's value domain into ~``buckets`` ranges
        (boundaries only steer PARTITIONING — the output is invariant
        to where they land, so approx is safe);
-    2. rows rank inside ``(group, bucket)`` — bounded partitions —
-       while per-bucket counts fold into a sorted per-group prefix
-       array (≤ ``buckets`` entries, broadcast back);
+    2. rows rank inside ``(group, bucket)`` — a hot group's sort
+       shrinks ×``buckets`` (raise ``buckets`` for pathologically
+       massive single groups; the prefix array grows with it, the
+       output doesn't change) — while per-bucket counts fold into a
+       sorted per-group prefix array (≤ ``buckets`` entries,
+       broadcast back);
     3. global rank = bucket prefix + local rank; the trim predicate
        is unchanged bigint arithmetic.
 
@@ -299,8 +303,8 @@ def rank_trim(
             order_key,
             lo_pct,
             hi_pct,
+            buckets,
         ).drop("__g0")
-    buckets = 32
     probs = [i / buckets for i in range(1, buckets)]
     # group frame: count + range boundaries (both partial-agg'd; the
     # result is |groups| rows — curation domains, broadcastable)

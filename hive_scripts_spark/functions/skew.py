@@ -165,6 +165,17 @@ def topk_per_group(
     """
     from pyspark.sql.window import Window
 
+    clash = [
+        c
+        for c in ("__salt", "__r1", rank_name)
+        if c in df.columns and c not in group_cols
+    ]
+    if clash:
+        raise ValueError(
+            f"topk_per_group uses columns {clash} which already exist in "
+            "the input — rename them first (they would be silently "
+            "overwritten mid-plan)"
+        )
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
     local = (

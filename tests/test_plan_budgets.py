@@ -74,3 +74,32 @@ def test_g_approx_distinct_within_rsd(spark, sf_dir):
         f"HLL estimate {approx} vs exact {exact} at {sf_dir}: "
         f"relative error {abs(approx - exact) / exact:.4f} > 0.15"
     )
+
+
+@pytest.mark.parametrize("name", ["x_group_cap", "x_length_trim"])
+def test_no_raw_group_key_window(spark, name):
+    """r12 de-skew lock: neither curation trim query may plan a window
+    function partitioned ONLY on raw group keys over the full table —
+    every windowspecdefinition must carry a salt (__salt) or range-
+    bucket (__bkt) column, except group_cap's level-2 pass whose input
+    is already capped to <= salts*n rows per group (identified by the
+    WindowGroupLimit the level-1 filter leaves upstream of it)."""
+    import re as _re
+
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"{name}: expected window functions in the plan"
+    unbounded = [
+        s
+        for s in specs
+        if "__salt" not in s and "__bkt" not in s
+    ]
+    if name == "x_group_cap":
+        # level 2 ranks the level-1 survivors: bounded input by
+        # construction — allow exactly that one group-keyed spec
+        assert len(unbounded) <= 1, (name, unbounded)
+    else:
+        assert not unbounded, (name, unbounded)

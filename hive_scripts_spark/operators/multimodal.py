@@ -674,47 +674,87 @@ def resize_images(
             pred = {cid: 0 for cid, *_ in comps}
             mcus_done = 0
             coef = np.zeros(64, np.int32)
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if dri and mcus_done and mcus_done % dri == 0:
-                        seg_idx += 1  # restart: new segment, reset DC
-                        if seg_idx >= len(segments):
-                            raise EOFError
-                        data = segments[seg_idx]
-                        bpos, bitcnt = 0, 0
-                        pred = {cid: 0 for cid, *_ in comps}
-                    for cid, ch_, cv, tq in comps:
-                        dct, act = smap[cid]
-                        dtab, atab = huff[(0, dct)], huff[(1, act)]
-                        q = qnat[tq]
-                        for by in range(cv):
-                            for bx in range(ch_):
-                                coef[:] = 0
-                                s = huffdec(dtab)
-                                pred[cid] += extend(getbits(s), s)
-                                coef[0] = pred[cid]
-                                k = 1
-                                while k < 64:
-                                    rs = huffdec(atab)
-                                    r, sz = rs >> 4, rs & 15
-                                    if sz == 0:
-                                        if r != 15:
-                                            break
-                                        k += 16
-                                        continue
-                                    k += r
-                                    if k > 63:
-                                        raise EOFError
-                                    coef[ZZ[k]] = extend(getbits(sz), sz)
-                                    k += 1
-                                # coef is natural-order (written via
-                                # ZZ); q was de-zigzagged to match
-                                blk8 = (coef * q).reshape(8, 8)
-                                px = A @ blk8.astype(np.float64) @ A.T
-                                y0 = (my * cv + by) * 8
-                                x0 = (mx * ch_ + bx) * 8
-                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-                    mcus_done += 1
+
+            def restart():
+                nonlocal seg_idx, data, bpos, bitcnt, pred
+                seg_idx += 1  # new entropy segment, DC predictors reset
+                if seg_idx >= len(segments):
+                    raise EOFError
+                data = segments[seg_idx]
+                bpos, bitcnt = 0, 0
+                pred = {cid: 0 for cid, *_ in comps}
+
+            def decode_block(cid, dtab, atab, q, y0, x0):
+                coef[:] = 0
+                s = huffdec(dtab)
+                pred[cid] += extend(getbits(s), s)
+                coef[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = huffdec(atab)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r != 15:
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise EOFError
+                    coef[ZZ[k]] = extend(getbits(sz), sz)
+                    k += 1
+                # coef is natural-order (written via ZZ); q was
+                # de-zigzagged to match
+                blk8 = (coef * q).reshape(8, 8)
+                px = A @ blk8.astype(np.float64) @ A.T
+                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+
+            if len(smap) == 1:
+                # ns=1 scan is NON-interleaved (T.81 A.2.2): one data
+                # unit per "MCU", walked over the COMPONENT's own block
+                # grid — NOT the frame MCU grid. Matters when a
+                # grayscale frame declares sampling factors > 1 (some
+                # color-pipeline encoders do): the interleaved walk
+                # would decode ch*cv blocks per step and mis-walk the
+                # stream at row boundaries. DRI counts blocks here.
+                (cid,) = smap
+                ch_, cv, tq = next(
+                    (c[1], c[2], c[3]) for c in comps if c[0] == cid
+                )
+                dct, act = smap[cid]
+                dtab, atab = huff[(0, dct)], huff[(1, act)]
+                q = qnat[tq]
+                comp_w = -(-fw * ch_ // hmax)
+                comp_h = -(-fh * cv // vmax)
+                for by in range(-(-comp_h // 8)):
+                    for bx in range(-(-comp_w // 8)):
+                        if dri and mcus_done and mcus_done % dri == 0:
+                            restart()
+                        decode_block(cid, dtab, atab, q, by * 8, bx * 8)
+                        mcus_done += 1
+                if len(comps) > 1:
+                    # multi-scan baseline (one scan per component):
+                    # only the first scan was parsed — the other
+                    # planes would render as flat zero. Degrade to
+                    # NULL rather than emit a half-decoded image.
+                    return None
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri and mcus_done and mcus_done % dri == 0:
+                            restart()
+                        for cid, ch_, cv, tq in comps:
+                            dct, act = smap[cid]
+                            dtab, atab = huff[(0, dct)], huff[(1, act)]
+                            q = qnat[tq]
+                            for by in range(cv):
+                                for bx in range(ch_):
+                                    decode_block(
+                                        cid, dtab, atab, q,
+                                        (my * cv + by) * 8,
+                                        (mx * ch_ + bx) * 8,
+                                    )
+                        mcus_done += 1
             out_planes = []
             for cid, ch_, cv, _tq in comps:
                 p = planes[cid]

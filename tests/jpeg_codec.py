@@ -93,9 +93,19 @@ def encode_baseline(
     vmax = max(p[2] for p in planes)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    for cid, h, v, coefs in planes:
-        assert coefs.shape[:2] == (mcuy * v, mcux * h), (
-            cid, coefs.shape, mcuy * v, mcux * h)
+    single = len(planes) == 1
+    if single:
+        # ns=1 scan is NON-interleaved (T.81 A.2.2): data units walk
+        # the component's own block grid (= the full frame grid, since
+        # a lone component samples at full resolution whatever factors
+        # the SOF declares); DRI counts blocks
+        _, _, _, coefs0 = planes[0]
+        assert coefs0.shape[:2] == (-(-height // 8), -(-width // 8)), (
+            coefs0.shape, height, width)
+    else:
+        for cid, h, v, coefs in planes:
+            assert coefs.shape[:2] == (mcuy * v, mcux * h), (
+                cid, coefs.shape, mcuy * v, mcux * h)
 
     # ---- pass 1: symbol stream in interleaved MCU order -------------
     # tokens: ("dc"|"ac", symbol, extra_nbits, extra_value) plus
@@ -105,42 +115,55 @@ def encode_baseline(
     ac_syms: set[int] = set()
     pred = {p[0]: 0 for p in planes}
     mcus_done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcus_done and mcus_done % dri == 0:
-                tokens.append(("rst",))
-                pred = {p[0]: 0 for p in planes}
-            for cid, h, v, coefs in planes:
-                for by in range(v):
-                    for bx in range(h):
-                        blk = coefs[my * v + by, mx * h + bx]
-                        diff = int(blk[0]) - pred[cid]
-                        pred[cid] = int(blk[0])
-                        s, bits = _mag_bits(diff)
-                        tokens.append(("dc", s, s, bits))
-                        dc_syms.add(s)
-                        zz = blk[ZZ]  # natural -> zigzag scan order
-                        run = 0
-                        last_nz = np.nonzero(zz[1:])[0]
-                        last = (last_nz[-1] + 1) if len(last_nz) else 0
-                        for k in range(1, last + 1):
-                            val = int(zz[k])
-                            if val == 0:
-                                run += 1
-                                if run == 16:
-                                    tokens.append(("ac", 0xF0, 0, 0))
-                                    ac_syms.add(0xF0)
-                                    run = 0
-                                continue
-                            s, bits = _mag_bits(val)
-                            sym = (run << 4) | s
-                            tokens.append(("ac", sym, s, bits))
-                            ac_syms.add(sym)
-                            run = 0
-                        if last < 63:
-                            tokens.append(("ac", 0x00, 0, 0))  # EOB
-                            ac_syms.add(0x00)
-            mcus_done += 1
+
+    def emit_block(cid, blk):
+        diff = int(blk[0]) - pred[cid]
+        pred[cid] = int(blk[0])
+        s, bits = _mag_bits(diff)
+        tokens.append(("dc", s, s, bits))
+        dc_syms.add(s)
+        zz = blk[ZZ]  # natural -> zigzag scan order
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        last = (last_nz[-1] + 1) if len(last_nz) else 0
+        for k in range(1, last + 1):
+            val = int(zz[k])
+            if val == 0:
+                run += 1
+                if run == 16:
+                    tokens.append(("ac", 0xF0, 0, 0))
+                    ac_syms.add(0xF0)
+                    run = 0
+                continue
+            s, bits = _mag_bits(val)
+            sym = (run << 4) | s
+            tokens.append(("ac", sym, s, bits))
+            ac_syms.add(sym)
+            run = 0
+        if last < 63:
+            tokens.append(("ac", 0x00, 0, 0))  # EOB
+            ac_syms.add(0x00)
+
+    if single:
+        cid0, _, _, coefs0 = planes[0]
+        for by in range(coefs0.shape[0]):
+            for bx in range(coefs0.shape[1]):
+                if dri and mcus_done and mcus_done % dri == 0:
+                    tokens.append(("rst",))
+                    pred = {p[0]: 0 for p in planes}
+                emit_block(cid0, coefs0[by, bx])
+                mcus_done += 1
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcus_done and mcus_done % dri == 0:
+                    tokens.append(("rst",))
+                    pred = {p[0]: 0 for p in planes}
+                for cid, h, v, coefs in planes:
+                    for by in range(v):
+                        for bx in range(h):
+                            emit_block(cid, coefs[my * v + by, mx * h + bx])
+                mcus_done += 1
 
     dc_counts, dc_vals, dc_codes = _canonical_table(dc_syms or {0})
     ac_counts, ac_vals, ac_codes = _canonical_table(ac_syms or {0})

@@ -624,3 +624,31 @@ def test_jpeg_unsupported_and_corrupt_degrade_to_null(spark):
     for did in (1, 2):
         assert rows[did]["resized_md5"] is None
         assert rows[did]["width"] is None
+
+
+def test_jpeg_noninterleaved_gray_with_declared_subsampling(spark):
+    """A grayscale FRAME that declares 2x2 sampling factors (some
+    color-pipeline encoders emit this): the single-component scan is
+    non-interleaved per T.81 A.2.2 — data units walk the component's
+    own block grid, not the frame-MCU grid. An interleaved walk would
+    decode 4 blocks per MCU and mis-walk the stream (24x8 = 3 blocks,
+    not 2 MCUs x 4)."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_baseline
+
+    rng = np.random.RandomState(17)
+    coefs = rng.randint(-12, 13, size=(1, 3, 64)).astype(np.int32)
+    pay = encode_baseline(24, 8, [(1, 2, 2, coefs)], dri=2)
+    expect = np.concatenate(
+        [
+            np.clip(np.round(_idct_ref(coefs[0, i]) + 128), 0, 255)
+            for i in range(3)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    rgb = np.ascontiguousarray(np.repeat(expect[:, :, None], 3, axis=2))
+    r = _resize_md5(spark, pay, (24, 8))
+    assert r["resized_md5"] == hashlib.md5(rgb.tobytes()).hexdigest()

@@ -279,6 +279,15 @@ def rank_trim(
     holds most rows re-concentrates its bucket — ties are
     indivisible under any order-preserving partitioning; that shape
     needs an upstream tie-break column, not a different trim.
+
+    Degenerate inputs keep window-form parity (pinned in
+    ``test_properties``): NULL values bucket to -1 (ahead of every
+    boundary — Spark windows order NULLs FIRST asc); NaN buckets to
+    the last range (Spark comparisons put NaN above every numeric,
+    matching its NaN-last sort order); a non-numeric ``value_col``
+    (double-cast yields NULL) collapses to one bucket per group —
+    still correct, just without the skew spreading, which only
+    numeric trims need in practice.
     """
     from pyspark.sql import Window
 

@@ -479,3 +479,45 @@ def test_rank_trim_equals_window_form(spark, rows, lo, span):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_rank_trim_null_and_nan_values_match_window_form(spark):
+    """Edge parity for the r12 bucketed rank_trim: NULL values bucket
+    to -1 (Spark windows order NULLs FIRST asc — the prefix must put
+    them ahead of every boundary bucket) and NaN buckets to the LAST
+    range (Spark comparisons treat NaN as larger than any numeric, so
+    `boundary < NaN` is true for every boundary — consistent with
+    NaN-last sort order). Both must select exactly the rows the naive
+    window form selects."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    rows = [
+        (i, i % 2, v)
+        for i, v in enumerate(
+            [None, 1.0, float("nan"), 3.0, None, 2.0, float("nan"), 0.5,
+             4.0, 1.5, None, 2.5, 7.0, float("nan"), 0.0, 6.0]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, val double")
+    got = rank_trim(df, ["grp"], "val", "id", lo_pct=15, hi_pct=85)
+    w = Window.partitionBy("grp").orderBy(F.col("val"), F.col("id"))
+    cnt = Window.partitionBy("grp")
+    want = (
+        df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("__rn") * 100 > F.col("__n") * 15)
+            & (F.col("__rn") * 100 <= F.col("__n") * 85)
+        )
+        .drop("__rn", "__n")
+    )
+
+    def key(r):
+        return (r["id"], r["grp"], repr(r["val"]))
+
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )

@@ -528,6 +528,12 @@ def resize_images(
                 if b[i] != 0xFF:
                     return None
                 m = b[i + 1]
+                if m == 0xFF:  # optional fill byte before a marker
+                    i += 1
+                    continue
+                if m == 0x01 or 0xD0 <= m <= 0xD9:
+                    i += 2  # standalone marker (TEM/RSTn/SOI/EOI)
+                    continue
                 if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                          0xCB, 0xCD, 0xCE, 0xCF):
                     return None  # non-baseline-huffman frame

@@ -652,3 +652,19 @@ def test_jpeg_noninterleaved_gray_with_declared_subsampling(spark):
     rgb = np.ascontiguousarray(np.repeat(expect[:, :, None], 3, axis=2))
     r = _resize_md5(spark, pay, (24, 8))
     assert r["resized_md5"] == hashlib.md5(rgb.tobytes()).hexdigest()
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped(spark):
+    """T.81 allows optional 0xFF fill bytes before any marker; they
+    must not be parsed as a marker with a bogus length."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    base = bytearray(encode_gray(np.full((8, 8), 100, np.uint8)))
+    idx = base.find(b"\xff\xc0")
+    padded = bytes(base[:idx]) + b"\xff\xff\xff" + bytes(base[idx:])
+    r = _resize_md5(spark, padded, (2, 2))
+    assert r["resized_md5"] == hashlib.md5(bytes([100]) * 12).hexdigest()

@@ -668,3 +668,98 @@ def test_jpeg_fill_bytes_before_markers_are_skipped(spark):
     padded = bytes(base[:idx]) + b"\xff\xff\xff" + bytes(base[idx:])
     r = _resize_md5(spark, padded, (2, 2))
     assert r["resized_md5"] == hashlib.md5(bytes([100]) * 12).hexdigest()
+
+
+def test_jpeg_randomized_roundtrip_fuzz(spark):
+    """Batched decoder fuzz: random dims / sampling layouts / restart
+    intervals / coefficient contents, every payload independently
+    reconstructed with the four-loop cosine-sum reference. One Spark
+    job for the whole batch keeps this cheap."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_baseline
+
+    rng = np.random.RandomState(29)
+    payloads, wants = [], []
+
+    def gray_case(bw, bh, dri):
+        coefs = rng.randint(-25, 26, size=(bh, bw, 64)).astype(np.int32)
+        pay = encode_baseline(bw * 8, bh * 8, [(1, 1, 1, coefs)], dri=dri)
+        exp = np.block(
+            [[np.clip(np.round(_idct_ref(coefs[y, x]) + 128), 0, 255)
+              for x in range(bw)] for y in range(bh)]
+        ).astype(np.uint8)
+        return pay, np.repeat(exp[:, :, None], 3, axis=2), bw * 8, bh * 8
+
+    def color_case(mw, mh, cs, dri):
+        ch, cv = cs
+        y = rng.randint(-20, 21, size=(mh * cv, mw * ch, 64)).astype(np.int32)
+        cb = rng.randint(-6, 7, size=(mh, mw, 64)).astype(np.int32)
+        cr = rng.randint(-6, 7, size=(mh, mw, 64)).astype(np.int32)
+        w, h = mw * ch * 8, mh * cv * 8
+        pay = encode_baseline(
+            w, h, [(1, ch, cv, y), (2, 1, 1, cb), (3, 1, 1, cr)], dri=dri
+        )
+        Y = np.block(
+            [[_idct_ref(y[r, c]) for c in range(mw * ch)]
+             for r in range(mh * cv)]
+        ) + 128
+        Cb = np.block(
+            [[_idct_ref(cb[r, c]) for c in range(mw)] for r in range(mh)]
+        ).repeat(cv, 0).repeat(ch, 1)
+        Cr = np.block(
+            [[_idct_ref(cr[r, c]) for c in range(mw)] for r in range(mh)]
+        ).repeat(cv, 0).repeat(ch, 1)
+        rgb = np.stack(
+            [Y + 1.402 * Cr, Y - 0.344136 * Cb - 0.714136 * Cr,
+             Y + 1.772 * Cb], axis=2)
+        return pay, np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h
+
+    cases = []
+    for bw, bh, dri in [(1, 1, 0), (3, 2, 0), (4, 1, 3), (2, 5, 1)]:
+        cases.append(gray_case(bw, bh, dri))
+    for mw, mh, cs, dri in [
+        (1, 1, (2, 2), 0), (2, 2, (2, 2), 1), (2, 1, (2, 1), 0),
+        (1, 2, (1, 2), 2), (3, 1, (1, 1), 0),
+    ]:
+        cases.append(color_case(mw, mh, cs, dri))
+    rows = []
+    for i, (pay, exp, w, h) in enumerate(cases):
+        rows.append((i, bytearray(pay), w, h))
+        wants.append(hashlib.md5(np.ascontiguousarray(exp).tobytes()).hexdigest())
+    # group by identical target dims to batch jobs; here every case
+    # carries its own dims, so run one job per distinct (w, h)
+    by_dims = {}
+    for i, (pay, exp, w, h) in enumerate(cases):
+        by_dims.setdefault((w, h), []).append((i, bytearray(pay)))
+    got = {}
+    for (w, h), members in by_dims.items():
+        df = spark.createDataFrame(members, "doc_id long, payload binary")
+        for r in M.resize_images(df, target=(w, h), fake=False).collect():
+            got[r["doc_id"]] = r["resized_md5"]
+    for i in range(len(cases)):
+        assert got[i] == wants[i], f"fuzz case {i} diverged"
+
+
+def test_jpeg_corruption_fuzz_never_raises(spark):
+    """Byte-flip fuzz: 60 corrupted variants of a valid payload must
+    flow through as rows (NULL or decoded) — a 100 TB lake WILL feed
+    the decoder garbage and one bad object must never kill the batch."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    rng = np.random.RandomState(31)
+    base = bytearray(encode_gray(rng.randint(0, 256, (16, 16)).astype(np.uint8)))
+    rows = []
+    for i in range(60):
+        mutated = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randint(0, len(mutated))] = rng.randint(0, 256)
+        rows.append((i, bytes(mutated)))
+    rows.append((60, bytes(base[: rng.randint(1, len(base))])))  # truncation
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = M.resize_images(df, target=(4, 4), fake=False).collect()
+    assert len(out) == len(rows)  # every row survived the batch

@@ -904,21 +904,47 @@ def audio_features(
                         channels = int.from_bytes(body[2:4], "little")
                         rate = int.from_bytes(body[4:8], "little")
                         bits = int.from_bytes(body[14:16], "little")
-                        if fmt != 1 or bits not in (8, 16) or not channels:
-                            return None, None, None  # non-PCM: needs a codec
+                        # integer PCM 8/16/24/32 (fmt 1) and IEEE-float
+                        # 32/64 (fmt 3) — every uncompressed layout a
+                        # real lake ships; anything else needs a codec
+                        ok = (fmt == 1 and bits in (8, 16, 24, 32)) or (
+                            fmt == 3 and bits in (32, 64)
+                        )
+                        if not ok or not channels:
+                            return None, None, None
                     elif cid == b"data" and channels and rate and bits:
                         frame = channels * (bits // 8)
                         frames = len(body) // frame if frame else 0
                         if frames == 0:
                             return 0, 0.0, 0.0
+                        raw = body[: frames * frame]
+                        if fmt == 3:
+                            a = np.frombuffer(
+                                raw, dtype="<f4" if bits == 32 else "<f8"
+                            ).astype("f8")
+                            # float WAV is nominally [-1, 1]: RMS over
+                            # the raw amplitudes, no int rescale
+                            rms = math.sqrt(float((a * a).sum()) / a.size)
+                            return frames, frames / float(rate), rms
                         if bits == 16:
-                            a = np.frombuffer(
-                                body[: frames * frame], dtype="<i2"
-                            ).astype("i8")
+                            a = np.frombuffer(raw, dtype="<i2").astype("i8")
+                        elif bits == 32:
+                            a = np.frombuffer(raw, dtype="<i4").astype("i8")
+                        elif bits == 24:
+                            # 3-byte little-endian signed: widen via a
+                            # zero-padded 4th byte then arithmetic shift
+                            u = np.frombuffer(raw, dtype=np.uint8).reshape(
+                                -1, 3
+                            )
+                            a4 = np.zeros((u.shape[0], 4), np.uint8)
+                            a4[:, 1:] = u
+                            a = (
+                                a4.view("<i4").reshape(-1).astype("i8") >> 8
+                            )
                         else:
-                            a = np.frombuffer(
-                                body[: frames * frame], dtype=np.uint8
-                            ).astype("i8") - 128
+                            a = np.frombuffer(raw, dtype=np.uint8).astype(
+                                "i8"
+                            ) - 128
                         rms = math.sqrt(int((a * a).sum()) / a.size)
                         return frames, frames / float(rate), rms
                     i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned

@@ -763,3 +763,59 @@ def test_jpeg_corruption_fuzz_never_raises(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = M.resize_images(df, target=(4, 4), fake=False).collect()
     assert len(out) == len(rows)  # every row survived the batch
+
+
+def test_real_audio_decode_24bit_32bit_and_float(spark):
+    """r12 WAV widening: 24-bit / 32-bit integer PCM and IEEE-float
+    (fmt 3) payloads decode with exact hand-computed RMS; stereo frame
+    counting stays per-frame, not per-sample."""
+    import math
+    import struct
+
+    import numpy as np
+
+    def wav(fmt, bits, channels, rate, payload):
+        body = (
+            b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+    s24 = [100000, -100000, 8388607, -8388608]  # full 24-bit swing
+    p24 = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in s24
+    )
+    s32 = [1 << 20, -(1 << 20), 0, 77]
+    p32 = struct.pack("<4i", *s32)
+    sf = [0.5, -0.25, 1.0, -1.0]
+    pf32 = struct.pack("<4f", *sf)
+    pf64 = struct.pack("<4d", *sf)
+    # stereo 16-bit: 4 samples = 2 frames
+    st = [1000, -1000, 2000, -2000]
+    pst = struct.pack("<4h", *st)
+    df = spark.createDataFrame(
+        [
+            (1, wav(1, 24, 1, 8000, p24)),
+            (2, wav(1, 32, 1, 8000, p32)),
+            (3, wav(3, 32, 1, 8000, pf32)),
+            (4, wav(3, 64, 1, 8000, pf64)),
+            (5, wav(1, 16, 2, 8000, pst)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.audio_features(df, fake=False).collect()}
+
+    def rms(vals):
+        return math.sqrt(sum(float(v) * float(v) for v in vals) / len(vals))
+
+    assert out[1]["n_samples"] == 4 and abs(out[1]["rms_energy"] - rms(s24)) < 1e-6
+    assert out[2]["n_samples"] == 4 and abs(out[2]["rms_energy"] - rms(s32)) < 1e-6
+    # float32 values round-trip exactly for these literals
+    assert out[3]["n_samples"] == 4 and abs(out[3]["rms_energy"] - rms(sf)) < 1e-12
+    assert out[4]["n_samples"] == 4 and abs(out[4]["rms_energy"] - rms(sf)) < 1e-12
+    assert out[5]["n_samples"] == 2  # frames, not interleaved samples
+    assert abs(out[5]["rms_energy"] - rms(st)) < 1e-9
+    assert abs(out[5]["duration_s"] - 2 / 8000) < 1e-12

@@ -16,16 +16,18 @@ plumbing-oracle queries and anywhere reproducible fixtures matter:
   and the netpbm family (P1–P6) — spec-level byte arithmetic, no codec
   library. Unrecognized/corrupt payloads yield NULL dims (a 100 TB job
   must not die on one bad file); nothing raises.
-* ``audio_features`` REAL-decodes WAV/RIFF PCM (8/16-bit) — header
-  chunk walk + numpy sample decode; compressed formats yield NULL
-  features.
+* ``audio_features`` REAL-decodes WAV/RIFF audio — integer PCM
+  8/16/24/32-bit and IEEE-float 32/64 (r12), any channel count —
+  header chunk walk + numpy sample decode; compressed formats yield
+  NULL features.
 * ``resize_images`` is REAL nearest-neighbor resampling for the
   formats whose pixels are reachable without a codec library: raw
   PPM P6, uncompressed 24-bit BMP, 8-bit-RGB PNG (stdlib ``zlib``
-  IDAT inflate + per-scanline unfilter), and — new r12 — **baseline-
-  DCT JPEG** (numpy entropy decode + IDCT: generic DQT/DHT, SOF0/1,
-  restart markers, grayscale + JFIF YCbCr with subsampling);
-  progressive/arithmetic/12-bit JPEG and other formats yield NULL rows.
+  IDAT inflate + per-scanline unfilter, sequential and Adam7
+  interlaced), and — new r12 — **baseline-DCT JPEG** (numpy entropy
+  decode + IDCT: generic DQT/DHT, SOF0/1, restart markers, grayscale +
+  JFIF YCbCr with subsampling); progressive/arithmetic/12-bit JPEG and
+  other formats yield NULL rows.
 * ``video_meta`` parses REAL container headers (MP4 ``moov``→``mvhd``
   duration, AVI ``avih`` frame count/rate).
   Nothing in this module raises on real payloads — decode failures
@@ -381,9 +383,10 @@ def resize_images(
                     # inflate of the concatenated IDAT stream → per-
                     # scanline unfilter (RFC 2083 filters 0-4). Scope:
                     # 8-bit truecolor (type 2) and truecolor+alpha
-                    # (type 6, alpha dropped), non-interlaced — the
-                    # shapes a pixel pipeline actually emits. Anything
-                    # else returns None (NULL row), never raises.
+                    # (type 6, alpha dropped), sequential AND Adam7
+                    # interlaced (r12) — the shapes a pixel pipeline
+                    # actually receives. Anything else returns None
+                    # (NULL row), never raises.
                     import zlib
 
                     i, n = 8, len(b)
@@ -403,99 +406,136 @@ def resize_images(
                         elif ctype == b"IEND":
                             break
                         i += 12 + ln  # length + type + data + crc
-                    if not (w and h and bitd == 8 and interlace == 0 and idat):
+                    if not (w and h and bitd == 8 and interlace in (0, 1) and idat):
                         return None
                     if colort not in (2, 6):
                         return None
                     ch = 3 if colort == 2 else 4
-                    stride = w * ch
-                    raw = zlib.decompress(b"".join(idat))
-                    if len(raw) < (stride + 1) * h:
-                        return None
-                    scan = np.frombuffer(
-                        raw, np.uint8, (stride + 1) * h
-                    ).reshape(h, stride + 1)
-                    flts = scan[:, 0]
-                    if int(flts.max(initial=0)) > 4:
-                        return None
-                    fdata = scan[:, 1:]
-                    out = np.empty((h, stride), np.uint8)
-                    prev = np.zeros(stride, np.uint8)
-                    y = 0
-                    while y < h:
-                        flt = int(flts[y])
-                        if flt >= 3:
-                            # maximal run of Average/Paeth rows; long runs
-                            # take the tiled wavefront (>=5x at real image
-                            # sizes), short ones the per-row list path
-                            # whose fixed numpy overhead they can't beat
-                            # (break-even measured at run ~16-24 rows).
-                            e = y + 1
-                            while e < h and flts[e] >= 3:
-                                e += 1
-                            if e - y >= 24:
-                                out[y:e] = _unfilter_run34(
-                                    fdata[y:e], flts[y:e], prev, ch
-                                )
-                                prev = out[e - 1]
-                                y = e
-                                continue
-                        line = fdata[y]
-                        if flt == 0:  # None
-                            cur = line.copy()
-                        elif flt == 2:  # Up
-                            cur = line + prev  # uint8 wraps mod 256
-                        elif flt == 1:  # Sub: per-channel cumsum mod 256
-                            cur = (
-                                np.cumsum(
-                                    line.reshape(-1, ch).astype(np.int64), axis=0
-                                )
-                                .astype(np.uint8)
-                                .reshape(-1)
-                            )
-                        else:
-                            # short Average/Paeth run: the recurrence
-                            # needs the RECONSTRUCTED (mod-256) left byte
-                            # before the nonlinear floor-div / min-
-                            # predictor, so within one row no cumsum
-                            # vectorization exists — plain-list
-                            # arithmetic (C-level tolist(), ~20 ns list
-                            # index vs ~150 ns numpy scalar round-trip)
-                            # with the filter branch hoisted out.
-                            lin = line.tolist()
-                            pv = prev.tolist()
-                            rec = [0] * stride
-                            if flt == 3:  # Average
-                                for x in range(ch):
-                                    rec[x] = (lin[x] + (pv[x] >> 1)) & 0xFF
-                                for x in range(ch, stride):
-                                    rec[x] = (
-                                        lin[x] + ((rec[x - ch] + pv[x]) >> 1)
-                                    ) & 0xFF
-                            else:  # Paeth
-                                for x in range(ch):
-                                    rec[x] = (lin[x] + pv[x]) & 0xFF
-                                for x in range(ch, stride):
-                                    a = rec[x - ch]
-                                    up = pv[x]
-                                    c = pv[x - ch]
-                                    p = a + up - c
-                                    pa = abs(p - a)
-                                    pb = abs(p - up)
-                                    pc = abs(p - c)
-                                    pred = (
-                                        a
-                                        if pa <= pb and pa <= pc
-                                        else (up if pb <= pc else c)
+
+                    def unfilter_image(fdata, flts, h, stride):
+                        # RFC 2083 filters 0-4 over one (sub-)image:
+                        # shared by the sequential path and each Adam7
+                        # pass (every pass filters independently)
+                        out = np.empty((h, stride), np.uint8)
+                        prev = np.zeros(stride, np.uint8)
+                        y = 0
+                        while y < h:
+                            flt = int(flts[y])
+                            if flt >= 3:
+                                # maximal run of Average/Paeth rows; long runs
+                                # take the tiled wavefront (>=5x at real image
+                                # sizes), short ones the per-row list path
+                                # whose fixed numpy overhead they can't beat
+                                # (break-even measured at run ~16-24 rows).
+                                e = y + 1
+                                while e < h and flts[e] >= 3:
+                                    e += 1
+                                if e - y >= 24:
+                                    out[y:e] = _unfilter_run34(
+                                        fdata[y:e], flts[y:e], prev, ch
                                     )
-                                    rec[x] = (lin[x] + pred) & 0xFF
-                            cur = np.array(rec, np.uint8)
-                        out[y] = cur
-                        prev = cur
-                        y += 1
-                    return np.ascontiguousarray(
-                        out.reshape(h, w, ch)[..., :3]
-                    )
+                                    prev = out[e - 1]
+                                    y = e
+                                    continue
+                            line = fdata[y]
+                            if flt == 0:  # None
+                                cur = line.copy()
+                            elif flt == 2:  # Up
+                                cur = line + prev  # uint8 wraps mod 256
+                            elif flt == 1:  # Sub: per-channel cumsum mod 256
+                                cur = (
+                                    np.cumsum(
+                                        line.reshape(-1, ch).astype(np.int64), axis=0
+                                    )
+                                    .astype(np.uint8)
+                                    .reshape(-1)
+                                )
+                            else:
+                                # short Average/Paeth run: the recurrence
+                                # needs the RECONSTRUCTED (mod-256) left byte
+                                # before the nonlinear floor-div / min-
+                                # predictor, so within one row no cumsum
+                                # vectorization exists — plain-list
+                                # arithmetic (C-level tolist(), ~20 ns list
+                                # index vs ~150 ns numpy scalar round-trip)
+                                # with the filter branch hoisted out.
+                                lin = line.tolist()
+                                pv = prev.tolist()
+                                rec = [0] * stride
+                                if flt == 3:  # Average
+                                    for x in range(ch):
+                                        rec[x] = (lin[x] + (pv[x] >> 1)) & 0xFF
+                                    for x in range(ch, stride):
+                                        rec[x] = (
+                                            lin[x] + ((rec[x - ch] + pv[x]) >> 1)
+                                        ) & 0xFF
+                                else:  # Paeth
+                                    for x in range(ch):
+                                        rec[x] = (lin[x] + pv[x]) & 0xFF
+                                    for x in range(ch, stride):
+                                        a = rec[x - ch]
+                                        up = pv[x]
+                                        c = pv[x - ch]
+                                        p = a + up - c
+                                        pa = abs(p - a)
+                                        pb = abs(p - up)
+                                        pc = abs(p - c)
+                                        pred = (
+                                            a
+                                            if pa <= pb and pa <= pc
+                                            else (up if pb <= pc else c)
+                                        )
+                                        rec[x] = (lin[x] + pred) & 0xFF
+                                cur = np.array(rec, np.uint8)
+                            out[y] = cur
+                            prev = cur
+                            y += 1
+                        return out
+
+                    raw = zlib.decompress(b"".join(idat))
+                    if interlace == 0:
+                        stride = w * ch
+                        if len(raw) < (stride + 1) * h:
+                            return None
+                        scan = np.frombuffer(
+                            raw, np.uint8, (stride + 1) * h
+                        ).reshape(h, stride + 1)
+                        flts = scan[:, 0]
+                        if int(flts.max(initial=0)) > 4:
+                            return None
+                        out = unfilter_image(scan[:, 1:], flts, h, stride)
+                        return np.ascontiguousarray(
+                            out.reshape(h, w, ch)[..., :3]
+                        )
+                    # Adam7 interlace: seven independent sub-images,
+                    # each with its own filter bytes, concatenated in
+                    # the inflated stream; scatter each pass back onto
+                    # the frame grid (RFC 2083 section 2.6)
+                    full = np.empty((h, w, ch), np.uint8)
+                    pos = 0
+                    for x0, y0, dx, dy in (
+                        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                        (0, 1, 1, 2),
+                    ):
+                        wp = (w - x0 + dx - 1) // dx
+                        hp = (h - y0 + dy - 1) // dy
+                        if wp <= 0 or hp <= 0:
+                            continue  # empty pass emits no bytes
+                        st = wp * ch
+                        need = (st + 1) * hp
+                        if pos + need > len(raw):
+                            return None
+                        scan = np.frombuffer(
+                            raw, np.uint8, need, pos
+                        ).reshape(hp, st + 1)
+                        pos += need
+                        flts = scan[:, 0]
+                        if int(flts.max(initial=0)) > 4:
+                            return None
+                        sub = unfilter_image(scan[:, 1:], flts, hp, st)
+                        full[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+                    return np.ascontiguousarray(full[..., :3])
                 if b[:2] == b"\xff\xd8":
                     return decode_jpeg(b)
             except Exception:

@@ -91,18 +91,14 @@ def test_real_resize_ppm_and_bmp_nearest_neighbor(spark):
     assert out[2]["resized_md5"] == want
 
 
-def _png(px, filters=None, color_type=2, interlace=0, chunked_idat=False):
-    """Minimal PNG encoder (test-side twin of the stdlib decoder): apply
-    the FORWARD scanline filters per RFC 2083 so the decoder's unfilter
-    of every type is exercised."""
-    import struct
-    import zlib
-
+def _forward_filter(px, filters):
+    """Apply RFC 2083 FORWARD scanline filters to an (h, w, ch) image;
+    returns the filtered byte stream (filter byte + filtered line per
+    row) — one (sub-)image's worth, shared by the sequential encoder
+    and each Adam7 pass."""
     import numpy as np
 
-    h, w = px.shape[:2]
-    ch = px.shape[2]
-    filters = filters if filters is not None else [0] * h
+    h, w, ch = px.shape
     stride = w * ch
     flat = px.reshape(h, stride).astype(np.int64)
     raw = bytearray()
@@ -132,6 +128,34 @@ def _png(px, filters=None, color_type=2, interlace=0, chunked_idat=False):
         raw.append(flt)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
+    return bytes(raw)
+
+
+def _png(px, filters=None, color_type=2, interlace=0, chunked_idat=False):
+    """Minimal PNG encoder (test-side twin of the stdlib decoder):
+    forward-filters per RFC 2083 (so the decoder's unfilter of every
+    type is exercised); interlace=1 emits the seven Adam7 passes, each
+    independently filtered."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    filters = filters if filters is not None else [0] * h
+    if interlace == 0:
+        raw = _forward_filter(px, filters)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw.extend(
+                _forward_filter(sub, [filters[i % len(filters)] for i in range(sub.shape[0])])
+            )
+        raw = bytes(raw)
 
     def chunk(ctype, data):
         return (
@@ -224,7 +248,7 @@ def test_real_resize_png_matches_ppm_and_bmp(spark):
         (5, _png(px, filters=[3, 4])),          # Average + Paeth
         (6, _png(px, chunked_idat=True)),       # split IDAT stream
         (7, _png(rgba, color_type=6)),          # RGBA: alpha dropped
-        (8, _png(px, interlace=1)),             # Adam7 → unsupported, NULL
+        (8, _png(px, interlace=1)),             # Adam7 (decodes since r12)
         (9, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),  # truncated garbage
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -234,9 +258,8 @@ def test_real_resize_png_matches_ppm_and_bmp(spark):
     want = hashlib.md5(
         np.ascontiguousarray(px[[0, 1]][:, [1, 3]]).tobytes()
     ).hexdigest()
-    for d in (1, 2, 3, 4, 5, 6, 7):
+    for d in (1, 2, 3, 4, 5, 6, 7, 8):
         assert out[d]["resized_md5"] == want, f"doc {d} diverged"
-    assert out[8]["resized_md5"] is None
     assert out[9]["resized_md5"] is None
 
 
@@ -819,3 +842,37 @@ def test_real_audio_decode_24bit_32bit_and_float(spark):
     assert out[5]["n_samples"] == 2  # frames, not interleaved samples
     assert abs(out[5]["rms_energy"] - rms(st)) < 1e-9
     assert abs(out[5]["duration_s"] - 2 / 8000) < 1e-12
+
+
+def test_png_adam7_interlaced_decodes_exactly(spark):
+    """r12: Adam7-interlaced PNG — seven independently-filtered passes
+    scattered back onto the frame grid — must reproduce the source
+    pixels bit-for-bit, including frames smaller than one 8x8 Adam7
+    tile (where early passes are empty and emit no bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    from hive_scripts_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(20260815)
+    cases = {}
+    px_big = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    cases[1] = (px_big, _png(px_big, filters=[0, 1, 2, 3, 4] * 5, interlace=1))
+    px_tiny = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)  # < one tile
+    cases[2] = (px_tiny, _png(px_tiny, filters=[4, 3, 1], interlace=1))
+    px_rgba = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    cases[3] = (
+        px_rgba,
+        _png(px_rgba, filters=[2] * 16, color_type=6, interlace=1),
+    )
+    for did, (px, payload) in cases.items():
+        h, w = px.shape[:2]
+        df = spark.createDataFrame(
+            [(did, payload)], "doc_id long, payload binary"
+        )
+        r = resize_images(df, target=(w, h), fake=False).collect()[0]
+        want = hashlib.md5(
+            np.ascontiguousarray(px[..., :3]).tobytes()
+        ).hexdigest()
+        assert r["resized_md5"] == want, f"adam7 case {did}"

@@ -24,10 +24,11 @@ plumbing-oracle queries and anywhere reproducible fixtures matter:
   formats whose pixels are reachable without a codec library: raw
   PPM P6, uncompressed 24-bit BMP, 8-bit-RGB PNG (stdlib ``zlib``
   IDAT inflate + per-scanline unfilter, sequential and Adam7
-  interlaced), and — new r12 — **baseline-DCT JPEG** (numpy entropy
-  decode + IDCT: generic DQT/DHT, SOF0/1, restart markers, grayscale +
-  JFIF YCbCr with subsampling); progressive/arithmetic/12-bit JPEG and
-  other formats yield NULL rows.
+  interlaced), and — new r12 — **Huffman-coded DCT JPEG, baseline
+  (SOF0/1) AND progressive (SOF2)** (numpy entropy decode + IDCT:
+  generic DQT/DHT, restart markers, spectral selection + successive
+  approximation, grayscale + JFIF YCbCr with subsampling);
+  arithmetic/lossless/12-bit JPEG and other formats yield NULL rows.
 * ``video_meta`` parses REAL container headers (MP4 ``moov``→``mvhd``
   duration, AVI ``avih`` frame count/rate).
   Nothing in this module raises on real payloads — decode failures
@@ -240,18 +241,22 @@ def resize_images(
 
     The default is a REAL nearest-neighbor resample for the formats
     whose pixels are reachable without a codec library — PPM ``P6``
-    (binary RGB), uncompressed 24-bit BMP, non-interlaced 8-bit
-    truecolor PNG (stdlib ``zlib`` inflate of the IDAT stream +
-    per-scanline unfilter; alpha dropped for RGBA), and baseline-DCT
-    JPEG (r12: numpy-only T.81 decode — generic DQT/DHT parsing,
-    SOF0/SOF1 frames, restart markers, grayscale and JFIF YCbCr with
-    pixel-replication chroma upsampling; round-tripped at the
-    coefficient level against an independent encoder in
-    ``tests/test_multimodal.py``) — decoded and index-sampled with
-    numpy; ``resized_md5`` hashes the resized RGB buffer, so identical
-    images resize to identical fingerprints regardless of their
-    container. Progressive/arithmetic JPEG and other/corrupt payloads
-    yield NULL dims/hash (one bad object must not kill the batch).
+    (binary RGB), uncompressed 24-bit BMP, 8-bit truecolor PNG
+    (stdlib ``zlib`` inflate of the IDAT stream + per-scanline
+    unfilter, sequential AND Adam7 interlaced; alpha dropped for
+    RGBA), and Huffman-coded DCT JPEG — baseline (SOF0/1) and
+    progressive (SOF2) (r12: numpy-only T.81 decode — generic DQT/DHT
+    parsing, restart markers, spectral selection + successive
+    approximation, grayscale and JFIF YCbCr with pixel-replication
+    chroma upsampling; round-tripped at the coefficient level against
+    an independent encoder in ``tests/test_multimodal.py``, with the
+    progressive path pinned to decode bit-identically to the baseline
+    encoding of the same coefficients) — decoded and index-sampled
+    with numpy; ``resized_md5`` hashes the resized RGB buffer, so
+    identical images resize to identical fingerprints regardless of
+    their container. Arithmetic/lossless/12-bit JPEG and other/corrupt
+    payloads yield NULL dims/hash (one bad object must not kill the
+    batch).
 
     The fake path emits the target dims plus a deterministic pseudo
     "resized content" hash (md5 of payload + dims) so downstream plumbing
@@ -543,15 +548,18 @@ def resize_images(
             return None
 
         def decode_jpeg(b: bytes):
-            # Baseline-DCT JPEG pixel decode (ITU-T T.81), numpy-only:
-            # generic DQT/DHT parsing, SOF0/SOF1 frames, restart
-            # markers, grayscale + JFIF YCbCr with h/v subsampling
-            # (pixel-replication chroma upsampling). Progressive
-            # (SOF2), arithmetic-coded, hierarchical, and 12-bit
-            # frames return None (NULL row) per the module contract —
-            # JPEG is the dominant real-lake image format, so the
-            # resize path decodes it for real; one bad payload still
-            # must never kill the batch.
+            # Huffman-coded DCT JPEG pixel decode (ITU-T T.81), numpy-
+            # only: baseline (SOF0), extended sequential (SOF1) AND
+            # progressive (SOF2, r12 — spectral selection + successive
+            # approximation, the libjpeg default scan script most of
+            # the web ships). Generic DQT/DHT parsing, restart markers,
+            # grayscale + JFIF YCbCr with h/v subsampling (pixel-
+            # replication chroma upsampling). Every scan accumulates
+            # into per-component coefficient arrays; dequant + one
+            # batched matrix IDCT run at the end. Arithmetic-coded,
+            # hierarchical, lossless and 12-bit frames return None
+            # (NULL row) per the module contract — decode failures
+            # must degrade, never kill the batch.
             ZZ = np.array(
                 [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
                  12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14,
@@ -563,129 +571,16 @@ def resize_images(
             frame = None  # (h, w, [(cid, ch, cv, tq), ...])
             dri = 0
             i, n = 2, len(b)
-            scan = None
-            while i + 4 <= n:
-                if b[i] != 0xFF:
-                    return None
-                m = b[i + 1]
-                if m == 0xFF:  # optional fill byte before a marker
-                    i += 1
-                    continue
-                if m == 0x01 or 0xD0 <= m <= 0xD9:
-                    i += 2  # standalone marker (TEM/RSTn/SOI/EOI)
-                    continue
-                if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                         0xCB, 0xCD, 0xCE, 0xCF):
-                    return None  # non-baseline-huffman frame
-                ln = int.from_bytes(b[i + 2 : i + 4], "big")
-                seg = b[i + 4 : i + 2 + ln]
-                if m == 0xDB:  # DQT: one or more tables
-                    j = 0
-                    while j < len(seg):
-                        pq, tq = seg[j] >> 4, seg[j] & 15
-                        j += 1
-                        if pq == 0:
-                            qt[tq] = np.frombuffer(
-                                seg[j : j + 64], np.uint8
-                            ).astype(np.int32)
-                            j += 64
-                        else:
-                            qt[tq] = np.frombuffer(
-                                seg[j : j + 128], ">u2"
-                            ).astype(np.int32)
-                            j += 128
-                elif m == 0xC4:  # DHT: one or more tables
-                    j = 0
-                    while j < len(seg):
-                        tc, th = seg[j] >> 4, seg[j] & 15
-                        counts = list(seg[j + 1 : j + 17])
-                        j += 17
-                        table, code = {}, 0
-                        for length in range(1, 17):
-                            for _ in range(counts[length - 1]):
-                                table[(length, code)] = seg[j]
-                                j += 1
-                                code += 1
-                            code <<= 1
-                        huff[(tc, th)] = table
-                elif m in (0xC0, 0xC1):  # SOF0/1: baseline huffman
-                    if seg[0] != 8:
-                        return None  # 12-bit precision
-                    fh = int.from_bytes(seg[1:3], "big")
-                    fw = int.from_bytes(seg[3:5], "big")
-                    ncomp = seg[5]
-                    comps = []
-                    for c in range(ncomp):
-                        o = 6 + 3 * c
-                        comps.append(
-                            (seg[o], seg[o + 1] >> 4, seg[o + 1] & 15,
-                             seg[o + 2])
-                        )
-                    frame = (fh, fw, comps)
-                elif m == 0xDD:  # DRI
-                    dri = int.from_bytes(seg[0:2], "big")
-                elif m == 0xDA:  # SOS: scan header, then entropy data
-                    ns = seg[0]
-                    smap = {}
-                    for c in range(ns):
-                        smap[seg[1 + 2 * c]] = (
-                            seg[2 + 2 * c] >> 4,
-                            seg[2 + 2 * c] & 15,
-                        )
-                    scan = (smap, i + 2 + ln)
-                    break
-                i += 2 + ln
-            if frame is None or scan is None:
-                return None
-            fh, fw, comps = frame
-            if fh == 0 or fw == 0 or len(comps) not in (1, 3):
-                return None
-            smap, pos = scan
-            # split entropy data into restart segments, unstuffing FF00
-            segments, cur = [], bytearray()
-            while pos + 1 < n:
-                byte = b[pos]
-                if byte != 0xFF:
-                    cur.append(byte)
-                    pos += 1
-                    continue
-                nxt = b[pos + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    pos += 2
-                else:
-                    break  # EOI or next marker
-            segments.append(bytes(cur))
+            coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64)
+            grids: dict[int, tuple] = {}  # cid -> (bw, bh) true block grid
+            hmax = vmax = mcux = mcuy = None
+            saw_scan = False
 
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux = -(-fw // (8 * hmax))
-            mcuy = -(-fh // (8 * vmax))
-            planes = {}
-            for cid, ch_, cv, _tq in comps:
-                planes[cid] = np.zeros(
-                    (mcuy * cv * 8, mcux * ch_ * 8), np.float64
-                )
-            # batched IDCT basis: A[x,u] = c(u)/2 cos((2x+1)uπ/16)
-            xs = np.arange(8)
-            A = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2
-            A[:, 0] *= 1 / np.sqrt(2)
-
-            # DQT stores entries in ZIGZAG order (T.81 B.2.4.1);
-            # coefficients below are reassembled in natural order, so
-            # de-zigzag each table once up front
-            qnat = {}
-            for tq, zq in qt.items():
-                nat = np.empty(64, np.int32)
-                nat[ZZ] = zq
-                qnat[tq] = nat
-
-            seg_idx, bitbuf, bitcnt, bpos = 0, 0, 0, 0
-            data = segments[0]
+            # ---- per-scan entropy decoding state ----------------------
+            segments: list[bytes] = []
+            seg_idx = 0
+            data = b""
+            bitbuf = bitcnt = bpos = 0
 
             def getbit():
                 nonlocal bitbuf, bitcnt, bpos
@@ -717,100 +612,313 @@ def resize_images(
             def extend(v, s):
                 return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
-            pred = {cid: 0 for cid, *_ in comps}
-            mcus_done = 0
-            coef = np.zeros(64, np.int32)
+            def decode_scan(smap, Ss, Se, Ah, Al):
+                nonlocal seg_idx, data, bpos, bitcnt
+                seg_idx = 0
+                data = segments[0]
+                bpos = bitcnt = 0
+                pred = {cid: 0 for cid in smap}
+                eobrun = 0
+                units_done = 0
+                p1, m1 = 1 << Al, -1 << Al
 
-            def restart():
-                nonlocal seg_idx, data, bpos, bitcnt, pred
-                seg_idx += 1  # new entropy segment, DC predictors reset
-                if seg_idx >= len(segments):
-                    raise EOFError
-                data = segments[seg_idx]
-                bpos, bitcnt = 0, 0
-                pred = {cid: 0 for cid, *_ in comps}
-
-            def decode_block(cid, dtab, atab, q, y0, x0):
-                coef[:] = 0
-                s = huffdec(dtab)
-                pred[cid] += extend(getbits(s), s)
-                coef[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = huffdec(atab)
-                    r, sz = rs >> 4, rs & 15
-                    if sz == 0:
-                        if r != 15:
-                            break
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
+                def restart():
+                    nonlocal seg_idx, data, bpos, bitcnt, pred, eobrun
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
                         raise EOFError
-                    coef[ZZ[k]] = extend(getbits(sz), sz)
-                    k += 1
-                # coef is natural-order (written via ZZ); q was
-                # de-zigzagged to match
-                blk8 = (coef * q).reshape(8, 8)
-                px = A @ blk8.astype(np.float64) @ A.T
-                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+                    data = segments[seg_idx]
+                    bpos, bitcnt = 0, 0
+                    pred = {cid: 0 for cid in smap}
+                    eobrun = 0
 
-            if len(smap) == 1:
-                # ns=1 scan is NON-interleaved (T.81 A.2.2): one data
-                # unit per "MCU", walked over the COMPONENT's own block
-                # grid — NOT the frame MCU grid. Matters when a
-                # grayscale frame declares sampling factors > 1 (some
-                # color-pipeline encoders do): the interleaved walk
-                # would decode ch*cv blocks per step and mis-walk the
-                # stream at row boundaries. DRI counts blocks here.
-                (cid,) = smap
-                ch_, cv, tq = next(
-                    (c[1], c[2], c[3]) for c in comps if c[0] == cid
-                )
-                dct, act = smap[cid]
-                dtab, atab = huff[(0, dct)], huff[(1, act)]
-                q = qnat[tq]
-                comp_w = -(-fw * ch_ // hmax)
-                comp_h = -(-fh * cv // vmax)
-                for by in range(-(-comp_h // 8)):
-                    for bx in range(-(-comp_w // 8)):
-                        if dri and mcus_done and mcus_done % dri == 0:
-                            restart()
-                        decode_block(cid, dtab, atab, q, by * 8, bx * 8)
-                        mcus_done += 1
-                if len(comps) > 1:
-                    # multi-scan baseline (one scan per component):
-                    # only the first scan was parsed — the other
-                    # planes would render as flat zero. Degrade to
-                    # NULL rather than emit a half-decoded image.
+                def dc_first(cid, dtab, blk):
+                    s = huffdec(dtab)
+                    pred[cid] += extend(getbits(s), s)
+                    blk[0] = pred[cid] << Al
+
+                def dc_refine(blk):
+                    if getbit():
+                        blk[0] = int(blk[0]) | p1
+
+                def ac_first(atab, blk):
+                    nonlocal eobrun
+                    if eobrun > 0:
+                        eobrun -= 1
+                        return
+                    k = Ss
+                    while k <= Se:
+                        rs = huffdec(atab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += getbits(r)
+                                return
+                            k += 16
+                            continue
+                        k += r
+                        if k > Se:
+                            raise EOFError
+                        blk[ZZ[k]] = extend(getbits(s), s) << Al
+                        k += 1
+
+                def ac_refine(atab, blk):
+                    # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine:
+                    # correction bits ride along every nonzero
+                    # coefficient the scan passes, including inside
+                    # EOB runs
+                    nonlocal eobrun
+                    k = Ss
+                    if eobrun == 0:
+                        while k <= Se:
+                            rs = huffdec(atab)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += getbits(r)
+                                    break
+                            else:
+                                val = p1 if getbit() else m1
+                            while k <= Se:
+                                z = int(blk[ZZ[k]])
+                                if z != 0:
+                                    if getbit() and (z & p1) == 0:
+                                        blk[ZZ[k]] = z + (p1 if z >= 0 else m1)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if val:
+                                if k > Se:
+                                    raise EOFError
+                                blk[ZZ[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= Se:
+                            z = int(blk[ZZ[k]])
+                            if z != 0:
+                                if getbit() and (z & p1) == 0:
+                                    blk[ZZ[k]] = z + (p1 if z >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+
+                def decode_unit(cid, blk):
+                    dct, act = smap[cid]
+                    if Ss == 0:
+                        if Ah == 0:
+                            dc_first(cid, huff[(0, dct)], blk)
+                        else:
+                            dc_refine(blk)
+                        if Se > 0:  # sequential full-block scan
+                            _ac_seq(huff[(1, act)], blk)
+                    else:
+                        if Ah == 0:
+                            ac_first(huff[(1, act)], blk)
+                        else:
+                            ac_refine(huff[(1, act)], blk)
+
+                def _ac_seq(atab, blk):
+                    k = 1
+                    while k <= Se:
+                        rs = huffdec(atab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > Se:
+                            raise EOFError
+                        blk[ZZ[k]] = extend(getbits(s), s)
+                        k += 1
+
+                if len(smap) == 1:
+                    # ns=1 scan is NON-interleaved (T.81 A.2.2): data
+                    # units walk the component's own (unpadded) block
+                    # grid; DRI counts blocks. AC progressive scans are
+                    # always this shape — the spec forbids interleaved
+                    # AC scans.
+                    (cid,) = smap
+                    bw, bh = grids[cid]
+                    arr = coefs[cid]
+                    for by in range(bh):
+                        for bx in range(bw):
+                            if dri and units_done and units_done % dri == 0:
+                                restart()
+                            decode_unit(cid, arr[by, bx])
+                            units_done += 1
+                else:
+                    if Ss != 0:
+                        raise EOFError  # interleaved AC scan: invalid
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if dri and units_done and units_done % dri == 0:
+                                restart()
+                            for cid, ch_, cv, _tq in comps:
+                                if cid not in smap:
+                                    continue
+                                arr = coefs[cid]
+                                for by in range(cv):
+                                    for bx in range(ch_):
+                                        decode_unit(
+                                            cid,
+                                            arr[my * cv + by, mx * ch_ + bx],
+                                        )
+                            units_done += 1
+
+            # ---- marker walk: headers + every scan to EOI -------------
+            while i + 2 <= n:
+                if b[i] != 0xFF:
                     return None
-            else:
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        if dri and mcus_done and mcus_done % dri == 0:
-                            restart()
-                        for cid, ch_, cv, tq in comps:
-                            dct, act = smap[cid]
-                            dtab, atab = huff[(0, dct)], huff[(1, act)]
-                            q = qnat[tq]
-                            for by in range(cv):
-                                for bx in range(ch_):
-                                    decode_block(
-                                        cid, dtab, atab, q,
-                                        (my * cv + by) * 8,
-                                        (mx * ch_ + bx) * 8,
-                                    )
-                        mcus_done += 1
-            out_planes = []
-            for cid, ch_, cv, _tq in comps:
-                p = planes[cid]
-                # upsample by pixel replication to full-frame sampling,
-                # then crop to the frame dims
+                m = b[i + 1]
+                if m == 0xFF:  # optional fill byte before a marker
+                    i += 1
+                    continue
+                if m == 0xD9:  # EOI
+                    break
+                if m == 0x01 or 0xD0 <= m <= 0xD8:
+                    i += 2  # standalone marker (TEM/RSTn/SOI)
+                    continue
+                if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                         0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # lossless/arithmetic/hierarchical
+                if i + 4 > n:
+                    return None
+                ln = int.from_bytes(b[i + 2 : i + 4], "big")
+                seg = b[i + 4 : i + 2 + ln]
+                if m == 0xDB:  # DQT: one or more tables
+                    j = 0
+                    while j < len(seg):
+                        pq, tq = seg[j] >> 4, seg[j] & 15
+                        j += 1
+                        if pq == 0:
+                            qt[tq] = np.frombuffer(
+                                seg[j : j + 64], np.uint8
+                            ).astype(np.int32)
+                            j += 64
+                        else:
+                            qt[tq] = np.frombuffer(
+                                seg[j : j + 128], ">u2"
+                            ).astype(np.int32)
+                            j += 128
+                elif m == 0xC4:  # DHT: one or more tables
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        counts = list(seg[j + 1 : j + 17])
+                        j += 17
+                        table, code = {}, 0
+                        for length in range(1, 17):
+                            for _ in range(counts[length - 1]):
+                                table[(length, code)] = seg[j]
+                                j += 1
+                                code += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+                    if seg[0] != 8:
+                        return None  # 12-bit precision
+                    fh = int.from_bytes(seg[1:3], "big")
+                    fw = int.from_bytes(seg[3:5], "big")
+                    ncomp = seg[5]
+                    comps = []
+                    for c in range(ncomp):
+                        o = 6 + 3 * c
+                        comps.append(
+                            (seg[o], seg[o + 1] >> 4, seg[o + 1] & 15,
+                             seg[o + 2])
+                        )
+                    frame = (fh, fw, comps)
+                    if fh == 0 or fw == 0 or ncomp not in (1, 3):
+                        return None
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-fw // (8 * hmax))
+                    mcuy = -(-fh // (8 * vmax))
+                    for cid, ch_, cv, _tq in comps:
+                        # allocate at interleaved (MCU-padded) size;
+                        # non-interleaved scans touch only the true
+                        # grid prefix
+                        coefs[cid] = np.zeros(
+                            (mcuy * cv, mcux * ch_, 64), np.int32
+                        )
+                        grids[cid] = (
+                            -(-(-(-fw * ch_ // hmax)) // 8),
+                            -(-(-(-fh * cv // vmax)) // 8),
+                        )
+                elif m == 0xDD:  # DRI
+                    dri = int.from_bytes(seg[0:2], "big")
+                elif m == 0xDA:  # SOS header + entropy data
+                    if frame is None or len(seg) < 4:
+                        return None
+                    ns = seg[0]
+                    smap = {}
+                    for c in range(ns):
+                        smap[seg[1 + 2 * c]] = (
+                            seg[2 + 2 * c] >> 4,
+                            seg[2 + 2 * c] & 15,
+                        )
+                    Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    Ah = seg[3 + 2 * ns] >> 4
+                    Al = seg[3 + 2 * ns] & 15
+                    # entropy data: unstuff FF00, split at RST markers
+                    pos = i + 2 + ln
+                    segments, cur = [], bytearray()
+                    while pos + 1 < n:
+                        byte = b[pos]
+                        if byte != 0xFF:
+                            cur.append(byte)
+                            pos += 1
+                            continue
+                        nxt = b[pos + 1]
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            pos += 2
+                        elif 0xD0 <= nxt <= 0xD7:
+                            segments.append(bytes(cur))
+                            cur = bytearray()
+                            pos += 2
+                        else:
+                            break  # EOI or next header marker
+                    segments.append(bytes(cur))
+                    decode_scan(smap, Ss, Se, Ah, Al)
+                    saw_scan = True
+                    i = pos
+                    continue
+                i += 2 + ln
+            if frame is None or not saw_scan:
+                return None
+            fh, fw, comps = frame
+
+            # ---- dequant + batched IDCT + assembly --------------------
+            # DQT stores entries in ZIGZAG order (T.81 B.2.4.1);
+            # coefficients were reassembled in natural order
+            xs = np.arange(8)
+            A = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2
+            A[:, 0] *= 1 / np.sqrt(2)
+            planes = {}
+            for cid, ch_, cv, tq in comps:
+                zq = qt[tq]
+                qn = np.empty(64, np.int32)
+                qn[ZZ] = zq
+                arr = coefs[cid]
+                by, bx = arr.shape[:2]
+                blocks = (arr * qn).reshape(by, bx, 8, 8).astype(np.float64)
+                px = A @ blocks @ A.T  # batched over (by, bx)
+                plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
                 if ch_ != hmax or cv != vmax:
-                    p = p.repeat(vmax // cv, axis=0).repeat(
+                    plane = plane.repeat(vmax // cv, axis=0).repeat(
                         hmax // ch_, axis=1
                     )
-                out_planes.append(p[:fh, :fw])
+                planes[cid] = plane[:fh, :fw]
+            out_planes = [planes[c[0]] for c in comps]
             if len(out_planes) == 1:
                 g = np.clip(np.round(out_planes[0] + 128), 0, 255)
                 return np.ascontiguousarray(

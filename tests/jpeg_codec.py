@@ -241,3 +241,210 @@ def encode_gray(pixels: np.ndarray, qtable: np.ndarray = FLAT_Q16,
     return encode_baseline(
         pixels.shape[1], pixels.shape[0], [(1, 1, 1, coefs)], qtable, dri
     )
+
+
+def encode_progressive(
+    width: int,
+    height: int,
+    planes: list[tuple[int, int, int, np.ndarray]],
+    qtable: np.ndarray = FLAT_Q16,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """Emit a PROGRESSIVE (SOF2) JFIF byte stream — spectral selection
+    + successive approximation per T.81 annex G, mirroring libjpeg's
+    encoder semantics (EOB runs, ZRL folding, buffered correction
+    bits). ``planes`` as in :func:`encode_baseline` (MCU-padded
+    grids). ``scans`` is a list of ``(comp_ids, Ss, Se, Ah, Al)``;
+    default is the libjpeg-style script (approximated DC, banded AC,
+    two refinement passes per component). Fixture generator only —
+    verification pairs it with the baseline encoder over the SAME
+    coefficients: both must decode identically."""
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    byid = {p[0]: p for p in planes}
+    for cid, h, v, coefs in planes:
+        assert coefs.shape[:2] == (mcuy * v, mcux * h)
+
+    def ungridded(cid):
+        _, h, v, coefs = byid[cid]
+        bw = -(-(-(-width * h // hmax)) // 8)
+        bh = -(-(-(-height * v // vmax)) // 8)
+        return coefs, bw, bh
+
+    if scans is None:
+        all_ids = [p[0] for p in planes]
+        scans = [(all_ids, 0, 0, 0, 1)]
+        for cid, *_ in planes:
+            scans += [([cid], 1, 5, 0, 2), ([cid], 6, 63, 0, 2),
+                      ([cid], 1, 63, 2, 1), ([cid], 1, 63, 1, 0)]
+        scans += [(all_ids, 0, 0, 1, 0)]
+
+    def blocks_for(scan_ids):
+        """Yield (cid, block) in the scan's walk order."""
+        if len(scan_ids) == 1:
+            coefs, bw, bh = ungridded(scan_ids[0])
+            for by in range(bh):
+                for bx in range(bw):
+                    yield scan_ids[0], coefs[by, bx]
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid in scan_ids:
+                        _, h, v, coefs = byid[cid]
+                        for by in range(v):
+                            for bx in range(h):
+                                yield cid, coefs[my * v + by, mx * h + bx]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable[ZZ]))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(len(planes))
+    for cid, h, v, _ in planes:
+        sof.extend([cid, (h << 4) | v, 0])
+    seg(0xC2, bytes(sof))
+
+    for scan_ids, Ss, Se, Ah, Al in scans:
+        # tokens: ("sym", s) -> huffman; ("bits", value, nbits) -> raw
+        tokens: list[tuple] = []
+        syms: set[int] = set()
+
+        def sym(s):
+            tokens.append(("sym", s))
+            syms.add(s)
+
+        def bits(v, nb):
+            if nb:
+                tokens.append(("bits", v & ((1 << nb) - 1), nb))
+
+        if Ss == 0 and Ah == 0:  # DC first
+            pred = {cid: 0 for cid in scan_ids}
+            for cid, blk in blocks_for(scan_ids):
+                t = int(blk[0]) >> Al  # arithmetic shift (libjpeg)
+                s, b_ = _mag_bits(t - pred[cid])
+                pred[cid] = t
+                sym(s)
+                bits(b_, s)
+        elif Ss == 0:  # DC refine: one raw bit per block, no huffman
+            for _cid, blk in blocks_for(scan_ids):
+                bits((int(blk[0]) >> Al) & 1, 1)
+        elif Ah == 0:  # AC first, with EOB runs
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    sym(nb << 4)
+                    bits(eobrun - (1 << nb), nb)
+                    eobrun = 0
+
+            for _cid, blk in blocks_for(scan_ids):
+                zz = blk[ZZ]
+                r = 0
+                any_nz = False
+                for k in range(Ss, Se + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> Al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    any_nz = True
+                    flush_eob()
+                    while r > 15:
+                        sym(0xF0)
+                        r -= 16
+                    s, b_ = _mag_bits(t if v > 0 else -t)
+                    sym((r << 4) | s)
+                    bits(b_, s)
+                    r = 0
+                if r > 0 or not any_nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        else:  # AC refine: libjpeg encode_mcu_AC_refine semantics
+            p_eobrun = 0
+            BE: list[int] = []  # correction bits buffered with EOBRUN
+
+            def flush_eob_refine():
+                nonlocal p_eobrun
+                if p_eobrun > 0:
+                    nb = p_eobrun.bit_length() - 1
+                    sym(nb << 4)
+                    bits(p_eobrun - (1 << nb), nb)
+                    p_eobrun = 0
+                for bit in BE:
+                    bits(bit, 1)
+                BE.clear()
+
+            for _cid, blk in blocks_for(scan_ids):
+                zz = blk[ZZ]
+                absval = [abs(int(zz[k])) >> Al for k in range(Se + 1)]
+                EOB = 0
+                for k in range(Ss, Se + 1):
+                    if absval[k] == 1:
+                        EOB = k
+                r = 0
+                BR: list[int] = []
+                for k in range(Ss, Se + 1):
+                    t = absval[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= EOB:
+                        flush_eob_refine()
+                        sym(0xF0)
+                        r -= 16
+                        for bit in BR:
+                            bits(bit, 1)
+                        BR = []
+                    if t > 1:
+                        BR.append(t & 1)
+                        continue
+                    flush_eob_refine()
+                    sym((r << 4) | 1)
+                    bits(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in BR:
+                        bits(bit, 1)
+                    BR = []
+                    r = 0
+                if r > 0 or BR:
+                    p_eobrun += 1
+                    BE.extend(BR)
+                    if p_eobrun == 0x7FFF or len(BE) > 900:
+                        flush_eob_refine()
+            flush_eob_refine()
+
+        # per-scan DHT (class 0 for DC-first, class 1 for AC scans;
+        # DC-refine consumes no huffman symbols -> no table needed)
+        tc = 0 if Ss == 0 else 1
+        if syms:
+            counts, vals, codes = _canonical_table(syms)
+            seg(0xC4, bytes([(tc << 4)] + counts) + bytes(vals))
+        else:
+            codes = {}
+        sos = bytearray([len(scan_ids)])
+        for cid in scan_ids:
+            sos.extend([cid, 0x00])
+        sos.extend([Ss, Se, (Ah << 4) | Al])
+        seg(0xDA, bytes(sos))
+        bw = _BitWriter()
+        for tok in tokens:
+            if tok[0] == "sym":
+                ln, code = codes[tok[1]]
+                bw.put(code, ln)
+            else:
+                bw.put(tok[1], tok[2])
+        bw.pad_to_byte()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

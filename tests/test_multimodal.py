@@ -630,21 +630,27 @@ def test_jpeg_restart_markers_and_dc_reset(spark):
 
 
 def test_jpeg_unsupported_and_corrupt_degrade_to_null(spark):
-    """Progressive (SOF2) and truncated payloads yield NULL rows, never
-    exceptions — the one-bad-object-must-not-kill-the-batch contract."""
+    """Arithmetic-coded (SOF9), lossless (SOF3) and truncated payloads
+    yield NULL rows, never exceptions — the one-bad-object-must-not-
+    kill-the-batch contract. (A full-spectral scan relabeled SOF2 is
+    VALID progressive since r12 and decodes identically — pinned in
+    the progressive round-trip tests, so it no longer belongs here.)"""
     import numpy as np
 
     from tests.jpeg_codec import encode_gray
 
     base = bytearray(encode_gray(np.full((8, 8), 50, np.uint8)))
-    prog = bytearray(base)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 marker
+    arith = bytearray(base)
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic)
+    lossless = bytearray(base)
+    lossless[lossless.find(b"\xff\xc0") + 1] = 0xC3  # SOF0 -> SOF3
     truncated = bytes(base[:40])
     df = spark.createDataFrame(
-        [(1, bytes(prog)), (2, truncated)], "doc_id long, payload binary"
+        [(1, bytes(arith)), (2, truncated), (3, bytes(lossless))],
+        "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r for r in M.resize_images(df, target=(2, 2), fake=False).collect()}
-    for did in (1, 2):
+    for did in (1, 2, 3):
         assert rows[did]["resized_md5"] is None
         assert rows[did]["width"] is None
 
@@ -876,3 +882,108 @@ def test_png_adam7_interlaced_decodes_exactly(spark):
             np.ascontiguousarray(px[..., :3]).tobytes()
         ).hexdigest()
         assert r["resized_md5"] == want, f"adam7 case {did}"
+
+
+def test_jpeg_progressive_equals_baseline_decode(spark):
+    """r12 progressive (SOF2): spectral selection + successive
+    approximation fully reconstructs the quantized coefficients, so a
+    progressive encoding of the SAME coefficient planes must decode
+    bit-identically to the baseline encoding (whose decode is itself
+    pinned to the independent cosine-sum reference elsewhere). Covers
+    the libjpeg-style default script over gray, 4:2:0 color, sparse
+    blocks (long EOB runs with buffered correction bits) and all-zero
+    frames (pure EOB-run scans)."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_baseline, encode_progressive
+
+    rng = np.random.RandomState(41)
+    cases = []
+    g = rng.randint(-30, 31, size=(2, 3, 64)).astype(np.int32)
+    cases.append((24, 16, [(1, 1, 1, g)]))
+    y = rng.randint(-25, 26, size=(4, 4, 64)).astype(np.int32)
+    cb = rng.randint(-8, 9, size=(2, 2, 64)).astype(np.int32)
+    cr = rng.randint(-8, 9, size=(2, 2, 64)).astype(np.int32)
+    cases.append((32, 32, [(1, 2, 2, y), (2, 1, 1, cb), (3, 1, 1, cr)]))
+    s = np.zeros((3, 5, 64), np.int32)
+    s[1, 2, 5] = 7
+    s[2, 4, 0] = -40
+    cases.append((40, 24, [(1, 1, 1, s)]))
+    z = np.zeros((2, 2, 64), np.int32)
+    cases.append((16, 16, [(1, 1, 1, z)]))
+    for w, h, planes in cases:
+        pb = encode_baseline(w, h, planes)
+        pp = encode_progressive(w, h, planes)
+        df = spark.createDataFrame(
+            [(1, bytearray(pb)), (2, bytearray(pp))],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r["doc_id"]: r["resized_md5"]
+            for r in M.resize_images(df, target=(w, h), fake=False).collect()
+        }
+        assert out[2] is not None, (w, h)
+        assert out[1] == out[2], (w, h)
+
+
+def test_jpeg_progressive_custom_scan_script(spark):
+    """A different scan split (three AC bands, refinement from Al=3)
+    must reconstruct identically — the decoder follows whatever script
+    the SOS headers declare."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_baseline, encode_progressive
+
+    rng = np.random.RandomState(43)
+    g = rng.randint(-40, 41, size=(2, 2, 64)).astype(np.int32)
+    planes = [(1, 1, 1, g)]
+    scans = [
+        ([1], 0, 0, 0, 2), ([1], 0, 0, 2, 1), ([1], 0, 0, 1, 0),
+        ([1], 1, 2, 0, 3), ([1], 3, 20, 0, 3), ([1], 21, 63, 0, 3),
+        ([1], 1, 63, 3, 2), ([1], 1, 63, 2, 1), ([1], 1, 63, 1, 0),
+    ]
+    pb = encode_baseline(16, 16, planes)
+    pp = encode_progressive(16, 16, planes, scans=scans)
+    df = spark.createDataFrame(
+        [(1, bytearray(pb)), (2, bytearray(pp))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["resized_md5"]
+        for r in M.resize_images(df, target=(16, 16), fake=False).collect()
+    }
+    assert out[1] == out[2] and out[2] is not None
+
+
+def test_jpeg_progressive_truncated_renders_partial(spark):
+    """A progressive stream cut off after its DC scan renders the DC
+    approximation (what a browser shows mid-download) instead of a
+    NULL row — every delivered scan's information is kept."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_progressive
+
+    rng = np.random.RandomState(47)
+    g = rng.randint(-20, 21, size=(1, 2, 64)).astype(np.int32)
+    # DC-complete script first (Al 1 then refine to 0), AC afterwards
+    scans = [([1], 0, 0, 0, 1), ([1], 0, 0, 1, 0), ([1], 1, 63, 0, 0)]
+    pp = encode_progressive(16, 8, [(1, 1, 1, g)], scans=scans)
+    # cut immediately before the THIRD SOS (the AC scan)
+    first = pp.find(b"\xff\xda")
+    second = pp.find(b"\xff\xda", first + 2)
+    third = pp.find(b"\xff\xda", second + 2)
+    cut = pp[:third]
+    dc_only = np.zeros_like(g)
+    dc_only[..., 0] = g[..., 0]
+    expect = np.concatenate(
+        [
+            np.clip(np.round(_idct_ref(dc_only[0, i]) + 128), 0, 255)
+            for i in range(2)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    rgb = np.ascontiguousarray(np.repeat(expect[:, :, None], 3, axis=2))
+    r = _resize_md5(spark, cut, (16, 8))
+    assert r["resized_md5"] == hashlib.md5(rgb.tobytes()).hexdigest()

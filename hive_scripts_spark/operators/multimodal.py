@@ -27,7 +27,8 @@ plumbing-oracle queries and anywhere reproducible fixtures matter:
   interlaced), and — new r12 — **Huffman-coded DCT JPEG, baseline
   (SOF0/1) AND progressive (SOF2)** (numpy entropy decode + IDCT:
   generic DQT/DHT, restart markers, spectral selection + successive
-  approximation, grayscale + JFIF YCbCr with subsampling);
+  approximation, grayscale + JFIF YCbCr with subsampling) and **GIF**
+  (LZW decode, interlace, first frame of animations);
   arithmetic/lossless/12-bit JPEG and other formats yield NULL rows.
 * ``video_meta`` parses REAL container headers (MP4 ``moov``→``mvhd``
   duration, AVI ``avih`` frame count/rate).
@@ -244,7 +245,10 @@ def resize_images(
     (binary RGB), uncompressed 24-bit BMP, 8-bit truecolor PNG
     (stdlib ``zlib`` inflate of the IDAT stream + per-scanline
     unfilter, sequential AND Adam7 interlaced; alpha dropped for
-    RGBA), and Huffman-coded DCT JPEG — baseline (SOF0/1) and
+    RGBA), GIF (r12: LZW decompression with variable code width and
+    dictionary reset, 4-pass interlace, first frame of animations,
+    sub-screen frames composited on the background color), and
+    Huffman-coded DCT JPEG — baseline (SOF0/1) and
     progressive (SOF2) (r12: numpy-only T.81 decode — generic DQT/DHT
     parsing, restart markers, spectral selection + successive
     approximation, grayscale and JFIF YCbCr with pixel-replication
@@ -543,6 +547,8 @@ def resize_images(
                     return np.ascontiguousarray(full[..., :3])
                 if b[:2] == b"\xff\xd8":
                     return decode_jpeg(b)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    return decode_gif(b)
             except Exception:
                 pass
             return None
@@ -937,6 +943,135 @@ def resize_images(
             return np.ascontiguousarray(
                 np.clip(np.round(rgb), 0, 255).astype(np.uint8)
             )
+
+        def decode_gif(b: bytes):
+            # GIF87a/89a first-frame pixel decode (r12): logical
+            # screen + global/local color tables, LZW decompression
+            # (LSB-first variable code width, clear/EOI codes,
+            # 4095-entry dictionary with deferred-clear handling),
+            # optional 4-pass interlace reorder. Animations render
+            # frame 1; transparency drops to the palette RGB; frames
+            # smaller than the logical screen composite onto a
+            # background-colored canvas. Corrupt streams return None.
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            if w == 0 or h == 0:
+                return None
+            flags = b[10]
+            i = 13
+            gct = None
+            if flags & 0x80:
+                sz = 3 * (2 << (flags & 7))
+                gct = np.frombuffer(b[i : i + sz], np.uint8).reshape(-1, 3)
+                i += sz
+            n = len(b)
+            while i < n:
+                blk = b[i]
+                if blk == 0x3B:  # trailer before any image
+                    return None
+                if blk == 0x21:  # extension: label + sub-blocks
+                    i += 2
+                    while i < n and b[i] != 0:
+                        i += 1 + b[i]
+                    i += 1
+                    continue
+                if blk != 0x2C:
+                    return None
+                left = int.from_bytes(b[i + 1 : i + 3], "little")
+                top = int.from_bytes(b[i + 3 : i + 5], "little")
+                iw = int.from_bytes(b[i + 5 : i + 7], "little")
+                ih = int.from_bytes(b[i + 7 : i + 9], "little")
+                lflags = b[i + 9]
+                i += 10
+                pal = gct
+                if lflags & 0x80:
+                    sz = 3 * (2 << (lflags & 7))
+                    pal = np.frombuffer(
+                        b[i : i + sz], np.uint8
+                    ).reshape(-1, 3)
+                    i += sz
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                min_code = b[i]
+                i += 1
+                if not (1 <= min_code <= 11):
+                    return None
+                data = bytearray()
+                while i < n and b[i] != 0:
+                    ln = b[i]
+                    data.extend(b[i + 1 : i + 1 + ln])
+                    i += 1 + ln
+                clear = 1 << min_code
+                end = clear + 1
+                out_idx: list[int] = []
+                data_b = bytes(data)
+                nbits = len(data_b) * 8
+                bitpos = 0
+                code_size = min_code + 1
+                table: dict[int, list[int]] = {}
+                next_code = end + 1
+                prev = None
+                need = iw * ih
+                while bitpos + code_size <= nbits and len(out_idx) < need:
+                    byte0 = bitpos >> 3
+                    chunk = int.from_bytes(
+                        data_b[byte0 : byte0 + 3], "little"
+                    )
+                    code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+                    bitpos += code_size
+                    if code == clear:
+                        code_size = min_code + 1
+                        table = {}
+                        next_code = end + 1
+                        prev = None
+                        continue
+                    if code == end:
+                        break
+                    if code < clear:
+                        entry = [code]
+                    elif code in table:
+                        entry = table[code]
+                    elif code == next_code and prev is not None:
+                        entry = prev + prev[:1]  # the KwKwK case
+                    else:
+                        return None  # corrupt code stream
+                    out_idx.extend(entry)
+                    if prev is not None and next_code < 4096:
+                        table[next_code] = prev + entry[:1]
+                        next_code += 1
+                        # width grows when the NEXT code would not fit;
+                        # at 4096 the dict freezes (deferred clear)
+                        if (
+                            next_code == (1 << code_size)
+                            and code_size < 12
+                        ):
+                            code_size += 1
+                    prev = entry
+                if len(out_idx) < need:
+                    return None
+                idx = np.array(out_idx[:need], np.int32).reshape(ih, iw)
+                if lflags & 0x40:  # interlaced: 4-pass row schedule
+                    deint = np.empty_like(idx)
+                    order = (
+                        list(range(0, ih, 8))
+                        + list(range(4, ih, 8))
+                        + list(range(2, ih, 4))
+                        + list(range(1, ih, 2))
+                    )
+                    deint[order] = idx
+                    idx = deint
+                if int(idx.max(initial=0)) >= len(pal):
+                    return None
+                px = pal[idx].astype(np.uint8)
+                if (left, top, iw, ih) != (0, 0, w, h):
+                    canvas = np.zeros((h, w, 3), np.uint8)
+                    canvas[:] = pal[0]
+                    y1, x1 = min(h, top + ih), min(w, left + iw)
+                    if top < h and left < w:
+                        canvas[top:y1, left:x1] = px[: y1 - top, : x1 - left]
+                    return canvas
+                return np.ascontiguousarray(px)
+            return None
 
         for pdf in it:
             # a NULL payload stays None: NULL dims/hash, never a

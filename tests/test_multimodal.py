@@ -987,3 +987,145 @@ def test_jpeg_progressive_truncated_renders_partial(spark):
     rgb = np.ascontiguousarray(np.repeat(expect[:, :, None], 3, axis=2))
     r = _resize_md5(spark, cut, (16, 8))
     assert r["resized_md5"] == hashlib.md5(rgb.tobytes()).hexdigest()
+
+
+def _gif(idx, palette, min_code=None, interlace=False, frame_box=None,
+         screen=None, trailer=True, extension=False):
+    """Minimal GIF89a encoder (test-side twin): REAL LZW compression
+    with variable code width, dictionary growth to 4095 + clear-code
+    reset, optional interlace row reordering, sub-logical-screen
+    frames, and a skippable extension block."""
+    import numpy as np
+
+    ih, iw = idx.shape
+    w, h = screen or (iw, ih)
+    left, top = (frame_box or (0, 0))
+    ncol = len(palette)
+    bits = max(2, (ncol - 1).bit_length())
+    mcs = min_code or bits
+    out = bytearray(b"GIF89a")
+    out += iw.to_bytes(2, "little") if screen is None else w.to_bytes(2, "little")
+    out += ih.to_bytes(2, "little") if screen is None else h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))  # global color table, 2^bits entries
+    out += b"\x00\x00"
+    table = bytearray()
+    for r, g, b_ in palette:
+        table += bytes([r, g, b_])
+    table += b"\x00" * (3 * (1 << bits) - len(table))
+    out += table
+    if extension:  # GCE the decoder must skip
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c"
+    out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    rows = idx
+    if interlace:
+        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        rows = idx[order]
+    stream = [int(v) for v in rows.reshape(-1)]
+    # --- real LZW compress ---
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    code_size = mcs + 1
+    dict_ = {(s,): s for s in range(1 << mcs)}
+    next_code = end + 1
+    codes.append((clear, code_size))
+    buf = ()
+    for s in stream:
+        cand = buf + (s,)
+        if cand in dict_:
+            buf = cand
+            continue
+        codes.append((dict_[buf], code_size))
+        if next_code < 4096:
+            dict_[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            codes.append((clear, code_size))
+            code_size = mcs + 1
+            dict_ = {(t,): t for t in range(1 << mcs)}
+            next_code = end + 1
+        buf = (s,)
+    if buf:
+        codes.append((dict_[buf], code_size))
+    codes.append((end, code_size))
+    # LSB-first bit pack
+    acc = nacc = 0
+    packed = bytearray()
+    for code, cs in codes:
+        acc |= code << nacc
+        nacc += cs
+        while nacc >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        packed.append(acc & 0xFF)
+    out.append(mcs)
+    for off in range(0, len(packed), 255):
+        blk = packed[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    if trailer:
+        out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_decode_exact(spark):
+    """r12 GIF: real LZW decode (code-width growth, KwKwK case,
+    dictionary reset) reproduces the palette-mapped pixels exactly;
+    interlaced row schedule, skipped extensions, and sub-screen frames
+    composited on the background all pinned."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(53)
+    pal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (8, 3))]
+    parr = np.array(pal, np.uint8)
+    idx = rng.randint(0, 8, size=(13, 17))
+    cases = {
+        1: (_gif(idx, pal), parr[idx]),
+        2: (_gif(idx, pal, interlace=True), parr[idx]),
+        3: (_gif(idx, pal, extension=True), parr[idx]),
+    }
+    # repetitive stream -> deep dictionary growth exercises width bumps
+    rep = np.tile(np.arange(4), (32, 32))[:32, :32] % 8
+    cases[4] = (_gif(rep, pal), parr[rep])
+    # sub-screen frame composites on background (palette 0)
+    sub = rng.randint(0, 8, size=(4, 5))
+    canvas = np.zeros((10, 12, 3), np.uint8)
+    canvas[:] = parr[0]
+    canvas[2 : 2 + 4, 3 : 3 + 5] = parr[sub]
+    cases[5] = (_gif(sub, pal, frame_box=(3, 2), screen=(12, 10)), canvas)
+    for did, (payload, px) in cases.items():
+        h, w = px.shape[:2]
+        df = spark.createDataFrame(
+            [(did, payload)], "doc_id long, payload binary"
+        )
+        r = M.resize_images(df, target=(w, h), fake=False).collect()[0]
+        want = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+        assert r["resized_md5"] == want, f"gif case {did}"
+
+
+def test_gif_corrupt_degrades_to_null(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(59)
+    pal = [(0, 0, 0), (255, 255, 255), (10, 20, 30), (40, 50, 60)]
+    idx = rng.randint(0, 4, size=(6, 6))
+    good = bytearray(_gif(idx, pal))
+    truncated = bytes(good[: len(good) // 2])
+    mangled = bytearray(good)
+    mangled[len(mangled) // 2] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, truncated), (2, bytes(mangled)), (3, b"GIF89a\x00\x00")],
+        "doc_id long, payload binary",
+    )
+    out = M.resize_images(df, target=(6, 6), fake=False).collect()
+    assert len(out) == 3  # rows flow through; values NULL or decoded

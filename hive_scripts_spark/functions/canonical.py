@@ -239,6 +239,7 @@ def rank_trim(
     lo_pct: int = 1,
     hi_pct: int = 99,
     buckets: int = 32,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Drop each group's distribution tails by RANK, not by percentile
     value: keep rows whose 1-based rank ``rn`` (by ``value_col``, ties
@@ -265,7 +266,9 @@ def rank_trim(
        massive single groups; the prefix array grows with it, the
        output doesn't change) — while per-bucket counts fold into a
        sorted per-group prefix array (≤ ``buckets`` entries,
-       broadcast back);
+       broadcast back by default — ``broadcast_stats=False`` for
+       group-by-user shapes with millions of groups, where the stats
+       frame itself is too large to broadcast);
     3. global rank = bucket prefix + local rank; the trim predicate
        is unchanged bigint arithmetic.
 
@@ -313,6 +316,7 @@ def rank_trim(
             lo_pct,
             hi_pct,
             buckets,
+            broadcast_stats,
         ).drop("__g0")
     probs = [i / buckets for i in range(1, buckets)]
     # group frame: count + range boundaries (both partial-agg'd; the
@@ -323,8 +327,19 @@ def rank_trim(
             "__bnds"
         ),
     )
+    # broadcast_stats=True pins both small-side joins to broadcast so
+    # the big side NEVER shuffles on the raw group key — measured: the
+    # hint-free form let a shuffle join land on the hot key and the 1M
+    # hot-group probe regressed 2.6s -> 5.4s (AQE's runtime BHJ
+    # conversion did not rescue it). The hint is the right default for
+    # curation domains (|groups| small); ONLY for group-by-user shapes
+    # with millions of groups — where the stats frame itself is too
+    # big to broadcast — pass broadcast_stats=False and take the
+    # shuffle joins (results identical either way; NO_BHJ soak pins
+    # strategy-independence).
+    hint = F.broadcast if broadcast_stats else (lambda d: d)
     val = F.col(value_col).cast("double")
-    bucketed = df.join(F.broadcast(stats), group_cols).withColumn(
+    bucketed = df.join(hint(stats), group_cols).withColumn(
         "__bkt",
         F.when(
             val.isNull(), F.lit(-1)  # Spark windows order NULLS FIRST
@@ -349,7 +364,7 @@ def rank_trim(
         F.col(value_col), F.col(order_key)
     )
     ranked = (
-        bucketed.join(F.broadcast(prefixes), group_cols)
+        bucketed.join(hint(prefixes), group_cols)
         .withColumn(
             "__pfx",
             F.aggregate(

@@ -521,3 +521,19 @@ def test_rank_trim_null_and_nan_values_match_window_form(spark):
     assert sorted(map(key, got.collect())) == sorted(
         map(key, want.collect())
     )
+
+
+def test_rank_trim_broadcast_escape_hatch_identical(spark):
+    """broadcast_stats=False (the millions-of-groups escape hatch)
+    must select exactly the same rows as the default broadcast form —
+    the hint is physical only."""
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    rows = [(i, i % 3, (i * 37) % 11) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, grp int, val int")
+    a = rank_trim(df, ["grp"], "val", "id", lo_pct=10, hi_pct=90)
+    b = rank_trim(
+        df, ["grp"], "val", "id", lo_pct=10, hi_pct=90,
+        broadcast_stats=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1129,3 +1129,96 @@ def test_gif_corrupt_degrades_to_null(spark):
     )
     out = M.resize_images(df, target=(6, 6), fake=False).collect()
     assert len(out) == 3  # rows flow through; values NULL or decoded
+
+
+def _avi(frames, us_per_frame=33333, rec_lists=False):
+    """Minimal AVI writer: RIFF('AVI ') with an hdrl/avih header and a
+    movi LIST of 00dc chunks (optionally wrapped in 'rec ' sub-LISTs,
+    the interleaved layout); frames are raw chunk payloads (MJPEG =
+    whole JPEG byte streams)."""
+
+    def chunk(ckid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return ckid + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = bytearray(56)
+    avih[0:4] = us_per_frame.to_bytes(4, "little")
+    avih[16:20] = len(frames).to_bytes(4, "little")
+    hdrl = lst(b"hdrl", chunk(b"avih", bytes(avih)))
+    if rec_lists:
+        movi_body = b"".join(
+            lst(b"rec ", chunk(b"00dc", fb)) for fb in frames
+        )
+    else:
+        movi_body = b"".join(chunk(b"00dc", fb) for fb in frames)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_extract_frames_mjpeg_end_to_end(spark):
+    """r12 extract_frames: MJPEG AVI -> sampled frame rows (payload,
+    SOF dims, md5), and the emitted payloads pixel-decode through
+    resize_images — the full video->frame->pixel chain is real."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    grays = [16, 64, 100, 126, 16, 64]
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in grays]
+    for rec in (False, True):
+        df = spark.createDataFrame(
+            [(1, _avi(frames, rec_lists=rec))], "doc_id long, payload binary"
+        )
+        out = M.extract_frames(df, every_n=2).collect()
+        assert [r["frame_index"] for r in out] == [0, 2, 4], rec
+        for r, k in zip(out, (0, 2, 4)):
+            assert (r["width"], r["height"]) == (8, 8)
+            assert r["frame_md5"] == hashlib.md5(frames[k]).hexdigest()
+        # emitted frame payloads pixel-decode exactly
+        fdf = spark.createDataFrame(
+            [(r["frame_index"], bytearray(r["frame_payload"])) for r in out],
+            "doc_id long, payload binary",
+        )
+        decoded = {
+            r["doc_id"]: r["resized_md5"]
+            for r in M.resize_images(fdf, target=(2, 2), fake=False).collect()
+        }
+        for k in (0, 2, 4):
+            want = hashlib.md5(bytes([grays[k]]) * 12).hexdigest()
+            assert decoded[k] == want, (rec, k)
+
+
+def test_extract_frames_non_avi_and_corrupt_emit_nothing(spark):
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    good = _avi([encode_gray(np.full((8, 8), 64, np.uint8))])
+    df = spark.createDataFrame(
+        [
+            (1, b"not a video at all"),
+            (2, bytes(good[: len(good) // 3])),  # truncated container
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    assert M.extract_frames(df, every_n=1).count() == 0
+
+
+def test_extract_frames_caps_rows_per_clip(spark):
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    f = encode_gray(np.full((8, 8), 100, np.uint8))
+    df = spark.createDataFrame(
+        [(1, _avi([f] * 30))], "doc_id long, payload binary"
+    )
+    out = M.extract_frames(df, every_n=1, max_frames=5).collect()
+    assert [r["frame_index"] for r in out] == [0, 1, 2, 3, 4]

@@ -1433,15 +1433,22 @@ def extract_frames(
     max_frames: int = 100,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """REAL video frame extraction (r12): walk an AVI container's
-    ``movi`` list, take every ``every_n``-th video chunk (``##dc`` /
-    ``##db`` — MJPEG frames are whole JPEG payloads, raw-DIB frames
-    are BMP-shaped), and emit one row per sampled frame with the frame
-    bytes, header-parsed dims (JPEG SOF scan / DIB size) and the frame
-    payload's md5. The emitted ``frame_payload`` feeds straight into
-    :func:`resize_images` for pixel decode — MJPEG frames ride the
-    r12 JPEG decoder — or :func:`~hive_scripts_spark.operators.dedup`
-    for frame-level dedup by ``frame_md5``.
+    """REAL video frame extraction (r12): AVI **and MP4** containers.
+
+    AVI: walk the ``movi`` list and take every ``every_n``-th video
+    chunk (``##dc`` / ``##db`` — MJPEG frames are whole JPEG payloads,
+    raw-DIB frames are BMP-shaped). MP4/QuickTime: walk
+    ``moov``→``trak``→``mdia`` to the first ``vide``-handler track and
+    resolve sample byte ranges from its sample table
+    (``stsz``/``stsc``/``stco``/``co64`` — the ISO 14496-12 chunk/
+    sample maps), then take every ``every_n``-th sample. Each emitted
+    row carries the frame bytes, header-parsed dims (JPEG SOF scan /
+    DIB size; NULL for codec bitstreams like H.264) and the frame
+    payload's md5. MJPEG frame payloads feed straight into
+    :func:`resize_images` for pixel decode via the r12 JPEG decoder;
+    codec frames still support frame-level dedup / sampling / size
+    stats by ``frame_md5`` — the fingerprint a video-dedup pass needs
+    without ever decoding pixels.
 
     The physical shape a 100 TB video lake needs: extraction is
     map-only (one ``mapInPandas`` over the payload column, no joins,
@@ -1520,13 +1527,138 @@ def extract_frames(
             except Exception:
                 return
 
+        def mp4_frames(b: bytes):
+            # ISO 14496-12: first 'vide' track's sample table -> byte
+            # ranges. Box sizes are uint32 BE (1 -> 64-bit largesize).
+            n = len(b)
+
+            def boxes(i, end):
+                while i + 8 <= end:
+                    sz = int.from_bytes(b[i : i + 4], "big")
+                    btype = b[i + 4 : i + 8]
+                    body = i + 8
+                    if sz == 1:
+                        sz = int.from_bytes(b[i + 8 : i + 16], "big")
+                        body = i + 16
+                    elif sz == 0:
+                        sz = end - i
+                    if sz < 8:
+                        return
+                    yield btype, body, min(i + sz, end)
+                    i += sz
+
+            def find(i, end, *path):
+                for btype, body, bend in boxes(i, end):
+                    if btype == path[0]:
+                        if len(path) == 1:
+                            yield body, bend
+                        else:
+                            yield from find(body, bend, *path[1:])
+
+            try:
+                for moov_s, moov_e in find(0, n, b"moov"):
+                    for trak_s, trak_e in find(moov_s, moov_e, b"trak"):
+                        for mdia_s, mdia_e in find(trak_s, trak_e, b"mdia"):
+                            is_video = any(
+                                b[hs_ + 8 : hs_ + 12] == b"vide"
+                                for hs_, _ in find(mdia_s, mdia_e, b"hdlr")
+                            )
+                            if not is_video:
+                                continue
+                            stbl = next(
+                                find(mdia_s, mdia_e, b"minf", b"stbl"), None
+                            )
+                            if stbl is None:
+                                return
+                            st = {}
+                            for btype, body, bend in boxes(*stbl):
+                                st[btype] = (body, bend)
+                            if b"stsz" not in st or b"stsc" not in st:
+                                return
+                            s, _ = st[b"stsz"]
+                            fixed = int.from_bytes(b[s + 4 : s + 8], "big")
+                            cnt = int.from_bytes(b[s + 8 : s + 12], "big")
+                            sizes = (
+                                [fixed] * cnt
+                                if fixed
+                                else [
+                                    int.from_bytes(
+                                        b[s + 12 + 4 * k : s + 16 + 4 * k],
+                                        "big",
+                                    )
+                                    for k in range(cnt)
+                                ]
+                            )
+                            if b"stco" in st:
+                                s, _ = st[b"stco"]
+                                nch = int.from_bytes(b[s + 4 : s + 8], "big")
+                                offs = [
+                                    int.from_bytes(
+                                        b[s + 8 + 4 * k : s + 12 + 4 * k],
+                                        "big",
+                                    )
+                                    for k in range(nch)
+                                ]
+                            elif b"co64" in st:
+                                s, _ = st[b"co64"]
+                                nch = int.from_bytes(b[s + 4 : s + 8], "big")
+                                offs = [
+                                    int.from_bytes(
+                                        b[s + 8 + 8 * k : s + 16 + 8 * k],
+                                        "big",
+                                    )
+                                    for k in range(nch)
+                                ]
+                            else:
+                                return
+                            s, _ = st[b"stsc"]
+                            nsc = int.from_bytes(b[s + 4 : s + 8], "big")
+                            runs = [
+                                (
+                                    int.from_bytes(
+                                        b[s + 8 + 12 * k : s + 12 + 12 * k],
+                                        "big",
+                                    ),
+                                    int.from_bytes(
+                                        b[s + 12 + 12 * k : s + 16 + 12 * k],
+                                        "big",
+                                    ),
+                                )
+                                for k in range(nsc)
+                            ]
+                            # expand sample-to-chunk runs over chunks
+                            si = 0
+                            for ci in range(len(offs)):
+                                spc = 0
+                                for first, cnt_ in runs:
+                                    if first <= ci + 1:
+                                        spc = cnt_
+                                    else:
+                                        break
+                                pos = offs[ci]
+                                for _ in range(spc):
+                                    if si >= len(sizes):
+                                        return
+                                    yield b[pos : pos + sizes[si]]
+                                    pos += sizes[si]
+                                    si += 1
+                            return  # first video track only
+            except Exception:
+                return
+
         for pdf in it:
             ids, fidx, pays, ws, hs, md5s = [], [], [], [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 if p is None:
                     continue
                 try:
-                    for k, fb in enumerate(avi_frames(bytes(p))):
+                    raw = bytes(p)
+                    src = (
+                        avi_frames(raw)
+                        if raw[:4] == b"RIFF"
+                        else mp4_frames(raw)
+                    )
+                    for k, fb in enumerate(src):
                         if k % every_n or k // every_n >= max_frames:
                             continue
                         w, h = frame_dims(fb)

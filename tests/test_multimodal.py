@@ -1222,3 +1222,110 @@ def test_extract_frames_caps_rows_per_clip(spark):
     )
     out = M.extract_frames(df, every_n=1, max_frames=5).collect()
     assert [r["frame_index"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def _mp4(frames, two_chunks=True):
+    """Minimal ISO-BMFF writer: moov(trak(mdia(hdlr 'vide',
+    minf(stbl(stsz/stsc/stco))))) + mdat holding the samples, split
+    across two chunks when ``two_chunks`` (exercising the
+    sample-to-chunk run expansion)."""
+
+    def box(btype, body):
+        return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+    sizes = [len(f) for f in frames]
+    # mdat goes LAST; compute its payload offsets after moov length is
+    # known — build moov with placeholder offsets first, then patch
+    split = (len(frames) + 1) // 2 if two_chunks else len(frames)
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + (0).to_bytes(4, "big") + len(frames).to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes),
+    )
+    if two_chunks and len(frames) > 1:
+        stsc_entries = [(1, split, 1), (2, len(frames) - split, 1)]
+    else:
+        stsc_entries = [(1, len(frames), 1)]
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4 + len(stsc_entries).to_bytes(4, "big")
+        + b"".join(
+            f.to_bytes(4, "big") + c.to_bytes(4, "big") + d.to_bytes(4, "big")
+            for f, c, d in stsc_entries
+        ),
+    )
+    nch = 2 if (two_chunks and len(frames) > 1) else 1
+    stco_placeholder = box(
+        b"stco",
+        b"\x00" * 4 + nch.to_bytes(4, "big") + b"\x00" * (4 * nch),
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stbl = box(b"stbl", stsz + stsc + stco_placeholder)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    header_len = len(ftyp) + len(moov)
+    chunk1_off = header_len + 8  # into mdat payload
+    chunk2_off = chunk1_off + sum(sizes[:split])
+    offsets = [chunk1_off] + ([chunk2_off] if nch == 2 else [])
+    stco = box(
+        b"stco",
+        b"\x00" * 4 + nch.to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in offsets),
+    )
+    moov = moov.replace(stco_placeholder, stco, 1)
+    return ftyp + moov + box(b"mdat", mdat_payload)
+
+
+def test_extract_frames_mp4_sample_table(spark):
+    """r12 MP4 extraction: stsz/stsc/stco resolve each sample's byte
+    range across multi-chunk layouts; MJPEG samples pixel-decode
+    through resize_images like the AVI path."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    grays = [16, 64, 100, 126, 16]
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in grays]
+    for two_chunks in (False, True):
+        df = spark.createDataFrame(
+            [(1, _mp4(frames, two_chunks=two_chunks))],
+            "doc_id long, payload binary",
+        )
+        out = M.extract_frames(df, every_n=2).collect()
+        assert [r["frame_index"] for r in out] == [0, 2, 4], two_chunks
+        for r, k in zip(out, (0, 2, 4)):
+            assert r["frame_md5"] == hashlib.md5(frames[k]).hexdigest()
+            assert (r["width"], r["height"]) == (8, 8)
+        fdf = spark.createDataFrame(
+            [(r["frame_index"], bytearray(r["frame_payload"])) for r in out],
+            "doc_id long, payload binary",
+        )
+        decoded = {
+            r["doc_id"]: r["resized_md5"]
+            for r in M.resize_images(fdf, target=(2, 2), fake=False).collect()
+        }
+        for k in (0, 2, 4):
+            assert decoded[k] == hashlib.md5(bytes([grays[k]]) * 12).hexdigest()
+
+
+def test_extract_frames_mp4_opaque_codec_samples_fingerprint_only(spark):
+    """Non-MJPEG samples (an H.264-like opaque bitstream) still emit
+    rows with md5 fingerprints and NULL dims — frame-level dedup works
+    without pixel decode."""
+    import hashlib
+
+    fake_nal = [bytes([0, 0, 0, 1, 0x65]) + bytes(range(30 + i)) for i in range(3)]
+    df = spark.createDataFrame(
+        [(1, _mp4(fake_nal))], "doc_id long, payload binary"
+    )
+    out = M.extract_frames(df, every_n=1).collect()
+    assert len(out) == 3
+    for r, fb in zip(out, fake_nal):
+        assert r["frame_md5"] == hashlib.md5(fb).hexdigest()
+        assert r["width"] is None and r["height"] is None

@@ -1329,3 +1329,41 @@ def test_extract_frames_mp4_opaque_codec_samples_fingerprint_only(spark):
     for r, fb in zip(out, fake_nal):
         assert r["frame_md5"] == hashlib.md5(fb).hexdigest()
         assert r["width"] is None and r["height"] is None
+
+
+def test_all_codec_paths_survive_byte_flip_fuzz(spark):
+    """Cross-format corruption sweep: byte-flipped PNG (sequential +
+    Adam7), GIF, AVI and MP4 payloads must all flow through
+    resize_images / extract_frames as rows or zero rows — never
+    exceptions. The JPEG twin lives in
+    test_jpeg_corruption_fuzz_never_raises."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    rng = np.random.RandomState(61)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    pal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (4, 3))]
+    jf = encode_gray(np.full((8, 8), 100, np.uint8))
+    bases = [
+        _png(px, filters=[1, 2, 3, 4] * 4),
+        _png(px, filters=[0, 3] * 8, interlace=1),
+        _gif(rng.randint(0, 4, size=(9, 9)), pal),
+        _avi([jf, jf, jf]),
+        _mp4([jf, jf, jf]),
+    ]
+    rows = []
+    did = 0
+    for base in bases:
+        ba = bytearray(base)
+        for _ in range(12):
+            mutated = bytearray(ba)
+            for _ in range(rng.randint(1, 4)):
+                mutated[rng.randint(0, len(mutated))] = rng.randint(0, 256)
+            rows.append((did, bytes(mutated)))
+            did += 1
+        rows.append((did, bytes(ba[: rng.randint(1, len(ba))])))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert M.resize_images(df, target=(4, 4), fake=False).count() == len(rows)
+    M.extract_frames(df, every_n=1).count()  # must not raise

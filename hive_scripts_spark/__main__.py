@@ -274,6 +274,44 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_frames(args: argparse.Namespace) -> int:
+    """Frame export: extract sampled video frames (AVI movi chunks /
+    MP4 sample tables) into a parquet frame table — the map-only
+    video→frame step of a multimodal curation run. MJPEG frame
+    payloads pixel-decode downstream via ``resize_images``; every
+    frame row carries an md5 for frame-level dedup."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.multimodal import extract_frames
+
+    spark = get_spark("hive-scripts-spark-frames")
+    clips = spark.read.parquet(args.input)
+    if args.id_col != "doc_id" or args.payload_col != "payload":
+        clips = clips.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.col(args.payload_col).alias("payload"),
+        )
+    frames = extract_frames(
+        clips, every_n=args.every_n, max_frames=args.max_frames
+    )
+    frames.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_clips"),
+            F.countDistinct("frame_md5").alias("n_unique_frames"),
+        )
+        .first()
+    )
+    print(
+        f"{stats['n_frames']} frames from {stats['n_clips']} clips, "
+        f"{stats['n_unique_frames']} unique by md5"
+    )
+    return 0
+
+
 def cmd_semdedup(args: argparse.Namespace) -> int:
     """SemDeDup as a command: semantic near-dup removal over the
     embeddings table (arXiv:2303.09540). Centroids default to the first
@@ -909,6 +947,21 @@ def main(argv: list[str] | None = None) -> int:
         "templated/machine-generated text gate",
     )
     c.set_defaults(fn=cmd_curate)
+
+    fr = sub.add_parser(
+        "frames",
+        help="extract sampled video frames (AVI/MP4) into a parquet "
+        "frame table",
+    )
+    fr.add_argument(
+        "--input", required=True, help="parquet of (id, payload) clip rows"
+    )
+    fr.add_argument("--output", required=True, help="output parquet directory")
+    fr.add_argument("--every-n", type=int, default=10)
+    fr.add_argument("--max-frames", type=int, default=100)
+    fr.add_argument("--id-col", default="doc_id")
+    fr.add_argument("--payload-col", default="payload")
+    fr.set_defaults(fn=cmd_frames)
 
     sd = sub.add_parser(
         "semdedup",

@@ -708,3 +708,37 @@ def test_balance_train_full(spark, tmp_path, capsys):
     written = spark.read.parquet(str(out))
     per_cell = written.groupBy("centroid_id").count().collect()
     assert per_cell and all(r["count"] <= 10 for r in per_cell)
+
+
+def test_frames_subcommand_end_to_end(spark, tmp_path, capsys):
+    """`frames` CLI: clip parquet in -> sampled frame parquet out, with
+    the dedup-ready md5 column (two clips share a frame here)."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+    from tests.test_multimodal import _avi
+
+    f1 = encode_gray(np.full((8, 8), 64, np.uint8))
+    f2 = encode_gray(np.full((8, 8), 100, np.uint8))
+    clips = spark.createDataFrame(
+        [(1, _avi([f1, f2])), (2, _avi([f1]))],
+        "clip_id long, body binary",
+    )
+    src = str(tmp_path / "clips")
+    out = str(tmp_path / "frames")
+    clips.write.parquet(src)
+    rc = main(
+        [
+            "frames", "--input", src, "--output", out,
+            "--every-n", "1",
+            "--id-col", "clip_id", "--payload-col", "body",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "3 frames from 2 clips, 2 unique by md5" in printed
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert set(got.columns) >= {
+        "doc_id", "frame_index", "frame_payload", "frame_md5"
+    }

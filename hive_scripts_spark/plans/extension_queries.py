@@ -1513,16 +1513,6 @@ def x_events_session_stats(spark, sf_dir):
     )
 
 
-@register(
-    "x_events_session_window",
-    oracle=f"""{_DUCK_SESSIONIZE}
-    select user_id,
-           min(ts) as session_start,
-           max(ts) + interval 30 minute as session_end,
-           cast(count(*) as bigint) as n_events
-    from numbered group by user_id, session_id
-    """,
-)
 def x_events_session_window(spark, sf_dir):
     """Gap-merged sessions via Spark's native ``session_window`` — the
     batch face of the streaming session operator
@@ -1531,7 +1521,17 @@ def x_events_session_window(spark, sf_dir):
     exactly-gap-apart pair stays in one session; locked by
     ``test_session_streaming.py``); the output differs only in shape:
     ``session_end`` here is last-event + gap per ``session_window``'s
-    window close, not the last event time."""
+    window close, not the last event time.
+
+    RETIRED from the graded registry in the r13 capacity swap (slot
+    funds ``x_multimodal_frames``; COVERAGE.md "Registry capacity").
+    Retirement choice verified against strict rotation: it was in the
+    r13 stale set (last green r10) so the swap keeps
+    ``compute_front_order(strict=True)`` clean, while its semantics
+    remain triple-covered — the frozen r10 oracle in
+    ``tests/test_retired_queries.py``, the still-graded
+    ``x_events_sessionize``/``x_events_session_stats`` family, and the
+    stream-vs-batch parity pin in ``test_session_streaming.py``."""
     from hive_scripts_spark.streaming.sessions import session_window_counts
 
     ev = table(spark, sf_dir, "events")
@@ -3092,6 +3092,97 @@ def x_multimodal_resize_jpeg(spark, sf_dir):
         fake=False,
         parallelism=min(8, spark.sparkContext.defaultParallelism),
     )
+
+
+#: md5 of each constant-gray JPEG literal above (compile-time
+#: constants; tests/test_multimodal.py re-derives them with hashlib so
+#: an edit to either side fails loudly)
+_JPEG_GRAY_MD5 = {
+    16: "8b588ab0ebdf80a92b02a1a28b0cbbf3",
+    64: "365de6e45ce1170d519ae7714a4138e0",
+    100: "7587fc95372b1c5c6f9bda74e7227ddd",
+    126: "1f994aa7f5b83bcced1d38c60df8a5bc",
+}
+
+#: AVI skeleton for exactly three 159-byte frames: RIFF + hdrl(avih:
+#: 3 frames @ 33333 us) + the movi LIST header; each frame is chunked
+#: as '00dc' + size + payload + 1 pad byte (159 is odd)
+_AVI3_HEAD_HEX = (
+    "5249464654020000415649204c495354440000006864726c6176696838000000"
+    "3582000000000000000000000000000003000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000004c495354fc010000"
+    "6d6f7669"
+)
+_AVI3_CHUNK_HDR_HEX = "303064639f000000"
+
+
+def _frames_md5_case(offset: int) -> str:
+    """CASE expression mapping (doc_id + offset) % 4 to the frame md5."""
+    grays = (16, 64, 100, 126)
+    arms = " ".join(
+        f"when {i} then '{_JPEG_GRAY_MD5[g]}'" for i, g in enumerate(grays[:3])
+    )
+    return (
+        f"case cast((doc_id + {offset}) % 4 as int) {arms} "
+        f"else '{_JPEG_GRAY_MD5[126]}' end"
+    )
+
+
+@register(
+    "x_multimodal_frames",
+    # extract_frames(every_n=2) over a 3-frame clip samples frames 0
+    # and 2; each sampled frame is one of the four 159-byte JPEG plan
+    # literals picked by (doc_id + k) % 4, so its md5 / dims are
+    # compile-time constants the oracle restates
+    oracle=f"""
+    select doc_id, cast(0 as int) as frame_index,
+           cast(8 as int) as width, cast(8 as int) as height,
+           {_frames_md5_case(0)} as frame_md5
+    from documents
+    union all
+    select doc_id, cast(2 as int) as frame_index,
+           cast(8 as int) as width, cast(8 as int) as height,
+           {_frames_md5_case(2)} as frame_md5
+    from documents
+    """,
+)
+def x_multimodal_frames(spark, sf_dir):
+    """REAL video→frame extraction (grades the r12 container layer the
+    way ``x_multimodal_resize_jpeg`` grades the JPEG pixel decoder):
+    each document frames as a three-frame MJPEG AVI whose frames are
+    the four constant-gray JPEG plan literals picked by
+    ``(doc_id + k) % 4``; ``extract_frames`` walks the actual RIFF
+    ``movi`` chunk list and JPEG-decodes each sampled frame's
+    dimensions, and the oracle recomputes every sampled frame's
+    md5/width/height from compile-time constants. Registered in the
+    r13 capacity swap (retiring ``x_events_session_window``) after
+    sitting parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r13.py`` through round 12."""
+
+    def frame(k):
+        rem = F.pmod(F.col("doc_id") + k, F.lit(4))
+        return (
+            F.when(rem == 0, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[16])))
+            .when(rem == 1, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[64])))
+            .when(rem == 2, F.lit(bytes.fromhex(_JPEG_GRAY_HEX[100])))
+            .otherwise(F.lit(bytes.fromhex(_JPEG_GRAY_HEX[126])))
+        )
+
+    head = F.lit(bytes.fromhex(_AVI3_HEAD_HEX))
+    ch = F.lit(bytes.fromhex(_AVI3_CHUNK_HDR_HEX))
+    pad = F.lit(b"\x00")
+    docs = table(spark, sf_dir, "documents")
+    clips = docs.select(
+        "doc_id",
+        F.concat(
+            head, ch, frame(0), pad, ch, frame(1), pad, ch, frame(2), pad
+        ).alias("payload"),
+    )
+    return M.extract_frames(
+        clips,
+        every_n=2,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    ).select("doc_id", "frame_index", "width", "height", "frame_md5")
 
 
 #: constant 44-byte WAV header: mono 8-bit PCM, 8000 Hz, 64-sample data

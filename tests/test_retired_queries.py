@@ -96,6 +96,30 @@ RETIRED = {
     from lang
     group by all
     """,
+    # retired r13 (slot funds x_multimodal_frames); frozen verbatim
+    # from the r12 registry (_DUCK_SESSIONIZE prefix expanded)
+    "x_events_session_window": """
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select user_id, ts,
+             cast(sum(new_session) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row)
+                  as bigint) as session_id
+      from marked
+    )
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 30 minute as session_end,
+           cast(count(*) as bigint) as n_events
+    from numbered group by user_id, session_id
+    """,
     # retired r12 (slot funds x_multimodal_resize_jpeg); frozen
     # verbatim from the r11 registry
     "x_ann_ivf_topk_quantized": """

@@ -287,10 +287,15 @@ def rank_trim(
     ``test_properties``): NULL values bucket to -1 (ahead of every
     boundary — Spark windows order NULLs FIRST asc); NaN buckets to
     the last range (Spark comparisons put NaN above every numeric,
-    matching its NaN-last sort order); a non-numeric ``value_col``
-    (double-cast yields NULL) collapses to one bucket per group —
-    still correct, just without the skew spreading, which only
-    numeric trims need in practice.
+    matching its NaN-last sort order). The bucketed path only engages
+    when ``value_col``'s declared type orders the same way its double
+    cast does (numeric or timestamp): for any other type the window
+    sorts the RAW column, so a value-derived bucket would not be
+    monotone w.r.t. the window order (e.g. string ``'10' < '2'`` but
+    ``10.0 > 2.0`` — the r12 ADVICE divergence) — those types collapse
+    to one bucket per group (NULLs still ahead), trading skew
+    spreading (which only numeric trims need in practice) for exact
+    window-form parity.
     """
     from pyspark.sql import Window
 
@@ -318,15 +323,28 @@ def rank_trim(
             buckets,
             broadcast_stats,
         ).drop("__g0")
+    # value-derived buckets are only sound when the double cast orders
+    # exactly like the raw column the window sorts (numeric, timestamp
+    # = epoch seconds). Strings holding numeric text cast fine but sort
+    # lexically ('10' < '2' vs 10.0 > 2.0), so ANY other type takes the
+    # constant-bucket path: one bucket per group (NULLs ahead), exact
+    # but without skew spreading.
+    from pyspark.sql.types import NumericType, TimestampType
+
+    cast_monotone = isinstance(
+        df.schema[value_col].dataType, (NumericType, TimestampType)
+    )
     probs = [i / buckets for i in range(1, buckets)]
     # group frame: count + range boundaries (both partial-agg'd; the
     # result is |groups| rows — curation domains, broadcastable)
-    stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.percentile_approx(F.col(value_col).cast("double"), probs).alias(
-            "__bnds"
-        ),
-    )
+    stats_aggs = [F.count(F.lit(1)).alias("__n")]
+    if cast_monotone:
+        stats_aggs.append(
+            F.percentile_approx(
+                F.col(value_col).cast("double"), probs
+            ).alias("__bnds")
+        )
+    stats = df.groupBy(*group_cols).agg(*stats_aggs)
     # broadcast_stats=True pins both small-side joins to broadcast so
     # the big side NEVER shuffles on the raw group key — measured: the
     # hint-free form let a shuffle join land on the hot key and the 1M
@@ -338,15 +356,16 @@ def rank_trim(
     # shuffle joins (results identical either way; NO_BHJ soak pins
     # strategy-independence).
     hint = F.broadcast if broadcast_stats else (lambda d: d)
-    val = F.col(value_col).cast("double")
-    bucketed = df.join(hint(stats), group_cols).withColumn(
-        "__bkt",
-        F.when(
+    if cast_monotone:
+        val = F.col(value_col).cast("double")
+        bkt = F.when(
             val.isNull(), F.lit(-1)  # Spark windows order NULLS FIRST
-        ).otherwise(
-            F.size(F.filter(F.col("__bnds"), lambda b: b < val))
-        ),
-    )
+        ).otherwise(F.size(F.filter(F.col("__bnds"), lambda b: b < val)))
+    else:
+        bkt = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.lit(0)
+        )
+    bucketed = df.join(hint(stats), group_cols).withColumn("__bkt", bkt)
     # per-(group, bucket) counts -> sorted per-group (bucket, count)
     # array; prefix(b) = rows in earlier buckets, via one groupBy (no
     # raw-group-key window even on the tiny counts frame)

@@ -1068,7 +1068,11 @@ def resize_images(
                 px = pal[idx].astype(np.uint8)
                 if (left, top, iw, ih) != (0, 0, w, h):
                     canvas = np.zeros((h, w, 3), np.uint8)
-                    canvas[:] = pal[0]
+                    # logical screen descriptor byte 11 = background
+                    # color index (r12 ADVICE: was hardcoded pal[0]);
+                    # out-of-range indices fall back to entry 0
+                    bg = b[11] if b[11] < len(pal) else 0
+                    canvas[:] = pal[bg]
                     y1, x1 = min(h, top + ih), min(w, left + iw)
                     if top < h and left < w:
                         canvas[top:y1, left:x1] = px[: y1 - top, : x1 - left]
@@ -1457,6 +1461,21 @@ def extract_frames(
     operator EXPLODES clips into frames; the clip-level NULL contract
     belongs to :func:`video_meta`). Corrupt containers never raise.
     """
+    # the output schema carries doc_id as long; a non-integral id column
+    # (the CLI's --id-col accepts any column) must fail HERE, loudly —
+    # inside the per-clip try/except a failing int(did) would silently
+    # drop every frame of every clip and yield an empty table (r12
+    # ADVICE)
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema["doc_id"].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"extract_frames needs an integral doc_id column, got "
+            f"{id_type.simpleString()} — cast the id column to long "
+            "(e.g. .withColumn('doc_id', col(id_col).cast('long'))) or "
+            "pick an integral --id-col"
+        )
     if parallelism:
         df = df.repartition(parallelism)
 
@@ -1565,16 +1584,20 @@ def extract_frames(
                             )
                             if not is_video:
                                 continue
+                            # a vide track missing its sample table must
+                            # not end the walk — later tracks may carry a
+                            # valid one (r12 ADVICE: bare return here
+                            # yielded zero frames for playable files)
                             stbl = next(
                                 find(mdia_s, mdia_e, b"minf", b"stbl"), None
                             )
                             if stbl is None:
-                                return
+                                continue
                             st = {}
                             for btype, body, bend in boxes(*stbl):
                                 st[btype] = (body, bend)
                             if b"stsz" not in st or b"stsc" not in st:
-                                return
+                                continue
                             s, _ = st[b"stsz"]
                             fixed = int.from_bytes(b[s + 4 : s + 8], "big")
                             cnt = int.from_bytes(b[s + 8 : s + 12], "big")
@@ -1610,7 +1633,7 @@ def extract_frames(
                                     for k in range(nch)
                                 ]
                             else:
-                                return
+                                continue  # no chunk offsets: next trak
                             s, _ = st[b"stsc"]
                             nsc = int.from_bytes(b[s + 4 : s + 8], "big")
                             runs = [
@@ -1628,6 +1651,8 @@ def extract_frames(
                             ]
                             # expand sample-to-chunk runs over chunks
                             si = 0
+                            yielded = 0
+                            exhausted = False
                             for ci in range(len(offs)):
                                 spc = 0
                                 for first, cnt_ in runs:
@@ -1638,11 +1663,20 @@ def extract_frames(
                                 pos = offs[ci]
                                 for _ in range(spc):
                                     if si >= len(sizes):
-                                        return
+                                        exhausted = True
+                                        break
                                     yield b[pos : pos + sizes[si]]
+                                    yielded += 1
                                     pos += sizes[si]
                                     si += 1
-                            return  # first video track only
+                                if exhausted:
+                                    break
+                            if yielded:
+                                # first video track that actually
+                                # yields samples ends the walk; an
+                                # empty sample table falls through to
+                                # the next trak
+                                return
             except Exception:
                 return
 

@@ -990,11 +990,12 @@ def test_jpeg_progressive_truncated_renders_partial(spark):
 
 
 def _gif(idx, palette, min_code=None, interlace=False, frame_box=None,
-         screen=None, trailer=True, extension=False):
+         screen=None, trailer=True, extension=False, bg=0):
     """Minimal GIF89a encoder (test-side twin): REAL LZW compression
     with variable code width, dictionary growth to 4095 + clear-code
     reset, optional interlace row reordering, sub-logical-screen
-    frames, and a skippable extension block."""
+    frames, a skippable extension block, and a settable background
+    color index (logical screen descriptor byte 11)."""
     import numpy as np
 
     ih, iw = idx.shape
@@ -1007,7 +1008,7 @@ def _gif(idx, palette, min_code=None, interlace=False, frame_box=None,
     out += iw.to_bytes(2, "little") if screen is None else w.to_bytes(2, "little")
     out += ih.to_bytes(2, "little") if screen is None else h.to_bytes(2, "little")
     out.append(0x80 | (bits - 1))  # global color table, 2^bits entries
-    out += b"\x00\x00"
+    out += bytes([bg, 0])
     table = bytearray()
     for r, g, b_ in palette:
         table += bytes([r, g, b_])
@@ -1224,11 +1225,13 @@ def test_extract_frames_caps_rows_per_clip(spark):
     assert [r["frame_index"] for r in out] == [0, 1, 2, 3, 4]
 
 
-def _mp4(frames, two_chunks=True):
+def _mp4(frames, two_chunks=True, broken_first=None):
     """Minimal ISO-BMFF writer: moov(trak(mdia(hdlr 'vide',
     minf(stbl(stsz/stsc/stco))))) + mdat holding the samples, split
     across two chunks when ``two_chunks`` (exercising the
-    sample-to-chunk run expansion)."""
+    sample-to-chunk run expansion). ``broken_first`` prepends a
+    defective 'vide' trak — ``no_stbl`` / ``no_stsz`` / ``no_stco`` /
+    ``empty`` (a zero-sample table) — ahead of the real one."""
 
     def box(btype, body):
         return (len(body) + 8).to_bytes(4, "big") + btype + body
@@ -1264,7 +1267,23 @@ def _mp4(frames, two_chunks=True):
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", hdlr + minf)
     trak = box(b"trak", mdia)
-    moov = box(b"moov", trak)
+    traks = trak
+    if broken_first:
+        if broken_first == "no_stbl":
+            bstbl = b""
+        elif broken_first == "no_stsz":
+            bstbl = box(b"stbl", stsc)
+        elif broken_first == "no_stco":
+            bstbl = box(b"stbl", stsz + stsc)
+        else:  # "empty": valid table shape, zero samples/chunks
+            bstbl = box(
+                b"stbl",
+                box(b"stsz", b"\x00" * 4 + b"\x00" * 8)
+                + box(b"stsc", b"\x00" * 8)
+                + box(b"stco", b"\x00" * 8),
+            )
+        traks = box(b"trak", box(b"mdia", hdlr + box(b"minf", bstbl))) + trak
+    moov = box(b"moov", traks)
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mdat_payload = b"".join(frames)
     header_len = len(ftyp) + len(moov)
@@ -1329,6 +1348,66 @@ def test_extract_frames_mp4_opaque_codec_samples_fingerprint_only(spark):
     for r, fb in zip(out, fake_nal):
         assert r["frame_md5"] == hashlib.md5(fb).hexdigest()
         assert r["width"] is None and r["height"] is None
+
+
+def test_gif_background_color_index(spark):
+    """r12 ADVICE: sub-screen frames composite onto the logical screen
+    descriptor's background color index (byte 11), not hardcoded
+    palette entry 0; an out-of-range index falls back to entry 0."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(67)
+    pal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (8, 3))]
+    parr = np.array(pal, np.uint8)
+    sub = rng.randint(0, 8, size=(4, 5))
+    for bg, fill in ((5, 5), (200, 0)):  # 200 > len(pal)=8 -> entry 0
+        canvas = np.zeros((10, 12, 3), np.uint8)
+        canvas[:] = parr[fill]
+        canvas[2 : 2 + 4, 3 : 3 + 5] = parr[sub]
+        payload = _gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=bg)
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        r = M.resize_images(df, target=(12, 10), fake=False).collect()[0]
+        want = hashlib.md5(np.ascontiguousarray(canvas).tobytes()).hexdigest()
+        assert r["resized_md5"] == want, f"bg={bg}"
+
+
+def test_extract_frames_rejects_non_integral_id_column(spark):
+    """r12 ADVICE: a non-integral doc_id (the CLI's --id-col accepts
+    any column) must fail loudly at plan time, not silently drop every
+    frame inside the per-clip try/except."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("doc-1", b"RIFF")], "doc_id string, payload binary"
+    )
+    with _pt.raises(TypeError, match="integral doc_id"):
+        M.extract_frames(df)
+
+
+def test_extract_frames_mp4_skips_defective_leading_video_track(spark):
+    """r12 ADVICE: a 'vide' trak missing stbl/stsz/stco — or carrying
+    an empty sample table — must not terminate the moov walk; the next
+    track's samples still extract."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64, 100)]
+    for broken in ("no_stbl", "no_stsz", "no_stco", "empty"):
+        df = spark.createDataFrame(
+            [(1, _mp4(frames, broken_first=broken))],
+            "doc_id long, payload binary",
+        )
+        out = M.extract_frames(df, every_n=1).collect()
+        assert [r["frame_index"] for r in out] == [0, 1, 2], broken
+        for r, fb in zip(out, frames):
+            assert r["frame_md5"] == hashlib.md5(fb).hexdigest(), broken
 
 
 def test_all_codec_paths_survive_byte_flip_fuzz(spark):

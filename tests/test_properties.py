@@ -523,6 +523,74 @@ def test_rank_trim_null_and_nan_values_match_window_form(spark):
     )
 
 
+def test_rank_trim_string_values_match_window_form(spark):
+    """r12 ADVICE (medium): a string value_col holding numeric text
+    casts to double fine but sorts lexically ('10' < '2' vs
+    10.0 > 2.0), so value-derived buckets would contradict the window
+    order and silently diverge from the single-window form. The fix
+    gates the bucketed path on the declared dtype ordering like its
+    double cast (numeric / timestamp); strings take the constant-
+    bucket path and must match the window form exactly — this is the
+    advisor's 15-row repro shape plus NULLs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    vals = ["2", "10", "1", "9", "100", "3", None, "20", "11", "2",
+            "10", None, "05", "9", "30"]
+    rows = [(i, i % 2, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp int, val string")
+    got = rank_trim(df, ["grp"], "val", "id", lo_pct=15, hi_pct=85)
+    w = Window.partitionBy("grp").orderBy(F.col("val"), F.col("id"))
+    cnt = Window.partitionBy("grp")
+    want = (
+        df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("__rn") * 100 > F.col("__n") * 15)
+            & (F.col("__rn") * 100 <= F.col("__n") * 85)
+        )
+        .drop("__rn", "__n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_rank_trim_timestamp_values_match_window_form(spark):
+    """Timestamps stay on the bucketed path (epoch-seconds double cast
+    orders like the raw column) and must still match the window form."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_scripts_spark.functions.canonical import rank_trim
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 2, base + dt.timedelta(minutes=(i * 37) % 23))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, val timestamp")
+    got = rank_trim(df, ["grp"], "val", "id", lo_pct=10, hi_pct=90)
+    w = Window.partitionBy("grp").orderBy(F.col("val"), F.col("id"))
+    cnt = Window.partitionBy("grp")
+    want = (
+        df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("__rn") * 100 > F.col("__n") * 10)
+            & (F.col("__rn") * 100 <= F.col("__n") * 90)
+        )
+        .drop("__rn", "__n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_rank_trim_broadcast_escape_hatch_identical(spark):
     """broadcast_stats=False (the millions-of-groups escape hatch)
     must select exactly the same rows as the default broadcast form —

@@ -245,10 +245,11 @@ def resize_images(
 
     The default is a REAL nearest-neighbor resample for the formats
     whose pixels are reachable without a codec library — PPM ``P6``
-    (binary RGB), uncompressed 24-bit BMP, 8-bit truecolor PNG
-    (stdlib ``zlib`` inflate of the IDAT stream + per-scanline
-    unfilter, sequential AND Adam7 interlaced; alpha dropped for
-    RGBA), GIF (r12: LZW decompression with variable code width and
+    (binary RGB), uncompressed 24-bit BMP, PNG (stdlib ``zlib``
+    inflate of the IDAT stream + per-scanline unfilter, sequential
+    AND Adam7 interlaced: 8-bit truecolor/RGBA, 8-bit grayscale and
+    gray+alpha, PLTE-indexed, plus 1/2/4-bit gray and palette depths
+    — r13; alpha dropped, 16-bit depths degrade to NULL), GIF (r12: LZW decompression with variable code width and
     dictionary reset, 4-pass interlace, first frame of animations,
     sub-screen frames composited on the background color), and
     Huffman-coded DCT JPEG — baseline (SOF0/1) and
@@ -395,16 +396,20 @@ def resize_images(
                     # inflate of the concatenated IDAT stream → per-
                     # scanline unfilter (RFC 2083 filters 0-4). Scope:
                     # 8-bit truecolor (type 2) and truecolor+alpha
-                    # (type 6, alpha dropped), sequential AND Adam7
-                    # interlaced (r12) — the shapes a pixel pipeline
-                    # actually receives. Anything else returns None
-                    # (NULL row), never raises.
+                    # (type 6, alpha dropped), 8-bit grayscale (0) and
+                    # gray+alpha (4, alpha dropped), PLTE-indexed (3)
+                    # plus the sub-byte 1/2/4-bit depths of types 0/3
+                    # (r13 — the small-palette / bilevel shapes real
+                    # crawls carry), sequential AND Adam7 interlaced.
+                    # 16-bit depths return None (NULL row), never
+                    # raise.
                     import zlib
 
                     i, n = 8, len(b)
                     w = h = None
                     bitd = colort = interlace = None
                     idat = []
+                    plte = None
                     while i + 8 <= n:
                         ln = int.from_bytes(b[i : i + 4], "big")
                         ctype = b[i + 4 : i + 8]
@@ -413,16 +418,40 @@ def resize_images(
                             w = int.from_bytes(d[0:4], "big")
                             h = int.from_bytes(d[4:8], "big")
                             bitd, colort, interlace = d[8], d[9], d[12]
+                        elif ctype == b"PLTE" and ln >= 3 and ln % 3 == 0:
+                            plte = np.frombuffer(
+                                b[i + 8 : i + 8 + ln], np.uint8
+                            ).reshape(-1, 3)
                         elif ctype == b"IDAT":
                             idat.append(b[i + 8 : i + 8 + ln])
                         elif ctype == b"IEND":
                             break
                         i += 12 + ln  # length + type + data + crc
-                    if not (w and h and bitd == 8 and interlace in (0, 1) and idat):
+                    if not (w and h and interlace in (0, 1) and idat):
                         return None
-                    if colort not in (2, 6):
+                    # samples per pixel by color type; legal bit depths
+                    # per RFC 2083 sect. 4.1.1 minus the 16-bit tier
+                    if colort in (2, 6):
+                        if bitd != 8:
+                            return None
+                        ch = 3 if colort == 2 else 4
+                    elif colort == 4:
+                        if bitd != 8:
+                            return None
+                        ch = 2
+                    elif colort == 0:
+                        if bitd not in (1, 2, 4, 8):
+                            return None
+                        ch = 1
+                    elif colort == 3:
+                        if bitd not in (1, 2, 4, 8) or plte is None:
+                            return None
+                        ch = 1
+                    else:
                         return None
-                    ch = 3 if colort == 2 else 4
+                    # filters operate on BYTES: offset = bytes/pixel,
+                    # floored to 1 for sub-byte depths (RFC 2083 6.2)
+                    fbpp = ch if bitd == 8 else 1
 
                     def unfilter_image(fdata, flts, h, stride):
                         # RFC 2083 filters 0-4 over one (sub-)image:
@@ -444,7 +473,7 @@ def resize_images(
                                     e += 1
                                 if e - y >= 24:
                                     out[y:e] = _unfilter_run34(
-                                        fdata[y:e], flts[y:e], prev, ch
+                                        fdata[y:e], flts[y:e], prev, fbpp
                                     )
                                     prev = out[e - 1]
                                     y = e
@@ -457,7 +486,8 @@ def resize_images(
                             elif flt == 1:  # Sub: per-channel cumsum mod 256
                                 cur = (
                                     np.cumsum(
-                                        line.reshape(-1, ch).astype(np.int64), axis=0
+                                        line.reshape(-1, fbpp).astype(np.int64),
+                                        axis=0,
                                     )
                                     .astype(np.uint8)
                                     .reshape(-1)
@@ -475,19 +505,19 @@ def resize_images(
                                 pv = prev.tolist()
                                 rec = [0] * stride
                                 if flt == 3:  # Average
-                                    for x in range(ch):
+                                    for x in range(fbpp):
                                         rec[x] = (lin[x] + (pv[x] >> 1)) & 0xFF
-                                    for x in range(ch, stride):
+                                    for x in range(fbpp, stride):
                                         rec[x] = (
-                                            lin[x] + ((rec[x - ch] + pv[x]) >> 1)
+                                            lin[x] + ((rec[x - fbpp] + pv[x]) >> 1)
                                         ) & 0xFF
                                 else:  # Paeth
-                                    for x in range(ch):
+                                    for x in range(fbpp):
                                         rec[x] = (lin[x] + pv[x]) & 0xFF
-                                    for x in range(ch, stride):
-                                        a = rec[x - ch]
+                                    for x in range(fbpp, stride):
+                                        a = rec[x - fbpp]
                                         up = pv[x]
-                                        c = pv[x - ch]
+                                        c = pv[x - fbpp]
                                         p = a + up - c
                                         pa = abs(p - a)
                                         pb = abs(p - up)
@@ -504,9 +534,45 @@ def resize_images(
                             y += 1
                         return out
 
+                    def to_samples(out, hh, ww):
+                        # (hh, stride) unfiltered bytes -> (hh, ww, ch)
+                        # raw samples (gray values / palette indices);
+                        # sub-byte depths unpack MSB-first per RFC 2083
+                        if bitd == 8:
+                            return out.reshape(hh, ww, ch)
+                        bits = np.unpackbits(out, axis=1)[:, : ww * bitd]
+                        weights = 1 << np.arange(bitd - 1, -1, -1)
+                        return (
+                            (bits.reshape(hh, ww, bitd) * weights)
+                            .sum(-1)
+                            .astype(np.uint8)[..., None]
+                        )
+
+                    def expand(s):
+                        # raw samples -> RGB; alpha channels drop
+                        if colort in (2, 6):
+                            return np.ascontiguousarray(s[..., :3])
+                        if colort in (0, 4):
+                            g = s[..., 0]
+                            if bitd < 8:
+                                # 255/(2^d-1) is exact for d in 1/2/4
+                                g = (
+                                    g.astype(np.uint16)
+                                    * (255 // ((1 << bitd) - 1))
+                                ).astype(np.uint8)
+                            return np.repeat(g[..., None], 3, axis=2)
+                        if int(s.max(initial=0)) >= len(plte):
+                            return None  # index past the palette
+                        return np.ascontiguousarray(plte[s[..., 0]])
+
+                    # scanline byte stride: sub-byte rows pack then pad
+                    # to a byte boundary (RFC 2083 section 2.3)
+                    def byte_stride(ww):
+                        return (ww * bitd * ch + 7) // 8
+
                     raw = zlib.decompress(b"".join(idat))
                     if interlace == 0:
-                        stride = w * ch
+                        stride = byte_stride(w)
                         if len(raw) < (stride + 1) * h:
                             return None
                         scan = np.frombuffer(
@@ -516,9 +582,7 @@ def resize_images(
                         if int(flts.max(initial=0)) > 4:
                             return None
                         out = unfilter_image(scan[:, 1:], flts, h, stride)
-                        return np.ascontiguousarray(
-                            out.reshape(h, w, ch)[..., :3]
-                        )
+                        return expand(to_samples(out, h, w))
                     # Adam7 interlace: seven independent sub-images,
                     # each with its own filter bytes, concatenated in
                     # the inflated stream; scatter each pass back onto
@@ -534,7 +598,7 @@ def resize_images(
                         hp = (h - y0 + dy - 1) // dy
                         if wp <= 0 or hp <= 0:
                             continue  # empty pass emits no bytes
-                        st = wp * ch
+                        st = byte_stride(wp)
                         need = (st + 1) * hp
                         if pos + need > len(raw):
                             return None
@@ -546,8 +610,8 @@ def resize_images(
                         if int(flts.max(initial=0)) > 4:
                             return None
                         sub = unfilter_image(scan[:, 1:], flts, hp, st)
-                        full[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
-                    return np.ascontiguousarray(full[..., :3])
+                        full[y0::dy, x0::dx] = to_samples(sub, hp, wp)
+                    return expand(full)
                 if b[:2] == b"\xff\xd8":
                     return decode_jpeg(b)
                 if b[:6] in (b"GIF87a", b"GIF89a"):

@@ -170,6 +170,7 @@ def main() -> int:
             "trim",
             "sessionize",
             "pipeline10m",
+            "multimodal",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -228,6 +229,8 @@ def main() -> int:
         _probe_sessionize(spark, scratch, args, report)
     if args.probe == "pipeline10m":
         _probe_pipeline10m(spark, scratch, args, report)
+    if args.probe == "multimodal":
+        _probe_multimodal(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -925,6 +928,126 @@ def _probe_sessionize(spark, scratch, args, report):
         report(
             f"sessionize_{label}", events=n, sec=round(sec, 2), exchanges=ex
         )
+
+
+def _gen_multimodal_corpus(spark, n, path):
+    """n mixed-format payload rows: doc_id % 5 picks the container
+    (JPEG / PNG / GIF / WAV / AVI), (doc_id // 5) % 4 the variant.
+    Payload bytes come from the repo's own test encoders (fixed seeds
+    — deterministic), wired in as plan literals; the per-row DECODE
+    cost downstream is real regardless of byte reuse because
+    mapInPandas decodes every row."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+    from tests.test_multimodal import _avi, _gif, _png
+
+    rng = np.random.RandomState(20260815)
+    jpegs = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64, 100, 126)]
+    pngs = []
+    pal = [(int(r), int(g), int(b)) for r, g, b in rng.randint(0, 256, (4, 3))]
+    for k in range(4):
+        px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        if k == 2:  # one 2-bit palette variant
+            pngs.append(
+                _png(rng.randint(0, 4, (16, 16)).astype(np.uint8),
+                     color_type=3, bitd=2, palette=pal)
+            )
+        elif k == 3:  # one Adam7 grayscale variant
+            pngs.append(
+                _png(px[..., :1], filters=[0, 1, 2, 3] * 4,
+                     color_type=0, interlace=1)
+            )
+        else:
+            pngs.append(_png(px, filters=[0, 1, 2, 3] * 4))
+    gifs = [
+        _gif(rng.randint(0, 4, (12, 12)), pal) for _ in range(4)
+    ]
+    wav_head = bytes.fromhex(
+        "524946466400000057415645666d7420100000000100010040"
+        "1f0000401f0000010008006461746140000000"
+    )
+    wavs = [wav_head + bytes(rng.randint(0, 256, 64, dtype=np.uint8).tolist())
+            for _ in range(4)]
+    avis = [_avi([jpegs[k], jpegs[(k + 1) % 4], jpegs[(k + 2) % 4]])
+            for k in range(4)]
+
+    def pick(variants):
+        v = F.pmod(F.floor(F.col("id") / 5), F.lit(4)).cast("int")
+        return (
+            F.when(v == 1, F.lit(variants[1]))
+            .when(v == 2, F.lit(variants[2]))
+            .when(v == 3, F.lit(variants[3]))
+            .otherwise(F.lit(variants[0]))
+        )
+
+    fmt = F.pmod(F.col("id"), F.lit(5)).cast("int")
+    spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        fmt.alias("fmt"),
+        F.when(fmt == 0, pick(jpegs))
+        .when(fmt == 1, pick(pngs))
+        .when(fmt == 2, pick(gifs))
+        .when(fmt == 3, pick(wavs))
+        .otherwise(pick(avis))
+        .alias("payload"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def _probe_multimodal(spark, scratch, args, report):
+    # ---- codec-layer scale record (VERDICT r12 item 5) -----------------
+    # The 10M text probe grounded the curation chain; this prices the
+    # r12/r13 codec layer over ~args.docs mixed framed payloads:
+    # meta (header walk, all formats), resize (full pixel decode,
+    # image rows), audio (WAV chunk walk + sample decode), frames
+    # (AVI movi walk, 3 frames/clip), fingerprint (the ONLY shuffle:
+    # groupBy frame/image md5). Each stage runs at n/10 and n — a
+    # stage whose cost grows >2x faster than rows signals a per-batch
+    # or driver-side bottleneck, not map-parallel decode.
+    from hive_scripts_spark.operators import multimodal as M
+
+    n = args.docs
+    for scale in (n // 10, n):
+        path = str(scratch / f"mm_corpus_{scale}")
+        _gen_multimodal_corpus(spark, scale, path)
+        corpus = spark.read.parquet(path)
+        images = corpus.where(F.col("fmt") < 3).select("doc_id", "payload")
+        wavs = corpus.where(F.col("fmt") == 3).select("doc_id", "payload")
+        clips = corpus.where(F.col("fmt") == 4).select("doc_id", "payload")
+
+        stages = {
+            "meta": lambda c=corpus: M.decode_image_meta(
+                c.select("doc_id", "payload"), fake=False
+            ),
+            "resize": lambda i=images: M.resize_images(
+                i, target=(8, 8), fake=False
+            ),
+            "audio": lambda a=wavs: M.audio_features(a, fake=False),
+            "frames": lambda v=clips: M.extract_frames(v, every_n=2),
+            "fingerprint": lambda i=images, v=clips: (
+                M.resize_images(i, target=(8, 8), fake=False)
+                .select(F.col("resized_md5").alias("h"))
+                .unionAll(
+                    M.extract_frames(v, every_n=2).select(
+                        F.col("frame_md5").alias("h")
+                    )
+                )
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("n"))
+            ),
+        }
+        for name, build in stages.items():
+            w0, r0 = _shuffle_totals(spark)
+            sec, ex = _timed(build, args.reps)
+            w1, r1 = _shuffle_totals(spark)
+            report(
+                f"multimodal_{name}_{scale}",
+                rows=scale,
+                sec=round(sec, 2),
+                exchanges=ex,
+                shuffle_write_mb=round((w1 - w0) / 1e6, 1),
+                shuffle_read_mb=round((r1 - r0) / 1e6, 1),
+            )
 
 
 if __name__ == "__main__":

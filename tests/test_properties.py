@@ -591,6 +591,85 @@ def test_rank_trim_timestamp_values_match_window_form(spark):
     )
 
 
+def test_sessionize_chunked_bit_identical(spark):
+    """r13 (VERDICT r12 item 6): the time-chunked sessionize escalation
+    (chunk-local gap merge -> boundary-session stitch -> renumber) must
+    return BIT-identical rows to the single-window form for any
+    chunk_hours — including chunks smaller than the gap (chains through
+    empty chunks), sessions spanning many chunks, ts ties broken by
+    event_id, and single-event users."""
+    import datetime as dt
+
+    from hive_scripts_spark.operators.sessions import sessionize_events
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, minutes):
+        nonlocal eid
+        rows.append((eid, user, base + dt.timedelta(minutes=minutes)))
+        eid += 1
+
+    # user 0: a continuous stream spanning 6 hours (events every 10
+    # min) — ONE session crossing many 1h/0.25h chunk boundaries
+    for m in range(0, 360, 10):
+        ev(0, m)
+    # user 1: bursts separated by > gap, some straddling hour marks
+    for start in (0, 55, 170, 171, 400):
+        for k in range(4):
+            ev(1, start + k * 5)
+    # user 2: single event; user 3: two events exactly gap apart
+    # (30 min -> same session: the > test) and two beyond
+    ev(2, 42)
+    ev(3, 0)
+    ev(3, 30)
+    ev(3, 61)
+    # ts ties broken by event_id within a chunk
+    ev(4, 10)
+    ev(4, 10)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts timestamp"
+    )
+    want = sorted(map(tuple, sessionize_events(df).collect()))
+    for chunk_hours in (0.25, 1, 2, 24):
+        got = sorted(
+            map(tuple, sessionize_events(df, chunk_hours=chunk_hours).collect())
+        )
+        assert got == want, f"chunk_hours={chunk_hours}"
+
+
+def test_sessionize_chunked_bit_identical_random(spark):
+    """Randomized cross-check of the chunked sessionize on a denser
+    shape: 2k events, 5 users (one hot), pseudo-random inter-arrival
+    times around the 30-min gap so boundary merges actually fire."""
+    import datetime as dt
+
+    from hive_scripts_spark.operators.sessions import sessionize_events
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    clock = [0] * 5
+    for i in range(2000):
+        u = 0 if i % 3 == 0 else (i % 5)  # user 0 is hot
+        # deterministic pseudo-noise: jumps of 1..70 min, occasionally
+        # exactly the 30-min gap
+        step = (i * 37) % 71 + 1
+        if i % 13 == 0:
+            step = 30
+        clock[u] += step
+        rows.append((i, u, base + dt.timedelta(minutes=clock[u])))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts timestamp"
+    )
+    want = sorted(map(tuple, sessionize_events(df).collect()))
+    for chunk_hours in (0.5, 3):
+        got = sorted(
+            map(tuple, sessionize_events(df, chunk_hours=chunk_hours).collect())
+        )
+        assert got == want, f"chunk_hours={chunk_hours}"
+
+
 def test_rank_trim_broadcast_escape_hatch_identical(spark):
     """broadcast_stats=False (the millions-of-groups escape hatch)
     must select exactly the same rows as the default broadcast form —

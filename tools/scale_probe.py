@@ -928,6 +928,23 @@ def _probe_sessionize(spark, scratch, args, report):
         report(
             f"sessionize_{label}", events=n, sec=round(sec, 2), exchanges=ex
         )
+    # r13: the chunk-and-stitch escalation (operators/sessions.py) on
+    # the same hot shape — prices the knob a ~100M-event bot user
+    # would need (events span 24h, so chunk_hours=1 splits the hot
+    # user's window ~24 ways)
+    from hive_scripts_spark.operators.sessions import sessionize_events
+
+    for label, path in (("clean", clean_path), ("hot30pct", hot_path)):
+        ev = spark.read.parquet(path)
+        sec, ex = _timed(
+            lambda e=ev: sessionize_events(e, chunk_hours=1), args.reps
+        )
+        report(
+            f"sessionize_chunked_{label}",
+            events=n,
+            sec=round(sec, 2),
+            exchanges=ex,
+        )
 
 
 def _gen_multimodal_corpus(spark, n, path):

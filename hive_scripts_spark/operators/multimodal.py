@@ -247,9 +247,10 @@ def resize_images(
     whose pixels are reachable without a codec library — PPM ``P6``
     (binary RGB), uncompressed 24-bit BMP, PNG (stdlib ``zlib``
     inflate of the IDAT stream + per-scanline unfilter, sequential
-    AND Adam7 interlaced: 8-bit truecolor/RGBA, 8-bit grayscale and
-    gray+alpha, PLTE-indexed, plus 1/2/4-bit gray and palette depths
-    — r13; alpha dropped, 16-bit depths degrade to NULL), GIF (r12: LZW decompression with variable code width and
+    AND Adam7 interlaced: every legal RFC 2083 depth/type pair — 8-bit
+    truecolor/RGBA, grayscale(+alpha), PLTE-indexed, 1/2/4-bit gray
+    and palette, 16-bit stripped to the high byte; alpha dropped —
+    r13), GIF (r12: LZW decompression with variable code width and
     dictionary reset, 4-pass interlace, first frame of animations,
     sub-screen frames composited on the background color), and
     Huffman-coded DCT JPEG — baseline (SOF0/1) and
@@ -397,12 +398,12 @@ def resize_images(
                     # scanline unfilter (RFC 2083 filters 0-4). Scope:
                     # 8-bit truecolor (type 2) and truecolor+alpha
                     # (type 6, alpha dropped), 8-bit grayscale (0) and
-                    # gray+alpha (4, alpha dropped), PLTE-indexed (3)
-                    # plus the sub-byte 1/2/4-bit depths of types 0/3
-                    # (r13 — the small-palette / bilevel shapes real
-                    # crawls carry), sequential AND Adam7 interlaced.
-                    # 16-bit depths return None (NULL row), never
-                    # raise.
+                    # gray+alpha (4, alpha dropped), PLTE-indexed (3),
+                    # the sub-byte 1/2/4-bit depths of types 0/3, and
+                    # 16-bit 0/2/4/6 stripped to the high byte (r13 —
+                    # every legal RFC 2083 depth/type pair), sequential
+                    # AND Adam7 interlaced. Corrupt streams return
+                    # None (NULL row), never raise.
                     import zlib
 
                     i, n = 8, len(b)
@@ -430,17 +431,18 @@ def resize_images(
                     if not (w and h and interlace in (0, 1) and idat):
                         return None
                     # samples per pixel by color type; legal bit depths
-                    # per RFC 2083 sect. 4.1.1 minus the 16-bit tier
+                    # per RFC 2083 sect. 4.1.1 (16-bit strips to the
+                    # high byte, libpng png_set_strip_16 semantics)
                     if colort in (2, 6):
-                        if bitd != 8:
+                        if bitd not in (8, 16):
                             return None
                         ch = 3 if colort == 2 else 4
                     elif colort == 4:
-                        if bitd != 8:
+                        if bitd not in (8, 16):
                             return None
                         ch = 2
                     elif colort == 0:
-                        if bitd not in (1, 2, 4, 8):
+                        if bitd not in (1, 2, 4, 8, 16):
                             return None
                         ch = 1
                     elif colort == 3:
@@ -451,7 +453,7 @@ def resize_images(
                         return None
                     # filters operate on BYTES: offset = bytes/pixel,
                     # floored to 1 for sub-byte depths (RFC 2083 6.2)
-                    fbpp = ch if bitd == 8 else 1
+                    fbpp = ch * 2 if bitd == 16 else (ch if bitd == 8 else 1)
 
                     def unfilter_image(fdata, flts, h, stride):
                         # RFC 2083 filters 0-4 over one (sub-)image:
@@ -537,9 +539,13 @@ def resize_images(
                     def to_samples(out, hh, ww):
                         # (hh, stride) unfiltered bytes -> (hh, ww, ch)
                         # raw samples (gray values / palette indices);
-                        # sub-byte depths unpack MSB-first per RFC 2083
+                        # sub-byte depths unpack MSB-first per RFC
+                        # 2083; 16-bit keeps the network-order HIGH
+                        # byte (strip-16)
                         if bitd == 8:
                             return out.reshape(hh, ww, ch)
+                        if bitd == 16:
+                            return out.reshape(hh, ww, ch, 2)[..., 0]
                         bits = np.unpackbits(out, axis=1)[:, : ww * bitd]
                         weights = 1 << np.arange(bitd - 1, -1, -1)
                         return (

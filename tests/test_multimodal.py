@@ -122,6 +122,15 @@ def _forward_filter(px, filters, bitd=8):
         stride = w * ch
         flat = px.reshape(h, stride).astype(np.int64)
         bpp = ch
+    elif bitd == 16:  # network byte order (high byte first)
+        h, w, ch = px.shape
+        stride = w * ch * 2
+        flat = (
+            np.frombuffer(px.astype(">u2").tobytes(), np.uint8)
+            .reshape(h, stride)
+            .astype(np.int64)
+        )
+        bpp = ch * 2
     else:
         packed = _pack_rows(px, bitd)
         h, stride = packed.shape
@@ -1464,9 +1473,10 @@ def test_png_palette_and_grayscale_decode_exact(spark):
         assert out[d] == want, f"png case {d}"
 
 
-def test_png_palette_out_of_range_and_16bit_degrade_to_null(spark):
+def test_png_palette_out_of_range_and_illegal_depth_degrade_to_null(spark):
     """Contract edges: a palette index past PLTE, a type-3 file with
-    no PLTE at all, and 16-bit depth all degrade to NULL rows."""
+    no PLTE at all, and an illegal depth/type pair (16-bit palette)
+    all degrade to NULL rows."""
     import struct
     import zlib
 
@@ -1478,21 +1488,22 @@ def test_png_palette_out_of_range_and_16bit_degrade_to_null(spark):
     over = _png(idx[..., None], color_type=3, palette=pal3)
     no_plte = _png(idx[..., None], color_type=3, palette=None)
 
-    # hand-build a 16-bit grayscale IHDR (encoder is 8-bit/sub-byte)
+    # hand-build a 16-bit PALETTE IHDR — illegal per RFC 2083 4.1.1
     def chunk(ctype, data):
         return (
             struct.pack(">I", len(data)) + ctype + data
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     raw = b"".join(b"\x00" + b"\x00" * 8 for _ in range(4))
-    deep = (
+    bad_depth = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes(range(12)))
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
     df = spark.createDataFrame(
-        [(1, over), (2, no_plte), (3, deep)],
+        [(1, over), (2, no_plte), (3, bad_depth)],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in
@@ -1500,6 +1511,46 @@ def test_png_palette_out_of_range_and_16bit_degrade_to_null(spark):
     assert len(out) == 3
     for d in (1, 2, 3):
         assert out[d]["resized_md5"] is None, d
+
+
+def test_png_16bit_strips_to_high_byte(spark):
+    """16-bit PNGs (types 0/2/4/6) decode by stripping each sample to
+    its network-order high byte (libpng strip-16 semantics), across
+    mixed filters and Adam7."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(79)
+    h, w = 11, 9
+    filters = ([0, 1, 2, 3, 4] * 3)[:h]
+    px16 = rng.randint(0, 65536, (h, w, 3)).astype(np.uint16)
+    g16 = rng.randint(0, 65536, (h, w, 1)).astype(np.uint16)
+    ga16 = rng.randint(0, 65536, (h, w, 2)).astype(np.uint16)
+    rgba16 = rng.randint(0, 65536, (h, w, 4)).astype(np.uint16)
+    cases = {
+        1: (_png(px16, filters, color_type=2, bitd=16),
+            (px16 >> 8).astype(np.uint8)),
+        2: (_png(g16, filters, color_type=0, bitd=16),
+            np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)),
+        3: (_png(ga16, filters, color_type=4, bitd=16),
+            np.repeat((ga16[..., :1] >> 8).astype(np.uint8), 3, axis=2)),
+        4: (_png(rgba16, filters, color_type=6, bitd=16),
+            (rgba16[..., :3] >> 8).astype(np.uint8)),
+        5: (_png(px16, filters, color_type=2, bitd=16, interlace=1),
+            (px16 >> 8).astype(np.uint8)),
+    }
+    df = spark.createDataFrame(
+        [(d, p) for d, (p, _) in cases.items()],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["resized_md5"]
+        for r in M.resize_images(df, target=(w, h), fake=False).collect()
+    }
+    for d, (_, px) in cases.items():
+        want = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+        assert out[d] == want, f"png16 case {d}"
 
 
 def test_gif_background_color_index(spark):

@@ -1356,6 +1356,150 @@ def audio_features(
     return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
+#: audio_spectral_features output: whole-clip FFT statistics
+SPECTRAL_SCHEMA = (
+    "doc_id long, n_samples long, zero_crossing_rate double, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double"
+)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    rolloff_pct: float = 0.85,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Whole-clip spectral statistics over WAV payloads — the
+    feature-extract step an audio curation pass filters on (tone-vs-
+    noise, bandwidth gating, silence detection) without any codec
+    library: numpy ``rfft`` over the mono mix of the same PCM layouts
+    :func:`audio_features` decodes (int 8/16/24/32, IEEE-float 32/64).
+
+    Per clip: ``zero_crossing_rate`` (fraction of adjacent sample
+    pairs changing sign — for a pure tone ≈ 2·f/sr),
+    ``spectral_centroid_hz`` (magnitude-weighted mean frequency),
+    ``spectral_bandwidth_hz`` (magnitude-weighted standard deviation
+    around the centroid), and ``spectral_rolloff_hz`` (lowest
+    frequency below which ``rolloff_pct`` of total magnitude lies).
+    Tested against ANALYTIC oracles (pure/two-tone sines at exact FFT
+    bins), not a re-implementation. Silent clips yield NULL spectral
+    columns (0/0 has no centroid) with zcr 0; non-WAV / corrupt
+    payloads yield all-NULL features; NULL payloads stay NULL —
+    the shared degradation contract. Map-only ``mapInPandas``: the
+    100 TB shape is pure partition parallelism, no shuffle.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def wav_samples(b: bytes):
+            # same RIFF walk as audio_features, returning the mono-
+            # mixed float samples + rate (closure-local: workers
+            # can't import repo modules in the driver's vanilla run)
+            try:
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return None, None
+                i, n = 12, len(b)
+                fmt = channels = rate = bits = None
+                while i + 8 <= n:
+                    cid = b[i : i + 4]
+                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                    body = b[i + 8 : i + 8 + clen]
+                    if cid == b"fmt " and len(body) >= 16:
+                        fmt = int.from_bytes(body[0:2], "little")
+                        channels = int.from_bytes(body[2:4], "little")
+                        rate = int.from_bytes(body[4:8], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                        ok = (fmt == 1 and bits in (8, 16, 24, 32)) or (
+                            fmt == 3 and bits in (32, 64)
+                        )
+                        if not ok or not channels or not rate:
+                            return None, None
+                    elif cid == b"data" and channels and rate and bits:
+                        frame = channels * (bits // 8)
+                        frames = len(body) // frame if frame else 0
+                        if frames == 0:
+                            return np.zeros(0), rate
+                        raw = body[: frames * frame]
+                        if fmt == 3:
+                            a = np.frombuffer(
+                                raw, dtype="<f4" if bits == 32 else "<f8"
+                            ).astype("f8")
+                        elif bits == 16:
+                            a = np.frombuffer(raw, dtype="<i2").astype("f8")
+                        elif bits == 32:
+                            a = np.frombuffer(raw, dtype="<i4").astype("f8")
+                        elif bits == 24:
+                            u = np.frombuffer(raw, dtype=np.uint8).reshape(
+                                -1, 3
+                            )
+                            a4 = np.zeros((u.shape[0], 4), np.uint8)
+                            a4[:, 1:] = u
+                            a = (
+                                a4.view("<i4").reshape(-1).astype("i8") >> 8
+                            ).astype("f8")
+                        else:
+                            a = np.frombuffer(raw, dtype=np.uint8).astype(
+                                "f8"
+                            ) - 128.0
+                        if channels > 1:  # mono mix
+                            a = a.reshape(frames, channels).mean(axis=1)
+                        return a, rate
+                    i += 8 + clen + (clen & 1)
+            except Exception:
+                pass
+            return None, None
+
+        def spectral(b):
+            a, rate = wav_samples(b)
+            if a is None:
+                return (None, None, None, None, None)
+            n = a.size
+            if n < 2:
+                return (n, None, None, None, None)
+            neg = np.signbit(a)
+            zcr = float(np.mean(neg[1:] != neg[:-1]))
+            mag = np.abs(np.fft.rfft(a))
+            total = float(mag.sum())
+            if total == 0.0:
+                return (n, zcr, None, None, None)
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+            centroid = float((freqs * mag).sum() / total)
+            bandwidth = float(
+                np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+            )
+            cum = np.cumsum(mag)
+            k = int(np.searchsorted(cum, rolloff_pct * total))
+            rolloff = float(freqs[min(k, freqs.size - 1)])
+            return (n, zcr, centroid, bandwidth, rolloff)
+
+        for pdf in it:
+            feats = [
+                (None, None, None, None, None)
+                if p is None
+                else spectral(bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": pd.Series(
+                        [f[0] for f in feats], dtype="Int64"
+                    ),
+                    "zero_crossing_rate": [f[1] for f in feats],
+                    "spectral_centroid_hz": [f[2] for f in feats],
+                    "spectral_bandwidth_hz": [f[3] for f in feats],
+                    "spectral_rolloff_hz": [f[4] for f in feats],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, SPECTRAL_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int = 10,

@@ -479,6 +479,74 @@ def test_real_audio_decode_wav_pcm(spark):
     assert out[4]["n_samples"] == 0 and out[4]["rms_energy"] == 0.0
 
 
+def test_audio_spectral_features_analytic(spark):
+    """r13 audio_spectral_features against ANALYTIC oracles (not a
+    numpy re-implementation): sines at exact FFT bins have known
+    centroid/bandwidth/rolloff/zcr; silence has zcr 0 and NULL
+    spectral columns; non-WAV and NULL payloads degrade to NULLs."""
+    import math
+    import struct
+
+    from hive_scripts_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    def wav16(samples, rate=8000):
+        data = b"".join(
+            struct.pack("<h", max(-32768, min(32767, int(round(s)))))
+            for s in samples
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    n, sr = 1024, 8000
+    # 1 kHz = bin 128 of 1024 @ 8 kHz — integer cycles, zero leakage;
+    # phase offset avoids exact-zero samples (sign ambiguity at zcr)
+    tone = [
+        10000 * math.sin(2 * math.pi * 1000 * k / sr + 0.1)
+        for k in range(n)
+    ]
+    # equal-amplitude 1 kHz + 3 kHz (bins 128 and 384): centroid =
+    # 2 kHz, bandwidth = 1 kHz, rolloff (85%) lands on the upper tone
+    two = [
+        10000 * math.sin(2 * math.pi * 1000 * k / sr + 0.1)
+        + 10000 * math.sin(2 * math.pi * 3000 * k / sr + 0.2)
+        for k in range(n)
+    ]
+    rows = [
+        (1, wav16(tone)),
+        (2, wav16(two)),
+        (3, wav16([0] * 256)),     # silence
+        (4, b"not audio"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r for r in audio_spectral_features(df).collect()
+    }
+    t = out[1]
+    assert t["n_samples"] == n
+    # 2 crossings per cycle x 128 cycles over 1023 adjacent pairs
+    assert abs(t["zero_crossing_rate"] - 256 / 1023) < 2 / 1023
+    # int16 rounding adds a tiny broadband floor — loose tolerances
+    assert abs(t["spectral_centroid_hz"] - 1000) < 5
+    assert t["spectral_bandwidth_hz"] < 60
+    assert abs(t["spectral_rolloff_hz"] - 1000) < sr / n + 1e-9
+    d = out[2]
+    assert abs(d["spectral_centroid_hz"] - 2000) < 10
+    assert abs(d["spectral_bandwidth_hz"] - 1000) < 15
+    assert abs(d["spectral_rolloff_hz"] - 3000) < sr / n + 1e-9
+    s = out[3]
+    assert s["n_samples"] == 256 and s["zero_crossing_rate"] == 0.0
+    assert s["spectral_centroid_hz"] is None
+    assert s["spectral_rolloff_hz"] is None
+    for d_ in (4, 5):
+        assert out[d_]["spectral_centroid_hz"] is None
+        assert out[d_]["n_samples"] is None
+
+
 def test_real_video_meta_mp4_and_avi(spark):
     import struct
 

@@ -45,7 +45,10 @@ EXTRA = [
     "x_ann_ivf_topk",
     # r5-added operators — timing series starts here
     "x_dedup_lines",
-    "x_events_session_window",
+    # x_events_session_window retired from the registry in the r13
+    # capacity swap (slot funds x_multimodal_frames); its native-
+    # session_window composition stays value-pinned in
+    # tests/test_retired_queries.py and its timing series ends at r12
     "x_text_entropy",
     # r6-added — the map-only chunking pass (its r6 sibling
     # x_ann_ivf_topk_quantized retired from the registry in the r12

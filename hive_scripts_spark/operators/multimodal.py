@@ -1641,6 +1641,10 @@ FRAME_EXTRACT_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("frame_md5", T.StringType()),
+        # r13: presentation time from the container's own clock (AVI
+        # avih rate, MP4 stts/mdhd); NULL when the container does not
+        # carry timing
+        T.StructField("frame_ts_us", T.LongType()),
     ]
 )
 
@@ -1661,8 +1665,13 @@ def extract_frames(
     (``stsz``/``stsc``/``stco``/``co64`` — the ISO 14496-12 chunk/
     sample maps), then take every ``every_n``-th sample. Each emitted
     row carries the frame bytes, header-parsed dims (JPEG SOF scan /
-    DIB size; NULL for codec bitstreams like H.264) and the frame
-    payload's md5. MJPEG frame payloads feed straight into
+    DIB size; NULL for codec bitstreams like H.264), the frame
+    payload's md5, and — r13 — ``frame_ts_us``: presentation time
+    from the container's own clock (AVI ``avih`` µs/frame × sequence;
+    MP4 ``stts`` decode-delta prefix over the ``mdhd`` timescale;
+    NULL when the container carries no timing), so time-based frame
+    sampling ("one frame per second") is a plain WHERE clause
+    downstream. MJPEG frame payloads feed straight into
     :func:`resize_images` for pixel decode via the r12 JPEG decoder;
     codec frames still support frame-level dedup / sampling / size
     stats by ``frame_md5`` — the fingerprint a video-dedup pass needs
@@ -1738,13 +1747,23 @@ def extract_frames(
 
         def avi_frames(b: bytes):
             # RIFF('AVI ') → LIST('movi') → ##dc/##db chunks, even-
-            # aligned; 'rec ' sub-LISTs (interleaved AVIs) recurse
+            # aligned; 'rec ' sub-LISTs (interleaved AVIs) recurse.
+            # Yields (frame_bytes, ts_us): frame k shows at
+            # k * dwMicroSecPerFrame (avih byte 0) — NULL without a
+            # usable avih rate
             try:
                 if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
                     return
                 n = len(b)
+                uspf = None
+                j = b.find(b"avih")
+                if 0 <= j and j + 12 <= n:
+                    v = int.from_bytes(b[j + 8 : j + 12], "little")
+                    uspf = v if v > 0 else None
+                seq = 0
 
                 def walk(i, end):
+                    nonlocal seq
                     while i + 8 <= end:
                         ckid = b[i : i + 4]
                         sz = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -1753,7 +1772,9 @@ def extract_frames(
                             if ltype in (b"movi", b"rec "):
                                 yield from walk(i + 12, min(i + 8 + sz, end))
                         elif ckid[2:4] in (b"dc", b"db"):
-                            yield b[i + 8 : i + 8 + sz]
+                            ts = None if uspf is None else seq * uspf
+                            seq += 1
+                            yield b[i + 8 : i + 8 + sz], ts
                         i += 8 + sz + (sz & 1)
 
                 yield from walk(12, n)
@@ -1848,6 +1869,45 @@ def extract_frames(
                                 ]
                             else:
                                 continue  # no chunk offsets: next trak
+                            # decode times: mdhd timescale + stts
+                            # (count, delta) runs -> per-sample ts_us;
+                            # None when either box is absent/zero
+                            tscale = None
+                            for ms, _me in find(mdia_s, mdia_e, b"mdhd"):
+                                ver = b[ms]
+                                off = 20 if ver == 1 else 12
+                                v = int.from_bytes(
+                                    b[ms + off : ms + off + 4], "big"
+                                )
+                                tscale = v if v > 0 else None
+                                break
+                            ts_list = None
+                            if tscale and b"stts" in st:
+                                s, _ = st[b"stts"]
+                                nst = int.from_bytes(
+                                    b[s + 4 : s + 8], "big"
+                                )
+                                ts_list, acc = [], 0
+                                for k in range(nst):
+                                    c_ = int.from_bytes(
+                                        b[s + 8 + 8 * k : s + 12 + 8 * k],
+                                        "big",
+                                    )
+                                    d_ = int.from_bytes(
+                                        b[s + 12 + 8 * k : s + 16 + 8 * k],
+                                        "big",
+                                    )
+                                    for _ in range(c_):
+                                        if len(ts_list) >= len(sizes):
+                                            break
+                                        ts_list.append(
+                                            acc * 1_000_000 // tscale
+                                        )
+                                        acc += d_
+                                    if len(ts_list) >= len(sizes):
+                                        break
+                                if not ts_list:
+                                    ts_list = None
                             s, _ = st[b"stsc"]
                             nsc = int.from_bytes(b[s + 4 : s + 8], "big")
                             runs = [
@@ -1879,7 +1939,11 @@ def extract_frames(
                                     if si >= len(sizes):
                                         exhausted = True
                                         break
-                                    yield b[pos : pos + sizes[si]]
+                                    yield b[pos : pos + sizes[si]], (
+                                        ts_list[si]
+                                        if ts_list and si < len(ts_list)
+                                        else None
+                                    )
                                     yielded += 1
                                     pos += sizes[si]
                                     si += 1
@@ -1895,7 +1959,7 @@ def extract_frames(
                 return
 
         for pdf in it:
-            ids, fidx, pays, ws, hs, md5s = [], [], [], [], [], []
+            ids, fidx, pays, ws, hs, md5s, tss = [], [], [], [], [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 if p is None:
                     continue
@@ -1906,7 +1970,7 @@ def extract_frames(
                         if raw[:4] == b"RIFF"
                         else mp4_frames(raw)
                     )
-                    for k, fb in enumerate(src):
+                    for k, (fb, ts) in enumerate(src):
                         if k % every_n or k // every_n >= max_frames:
                             continue
                         w, h = frame_dims(fb)
@@ -1916,6 +1980,7 @@ def extract_frames(
                         ws.append(w)
                         hs.append(h)
                         md5s.append(_hl.md5(fb).hexdigest())
+                        tss.append(ts)
                 except Exception:
                     continue  # one corrupt clip must not kill the batch
             yield pd.DataFrame(
@@ -1926,6 +1991,7 @@ def extract_frames(
                     "width": pd.Series(ws, dtype="Int32"),
                     "height": pd.Series(hs, dtype="Int32"),
                     "frame_md5": md5s,
+                    "frame_ts_us": pd.Series(tss, dtype="Int64"),
                 }
             )
 

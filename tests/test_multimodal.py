@@ -1341,13 +1341,15 @@ def test_extract_frames_caps_rows_per_clip(spark):
     assert [r["frame_index"] for r in out] == [0, 1, 2, 3, 4]
 
 
-def _mp4(frames, two_chunks=True, broken_first=None):
+def _mp4(frames, two_chunks=True, broken_first=None, timing=None):
     """Minimal ISO-BMFF writer: moov(trak(mdia(hdlr 'vide',
     minf(stbl(stsz/stsc/stco))))) + mdat holding the samples, split
     across two chunks when ``two_chunks`` (exercising the
     sample-to-chunk run expansion). ``broken_first`` prepends a
     defective 'vide' trak — ``no_stbl`` / ``no_stsz`` / ``no_stco`` /
-    ``empty`` (a zero-sample table) — ahead of the real one."""
+    ``empty`` (a zero-sample table) — ahead of the real one.
+    ``timing=(timescale, [delta, ...])`` emits mdhd + stts (one run
+    per sample) so frame_ts_us resolves."""
 
     def box(btype, body):
         return (len(body) + 8).to_bytes(4, "big") + btype + body
@@ -1379,9 +1381,25 @@ def _mp4(frames, two_chunks=True, broken_first=None):
         b"\x00" * 4 + nch.to_bytes(4, "big") + b"\x00" * (4 * nch),
     )
     hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
-    stbl = box(b"stbl", stsz + stsc + stco_placeholder)
+    mdhd = stts = b""
+    if timing is not None:
+        tscale, deltas = timing
+        mdhd = box(
+            b"mdhd",
+            b"\x00" * 4 + b"\x00" * 8 + tscale.to_bytes(4, "big")
+            + sum(deltas).to_bytes(4, "big") + b"\x00" * 4,
+        )
+        stts = box(
+            b"stts",
+            b"\x00" * 4 + len(deltas).to_bytes(4, "big")
+            + b"".join(
+                (1).to_bytes(4, "big") + d.to_bytes(4, "big")
+                for d in deltas
+            ),
+        )
+    stbl = box(b"stbl", stsz + stsc + stts + stco_placeholder)
     minf = box(b"minf", stbl)
-    mdia = box(b"mdia", hdlr + minf)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", mdia)
     traks = trak
     if broken_first:
@@ -1644,6 +1662,33 @@ def test_gif_background_color_index(spark):
         r = M.resize_images(df, target=(12, 10), fake=False).collect()[0]
         want = hashlib.md5(np.ascontiguousarray(canvas).tobytes()).hexdigest()
         assert r["resized_md5"] == want, f"bg={bg}"
+
+
+def test_extract_frames_timestamps(spark):
+    """r13 frame_ts_us: AVI frames stamp at avih-rate x sequence; MP4
+    samples stamp from the stts decode-delta prefix over the mdhd
+    timescale; a timing-free MP4 yields NULL timestamps."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64, 100)]
+    # AVI at 40000 us/frame
+    avi = _avi(frames, us_per_frame=40000)
+    # MP4: timescale 1000, deltas 40/40/40 ticks -> 0, 40ms, 80ms
+    mp4_t = _mp4(frames, timing=(1000, [40, 40, 40]))
+    mp4_n = _mp4(frames)  # no mdhd/stts
+    df = spark.createDataFrame(
+        [(1, avi), (2, mp4_t), (3, mp4_n)],
+        "doc_id long, payload binary",
+    )
+    out = M.extract_frames(df, every_n=1).collect()
+    ts = {}
+    for r in out:
+        ts.setdefault(r["doc_id"], {})[r["frame_index"]] = r["frame_ts_us"]
+    assert ts[1] == {0: 0, 1: 40000, 2: 80000}
+    assert ts[2] == {0: 0, 1: 40000, 2: 80000}
+    assert ts[3] == {0: None, 1: None, 2: None}
 
 
 def test_extract_frames_rejects_non_integral_id_column(spark):

@@ -312,6 +312,46 @@ def cmd_frames(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audio(args: argparse.Namespace) -> int:
+    """Audio feature export: WAV payload parquet → per-clip feature
+    table. Default emits the PCM decode features
+    (n_samples/duration/RMS); ``--spectral`` emits the FFT statistics
+    (zero-crossing rate, spectral centroid/bandwidth/rolloff) instead
+    — both map-only passes; non-WAV payloads degrade to NULL rows."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.multimodal import (
+        audio_features,
+        audio_spectral_features,
+    )
+
+    spark = get_spark("hive-scripts-spark-audio")
+    clips = spark.read.parquet(args.input)
+    if args.id_col != "doc_id" or args.payload_col != "payload":
+        clips = clips.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.col(args.payload_col).alias("payload"),
+        )
+    if args.spectral:
+        feats = audio_spectral_features(clips, rolloff_pct=args.rolloff_pct)
+        probe_col = "spectral_centroid_hz"
+    else:
+        feats = audio_features(clips, fake=False)
+        probe_col = "rms_energy"
+    feats.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count(probe_col).alias("n_decoded"),
+        )
+        .first()
+    )
+    print(f"{stats['n_decoded']} of {stats['n_clips']} clips decoded")
+    return 0
+
+
 def cmd_semdedup(args: argparse.Namespace) -> int:
     """SemDeDup as a command: semantic near-dup removal over the
     embeddings table (arXiv:2303.09540). Centroids default to the first
@@ -962,6 +1002,26 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--id-col", default="doc_id")
     fr.add_argument("--payload-col", default="payload")
     fr.set_defaults(fn=cmd_frames)
+
+    au = sub.add_parser(
+        "audio",
+        help="WAV payload parquet -> per-clip feature table (PCM "
+        "decode features, or FFT spectral stats with --spectral)",
+    )
+    au.add_argument(
+        "--input", required=True, help="parquet of (id, payload) clip rows"
+    )
+    au.add_argument("--output", required=True, help="output parquet directory")
+    au.add_argument(
+        "--spectral",
+        action="store_true",
+        help="emit zcr/centroid/bandwidth/rolloff instead of "
+        "n_samples/duration/RMS",
+    )
+    au.add_argument("--rolloff-pct", type=float, default=0.85)
+    au.add_argument("--id-col", default="doc_id")
+    au.add_argument("--payload-col", default="payload")
+    au.set_defaults(fn=cmd_audio)
 
     sd = sub.add_parser(
         "semdedup",

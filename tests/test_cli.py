@@ -710,6 +710,52 @@ def test_balance_train_full(spark, tmp_path, capsys):
     assert per_cell and all(r["count"] <= 10 for r in per_cell)
 
 
+def test_audio_subcommand_end_to_end(spark, tmp_path, capsys):
+    """`audio` CLI: WAV payload parquet in -> feature parquet out, in
+    both modes; a non-WAV payload counts as undecoded."""
+    import math
+    import struct
+
+    def wav16(samples, rate=8000):
+        data = b"".join(struct.pack("<h", int(s)) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    tone = [
+        int(10000 * math.sin(2 * math.pi * 1000 * k / 8000 + 0.1))
+        for k in range(512)
+    ]
+    clips = spark.createDataFrame(
+        [(1, wav16(tone)), (2, b"not audio")],
+        "clip_id long, body binary",
+    )
+    src = str(tmp_path / "audio_src")
+    clips.write.parquet(src)
+
+    out1 = str(tmp_path / "audio_pcm")
+    rc = main(
+        ["audio", "--input", src, "--output", out1,
+         "--id-col", "clip_id", "--payload-col", "body"]
+    )
+    assert rc == 0
+    assert "1 of 2 clips decoded" in capsys.readouterr().out
+    pcm = {r["doc_id"]: r for r in spark.read.parquet(out1).collect()}
+    assert pcm[1]["n_samples"] == 512 and pcm[2]["n_samples"] is None
+
+    out2 = str(tmp_path / "audio_spec")
+    rc = main(
+        ["audio", "--input", src, "--output", out2, "--spectral",
+         "--id-col", "clip_id", "--payload-col", "body"]
+    )
+    assert rc == 0
+    assert "1 of 2 clips decoded" in capsys.readouterr().out
+    spec = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+    assert abs(spec[1]["spectral_centroid_hz"] - 1000) < 10
+    assert spec[2]["spectral_centroid_hz"] is None
+
+
 def test_frames_subcommand_end_to_end(spark, tmp_path, capsys):
     """`frames` CLI: clip parquet in -> sampled frame parquet out, with
     the dedup-ready md5 column (two clips share a frame here)."""

@@ -3116,16 +3116,20 @@ def _frames_md5_case(offset: int) -> str:
     # extract_frames(every_n=2) over a 3-frame clip samples frames 0
     # and 2; each sampled frame is one of the four 159-byte JPEG plan
     # literals picked by (doc_id + k) % 4, so its md5 / dims are
-    # compile-time constants the oracle restates
+    # compile-time constants the oracle restates. frame_ts_us grades
+    # the r13 container-clock path: the AVI literal's avih declares
+    # 33333 us/frame, so frame k shows at k * 33333
     oracle=f"""
     select doc_id, cast(0 as int) as frame_index,
            cast(8 as int) as width, cast(8 as int) as height,
-           {_frames_md5_case(0)} as frame_md5
+           {_frames_md5_case(0)} as frame_md5,
+           cast(0 as bigint) as frame_ts_us
     from documents
     union all
     select doc_id, cast(2 as int) as frame_index,
            cast(8 as int) as width, cast(8 as int) as height,
-           {_frames_md5_case(2)} as frame_md5
+           {_frames_md5_case(2)} as frame_md5,
+           cast(66666 as bigint) as frame_ts_us
     from documents
     """,
 )
@@ -3165,7 +3169,10 @@ def x_multimodal_frames(spark, sf_dir):
         clips,
         every_n=2,
         parallelism=min(8, spark.sparkContext.defaultParallelism),
-    ).select("doc_id", "frame_index", "width", "height", "frame_md5")
+    ).select(
+        "doc_id", "frame_index", "width", "height", "frame_md5",
+        "frame_ts_us",
+    )
 
 
 #: constant 44-byte WAV header: mono 8-bit PCM, 8000 Hz, 64-sample data

@@ -1545,9 +1545,12 @@ def video_meta(
 
     ``fake=False`` parses REAL container headers — MP4/QuickTime
     (walk top-level boxes to ``moov``→``mvhd``, duration =
-    duration/timescale; frame count unknown without track parse → NULL)
-    and AVI (``avih`` main header: µs/frame + total frames) — spec-level
-    byte arithmetic, no codec. Unknown containers yield NULL rows.
+    duration/timescale; frame count unknown without track parse →
+    NULL), AVI (``avih`` main header: µs/frame + total frames), and —
+    r13 — animated GIF (block walk counting image descriptors; the
+    graphic-control delay sum is the duration, NULL for static GIFs
+    with no delays) — spec-level byte arithmetic, no codec. Unknown
+    containers yield NULL rows.
 
     ``fake=True`` derives a deterministic (container, duration, frames)
     from the payload md5 — plumbing-exercisable and oracle-friendly,
@@ -1586,6 +1589,49 @@ def video_meta(
                 i += size
             return None
 
+        def gif_meta(b: bytes):
+            # GIF87a/89a block walk (r13): count image descriptors,
+            # sum graphic-control delays (centiseconds) — animation
+            # metadata without decoding a single pixel
+            n = len(b)
+            if n < 14:
+                return None, None, None
+            flags = b[10]
+            i = 13
+            if flags & 0x80:
+                i += 3 * (2 << (flags & 7))
+            frames = 0
+            delay_cs = 0
+            while i < n:
+                blk = b[i]
+                if blk == 0x3B:
+                    break
+                if blk == 0x21:  # extension: label + sub-blocks
+                    label = b[i + 1] if i + 1 < n else 0
+                    i += 2
+                    if label == 0xF9 and i + 4 <= n and b[i] >= 4:
+                        delay_cs += int.from_bytes(
+                            b[i + 2 : i + 4], "little"
+                        )
+                    while i < n and b[i] != 0:
+                        i += 1 + b[i]
+                    i += 1
+                    continue
+                if blk != 0x2C or i + 10 > n:
+                    break
+                frames += 1
+                lflags = b[i + 9]
+                i += 10
+                if lflags & 0x80:
+                    i += 3 * (2 << (lflags & 7))
+                i += 1  # LZW minimum code size
+                while i < n and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            if frames == 0:
+                return None, None, None
+            return ("gif", delay_cs / 100.0 if delay_cs else None, frames)
+
         def real_meta(b: bytes):
             try:
                 if len(b) >= 12 and b[4:8] == b"ftyp":
@@ -1599,6 +1645,8 @@ def video_meta(
                         frames = int.from_bytes(b[k + 24 : k + 28], "little")
                         dur = frames * usec / 1_000_000 if usec else None
                         return ("avi", dur, frames)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    return gif_meta(b)
             except Exception:
                 pass
             return None, None, None

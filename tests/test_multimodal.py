@@ -1639,6 +1639,47 @@ def test_png_16bit_strips_to_high_byte(spark):
         assert out[d] == want, f"png16 case {d}"
 
 
+def test_video_meta_animated_gif(spark):
+    """r13 video_meta GIF branch: an animated GIF reports its frame
+    count and the graphic-control delay sum as duration; a static GIF
+    reports 1 frame with NULL duration; truncation degrades to NULL."""
+    import struct
+
+    import numpy as np
+
+    from hive_scripts_spark.operators.multimodal import video_meta
+
+    rng = np.random.RandomState(83)
+    pal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (4, 3))]
+
+    def img_block(seed):
+        # header(13) + 4-entry GCT(12) = 25 bytes; trailer is the last
+        g = _gif(rng.randint(0, 4, (6, 6)), pal)
+        return g[25:-1]
+
+    def gce(delay_cs):
+        return b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+
+    head = _gif(rng.randint(0, 4, (6, 6)), pal, trailer=False)[:25]
+    animated = (
+        head + gce(5) + img_block(1) + gce(10) + img_block(2)
+        + gce(20) + img_block(3) + b"\x3b"
+    )
+    static = _gif(rng.randint(0, 4, (6, 6)), pal)
+    df = spark.createDataFrame(
+        [(1, animated), (2, static), (3, animated[:20])],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in video_meta(df, fake=False).collect()}
+    a = out[1]
+    assert a["container"] == "gif" and a["n_frames"] == 3
+    assert abs(a["duration_s"] - 0.35) < 1e-12
+    s = out[2]
+    assert s["container"] == "gif" and s["n_frames"] == 1
+    assert s["duration_s"] is None
+    assert out[3]["container"] is None and out[3]["n_frames"] is None
+
+
 def test_gif_background_color_index(spark):
     """r12 ADVICE: sub-screen frames composite onto the logical screen
     descriptor's background color index (byte 11), not hardcoded

@@ -171,6 +171,7 @@ def main() -> int:
             "sessionize",
             "pipeline10m",
             "multimodal",
+            "codecthroughput",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -231,6 +232,8 @@ def main() -> int:
         _probe_pipeline10m(spark, scratch, args, report)
     if args.probe == "multimodal":
         _probe_multimodal(spark, scratch, args, report)
+    if args.probe == "codecthroughput":
+        _probe_codec_throughput(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1065,6 +1068,80 @@ def _probe_multimodal(spark, scratch, args, report):
                 shuffle_write_mb=round((w1 - w0) / 1e6, 1),
                 shuffle_read_mb=round((r1 - r0) / 1e6, 1),
             )
+
+
+def _probe_codec_throughput(spark, scratch, args, report):
+    # ---- realistic-payload decode throughput (r13 follow-up to the
+    # 1M tiny-payload probe, where fixed batch overhead dominates):
+    # 256x256 JPEG / PNG and 64x64 GIF payloads, replicated executor-
+    # side (explode(sequence)), full pixel decode timed as images/s
+    # and decoded-MB/s. JPEG/PNG decode is batched numpy; GIF LZW is
+    # the sequential-Python path — this probe prices all three.
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+    from tests.test_multimodal import _gif, _png
+
+    rng = np.random.RandomState(20260815)
+    yy, xx = np.mgrid[0:256, 0:256]
+    jpegs = []
+    for k in range(8):
+        # band-limited texture: realistic entropy-coded size (pure
+        # noise would be the pathological max-entropy case)
+        img = (
+            128
+            + 60 * np.sin(xx / (3 + k) + k)
+            + 50 * np.cos(yy / (5 + k))
+            + rng.randint(-24, 25, (256, 256))
+        ).clip(0, 255).astype(np.uint8)
+        jpegs.append(encode_gray(img))
+    pngs = [
+        _png(rng.randint(0, 256, (256, 256, 3)).astype(np.uint8),
+             filters=[4] * 256)
+        for _ in range(4)
+    ]
+    gifs = [
+        _gif(rng.randint(0, 16, (64, 64)),
+             [tuple(int(v) for v in c) for c in rng.randint(0, 256, (16, 3))])
+        for _ in range(4)
+    ]
+    plans = (
+        ("jpeg", jpegs, 20_000),
+        ("png", pngs, 5_000),
+        ("gif", gifs, 5_000),
+    )
+    from hive_scripts_spark.operators import multimodal as M
+
+    for fmt, payloads, n in plans:
+        k = len(payloads)
+        base = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)],
+            "vid long, payload binary",
+        )
+        path = str(scratch / f"codec_{fmt}")
+        base.select(
+            "vid",
+            F.explode(F.sequence(F.lit(1), F.lit(n // k))).alias("c"),
+            "payload",
+        ).select(
+            (F.col("vid") * (n // k) + F.col("c")).alias("doc_id"),
+            "payload",
+        ).repartition(64).write.mode("overwrite").parquet(path)
+        corpus = spark.read.parquet(path)
+        mb = sum(len(p) for p in payloads) / k * n / 1e6
+        sec, ex = _timed(
+            lambda c=corpus: M.resize_images(c, target=(8, 8), fake=False),
+            args.reps,
+        )
+        report(
+            f"codec_throughput_{fmt}",
+            images=n,
+            payload_kb=round(sum(len(p) for p in payloads) / k / 1000, 1),
+            sec=sec,
+            images_per_s=round(n / sec),
+            mb_per_s=round(mb / sec, 1),
+            exchanges=ex,
+        )
 
 
 if __name__ == "__main__":

@@ -645,6 +645,7 @@ def resize_images(
                  21, 28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23,
                  30, 37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60,
                  61, 54, 47, 55, 62, 63], np.int32)
+            ZZL = ZZ.tolist()  # plain-int indices for the hot loop
             qt: dict[int, np.ndarray] = {}
             huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
             frame = None  # (h, w, [(cid, ch, cv, tq), ...])
@@ -656,34 +657,71 @@ def resize_images(
             saw_scan = False
 
             # ---- per-scan entropy decoding state ----------------------
+            # reservoir bit reader (r13): `acc` holds `nacc` MSB-first
+            # bits (invariant acc < 2^nacc); huffdec peeks FL bits into
+            # a prefix-expanded LUT instead of walking bit-by-bit
+            # through a dict — the T.81 entropy walk is the per-image
+            # sequential floor, and this cut it ~3x. EOFError fires
+            # exactly when the needed bits don't exist (same whole-
+            # image NULL boundary as the bit-at-a-time form).
             segments: list[bytes] = []
             seg_idx = 0
             data = b""
-            bitbuf = bitcnt = bpos = 0
+            acc = nacc = bpos = 0
 
             def getbit():
-                nonlocal bitbuf, bitcnt, bpos
-                if bitcnt == 0:
+                nonlocal acc, nacc, bpos
+                if nacc == 0:
                     if bpos >= len(data):
                         raise EOFError
-                    bitbuf = data[bpos]
+                    acc = data[bpos]
                     bpos += 1
-                    bitcnt = 8
-                bitcnt -= 1
-                return (bitbuf >> bitcnt) & 1
+                    nacc = 8
+                nacc -= 1
+                bit = (acc >> nacc) & 1
+                acc &= (1 << nacc) - 1
+                return bit
 
             def getbits(k):
-                v = 0
-                for _ in range(k):
-                    v = (v << 1) | getbit()
+                nonlocal acc, nacc, bpos
+                if k == 0:
+                    return 0
+                while nacc < k:
+                    if bpos >= len(data):
+                        raise EOFError
+                    acc = (acc << 8) | data[bpos]
+                    bpos += 1
+                    nacc += 8
+                nacc -= k
+                v = acc >> nacc
+                acc &= (1 << nacc) - 1
                 return v
 
             def huffdec(table):
-                length, code = 0, 0
+                nonlocal acc, nacc, bpos
+                full, fl, fast = table
+                while nacc < fl and bpos < len(data):
+                    acc = (acc << 8) | data[bpos]
+                    bpos += 1
+                    nacc += 8
+                if nacc >= fl:
+                    e = fast[acc >> (nacc - fl)]
+                    if e is not None:
+                        sym, ln = e
+                        nacc -= ln
+                        acc &= (1 << nacc) - 1
+                        return sym
+                    # code longer than fl: consume fl bits, keep walking
+                    code = acc >> (nacc - fl)
+                    nacc -= fl
+                    acc &= (1 << nacc) - 1
+                    length = fl
+                else:
+                    length, code = 0, 0  # near EOF: exact tail walk
                 while length < 16:
                     code = (code << 1) | getbit()
                     length += 1
-                    sym = table.get((length, code))
+                    sym = full.get((length, code))
                     if sym is not None:
                         return sym
                 raise EOFError
@@ -692,22 +730,22 @@ def resize_images(
                 return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
             def decode_scan(smap, Ss, Se, Ah, Al):
-                nonlocal seg_idx, data, bpos, bitcnt
+                nonlocal seg_idx, data, bpos, acc, nacc
                 seg_idx = 0
                 data = segments[0]
-                bpos = bitcnt = 0
+                bpos = acc = nacc = 0
                 pred = {cid: 0 for cid in smap}
                 eobrun = 0
                 units_done = 0
                 p1, m1 = 1 << Al, -1 << Al
 
                 def restart():
-                    nonlocal seg_idx, data, bpos, bitcnt, pred, eobrun
+                    nonlocal seg_idx, data, bpos, acc, nacc, pred, eobrun
                     seg_idx += 1
                     if seg_idx >= len(segments):
                         raise EOFError
                     data = segments[seg_idx]
-                    bpos, bitcnt = 0, 0
+                    bpos = acc = nacc = 0
                     pred = {cid: 0 for cid in smap}
                     eobrun = 0
 
@@ -803,20 +841,58 @@ def resize_images(
                             ac_refine(huff[(1, act)], blk)
 
                 def _ac_seq(atab, blk):
+                    # the sequential-AC loop is ~2/3 of all entropy
+                    # work: run it on LOCAL copies of the reservoir
+                    # (closure nonlocals + per-symbol calls cost more
+                    # than the decode itself), syncing back on every
+                    # exit path; long codes / EOF tails fall back to
+                    # the shared huffdec
+                    nonlocal acc, nacc, bpos
+                    full, fl, fast = atab
+                    a, na, bp = acc, nacc, bpos
+                    d = data
+                    nd = len(d)
+                    zz = ZZL
                     k = 1
                     while k <= Se:
-                        rs = huffdec(atab)
-                        r, s = rs >> 4, rs & 15
+                        while na < fl and bp < nd:
+                            a = (a << 8) | d[bp]
+                            bp += 1
+                            na += 8
+                        e = fast[a >> (na - fl)] if na >= fl else None
+                        if e is not None:
+                            rs, ln = e
+                            na -= ln
+                            a &= (1 << na) - 1
+                        else:
+                            acc, nacc, bpos = a, na, bp
+                            rs = huffdec(atab)
+                            a, na, bp = acc, nacc, bpos
+                        s = rs & 15
                         if s == 0:
-                            if r != 15:
+                            if rs >> 4 != 15:
                                 break
                             k += 16
                             continue
-                        k += r
+                        k += rs >> 4
                         if k > Se:
+                            acc, nacc, bpos = a, na, bp
                             raise EOFError
-                        blk[ZZ[k]] = extend(getbits(s), s)
+                        while na < s:
+                            if bp >= nd:
+                                acc, nacc, bpos = a, na, bp
+                                raise EOFError
+                            a = (a << 8) | d[bp]
+                            bp += 1
+                            na += 8
+                        na -= s
+                        v = a >> na
+                        a &= (1 << na) - 1
+                        blk[zz[k]] = (
+                            v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        )
                         k += 1
+                    acc, nacc, bpos = a, na, bp
 
                 if len(smap) == 1:
                     # ns=1 scan is NON-interleaved (T.81 A.2.2): data
@@ -894,13 +970,27 @@ def resize_images(
                         counts = list(seg[j + 1 : j + 17])
                         j += 17
                         table, code = {}, 0
+                        maxlen = 0
                         for length in range(1, 17):
                             for _ in range(counts[length - 1]):
                                 table[(length, code)] = seg[j]
+                                maxlen = length
                                 j += 1
                                 code += 1
                             code <<= 1
-                        huff[(tc, th)] = table
+                        # prefix-expanded peek LUT: fl-bit index ->
+                        # (symbol, true length) for every code with
+                        # length <= fl; None = longer code, walk on
+                        fl = min(maxlen, 9) or 1
+                        fast = [None] * (1 << fl)
+                        for (length, c_), sym in table.items():
+                            if length <= fl:
+                                start = c_ << (fl - length)
+                                for idx in range(
+                                    start, start + (1 << (fl - length))
+                                ):
+                                    fast[idx] = (sym, length)
+                        huff[(tc, th)] = (table, fl, fast)
                 elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                     if seg[0] != 8:
                         return None  # 12-bit precision

@@ -785,45 +785,113 @@ def resize_images(
                     # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine:
                     # correction bits ride along every nonzero
                     # coefficient the scan passes, including inside
-                    # EOB runs
-                    nonlocal eobrun
+                    # EOB runs. Like _ac_seq this is a per-coefficient
+                    # hot loop, so it runs on LOCAL reservoir copies
+                    # and a plain-list view of the block (numpy scalar
+                    # reads per coefficient cost more than the logic),
+                    # synced back on every exit path.
+                    nonlocal eobrun, acc, nacc, bpos
+                    full, fl, fast = atab
+                    a, na, bp = acc, nacc, bpos
+                    d = data
+                    nd = len(d)
+                    zz = ZZL
+                    bl = blk.tolist()
                     k = Ss
-                    if eobrun == 0:
-                        while k <= Se:
-                            rs = huffdec(atab)
-                            r, s = rs >> 4, rs & 15
-                            val = 0
-                            if s == 0:
-                                if r != 15:
-                                    eobrun = 1 << r
-                                    if r:
-                                        eobrun += getbits(r)
-                                    break
-                            else:
-                                val = p1 if getbit() else m1
+                    try:
+                        if eobrun == 0:
                             while k <= Se:
-                                z = int(blk[ZZ[k]])
-                                if z != 0:
-                                    if getbit() and (z & p1) == 0:
-                                        blk[ZZ[k]] = z + (p1 if z >= 0 else m1)
+                                while na < fl and bp < nd:
+                                    a = (a << 8) | d[bp]
+                                    bp += 1
+                                    na += 8
+                                e = (
+                                    fast[a >> (na - fl)]
+                                    if na >= fl
+                                    else None
+                                )
+                                if e is not None:
+                                    rs, ln = e
+                                    na -= ln
+                                    a &= (1 << na) - 1
                                 else:
-                                    r -= 1
-                                    if r < 0:
+                                    acc, nacc, bpos = a, na, bp
+                                    rs = huffdec(atab)
+                                    a, na, bp = acc, nacc, bpos
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            while na < r:
+                                                if bp >= nd:
+                                                    raise EOFError
+                                                a = (a << 8) | d[bp]
+                                                bp += 1
+                                                na += 8
+                                            na -= r
+                                            eobrun += a >> na
+                                            a &= (1 << na) - 1
                                         break
+                                else:
+                                    if na == 0:
+                                        if bp >= nd:
+                                            raise EOFError
+                                        a = d[bp]
+                                        bp += 1
+                                        na = 8
+                                    na -= 1
+                                    val = p1 if (a >> na) & 1 else m1
+                                    a &= (1 << na) - 1
+                                while k <= Se:
+                                    z = bl[zz[k]]
+                                    if z != 0:
+                                        if na == 0:
+                                            if bp >= nd:
+                                                raise EOFError
+                                            a = d[bp]
+                                            bp += 1
+                                            na = 8
+                                        na -= 1
+                                        bit = (a >> na) & 1
+                                        a &= (1 << na) - 1
+                                        if bit and (z & p1) == 0:
+                                            bl[zz[k]] = z + (
+                                                p1 if z >= 0 else m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if val:
+                                    if k > Se:
+                                        raise EOFError
+                                    bl[zz[k]] = val
                                 k += 1
-                            if val:
-                                if k > Se:
-                                    raise EOFError
-                                blk[ZZ[k]] = val
-                            k += 1
-                    if eobrun > 0:
-                        while k <= Se:
-                            z = int(blk[ZZ[k]])
-                            if z != 0:
-                                if getbit() and (z & p1) == 0:
-                                    blk[ZZ[k]] = z + (p1 if z >= 0 else m1)
-                            k += 1
-                        eobrun -= 1
+                        if eobrun > 0:
+                            while k <= Se:
+                                z = bl[zz[k]]
+                                if z != 0:
+                                    if na == 0:
+                                        if bp >= nd:
+                                            raise EOFError
+                                        a = d[bp]
+                                        bp += 1
+                                        na = 8
+                                    na -= 1
+                                    bit = (a >> na) & 1
+                                    a &= (1 << na) - 1
+                                    if bit and (z & p1) == 0:
+                                        bl[zz[k]] = z + (
+                                            p1 if z >= 0 else m1
+                                        )
+                                k += 1
+                            eobrun -= 1
+                    finally:
+                        acc, nacc, bpos = a, na, bp
+                        blk[:] = bl
 
                 def decode_unit(cid, blk):
                     dct, act = smap[cid]

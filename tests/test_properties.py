@@ -639,6 +639,42 @@ def test_sessionize_chunked_bit_identical(spark):
         assert got == want, f"chunk_hours={chunk_hours}"
 
 
+@SMALL
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # unique event id
+            st.integers(min_value=0, max_value=2),      # user (0 hot-ish)
+            st.integers(min_value=0, max_value=6000),   # minutes offset
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: r[0],
+    ),
+    chunk_hours=st.sampled_from([0.25, 1, 5]),
+)
+def test_sessionize_chunked_property(spark, rows, chunk_hours):
+    """Property (r13): ANY event shape — duplicate timestamps, users
+    with one event, gaps straddling or exactly at chunk boundaries —
+    sessionizes identically through the chunked path."""
+    import datetime as dt
+
+    from hive_scripts_spark.operators.sessions import sessionize_events
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (eid, u, base + dt.timedelta(minutes=m)) for eid, u, m in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id int, ts timestamp"
+    )
+    want = sorted(map(tuple, sessionize_events(df).collect()))
+    got = sorted(
+        map(tuple, sessionize_events(df, chunk_hours=chunk_hours).collect())
+    )
+    assert got == want
+
+
 def test_sessionize_chunked_bit_identical_random(spark):
     """Randomized cross-check of the chunked sessionize on a denser
     shape: 2k events, 5 users (one hot), pseudo-random inter-arrival

@@ -1082,9 +1082,12 @@ def _probe_codec_throughput(spark, scratch, args, report):
     from tests.jpeg_codec import encode_gray
     from tests.test_multimodal import _gif, _png
 
+    from tests.jpeg_codec import encode_progressive, fdct_quantize
+
     rng = np.random.RandomState(20260815)
     yy, xx = np.mgrid[0:256, 0:256]
     jpegs = []
+    progs = []
     for k in range(8):
         # band-limited texture: realistic entropy-coded size (pure
         # noise would be the pathological max-entropy case)
@@ -1095,6 +1098,12 @@ def _probe_codec_throughput(spark, scratch, args, report):
             + rng.randint(-24, 25, (256, 256))
         ).clip(0, 255).astype(np.uint8)
         jpegs.append(encode_gray(img))
+        if k < 4:
+            progs.append(
+                encode_progressive(
+                    256, 256, [(1, 1, 1, fdct_quantize(img))]
+                )
+            )
     pngs = [
         _png(rng.randint(0, 256, (256, 256, 3)).astype(np.uint8),
              filters=[4] * 256)
@@ -1107,6 +1116,7 @@ def _probe_codec_throughput(spark, scratch, args, report):
     ]
     plans = (
         ("jpeg", jpegs, 20_000),
+        ("jpeg_progressive", progs, 10_000),
         ("png", pngs, 5_000),
         ("gif", gifs, 5_000),
     )

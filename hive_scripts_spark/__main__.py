@@ -334,10 +334,12 @@ def cmd_audio(args: argparse.Namespace) -> int:
         )
     if args.spectral:
         feats = audio_spectral_features(clips, rolloff_pct=args.rolloff_pct)
-        probe_col = "spectral_centroid_hz"
     else:
         feats = audio_features(clips, fake=False)
-        probe_col = "rms_energy"
+    # n_samples is non-NULL exactly when the WAV decoded; the spectral
+    # columns are NULL for decodable-but-silent clips by contract, so
+    # counting them would misreport silence as decode failure
+    probe_col = "n_samples"
     feats.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.output}")
     stats = (

@@ -1297,10 +1297,17 @@ def resize_images(
                 if (left, top, iw, ih) != (0, 0, w, h):
                     canvas = np.zeros((h, w, 3), np.uint8)
                     # logical screen descriptor byte 11 = background
-                    # color index (r12 ADVICE: was hardcoded pal[0]);
-                    # out-of-range indices fall back to entry 0
-                    bg = b[11] if b[11] < len(pal) else 0
-                    canvas[:] = pal[bg]
+                    # color index INTO THE GLOBAL color table (89a
+                    # spec) — a frame-local palette must not be used
+                    # to resolve it; without a GCT the index is
+                    # meaningless and the canvas falls back to the
+                    # frame palette's entry 0. Out-of-range indices
+                    # also fall back to entry 0.
+                    if gct is not None:
+                        bg = b[11] if b[11] < len(gct) else 0
+                        canvas[:] = gct[bg]
+                    else:
+                        canvas[:] = pal[0]
                     y1, x1 = min(h, top + ih), min(w, left + iw)
                     if top < h and left < w:
                         canvas[top:y1, left:x1] = px[: y1 - top, : x1 - left]
@@ -1890,21 +1897,27 @@ def extract_frames(
     operator EXPLODES clips into frames; the clip-level NULL contract
     belongs to :func:`video_meta`). Corrupt containers never raise.
     """
-    # the output schema carries doc_id as long; a non-integral id column
+    # the output schema carries doc_id as long; a non-numeric id column
     # (the CLI's --id-col accepts any column) must fail HERE, loudly —
     # inside the per-clip try/except a failing int(did) would silently
     # drop every frame of every clip and yield an empty table (r12
-    # ADVICE)
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    # ADVICE). Numeric non-long ids (decimal/int32/double) cast to
+    # long at plan time, preserving the pre-guard behavior for them;
+    # strings stay rejected — a digit-string column would work but a
+    # 'doc-7'-shaped one would silently drop, the very bug this guard
+    # exists to surface.
+    from pyspark.sql.types import LongType, NumericType
 
     id_type = df.schema["doc_id"].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+    if not isinstance(id_type, NumericType):
         raise TypeError(
-            f"extract_frames needs an integral doc_id column, got "
+            f"extract_frames needs a numeric doc_id column, got "
             f"{id_type.simpleString()} — cast the id column to long "
             "(e.g. .withColumn('doc_id', col(id_col).cast('long'))) or "
-            "pick an integral --id-col"
+            "pick a numeric --id-col"
         )
+    if not isinstance(id_type, LongType):
+        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
     if parallelism:
         df = df.repartition(parallelism)
 
@@ -1962,7 +1975,11 @@ def extract_frames(
                     return
                 n = len(b)
                 uspf = None
-                j = b.find(b"avih")
+                # avih lives in the hdrl LIST, always before movi —
+                # bound the search so frame bytes that happen to
+                # contain 'avih' can't masquerade as a header
+                mv = b.find(b"movi")
+                j = b.find(b"avih", 0, mv if mv != -1 else n)
                 if 0 <= j and j + 12 <= n:
                     v = int.from_bytes(b[j + 8 : j + 12], "little")
                     uspf = v if v > 0 else None
@@ -2089,11 +2106,16 @@ def extract_frames(
                                 break
                             ts_list = None
                             if tscale and b"stts" in st:
-                                s, _ = st[b"stts"]
-                                nst = int.from_bytes(
-                                    b[s + 4 : s + 8], "big"
+                                s, send = st[b"stts"]
+                                # clamp the declared entry count to the
+                                # box's actual bytes — a corrupt count
+                                # (e.g. 0xFFFFFFFF on a truncated box)
+                                # must degrade, not spin for hours
+                                nst = min(
+                                    int.from_bytes(b[s + 4 : s + 8], "big"),
+                                    max(0, (send - s - 8) // 8),
                                 )
-                                ts_list, acc = [], 0
+                                ts_list, tacc = [], 0
                                 for k in range(nst):
                                     c_ = int.from_bytes(
                                         b[s + 8 + 8 * k : s + 12 + 8 * k],
@@ -2106,14 +2128,48 @@ def extract_frames(
                                     for _ in range(c_):
                                         if len(ts_list) >= len(sizes):
                                             break
-                                        ts_list.append(
-                                            acc * 1_000_000 // tscale
-                                        )
-                                        acc += d_
+                                        ts_list.append(tacc)
+                                        tacc += d_
                                     if len(ts_list) >= len(sizes):
                                         break
-                                if not ts_list:
-                                    ts_list = None
+                                if ts_list and b"ctts" in st:
+                                    # composition offsets: PTS = DTS +
+                                    # offset (v0 unsigned, v1 signed) —
+                                    # without this, B-frame files would
+                                    # carry decode order, not the
+                                    # presentation time the column
+                                    # documents
+                                    s2, c_end = st[b"ctts"]
+                                    signed = b[s2] == 1
+                                    ncr = min(
+                                        int.from_bytes(
+                                            b[s2 + 4 : s2 + 8], "big"
+                                        ),
+                                        max(0, (c_end - s2 - 8) // 8),
+                                    )
+                                    si2 = 0
+                                    for k in range(ncr):
+                                        c_ = int.from_bytes(
+                                            b[s2 + 8 + 8 * k : s2 + 12 + 8 * k],
+                                            "big",
+                                        )
+                                        o_ = int.from_bytes(
+                                            b[s2 + 12 + 8 * k : s2 + 16 + 8 * k],
+                                            "big",
+                                            signed=signed,
+                                        )
+                                        for _ in range(c_):
+                                            if si2 >= len(ts_list):
+                                                break
+                                            ts_list[si2] += o_
+                                            si2 += 1
+                                        if si2 >= len(ts_list):
+                                            break
+                                ts_list = (
+                                    [t * 1_000_000 // tscale for t in ts_list]
+                                    if ts_list
+                                    else None
+                                )
                             s, _ = st[b"stsc"]
                             nsc = int.from_bytes(b[s + 4 : s + 8], "big")
                             runs = [

@@ -728,7 +728,7 @@ def test_audio_subcommand_end_to_end(spark, tmp_path, capsys):
         for k in range(512)
     ]
     clips = spark.createDataFrame(
-        [(1, wav16(tone)), (2, b"not audio")],
+        [(1, wav16(tone)), (2, b"not audio"), (3, wav16([0] * 64))],
         "clip_id long, body binary",
     )
     src = str(tmp_path / "audio_src")
@@ -740,7 +740,7 @@ def test_audio_subcommand_end_to_end(spark, tmp_path, capsys):
          "--id-col", "clip_id", "--payload-col", "body"]
     )
     assert rc == 0
-    assert "1 of 2 clips decoded" in capsys.readouterr().out
+    assert "2 of 3 clips decoded" in capsys.readouterr().out
     pcm = {r["doc_id"]: r for r in spark.read.parquet(out1).collect()}
     assert pcm[1]["n_samples"] == 512 and pcm[2]["n_samples"] is None
 
@@ -750,10 +750,14 @@ def test_audio_subcommand_end_to_end(spark, tmp_path, capsys):
          "--id-col", "clip_id", "--payload-col", "body"]
     )
     assert rc == 0
-    assert "1 of 2 clips decoded" in capsys.readouterr().out
+    # the silent clip DECODED (r13 review: count n_samples, not the
+    # by-contract-NULL spectral centroid)
+    assert "2 of 3 clips decoded" in capsys.readouterr().out
     spec = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
     assert abs(spec[1]["spectral_centroid_hz"] - 1000) < 10
     assert spec[2]["spectral_centroid_hz"] is None
+    assert spec[3]["n_samples"] == 64
+    assert spec[3]["spectral_centroid_hz"] is None
 
 
 def test_frames_subcommand_end_to_end(spark, tmp_path, capsys):

@@ -1106,36 +1106,50 @@ def test_jpeg_progressive_truncated_renders_partial(spark):
 
 
 def _gif(idx, palette, min_code=None, interlace=False, frame_box=None,
-         screen=None, trailer=True, extension=False, bg=0):
+         screen=None, trailer=True, extension=False, bg=0,
+         local_palette=None, global_table=True):
     """Minimal GIF89a encoder (test-side twin): REAL LZW compression
     with variable code width, dictionary growth to 4095 + clear-code
     reset, optional interlace row reordering, sub-logical-screen
-    frames, a skippable extension block, and a settable background
-    color index (logical screen descriptor byte 11)."""
+    frames, a skippable extension block, a settable background color
+    index (logical screen descriptor byte 11), an optional frame-LOCAL
+    color table, and an omittable global table. Pixel indices refer to
+    ``local_palette`` when given, else ``palette``."""
     import numpy as np
 
     ih, iw = idx.shape
     w, h = screen or (iw, ih)
     left, top = (frame_box or (0, 0))
-    ncol = len(palette)
-    bits = max(2, (ncol - 1).bit_length())
-    mcs = min_code or bits
+    draw = local_palette if local_palette is not None else palette
+    bits = max(2, (len(palette) - 1).bit_length())
+    dbits = max(2, (len(draw) - 1).bit_length())
+    mcs = min_code or dbits
     out = bytearray(b"GIF89a")
     out += iw.to_bytes(2, "little") if screen is None else w.to_bytes(2, "little")
     out += ih.to_bytes(2, "little") if screen is None else h.to_bytes(2, "little")
-    out.append(0x80 | (bits - 1))  # global color table, 2^bits entries
+    out.append((0x80 | (bits - 1)) if global_table else 0x00)
     out += bytes([bg, 0])
-    table = bytearray()
-    for r, g, b_ in palette:
-        table += bytes([r, g, b_])
-    table += b"\x00" * (3 * (1 << bits) - len(table))
-    out += table
+    if global_table:
+        table = bytearray()
+        for r, g, b_ in palette:
+            table += bytes([r, g, b_])
+        table += b"\x00" * (3 * (1 << bits) - len(table))
+        out += table
     if extension:  # GCE the decoder must skip
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     out += b"\x2c"
     out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
     out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
-    out.append(0x40 if interlace else 0x00)
+    lflag = 0x40 if interlace else 0x00
+    if local_palette is not None:
+        lflag |= 0x80 | (dbits - 1)
+    out.append(lflag)
+    if local_palette is not None:
+        table = bytearray()
+        for r, g, b_ in local_palette:
+            table += bytes([r, g, b_])
+        table += b"\x00" * (3 * (1 << dbits) - len(table))
+        out += table
     rows = idx
     if interlace:
         order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
@@ -1341,7 +1355,8 @@ def test_extract_frames_caps_rows_per_clip(spark):
     assert [r["frame_index"] for r in out] == [0, 1, 2, 3, 4]
 
 
-def _mp4(frames, two_chunks=True, broken_first=None, timing=None):
+def _mp4(frames, two_chunks=True, broken_first=None, timing=None,
+         ctts=None):
     """Minimal ISO-BMFF writer: moov(trak(mdia(hdlr 'vide',
     minf(stbl(stsz/stsc/stco))))) + mdat holding the samples, split
     across two chunks when ``two_chunks`` (exercising the
@@ -1381,7 +1396,7 @@ def _mp4(frames, two_chunks=True, broken_first=None, timing=None):
         b"\x00" * 4 + nch.to_bytes(4, "big") + b"\x00" * (4 * nch),
     )
     hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
-    mdhd = stts = b""
+    mdhd = stts = cttsb = b""
     if timing is not None:
         tscale, deltas = timing
         mdhd = box(
@@ -1397,7 +1412,18 @@ def _mp4(frames, two_chunks=True, broken_first=None, timing=None):
                 for d in deltas
             ),
         )
-    stbl = box(b"stbl", stsz + stsc + stts + stco_placeholder)
+    if ctts is not None:
+        ver = 1 if any(o < 0 for o in ctts) else 0
+        cttsb = box(
+            b"ctts",
+            bytes([ver, 0, 0, 0]) + len(ctts).to_bytes(4, "big")
+            + b"".join(
+                (1).to_bytes(4, "big")
+                + o.to_bytes(4, "big", signed=ver == 1)
+                for o in ctts
+            ),
+        )
+    stbl = box(b"stbl", stsz + stsc + stts + cttsb + stco_placeholder)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", mdia)
@@ -1681,28 +1707,54 @@ def test_video_meta_animated_gif(spark):
 
 
 def test_gif_background_color_index(spark):
-    """r12 ADVICE: sub-screen frames composite onto the logical screen
-    descriptor's background color index (byte 11), not hardcoded
-    palette entry 0; an out-of-range index falls back to entry 0."""
+    """r12 ADVICE + r13 review: sub-screen frames composite onto the
+    background color index (byte 11) resolved against the GLOBAL
+    color table — never a frame-local palette; out-of-range indices
+    fall back to entry 0, and with no GCT at all the index is
+    meaningless (frame palette entry 0 fills)."""
     import hashlib
 
     import numpy as np
 
     rng = np.random.RandomState(67)
     pal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (8, 3))]
+    lpal = [(int(r), int(g), int(b_)) for r, g, b_ in rng.randint(0, 256, (8, 3))]
     parr = np.array(pal, np.uint8)
+    larr = np.array(lpal, np.uint8)
     sub = rng.randint(0, 8, size=(4, 5))
-    for bg, fill in ((5, 5), (200, 0)):  # 200 > len(pal)=8 -> entry 0
-        canvas = np.zeros((10, 12, 3), np.uint8)
-        canvas[:] = parr[fill]
-        canvas[2 : 2 + 4, 3 : 3 + 5] = parr[sub]
-        payload = _gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=bg)
-        df = spark.createDataFrame(
-            [(1, payload)], "doc_id long, payload binary"
-        )
-        r = M.resize_images(df, target=(12, 10), fake=False).collect()[0]
-        want = hashlib.md5(np.ascontiguousarray(canvas).tobytes()).hexdigest()
-        assert r["resized_md5"] == want, f"bg={bg}"
+
+    def canvas_with(fill_rgb, px):
+        c = np.zeros((10, 12, 3), np.uint8)
+        c[:] = fill_rgb
+        c[2 : 2 + 4, 3 : 3 + 5] = px
+        return c
+
+    cases = {
+        # (payload, expected): global-table background resolution
+        1: (_gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=5),
+            canvas_with(parr[5], parr[sub])),
+        2: (_gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=200),
+            canvas_with(parr[0], parr[sub])),  # 200 > 8 -> entry 0
+        # frame draws from a LOCAL palette; bg index still hits the GCT
+        3: (_gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=2,
+                 local_palette=lpal),
+            canvas_with(parr[2], larr[sub])),
+        # no GCT: byte 11 is meaningless -> frame palette entry 0
+        4: (_gif(sub, pal, frame_box=(3, 2), screen=(12, 10), bg=5,
+                 local_palette=lpal, global_table=False),
+            canvas_with(larr[0], larr[sub])),
+    }
+    df = spark.createDataFrame(
+        [(d, p) for d, (p, _) in cases.items()],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["resized_md5"]
+        for r in M.resize_images(df, target=(12, 10), fake=False).collect()
+    }
+    for d, (_, px) in cases.items():
+        want = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+        assert out[d] == want, f"gif bg case {d}"
 
 
 def test_extract_frames_timestamps(spark):
@@ -1732,17 +1784,73 @@ def test_extract_frames_timestamps(spark):
     assert ts[3] == {0: None, 1: None, 2: None}
 
 
+def test_extract_frames_ctts_and_corrupt_stts(spark):
+    """r13 review fixes: ctts composition offsets turn decode times
+    into presentation times (signed v1 offsets included); a corrupt
+    stts entry count (0xFFFFFFFF) clamps to the box's real bytes
+    instead of spinning for hours; an avih-less AVI whose FRAME BYTES
+    contain 'avih' must not fabricate timestamps."""
+    import struct
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64, 100)]
+    # ctts: PTS ticks = [0+80, 40+0, 80-40] -> us at tscale 1000
+    with_ctts = _mp4(frames, timing=(1000, [40, 40, 40]),
+                     ctts=[80, 0, -40])
+    corrupt = bytearray(_mp4(frames, timing=(1000, [40, 40, 40])))
+    j = bytes(corrupt).find(b"stts")
+    corrupt[j + 8 : j + 12] = b"\xff\xff\xff\xff"  # entry count
+
+    # hand-built AVI: no hdrl/avih, one movi chunk whose payload
+    # contains the bytes 'avih' + junk that would parse as a rate
+    fake_frame = b"avih" + b"\xff" * 24
+    movi = b"00dc" + struct.pack("<I", len(fake_frame)) + fake_frame
+    lst = b"LIST" + struct.pack("<I", 4 + len(movi)) + b"movi" + movi
+    avi_nohdr = b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+    df = spark.createDataFrame(
+        [(1, with_ctts), (2, bytes(corrupt)), (3, avi_nohdr)],
+        "doc_id long, payload binary",
+    )
+    out = M.extract_frames(df, every_n=1).collect()
+    ts = {}
+    for r in out:
+        ts.setdefault(r["doc_id"], {})[r["frame_index"]] = r["frame_ts_us"]
+    assert ts[1] == {0: 80000, 1: 40000, 2: 40000}
+    # clamped stts still yields the 3 declared (1, 40) runs it can read
+    assert ts[2] == {0: 0, 1: 40000, 2: 80000}
+    assert ts[3] == {0: None}
+
+
 def test_extract_frames_rejects_non_integral_id_column(spark):
-    """r12 ADVICE: a non-integral doc_id (the CLI's --id-col accepts
-    any column) must fail loudly at plan time, not silently drop every
-    frame inside the per-clip try/except."""
+    """r12 ADVICE (+ r13 review): a non-numeric doc_id (the CLI's
+    --id-col accepts any column) must fail loudly at plan time, not
+    silently drop every frame inside the per-clip try/except; numeric
+    non-long ids (int32, decimal) cast to long and keep working."""
+    import decimal
+
+    import numpy as np
     import pytest as _pt
+
+    from tests.jpeg_codec import encode_gray
 
     df = spark.createDataFrame(
         [("doc-1", b"RIFF")], "doc_id string, payload binary"
     )
-    with _pt.raises(TypeError, match="integral doc_id"):
+    with _pt.raises(TypeError, match="numeric doc_id"):
         M.extract_frames(df)
+
+    f = encode_gray(np.full((8, 8), 64, np.uint8))
+    for schema, did in (
+        ("doc_id int, payload binary", 7),
+        ("doc_id decimal(10,0), payload binary", decimal.Decimal(7)),
+    ):
+        d2 = spark.createDataFrame([(did, _avi([f]))], schema)
+        out = M.extract_frames(d2, every_n=1).collect()
+        assert [r["doc_id"] for r in out] == [7], schema
 
 
 def test_extract_frames_mp4_skips_defective_leading_video_track(spark):

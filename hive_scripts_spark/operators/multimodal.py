@@ -1897,24 +1897,36 @@ def extract_frames(
     operator EXPLODES clips into frames; the clip-level NULL contract
     belongs to :func:`video_meta`). Corrupt containers never raise.
     """
-    # the output schema carries doc_id as long; a non-numeric id column
-    # (the CLI's --id-col accepts any column) must fail HERE, loudly —
-    # inside the per-clip try/except a failing int(did) would silently
-    # drop every frame of every clip and yield an empty table (r12
-    # ADVICE). Numeric non-long ids (decimal/int32/double) cast to
-    # long at plan time, preserving the pre-guard behavior for them;
-    # strings stay rejected — a digit-string column would work but a
-    # 'doc-7'-shaped one would silently drop, the very bug this guard
-    # exists to surface.
-    from pyspark.sql.types import LongType, NumericType
+    # the output schema carries doc_id as long; an id column (the
+    # CLI's --id-col accepts any column) that cannot map EXACTLY onto
+    # long must fail HERE, loudly — inside the per-clip try/except a
+    # failing int(did) would silently drop every frame of every clip
+    # (r12 ADVICE). Exact-integral ids (byte/short/int, decimal with
+    # scale 0 that fits long) cast at plan time; float/double are
+    # rejected too — a NaN would cast to 0 (misattributing frames)
+    # and fractional ids would silently merge distinct clips.
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
     id_type = df.schema["doc_id"].dataType
-    if not isinstance(id_type, NumericType):
+    exact_integral = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType)
+    ) or (
+        isinstance(id_type, DecimalType)
+        and id_type.scale == 0
+        and id_type.precision <= 18
+    )
+    if not exact_integral:
         raise TypeError(
-            f"extract_frames needs a numeric doc_id column, got "
+            f"extract_frames needs an integral doc_id column, got "
             f"{id_type.simpleString()} — cast the id column to long "
             "(e.g. .withColumn('doc_id', col(id_col).cast('long'))) or "
-            "pick a numeric --id-col"
+            "pick an integral --id-col"
         )
     if not isinstance(id_type, LongType):
         df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
@@ -2056,9 +2068,21 @@ def extract_frames(
                                 st[btype] = (body, bend)
                             if b"stsz" not in st or b"stsc" not in st:
                                 continue
-                            s, _ = st[b"stsz"]
+                            # EVERY declared entry count clamps to what
+                            # the box (or for fixed-size samples the
+                            # file) can actually hold — a corrupt
+                            # 0xFFFFFFFF count must degrade, never spin
+                            # for hours or allocate a 34 GB list inside
+                            # the per-clip try/except
+                            s, send = st[b"stsz"]
                             fixed = int.from_bytes(b[s + 4 : s + 8], "big")
                             cnt = int.from_bytes(b[s + 8 : s + 12], "big")
+                            cnt = min(
+                                cnt,
+                                n // fixed
+                                if fixed
+                                else max(0, (send - s - 12) // 4),
+                            )
                             sizes = (
                                 [fixed] * cnt
                                 if fixed
@@ -2071,8 +2095,11 @@ def extract_frames(
                                 ]
                             )
                             if b"stco" in st:
-                                s, _ = st[b"stco"]
-                                nch = int.from_bytes(b[s + 4 : s + 8], "big")
+                                s, send = st[b"stco"]
+                                nch = min(
+                                    int.from_bytes(b[s + 4 : s + 8], "big"),
+                                    max(0, (send - s - 8) // 4),
+                                )
                                 offs = [
                                     int.from_bytes(
                                         b[s + 8 + 4 * k : s + 12 + 4 * k],
@@ -2081,8 +2108,11 @@ def extract_frames(
                                     for k in range(nch)
                                 ]
                             elif b"co64" in st:
-                                s, _ = st[b"co64"]
-                                nch = int.from_bytes(b[s + 4 : s + 8], "big")
+                                s, send = st[b"co64"]
+                                nch = min(
+                                    int.from_bytes(b[s + 4 : s + 8], "big"),
+                                    max(0, (send - s - 8) // 8),
+                                )
                                 offs = [
                                     int.from_bytes(
                                         b[s + 8 + 8 * k : s + 16 + 8 * k],
@@ -2097,7 +2127,7 @@ def extract_frames(
                             # None when either box is absent/zero
                             tscale = None
                             for ms, _me in find(mdia_s, mdia_e, b"mdhd"):
-                                ver = b[ms]
+                                ver = b[ms] if ms < n else 0
                                 off = 20 if ver == 1 else 12
                                 v = int.from_bytes(
                                     b[ms + off : ms + off + 4], "big"
@@ -2140,7 +2170,7 @@ def extract_frames(
                                     # presentation time the column
                                     # documents
                                     s2, c_end = st[b"ctts"]
-                                    signed = b[s2] == 1
+                                    signed = b[s2 : s2 + 1] == b"\x01"
                                     ncr = min(
                                         int.from_bytes(
                                             b[s2 + 4 : s2 + 8], "big"
@@ -2165,13 +2195,29 @@ def extract_frames(
                                             si2 += 1
                                         if si2 >= len(ts_list):
                                             break
+                                # scale to us; absurd tick values from
+                                # corrupt deltas (beyond int64 after
+                                # the divide) become NULL instead of
+                                # overflowing the Int64 series build,
+                                # which runs OUTSIDE the per-clip
+                                # try/except and would kill the batch
+                                _I64 = 1 << 63
                                 ts_list = (
-                                    [t * 1_000_000 // tscale for t in ts_list]
+                                    [
+                                        v
+                                        if -_I64 <= (v := t * 1_000_000 // tscale)
+                                        < _I64
+                                        else None
+                                        for t in ts_list
+                                    ]
                                     if ts_list
                                     else None
                                 )
-                            s, _ = st[b"stsc"]
-                            nsc = int.from_bytes(b[s + 4 : s + 8], "big")
+                            s, send = st[b"stsc"]
+                            nsc = min(
+                                int.from_bytes(b[s + 4 : s + 8], "big"),
+                                max(0, (send - s - 8) // 12),
+                            )
                             runs = [
                                 (
                                     int.from_bytes(

@@ -1402,7 +1402,8 @@ def _mp4(frames, two_chunks=True, broken_first=None, timing=None,
         mdhd = box(
             b"mdhd",
             b"\x00" * 4 + b"\x00" * 8 + tscale.to_bytes(4, "big")
-            + sum(deltas).to_bytes(4, "big") + b"\x00" * 4,
+            + min(sum(deltas), 0xFFFFFFFF).to_bytes(4, "big")
+            + b"\x00" * 4,
         )
         stts = box(
             b"stts",
@@ -1825,6 +1826,83 @@ def test_extract_frames_ctts_and_corrupt_stts(spark):
     assert ts[3] == {0: None}
 
 
+def test_extract_frames_all_sample_table_counts_clamp(spark):
+    """r13 review round 2: EVERY sample-table entry count (stsz, stco,
+    stsc — not just stts/ctts) clamps to the box's real bytes, a
+    truncated 8-byte ctts header at EOF degrades instead of dropping
+    the clip, and absurd corrupt tick values become NULL timestamps
+    rather than overflowing the Int64 column build."""
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64)]
+    base = _mp4(frames, two_chunks=False, timing=(1000, [40, 40]))
+
+    def corrupt_count(payload, fourcc, count_off=8):
+        ba = bytearray(payload)
+        j = payload.find(fourcc)
+        ba[j + count_off : j + count_off + 4] = b"\xff\xff\xff\xff"
+        return bytes(ba)
+
+    # stsz variable-size count, stco chunk count, stsc run count
+    cases = {
+        1: corrupt_count(base, b"stsz", 12),  # count field at body+8
+        2: corrupt_count(base, b"stco"),
+        3: corrupt_count(base, b"stsc"),
+    }
+    # truncated ctts: bare 8-byte box header appended... instead build
+    # a clip whose ctts box is exactly a header (empty body)
+    with_ctts = _mp4(frames, two_chunks=False,
+                     timing=(1000, [40, 40]), ctts=[0, 0])
+    j = with_ctts.find(b"ctts") - 4
+    # shrink the ctts box to 8 bytes (header only) by rewriting its
+    # size and splicing out the body
+    body_len = int.from_bytes(with_ctts[j : j + 4], "big") - 8
+    trunc = (
+        with_ctts[:j]
+        + (8).to_bytes(4, "big")
+        + b"ctts"
+        + with_ctts[j + 8 + body_len :]
+    )
+    cases[4] = trunc
+    # absurd stts deltas at tscale 1: the tick prefix crosses int64
+    # after the *1e6 scale around sample ~2150 — later sampled frames
+    # must carry NULL, earlier ones real values, and the batch must
+    # not die in the Int64 column build
+    tiny = frames[0]
+    n5 = 2200
+    cases[5] = _mp4([tiny] * n5, two_chunks=False,
+                    timing=(1, [2**32 - 1] * n5))
+
+    df = spark.createDataFrame(
+        list(cases.items()), "doc_id long, payload binary"
+    )
+    out = M.extract_frames(df, every_n=1).collect()
+    ts = {}
+    for r in out:
+        ts.setdefault(r["doc_id"], {})[r["frame_index"]] = r["frame_ts_us"]
+    # 1: stsz count clamps to the 2 real entries -> both frames out
+    assert set(ts[1]) == {0, 1}
+    # 2/3: corrupt stco/stsc degrade to whatever chunks resolve — the
+    # contract is NO hang/OOM and no exception; rows may be absent
+    for d in (2, 3):
+        assert ts.get(d, {}) is not None
+    # 4: header-only ctts ignored; stts timestamps survive
+    assert ts[4] == {0: 0, 1: 40000}
+    out5 = M.extract_frames(
+        spark.createDataFrame(
+            [(5, cases[5])], "doc_id long, payload binary"
+        ),
+        every_n=30,
+        max_frames=100,
+    ).collect()
+    ts5 = {r["frame_index"]: r["frame_ts_us"] for r in out5}
+    assert ts5[0] == 0
+    assert ts5[2130] == 2130 * (2**32 - 1) * 1_000_000
+    assert ts5[2160] is None  # past int64 -> NULL, not a task kill
+
+
 def test_extract_frames_rejects_non_integral_id_column(spark):
     """r12 ADVICE (+ r13 review): a non-numeric doc_id (the CLI's
     --id-col accepts any column) must fail loudly at plan time, not
@@ -1837,11 +1915,16 @@ def test_extract_frames_rejects_non_integral_id_column(spark):
 
     from tests.jpeg_codec import encode_gray
 
-    df = spark.createDataFrame(
-        [("doc-1", b"RIFF")], "doc_id string, payload binary"
-    )
-    with _pt.raises(TypeError, match="numeric doc_id"):
-        M.extract_frames(df)
+    for schema, bad in (
+        ("doc_id string, payload binary", "doc-1"),
+        # double: NaN would cast to 0 and fractions silently merge
+        ("doc_id double, payload binary", 7.4),
+        # decimal wider than long: overflow casts to NULL silently
+        ("doc_id decimal(38,0), payload binary", decimal.Decimal(7)),
+    ):
+        df = spark.createDataFrame([(bad, b"RIFF")], schema)
+        with _pt.raises(TypeError, match="integral doc_id"):
+            M.extract_frames(df)
 
     f = encode_gray(np.full((8, 8), 64, np.uint8))
     for schema, did in (

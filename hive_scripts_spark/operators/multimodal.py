@@ -49,6 +49,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: pixel-decode ceiling (r13): a corrupt or adversarial header that
+#: declares more pixels than this degrades to a NULL row instead of
+#: materializing gigabytes per payload on an executor (a 1 KB "PNG"
+#: claiming 65535x65535 would otherwise demand a ~12 GB RGB buffer —
+#: the crawl-scale equivalent of a decompression bomb). 64M pixels
+#: covers 8K x 8K frames; raise it only with executor memory to match.
+MAX_DECODE_PIXELS = 1 << 26
+
 #: metadata schema produced by the fake/real decoder.
 DECODE_SCHEMA = T.StructType(
     [
@@ -263,7 +271,10 @@ def resize_images(
     encoding of the same coefficients) — decoded and index-sampled
     with numpy; ``resized_md5`` hashes the resized RGB buffer, so
     identical images resize to identical fingerprints regardless of
-    their container. Arithmetic/lossless/12-bit JPEG and other/corrupt
+    their container. Payloads whose headers declare more than
+    ``MAX_DECODE_PIXELS`` (64M px — the decompression-bomb ceiling;
+    PNG inflation is additionally bounded to the declared scanline
+    bytes) degrade to NULL. Arithmetic/lossless/12-bit JPEG and other/corrupt
     payloads yield NULL dims/hash (one bad object must not kill the
     batch).
 
@@ -275,6 +286,11 @@ def resize_images(
     """
     if parallelism:
         df = df.repartition(parallelism)
+
+    # captured into the closure BEFORE batches is defined so it pickles
+    # by value (workers can't import repo modules in the driver's
+    # vanilla run): declared-dimension ceiling per payload
+    max_px = MAX_DECODE_PIXELS
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -430,6 +446,8 @@ def resize_images(
                         i += 12 + ln  # length + type + data + crc
                     if not (w and h and interlace in (0, 1) and idat):
                         return None
+                    if w * h > max_px:
+                        return None  # decompression-bomb ceiling
                     # samples per pixel by color type; legal bit depths
                     # per RFC 2083 sect. 4.1.1 (16-bit strips to the
                     # high byte, libpng png_set_strip_16 semantics)
@@ -576,7 +594,25 @@ def resize_images(
                     def byte_stride(ww):
                         return (ww * bitd * ch + 7) // 8
 
-                    raw = zlib.decompress(b"".join(idat))
+                    # inflate BOUNDED to the scanline bytes the declared
+                    # geometry can consume — a crafted IDAT stream can't
+                    # expand past it (legit files produce exactly this)
+                    if interlace == 0:
+                        expected = (byte_stride(w) + 1) * h
+                    else:
+                        expected = 0
+                        for x0, y0, dx, dy in (
+                            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                            (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                            (0, 1, 1, 2),
+                        ):
+                            wp = (w - x0 + dx - 1) // dx
+                            hp = (h - y0 + dy - 1) // dy
+                            if wp > 0 and hp > 0:
+                                expected += (byte_stride(wp) + 1) * hp
+                    raw = zlib.decompressobj().decompress(
+                        b"".join(idat), expected
+                    )
                     if interlace == 0:
                         stride = byte_stride(w)
                         if len(raw) < (stride + 1) * h:
@@ -1075,6 +1111,8 @@ def resize_images(
                     frame = (fh, fw, comps)
                     if fh == 0 or fw == 0 or ncomp not in (1, 3):
                         return None
+                    if fh * fw > max_px:
+                        return None  # declared-dimension ceiling
                     hmax = max(c[1] for c in comps)
                     vmax = max(c[2] for c in comps)
                     mcux = -(-fw // (8 * hmax))
@@ -1186,8 +1224,8 @@ def resize_images(
             # background-colored canvas. Corrupt streams return None.
             w = int.from_bytes(b[6:8], "little")
             h = int.from_bytes(b[8:10], "little")
-            if w == 0 or h == 0:
-                return None
+            if w == 0 or h == 0 or w * h > max_px:
+                return None  # incl. the decompression-bomb ceiling
             flags = b[10]
             i = 13
             gct = None

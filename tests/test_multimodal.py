@@ -1958,6 +1958,59 @@ def test_extract_frames_mp4_skips_defective_leading_video_track(spark):
             assert r["frame_md5"] == hashlib.md5(fb).hexdigest(), broken
 
 
+def test_decompression_bomb_headers_degrade_fast(spark):
+    """r13: tiny payloads whose headers declare absurd dimensions
+    (the decompression-bomb shape) degrade to NULL quickly instead of
+    materializing gigabytes — PNG (incl. a crafted high-ratio zlib
+    stream), GIF logical screen, and JPEG SOF are all capped by
+    MAX_DECODE_PIXELS, and PNG inflation is bounded to the declared
+    scanline bytes."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    def png_chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # PNG claiming 60000x60000 RGB with a tiny, highly-compressible
+    # IDAT (zeros compress ~1000:1) — unbounded inflate would try to
+    # materialize ~10.8 GB of scanlines
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb_png = (
+        b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + png_chunk(b"IEND", b"")
+    )
+    # GIF logical screen 60000x60000 (14-byte header, no data)
+    bomb_gif = (
+        b"GIF89a" + (60000).to_bytes(2, "little")
+        + (60000).to_bytes(2, "little") + b"\x00\x00\x00"
+    )
+    # JPEG SOF0 declaring 60000x60000
+    sof = struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+    bomb_jpg = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bomb_png), (2, bomb_gif), (3, bomb_jpg)],
+        "doc_id long, payload binary",
+    )
+    t0 = time.perf_counter()
+    out = {r["doc_id"]: r for r in
+           M.resize_images(df, target=(4, 4), fake=False).collect()}
+    dt = time.perf_counter() - t0
+    assert len(out) == 3
+    for d in (1, 2, 3):
+        assert out[d]["resized_md5"] is None, d
+    assert dt < 30, f"bomb payloads took {dt:.1f}s"
+
+
 def test_all_codec_paths_survive_byte_flip_fuzz(spark):
     """Cross-format corruption sweep: byte-flipped PNG (sequential +
     Adam7), GIF, AVI and MP4 payloads must all flow through

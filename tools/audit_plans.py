@@ -33,7 +33,8 @@ AUDITED = [
     "x_ann_brute_topk",
     "x_events_hourly",
     "x_dedup_minhash_lsh",
-    "x_curation_pipeline",
+    # x_curation_pipeline retired from the registry (r10 swap);
+    # x_curation_full audits the same stages plus the decon gates
     "x_curation_full",
     "x_decontaminate",
     "x_text_repetition",

@@ -594,6 +594,14 @@ def resize_images(
                     def byte_stride(ww):
                         return (ww * bitd * ch + 7) // 8
 
+                    # Adam7 pass geometry (RFC 2083 2.6) — ONE table
+                    # shared by the inflate bound and the scatter loop
+                    # so they can never desynchronize
+                    adam7 = (
+                        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                        (0, 1, 1, 2),
+                    )
                     # inflate BOUNDED to the scanline bytes the declared
                     # geometry can consume — a crafted IDAT stream can't
                     # expand past it (legit files produce exactly this)
@@ -601,11 +609,7 @@ def resize_images(
                         expected = (byte_stride(w) + 1) * h
                     else:
                         expected = 0
-                        for x0, y0, dx, dy in (
-                            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
-                            (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
-                            (0, 1, 1, 2),
-                        ):
+                        for x0, y0, dx, dy in adam7:
                             wp = (w - x0 + dx - 1) // dx
                             hp = (h - y0 + dy - 1) // dy
                             if wp > 0 and hp > 0:
@@ -631,11 +635,7 @@ def resize_images(
                     # the frame grid (RFC 2083 section 2.6)
                     full = np.empty((h, w, ch), np.uint8)
                     pos = 0
-                    for x0, y0, dx, dy in (
-                        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
-                        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
-                        (0, 1, 1, 2),
-                    ):
+                    for x0, y0, dx, dy in adam7:
                         wp = (w - x0 + dx - 1) // dx
                         hp = (h - y0 + dy - 1) // dy
                         if wp <= 0 or hp <= 0:
@@ -1260,6 +1260,12 @@ def resize_images(
                     ).reshape(-1, 3)
                     i += sz
                 if pal is None or iw == 0 or ih == 0:
+                    return None
+                if iw * ih > max_px:
+                    # the PER-FRAME descriptor needs its own bomb cap:
+                    # a small logical screen with a 65535x65535 frame
+                    # would otherwise grow out_idx toward gigabytes of
+                    # ints before the bit supply runs dry
                     return None
                 min_code = b[i]
                 i += 1
@@ -2115,11 +2121,18 @@ def extract_frames(
                             s, send = st[b"stsz"]
                             fixed = int.from_bytes(b[s + 4 : s + 8], "big")
                             cnt = int.from_bytes(b[s + 8 : s + 12], "big")
+                            # clamp to what the box/file can hold AND to
+                            # the samples the caller can ever emit
+                            # (every_n * max_frames) — a corrupt
+                            # fixed=1 count in a large payload would
+                            # otherwise still build a multi-GB size
+                            # list the consumer never reads past
                             cnt = min(
                                 cnt,
                                 n // fixed
                                 if fixed
                                 else max(0, (send - s - 12) // 4),
+                                every_n * max_frames,
                             )
                             sizes = (
                                 [fixed] * cnt
@@ -2317,7 +2330,9 @@ def extract_frames(
                         else mp4_frames(raw)
                     )
                     for k, (fb, ts) in enumerate(src):
-                        if k % every_n or k // every_n >= max_frames:
+                        if k // every_n >= max_frames:
+                            break  # don't drain a corrupt-huge table
+                        if k % every_n:
                             continue
                         w, h = frame_dims(fb)
                         ids.append(int(did))

@@ -1878,16 +1878,22 @@ def test_extract_frames_all_sample_table_counts_clamp(spark):
     df = spark.createDataFrame(
         list(cases.items()), "doc_id long, payload binary"
     )
+    import time as _time
+
+    t0 = _time.perf_counter()
     out = M.extract_frames(df, every_n=1).collect()
+    dt = _time.perf_counter() - t0
+    # the no-hang/no-OOM contract: the whole batch (incl. the corrupt
+    # stco/stsc clips, whose rows may legitimately be absent) returns
+    # promptly, and any rows that DID surface are well-formed
+    assert dt < 30, f"corrupt sample tables took {dt:.1f}s"
     ts = {}
     for r in out:
+        assert isinstance(r["frame_index"], int)
+        assert r["frame_md5"] is None or len(r["frame_md5"]) == 32
         ts.setdefault(r["doc_id"], {})[r["frame_index"]] = r["frame_ts_us"]
     # 1: stsz count clamps to the 2 real entries -> both frames out
     assert set(ts[1]) == {0, 1}
-    # 2/3: corrupt stco/stsc degrade to whatever chunks resolve — the
-    # contract is NO hang/OOM and no exception; rows may be absent
-    for d in (2, 3):
-        assert ts.get(d, {}) is not None
     # 4: header-only ctts ignored; stts timestamps survive
     assert ts[4] == {0: 0, 1: 40000}
     out5 = M.extract_frames(

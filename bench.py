@@ -73,12 +73,18 @@ EXTRA = [
     # series against the recompute twins above to read the amortized
     # search cost; the partitioned IVF+PQ layout also prunes cell
     # directories at the scan
-    "x_ann_pq_index_search",
+    # x_ann_pq_index_search retired from the registry in the r14
+    # capacity swap (slot funds x_audio_zero_crossings); its persisted-
+    # codes composition stays value-pinned in
+    # tests/test_retired_queries.py and its timing series ends at r13
     "x_ann_ivfpq_index_search",
     # r8-added pipeline ops — timing series starts here
     "x_quality_model",
     "x_mixture_temperature",
-    "x_mixture_epoch",
+    # x_mixture_epoch retired from the registry in the r14 capacity
+    # swap (slot funds x_multimodal_resize_png); its materialized-epoch
+    # composition stays value-pinned in tests/test_retired_queries.py
+    # and its timing series ends at r13
     # r9-added — timing series starts here: global corpus repetition
     # top-k, the bucket-cap LSH twin (compare vs x_dedup_minhash_lsh's
     # uncapped chain in the same run), the IVF quality rollup, and the
@@ -115,6 +121,18 @@ EXTRA = [
     # resample inside mapInPandas (per-doc 159-byte payloads); timing
     # series starts here
     "x_multimodal_resize_jpeg",
+    # r13 registry swap — timing series starts here (ADVICE r13: the
+    # swap removed the retiree from EXTRA but forgot to add the new
+    # graded query, so its container-walk + JPEG-decode cost had no
+    # round-over-round series through r13)
+    "x_multimodal_frames",
+    # r14 registry swap — timing series starts here: the chunk-and-
+    # stitch sessionize escalation (compare vs x_events_sessionize's
+    # single-window plan in the same run), the PNG palette decode
+    # (compare vs x_multimodal_resize_jpeg), and the audio FFT layer
+    "x_events_sessionize_chunked",
+    "x_multimodal_resize_png",
+    "x_audio_zero_crossings",
 ]
 
 

@@ -527,22 +527,14 @@ def j_semi_nations_with_suppliers(spark, sf_dir):
     ).select("n_nationkey", "n_name")
 
 
-_CUST_KEY = "cast(c_custkey as varchar)"
-
-
-@register(
-    "a4_stratified_sample",
-    oracle=f"""
-    select c_mktsegment, count(*) as n_sampled,
-           count(distinct c_custkey) as n_customers
-    from customer
-    where {duck_hash_bucket(_CUST_KEY)} <
-          case c_mktsegment when 'BUILDING' then 200 else 100 end
-    group by c_mktsegment
-    """,
-)
 def a4_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling: per-stratum fractions (the
+    """[retired from the graded registry in the r14 capacity swap —
+    slot funds ``x_events_sessionize_chunked``; the A4 sampling family
+    stays graded by ``a4_deterministic_sample`` and this exact
+    per-stratum composition stays value-pinned against its frozen r11
+    oracle in ``tests/test_retired_queries.py``]
+
+    Deterministic stratified sampling: per-stratum fractions (the
     ``df.sampleBy`` intent, made engine-reproducible).
 
     Same hash-mod machinery as ``deterministic_sample`` but the bucket

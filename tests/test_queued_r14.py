@@ -1,24 +1,16 @@
-"""Queued r14 registration candidates (the ``test_queued_r13.py``
-pattern): body + oracle held here as literals, parity-verified at
-sf0.001 AND the driver's grading scale sf0.01, awaiting a capacity
-swap (COVERAGE.md "Registry capacity" lists the r14 retirement
-shortlist with last-green rounds).
+"""Registration parity checks for the three r14 capacity-swap queries.
 
-1. ``x_events_sessionize_chunked`` — grades the r13 time-chunked
-   sessionize escalation (``operators/sessions.sessionize_events``
-   with ``chunk_hours=6``) against the SAME DuckDB oracle as the
-   graded ``x_events_sessionize``: the chunk-local merge → boundary
-   stitch → renumber plan must reproduce the single-window rows
-   bit-exactly, so a driver row would grade the escalation path
-   against an engine-independent oracle (today it is pytest-pinned
-   against the single-window form only).
-2. ``x_multimodal_resize_png`` — grades the r13 PNG palette decode
-   the way ``x_multimodal_resize_jpeg`` grades JPEG: each document
-   selects one of four 2-bit PLTE-indexed constant-color PNG plan
-   literals by doc_id % 4; decode + 2x2 resize yields 4 copies of the
-   palette RGB, whose md5 the oracle computes in pure SQL (all
-   components < 128, so DuckDB's UTF-8 md5 sees the same bytes Spark
-   hashes — the established md5-portable rule).
+The queries were pre-verified (r13) with their bodies and oracle SQL
+held as literals in this file; the r14 swap moved all three verbatim
+into ``plans/extension_queries.py``, retiring ``a4_stratified_sample``,
+``x_mixture_epoch``, and ``x_ann_pq_index_search`` (the strict-
+rotation-safe retirees — every one drawn from the r14 stale set, the
+50 r11-green queries, per the r13 VERDICT's simulation; COVERAGE.md
+"Registry capacity"). These tests now pull the REGISTERED query +
+oracle from the registry and re-run the same order-insensitive digest
+comparison as ``tools/parity.py`` at BOTH sf0.001 and the driver's
+grading scale sf0.01, so any later edit to either side re-proves
+parity instead of trusting the r13 snapshot.
 """
 
 from __future__ import annotations
@@ -33,198 +25,11 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# ---------------------------------------------------------------------------
-# candidate 1: x_events_sessionize_chunked
-# ---------------------------------------------------------------------------
-
-SESS_NAME = "x_events_sessionize_chunked"
-
-#: verbatim the graded x_events_sessionize oracle (expanded
-#: _DUCK_SESSIONIZE prefix) — the chunked plan must match it exactly
-SESS_ORACLE = """
-    with marked as (
-      select user_id, ts, event_id,
-             case when lag(ts) over w is null
-                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
-                  then 1 else 0 end as new_session
-      from events
-      window w as (partition by user_id order by ts, event_id)
-    ), numbered as (
-      select user_id, ts,
-             cast(sum(new_session) over (
-               partition by user_id order by ts, event_id
-               rows between unbounded preceding and current row)
-                  as bigint) as session_id
-      from marked
-    )
-    select user_id, session_id, count(*) as n_events,
-           min(ts) as session_start, max(ts) as session_end
-    from numbered group by user_id, session_id
-"""
-
-
-def sess_query(spark, sf_dir):
-    """The x_events_sessionize_chunked body (verbatim future
-    registration): the escalation plan at chunk_hours=6."""
-    from hive_scripts_spark.operators.sessions import sessionize_events
-    from hive_scripts_spark.plans.registry import table
-
-    ev = table(spark, sf_dir, "events")
-    return sessionize_events(ev, chunk_hours=6)
-
-
-# ---------------------------------------------------------------------------
-# candidate 2: x_multimodal_resize_png
-# ---------------------------------------------------------------------------
-
-PNG_NAME = "x_multimodal_resize_png"
-
-#: four 2-bit PLTE-indexed 8x8 constant-color PNGs (one per palette
-#: entry; shared IHDR/PLTE, only the IDAT differs) generated by the
-#: test encoder — re-derived in test_queued_png_literals so an edit to
-#: either side fails loudly. Palette components all < 128 (md5-
-#: portable rule).
-PNG_PALETTE = ((17, 34, 51), (68, 85, 102), (85, 102, 119), (102, 119, 126))
-PNG_CONST_HEX = {
-    0: (
-        "89504e470d0a1a0a0000000d4948445200000008000000080203000000b961"
-        "56180000000c504c544511223344556655667766777eaefec84a0000000b49"
-        "444154789c6360c00e0000180001d57fc4ec0000000049454e44ae426082"
-    ),
-    1: (
-        "89504e470d0a1a0a0000000d4948445200000008000000080203000000b961"
-        "56180000000c504c544511223344556655667766777eaefec84a0000000d49"
-        "444154789c63080d65c086003fd80551364da6dd0000000049454e44ae4260"
-        "82"
-    ),
-    2: (
-        "89504e470d0a1a0a0000000d4948445200000008000000080203000000b961"
-        "56180000000c504c544511223344556655667766777eaefec84a0000000e49"
-        "444154789c6358b58a011b02007f980aa1a10597660000000049454e44ae42"
-        "6082"
-    ),
-    3: (
-        "89504e470d0a1a0a0000000d4948445200000008000000080203000000b961"
-        "56180000000c504c544511223344556655667766777eaefec84a0000000e49"
-        "444154789c63f8ff9f011b0200bf580ff1ce49608e0000000049454e44ae42"
-        "6082"
-    ),
-}
-
-_PNG_MD5_ARMS = " ".join(
-    f"when {k} then md5(repeat(chr({r}) || chr({g}) || chr({b_}), 4))"
-    for k, (r, g, b_) in list(enumerate(PNG_PALETTE))[:3]
+NAMES = (
+    "x_events_sessionize_chunked",
+    "x_multimodal_resize_png",
+    "x_audio_zero_crossings",
 )
-_r3, _g3, _b3 = PNG_PALETTE[3]
-PNG_ORACLE = f"""
-    select doc_id,
-           cast(2 as int) as width,
-           cast(2 as int) as height,
-           case cast(doc_id % 4 as int) {_PNG_MD5_ARMS}
-                else md5(repeat(chr({_r3}) || chr({_g3}) || chr({_b3}), 4))
-           end as resized_md5
-    from documents
-"""
-
-
-def png_query(spark, sf_dir):
-    """The x_multimodal_resize_png body (verbatim future
-    registration)."""
-    from pyspark.sql import functions as F
-
-    from hive_scripts_spark.operators import multimodal as M
-    from hive_scripts_spark.plans.registry import table
-
-    docs = table(spark, sf_dir, "documents")
-    framed = docs.select(
-        "doc_id",
-        F.when(
-            F.pmod("doc_id", F.lit(4)) == 0,
-            F.lit(bytes.fromhex(PNG_CONST_HEX[0])),
-        )
-        .when(
-            F.pmod("doc_id", F.lit(4)) == 1,
-            F.lit(bytes.fromhex(PNG_CONST_HEX[1])),
-        )
-        .when(
-            F.pmod("doc_id", F.lit(4)) == 2,
-            F.lit(bytes.fromhex(PNG_CONST_HEX[2])),
-        )
-        .otherwise(F.lit(bytes.fromhex(PNG_CONST_HEX[3])))
-        .alias("payload"),
-    )
-    return M.resize_images(
-        framed,
-        target=(2, 2),
-        fake=False,
-        parallelism=min(8, spark.sparkContext.defaultParallelism),
-    )
-
-
-# ---------------------------------------------------------------------------
-# candidate 3: x_audio_zero_crossings
-# ---------------------------------------------------------------------------
-
-ZCR_NAME = "x_audio_zero_crossings"
-
-#: same 44-byte header as the registered _WAV64_HEADER_HEX: mono 8-bit
-#: PCM, 8000 Hz, 64-sample data chunk
-_WAV64_HEX = (
-    "524946466400000057415645666d7420100000000100010040"
-    "1f0000401f0000010008006461746140000000"
-)
-
-#: zcr = (sign flips over 63 adjacent pairs) / 63 — exact-int count,
-#: ONE IEEE divide: bit-identical across engines (the audio_real rule).
-#: 8-bit PCM decodes as byte-128; negative iff byte < 128 (byte 128 ->
-#: sample 0.0, signbit False, matching the Spark side's np.signbit).
-ZCR_ORACLE = """
-    with p as (
-      select doc_id, rpad(substr(text, 1, 64), 64, ' ') as t64 from documents
-    ), s as (
-      select doc_id,
-             list_transform(string_split_regex(t64, ''),
-                            c -> unicode(c) - 128) as a
-      from p
-    )
-    select doc_id,
-           cast(64 as bigint) as n_samples,
-           cast(len(list_filter(range(2, 65),
-                                i -> (a[i - 1] < 0) != (a[i] < 0)))
-                as double) / 63 as zero_crossing_rate
-    from s
-"""
-
-
-def zcr_query(spark, sf_dir):
-    """The x_audio_zero_crossings body (verbatim future registration):
-    frame each document's first 64 bytes as the same 8-bit-PCM WAV the
-    graded ``x_multimodal_audio_real`` uses, run the REAL
-    ``audio_spectral_features`` decode + sign-flip count, and grade
-    the SQL-expressible columns (the FFT columns stay value-checked by
-    the analytic-oracle pytest)."""
-    from pyspark.sql import functions as F
-
-    from hive_scripts_spark.operators import multimodal as M
-    from hive_scripts_spark.plans.registry import table
-
-    header = bytes.fromhex(_WAV64_HEX)
-    docs = table(spark, sf_dir, "documents")
-    framed = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(header),
-            F.encode(F.rpad(F.substring("text", 1, 64), 64, " "), "utf-8"),
-        ).alias("payload"),
-    )
-    return M.audio_spectral_features(
-        framed, parallelism=min(8, spark.sparkContext.defaultParallelism)
-    ).select("doc_id", "n_samples", "zero_crossing_rate")
-
-
-# ---------------------------------------------------------------------------
-# parity harness (same order-insensitive digest as tools/parity.py)
-# ---------------------------------------------------------------------------
 
 
 def _norm(v):
@@ -242,42 +47,54 @@ def _digest(cols, rows):
 
 def test_queued_png_literals():
     """The PNG plan literals are exactly the test encoder's output for
-    constant index-k images over PNG_PALETTE — re-derived, so an edit
+    constant index-k images over _PNG_PALETTE — re-derived, so an edit
     to either side fails."""
     import numpy as np
 
+    from hive_scripts_spark.plans.extension_queries import (
+        _PNG_CONST_HEX,
+        _PNG_PALETTE,
+    )
     from tests.test_multimodal import _png
 
-    for k, want in PNG_CONST_HEX.items():
+    for k, want in _PNG_CONST_HEX.items():
         idx = np.full((8, 8), k, np.uint8)
-        got = _png(idx, color_type=3, bitd=2, palette=list(PNG_PALETTE))
+        got = _png(idx, color_type=3, bitd=2, palette=list(_PNG_PALETTE))
         assert got.hex() == want, k
+
+
+def test_chunked_shares_the_sessionize_oracle():
+    """The chunked escalation is graded against the SAME oracle text as
+    the single-window form — the whole point of the registration."""
+    from hive_scripts_spark.plans.registry import ORACLES
+
+    assert ORACLES["x_events_sessionize_chunked"] == ORACLES[
+        "x_events_sessionize"
+    ]
 
 
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-@pytest.mark.parametrize(
-    "query,oracle",
-    [
-        (sess_query, SESS_ORACLE),
-        (png_query, PNG_ORACLE),
-        (zcr_query, ZCR_ORACLE),
-    ],
-    ids=[SESS_NAME, PNG_NAME, ZCR_NAME],
-)
-def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
-    got = query(spark, sf_dir)
+@pytest.mark.parametrize("name", NAMES)
+def test_registered_r14_query_matches_its_oracle(spark, sf_dir, name):
+    from hive_scripts_spark.plans.registry import ORACLES, QUERIES
+
+    assert name in QUERIES and name in ORACLES
+
+    got = QUERIES[name](spark, sf_dir)
     spark_digest = _digest(got.columns, got.collect())
+
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
             )
-        rel = con.sql(oracle)
+        rel = con.sql(ORACLES[name])
         duck_digest = _digest(rel.columns, rel.fetchall())
     finally:
         con.close()
+
     assert len(spark_digest) == len(duck_digest) > 0
     assert spark_digest == duck_digest

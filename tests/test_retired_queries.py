@@ -174,6 +174,136 @@ RETIRED = {
     )
     select query_id, neighbor_id, cosine_sim, rank from ranked where rank <= 5
     """,
+    # retired r14 (slot funds x_events_sessionize_chunked); frozen
+    # verbatim from the r11-graded registry oracle
+    "a4_stratified_sample": """
+    select c_mktsegment, count(*) as n_sampled,
+           count(distinct c_custkey) as n_customers
+    from customer
+    where (cast(('0x' || substr(md5(cast(c_custkey as varchar)), 1, 15)) as bigint) % 1000) <
+          case c_mktsegment when 'BUILDING' then 200 else 100 end
+    group by c_mktsegment
+    """,
+    # retired r14 (slot funds x_multimodal_resize_png); frozen verbatim
+    # from the r11-graded registry oracle (_DUCK_TEMPERATURE expanded)
+    "x_mixture_epoch": r"""
+    with toks as (
+      select doc_id, source, len(string_split(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g')), ' ')) as n_tokens
+      from documents where length(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g'))) > 0
+    ), agg as (
+      select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_tokens) as bigint) as total_tokens
+      from toks group by source
+    ), sh as (
+      select source, n_docs, total_tokens,
+             total_tokens / cast(sum(total_tokens) over () as double) as share
+      from agg
+    ), sq as (
+      select *, cast(round(sqrt(share), 6) as decimal(18,6)) as sqrt_share
+      from sh
+    ), tw as (
+      select source, n_docs, total_tokens,
+             round(share, 6) as token_share,
+             round(cast(sqrt_share as double)
+                   / cast(sum(sqrt_share) over () as double), 6)
+               as sample_weight,
+             round((round(cast(sqrt_share as double)
+                   / cast(sum(sqrt_share) over () as double), 6)) / share, 6)
+               as upsample_factor
+      from sq
+    )
+    , assigned as (
+      select d.doc_id, d.source,
+             w.upsample_factor * 1.0 as f,
+             cast(('0x' || substr(
+                 md5('mix' || chr(1) || cast(d.doc_id as varchar)), 1, 15))
+                  as bigint) % 1000000 as b
+      from documents d join tw w using (source)
+    ), copies as (
+      select doc_id, source,
+             cast(floor(f) as bigint)
+             + case when b < cast(round((f - floor(f)) * 1000000, 0) as bigint)
+                    then 1 else 0 end as n
+      from assigned
+    )
+    select doc_id, source,
+           cast(unnest(generate_series(1, n)) as int) as copy_no
+    from copies
+    where n >= 1
+    """,
+    # retired r14 (slot funds x_audio_zero_crossings); frozen verbatim
+    # from the r11-graded registry oracle (_DUCK_PQ_TOPK — the oracle
+    # it shared with the still-registered x_ann_pq_topk)
+    "x_ann_pq_index_search": """
+    with cb as (
+      select s.range as s, e.vec_id as j,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as c
+      from embeddings e cross join range(4) s
+      where e.vec_id < 8
+    ), sub as (
+      select e.vec_id, s.range as s,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as v
+      from embeddings e cross join range(4) s
+    ), d2 as (
+      select sub.vec_id, sub.s, cb.j,
+             round(list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (sub.v[t] - cb.c[t]) * (sub.v[t] - cb.c[t]))),
+               (acc, x) -> acc + x), 6) as dist
+      from sub join cb on cb.s = sub.s
+    ), picked as (
+      select vec_id, s, j, dist,
+             row_number() over (
+               partition by vec_id, s order by dist, j) as rn
+      from d2
+    ), codes as (
+      select vec_id,
+             string_agg(cast(j as varchar), ',' order by s) as pq_codes,
+             round(sum(dist), 6) as pq_err
+      from picked where rn = 1 group by vec_id
+    )
+    , split as (
+      select vec_id,
+             list_transform(string_split(pq_codes, ','),
+                            x -> cast(x as int)) as cl
+      from codes
+    ), q as (
+      select e.vec_id as query_id, s.range as s,
+             list_transform(e.embedding[s.range * 16 + 1 : s.range * 16 + 16],
+                            x -> cast(x as double)) as qv
+      from embeddings e cross join range(4) s
+      where e.vec_id < 8
+    ), lut as (
+      select q.query_id, q.s, cb.j,
+             list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(range(1, 17),
+                   t -> (q.qv[t] - cb.c[t]) * (q.qv[t] - cb.c[t]))),
+               (acc, x) -> acc + x) as dist
+      from q join cb on cb.s = q.s
+    ), adc as (
+      select l0.query_id, sp.vec_id as neighbor_id,
+             round(l0.dist + l1.dist + l2.dist + l3.dist, 6) as adc_dist
+      from split sp
+      join lut l0 on l0.s = 0 and l0.j = sp.cl[1]
+      join lut l1 on l1.s = 1 and l1.j = sp.cl[2]
+                 and l1.query_id = l0.query_id
+      join lut l2 on l2.s = 2 and l2.j = sp.cl[3]
+                 and l2.query_id = l0.query_id
+      join lut l3 on l3.s = 3 and l3.j = sp.cl[4]
+                 and l3.query_id = l0.query_id
+      where sp.vec_id <> l0.query_id
+    )
+    select query_id, neighbor_id, adc_dist, rank from (
+      select *, cast(row_number() over (
+        partition by query_id order by adc_dist, neighbor_id) as int) as rank
+      from adc)
+    where rank <= 10
+    """,
 }
 
 

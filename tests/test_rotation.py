@@ -74,3 +74,45 @@ def test_non_strict_overflow_truncates_deterministically():
         names, {n: 1 for n in names}, 9, window=3, strict=False
     )
     assert out == ["q0", "q1", "q2"]
+
+
+def test_shortlist_not_rotted():
+    """The r13 VERDICT failure mode: COVERAGE.md's "next swap"
+    retirement shortlist was correct when written and silently wrong
+    after the very grading run it was written for (its candidates
+    re-greened and retiring one would overflow strict rotation).
+
+    Guard: every backticked candidate in the shortlist block must
+    (a) exist in the oracled registry, (b) have last-green == the
+    latest committed artifact round - 1 (i.e. it WILL be in the next
+    round's stale set, the only strict-rotation-safe retiree pool at
+    capacity), and (c) not sit in the upcoming grading window (window
+    membership means the next run re-greens it)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(repo_root()) / "COVERAGE.md").read_text()
+    m = re.search(
+        r"Remaining retirement shortlist for the NEXT swap.*?\n\n(.*?)\n\nSwap mechanics",
+        text,
+        re.S,
+    )
+    assert m, "COVERAGE.md shortlist block or its anchors went missing"
+    names = re.findall(r"^- `(\w+)`", m.group(1), re.M)
+    assert names, "shortlist block lists no candidates"
+
+    last_green, latest = load_green_history(repo_root())
+    from hive_scripts_spark.plans.registry import FRONT_ORDER, ORACLES
+
+    for n in names:
+        assert n in ORACLES, f"shortlist names unknown/retired query {n}"
+        lg = last_green.get(n)
+        assert lg == latest - 1, (
+            f"shortlist candidate {n} last-green r{lg} is not in the "
+            f"r{latest + 1} stale set (needs last-green r{latest - 1}); "
+            "the shortlist has rotted — recompute with tools/rotate.py"
+        )
+        assert n not in FRONT_ORDER, (
+            f"shortlist candidate {n} is in the upcoming grading window "
+            "and will re-green next round — not a safe retiree"
+        )

@@ -393,16 +393,21 @@ def test_persisted_index_search_matches_recompute(spark):
     """Build-once/search-many parity: the stored-code search faces
     (x_ann_*_index_search) must return EXACTLY the recompute forms'
     rows — the index on disk is an implementation detail, not a
-    semantic change (both share one oracle for the same reason)."""
-    from hive_scripts_spark.plans.registry import QUERIES
+    semantic change (both share one oracle for the same reason).
+    x_ann_pq_index_search retired from the registry in the r14 swap
+    but keeps its function (value-pinned in test_retired_queries.py),
+    so resolve by module attribute, not QUERIES."""
+    from hive_scripts_spark.plans import extension_queries as E
 
     sf = "/root/testdata/sf0.001"
     for stored_q, recompute_q in (
         ("x_ann_pq_index_search", "x_ann_pq_topk"),
         ("x_ann_ivfpq_index_search", "x_ann_ivfpq_topk"),
     ):
-        stored = sorted(map(tuple, QUERIES[stored_q](spark, sf).collect()))
-        recomputed = sorted(map(tuple, QUERIES[recompute_q](spark, sf).collect()))
+        stored = sorted(map(tuple, getattr(E, stored_q)(spark, sf).collect()))
+        recomputed = sorted(
+            map(tuple, getattr(E, recompute_q)(spark, sf).collect())
+        )
         assert stored == recomputed, stored_q
 
 

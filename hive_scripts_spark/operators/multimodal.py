@@ -2025,7 +2025,12 @@ def extract_frames(
             # aligned; 'rec ' sub-LISTs (interleaved AVIs) recurse.
             # Yields (frame_bytes, ts_us): frame k shows at
             # k * dwMicroSecPerFrame (avih byte 0) — NULL without a
-            # usable avih rate
+            # usable avih rate. Only ONE video stream's chunks are
+            # sequenced (r13 ADVICE: a multi-stream AVI interleaves
+            # ##dc chunks from every stream, so a shared counter
+            # misattributes timestamps): the stream id comes from the
+            # hdrl strl ordering (first 'vids' stream), else from the
+            # first dc/db chunk seen.
             try:
                 if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
                     return
@@ -2035,14 +2040,28 @@ def extract_frames(
                 # bound the search so frame bytes that happen to
                 # contain 'avih' can't masquerade as a header
                 mv = b.find(b"movi")
-                j = b.find(b"avih", 0, mv if mv != -1 else n)
+                hdrl_end = mv if mv != -1 else n
+                j = b.find(b"avih", 0, hdrl_end)
                 if 0 <= j and j + 12 <= n:
                     v = int.from_bytes(b[j + 8 : j + 12], "little")
                     uspf = v if v > 0 else None
+                # stream number = ordinal of its strl LIST in hdrl;
+                # the first strh with fccType 'vids' is the video
+                # stream whose chunks carry the avih frame clock
+                vid_id = None
+                k, ordinal = 0, 0
+                while True:
+                    k = b.find(b"strh", k, hdrl_end)
+                    if k < 0:
+                        break
+                    if b[k + 8 : k + 12] == b"vids" and vid_id is None:
+                        vid_id = b"%02d" % ordinal
+                    ordinal += 1
+                    k += 4
                 seq = 0
 
                 def walk(i, end):
-                    nonlocal seq
+                    nonlocal seq, vid_id
                     while i + 8 <= end:
                         ckid = b[i : i + 4]
                         sz = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -2051,9 +2070,12 @@ def extract_frames(
                             if ltype in (b"movi", b"rec "):
                                 yield from walk(i + 12, min(i + 8 + sz, end))
                         elif ckid[2:4] in (b"dc", b"db"):
-                            ts = None if uspf is None else seq * uspf
-                            seq += 1
-                            yield b[i + 8 : i + 8 + sz], ts
+                            if vid_id is None:
+                                vid_id = ckid[:2]
+                            if ckid[:2] == vid_id:
+                                ts = None if uspf is None else seq * uspf
+                                seq += 1
+                                yield b[i + 8 : i + 8 + sz], ts
                         i += 8 + sz + (sz & 1)
 
                 yield from walk(12, n)

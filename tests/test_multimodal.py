@@ -1785,6 +1785,73 @@ def test_extract_frames_timestamps(spark):
     assert ts[3] == {0: None, 1: None, 2: None}
 
 
+def test_extract_frames_multistream_avi(spark):
+    """r13 ADVICE: a multi-stream AVI interleaves every stream's
+    chunks in movi, so a shared sequence counter misattributes the
+    avih frame clock. The walker must sequence ONLY the video
+    stream's chunks: with strl headers, the first 'vids' strl names
+    the stream (here stream 01, after an 'auds' stream 00); without
+    strl, the first dc/db chunk's stream id wins and other streams'
+    chunks are skipped."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from tests.jpeg_codec import encode_gray
+
+    frames = [encode_gray(np.full((8, 8), g, np.uint8)) for g in (16, 64, 100)]
+
+    def chunk(ckid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return ckid + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def strl(fcc):
+        return lst(b"strl", chunk(b"strh", fcc + b"\x00" * 52))
+
+    avih = bytearray(56)
+    avih[0:4] = (40000).to_bytes(4, "little")
+    avih[16:20] = len(frames).to_bytes(4, "little")
+    avih[24:28] = (2).to_bytes(4, "little")  # dwStreams = 2
+
+    # audio stream 00 first, video stream 01 second; movi interleaves
+    # one '00wb' audio chunk before each '01dc' video frame
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", bytes(avih)) + strl(b"auds") + strl(b"vids")
+    )
+    movi_body = b"".join(
+        chunk(b"00wb", b"\x11" * 10) + chunk(b"01dc", fb) for fb in frames
+    )
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    two_stream = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # no strl headers: two video streams interleaved as 00dc/01dc —
+    # the first-seen stream (00) wins, the other is skipped
+    hdrl_min = lst(b"hdrl", chunk(b"avih", bytes(avih)))
+    movi_min = b"".join(
+        chunk(b"00dc", fb) + chunk(b"01dc", frames[0]) for fb in frames
+    )
+    body2 = b"AVI " + hdrl_min + lst(b"movi", movi_min)
+    fallback = b"RIFF" + len(body2).to_bytes(4, "little") + body2
+
+    df = spark.createDataFrame(
+        [(1, two_stream), (2, fallback)], "doc_id long, payload binary"
+    )
+    out = M.extract_frames(df, every_n=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["frame_index"], r["frame_ts_us"], r["frame_md5"])
+        )
+    md5s = [hashlib.md5(fb).hexdigest() for fb in frames]
+    want = [(k, k * 40000, md5s[k]) for k in range(3)]
+    assert sorted(got[1]) == want  # video chunks only, clean clock
+    assert sorted(got[2]) == want  # fallback: first stream only
+
+
 def test_extract_frames_ctts_and_corrupt_stts(spark):
     """r13 review fixes: ctts composition offsets turn decode times
     into presentation times (signed v1 offsets included); a corrupt

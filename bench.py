@@ -316,6 +316,16 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "bench_wall_s": round(time.perf_counter() - t_bench_start, 1),
+        # probe-normalized best series (r14, VERDICT r13 item 5): the
+        # committed r13 capture read 1.25-1.31x raw vs r12 while its
+        # own cpu_probe said the HOST ran 1.41x slower — every noisy
+        # capture re-litigates that division. Recording best/cpu_probe
+        # per query makes the round-over-round comparison one lookup:
+        # if this ratio is flat, the plan didn't change, the box did.
+        "queries_best_per_cpu_probe": {
+            n: (round(v / cpu_probe_s, 2) if v is not None else None)
+            for n, v in {**timings_best, **extra_best}.items()
+        },
         **({"errors": errors} if errors else {}),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -344,6 +354,12 @@ def main() -> None:
         # same way the queries did, the host changed, not the code.
         "cpu_probe_s": cpu_probe_s,
         "jvm_probe_s": jvm_probe_s,
+        # probe-normalized totals (VERDICT r13 item 5): total_best and
+        # total_warm divided by cpu_probe_s — the host-speed-free
+        # series to compare round over round; per-query ratios live in
+        # bench_detail.json (queries_best_per_cpu_probe)
+        "total_best_norm": round(total_of(timings_best) / cpu_probe_s, 2),
+        "total_warm_norm": round(total_of(timings_warm) / cpu_probe_s, 2),
         "cpus": os.cpu_count(),
         "sf": float(sf),
         "detail": detail_path,

@@ -516,6 +516,79 @@ def chunk_documents(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score: per document, the mean
+    negative log2 of the add-k-smoothed corpus bigram conditional
+    ``p(w_i | w_{i-1}) = (c(w_{i-1}, w_i) + k) / (c1(w_{i-1}) + k·V)``
+    over the document's token transitions — one LM order above
+    :func:`unigram_logprob_score` (context-aware: a doc of common
+    words in an improbable ORDER now scores high, the shuffled-text /
+    boilerplate-splice failure mode the unigram filter is blind to).
+    Documents with fewer than 2 tokens emit no row (no transitions to
+    score). ``c1`` counts bigram LEFT contexts (each doc's last token
+    is not a context), ``V`` is the corpus vocabulary size.
+
+    Returns ``(id_col, n_bigrams, mean_neg_logprob)`` (rounded 6dp).
+
+    Determinism contract (same as the unigram scorer): ``c2``, ``c1``,
+    ``V`` are exact ints; each logprob is one IEEE divide + one log2;
+    the per-doc sum folds SEQUENTIALLY in position order after an
+    array_sort, and rounds once — engine-portable to the digit.
+
+    Scale shape: bigrams materialize map-side from a per-doc window
+    ``lead`` (one exchange on ``id_col``); corpus counts are two
+    map-side-combined aggs keyed on (w1, w2) and (w1); the score join
+    is keyed on (w1, w2), co-partitioned with the bigram-count
+    exchange; V broadcasts as a 1-row frame; one final exchange packs
+    per doc. Vocabulary rides the joins, never the plan.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_whitespace(text_col)
+    toked = df.where(F.length(norm) > 0).select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(norm, " ")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toked.select(
+        id_col, "pos", "w1", F.lead("w1").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = toked.agg(
+        F.count_distinct("w1").cast("double").alias("__v")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            "pos",
+            F.log2(
+                (F.col("__c2").cast("double") + F.lit(float(k)))
+                / (F.col("__c1").cast("double") + F.lit(float(k)) * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    packed = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__lp"))).alias("__seq")
+    )
+    ssum = F.aggregate(
+        F.col("__seq"), F.lit(0.0), lambda acc, s: acc + s["__lp"]
+    )
+    return packed.select(
+        F.col(id_col),
+        F.size("__seq").cast("bigint").alias("n_bigrams"),
+        F.round(-ssum / F.size("__seq"), 6).alias("mean_neg_logprob"),
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

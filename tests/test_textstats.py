@@ -241,6 +241,59 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1][1] > out[0][1]  # rarer tokens -> higher (worse) score
 
 
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from hive_scripts_spark.operators import textstats as X
+
+    # corpus transitions: "a b a b" -> (a,b)(b,a)(a,b); "b c" -> (b,c)
+    # c2: (a,b)=2 (b,a)=1 (b,c)=1; left contexts c1: a=2 b=2; V=3
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c"), (2, "a"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_neg_logprob"])
+        for r in X.bigram_logprob_score(df, k=0.5).collect()
+    }
+    p_ab = (2 + 0.5) / (2 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 3)
+    p_bc = (1 + 0.5) / (2 + 0.5 * 3)
+    exp0 = round(-(math.log2(p_ab) + math.log2(p_ba) + math.log2(p_ab)) / 3, 6)
+    exp1 = round(-math.log2(p_bc), 6)
+    assert out[0] == (3, exp0)
+    assert out[1] == (1, exp1)
+    assert 2 not in out  # single-token doc: no transitions
+    assert 3 not in out  # blank doc
+    # improbable transitions score worse than the common (a,b) chain
+    assert out[1][1] > out[0][1]
+
+
+def test_bigram_beats_unigram_on_shuffled_text(spark):
+    """The reason bigram exists: common words in improbable ORDER.
+    Two docs with the SAME bag of words — one in corpus-typical order,
+    one shuffled — get identical unigram scores but the shuffled doc
+    scores strictly worse under the bigram LM."""
+    from hive_scripts_spark.operators import textstats as X
+
+    phrase = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    df = spark.createDataFrame(
+        [(i, phrase) for i in range(9)] + [(9, shuffled)],
+        "doc_id long, text string",
+    )
+    uni = {
+        r["doc_id"]: r["mean_neg_logprob"]
+        for r in X.unigram_logprob_score(df).collect()
+    }
+    assert uni[0] == uni[9]  # unigram is order-blind
+    bi = {
+        r["doc_id"]: r["mean_neg_logprob"]
+        for r in X.bigram_logprob_score(df).collect()
+    }
+    assert bi[9] > bi[0]  # bigram catches the scramble
+
+
 def test_train_val_test_split_deterministic_and_exhaustive(spark):
     from hive_scripts_spark.functions.canonical import train_val_test_split
 

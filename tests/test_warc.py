@@ -1,0 +1,152 @@
+"""WARC source tests: record walk, per-record-gzip-member layout (the
+Common Crawl shape), HTTP split, corrupt-tail quarantine, bomb caps,
+and the end-to-end crawl→documents chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from hive_scripts_spark.sources.warc import (
+    read_warc,
+    split_http,
+    warc_ingest_documents,
+)
+
+
+def _record(warc_type, payload: bytes, uri=None, rec_id="a1") -> bytes:
+    head = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+    head.append(b"WARC-Record-ID: <urn:uuid:" + rec_id.encode() + b">")
+    head.append(b"WARC-Date: 2026-01-02T03:04:05Z")
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    if warc_type == "response":
+        head.append(b"Content-Type: application/http; msgtype=response")
+    else:
+        head.append(b"Content-Type: application/warc-fields")
+    head.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype=b"text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        + b"\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\n\r\n" + body
+    )
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    info = _record("warcinfo", b"software: test\r\n", rec_id="i0")
+    r1 = _record(
+        "response", _http(b"<html>hello page one</html>"),
+        uri="https://example.org/one", rec_id="r1",
+    )
+    r2 = _record(
+        "response", _http(b"<html>page two body</html>"),
+        uri="https://example.org/two", rec_id="r2",
+    )
+    req = _record(
+        "request", b"GET /one HTTP/1.1\r\n\r\n",
+        uri="https://example.org/one", rec_id="q1",
+    )
+    (tmp_path / "plain.warc").write_bytes(info + r1 + req)
+    # Common Crawl layout: EVERY record its own gzip member
+    members = b"".join(gzip.compress(r) for r in (info, r2, req))
+    (tmp_path / "members.warc.gz").write_bytes(members)
+    return str(tmp_path)
+
+
+def test_read_warc_plain_and_gzip_members(spark, warc_dir):
+    out = read_warc(spark, warc_dir).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(r)
+    plain = sorted(by_file["plain.warc"], key=lambda r: r["record_offset"])
+    assert [r["warc_type"] for r in plain] == [
+        "warcinfo", "response", "request"
+    ]
+    assert plain[1]["target_uri"] == "https://example.org/one"
+    assert plain[1]["record_id"] == "<urn:uuid:r1>"
+    assert plain[1]["warc_date"] == "2026-01-02T03:04:05Z"
+    assert bytes(plain[1]["payload"]).startswith(b"HTTP/1.1 200 OK")
+    assert plain[1]["content_length"] == len(bytes(plain[1]["payload"]))
+    assert not any(r["truncated"] for r in plain)
+    # the gzipped file walks ALL members, not just the first
+    gz = sorted(
+        by_file["members.warc.gz"], key=lambda r: r["record_offset"]
+    )
+    assert [r["warc_type"] for r in gz] == ["warcinfo", "response", "request"]
+    assert gz[1]["target_uri"] == "https://example.org/two"
+
+
+def test_split_http(spark, warc_dir):
+    recs = read_warc(spark, warc_dir).where("warc_type = 'response'")
+    out = {
+        r["target_uri"]: r for r in split_http(recs).collect()
+    }
+    one = out["https://example.org/one"]
+    assert one["http_status"] == 200
+    assert one["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(one["body"]) == b"<html>hello page one</html>"
+    # non-HTTP payloads pass through with NULL status
+    req = split_http(
+        read_warc(spark, warc_dir).where("warc_type = 'request'")
+    ).collect()[0]
+    assert req["http_status"] is None
+    assert bytes(req["body"]).startswith(b"GET /one")
+
+
+def test_corrupt_tail_quarantined_not_fatal(spark, tmp_path):
+    good = _record("response", _http(b"ok body"), uri="https://x/y")
+    (tmp_path / "bad.warc").write_bytes(
+        good + b"WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    out = sorted(
+        read_warc(spark, str(tmp_path)).collect(),
+        key=lambda r: r["record_offset"],
+    )
+    assert [r["warc_type"] for r in out] == ["response", "_corrupt"]
+    assert out[0]["target_uri"] == "https://x/y"
+    assert out[1]["truncated"]
+
+
+def test_payload_and_member_bomb_caps(spark, tmp_path):
+    big = _record("response", _http(b"A" * 4096), uri="https://x/big")
+    (tmp_path / "big.warc").write_bytes(big)
+    out = read_warc(
+        spark, str(tmp_path / "big.warc"), max_payload_bytes=512
+    ).collect()[0]
+    assert out["truncated"] and len(bytes(out["payload"])) == 512
+    assert out["content_length"] > 512  # declared length survives the clip
+
+    # a gzip bomb: 32 MiB of zeros compressing to ~32 KiB — the member
+    # cap stops inflation and the file degrades instead of OOMing
+    bomb = gzip.compress(b"\x00" * (32 << 20))
+    (tmp_path / "bomb.warc.gz").write_bytes(bomb)
+    rows = read_warc(
+        spark, str(tmp_path / "bomb.warc.gz"),
+        max_member_bytes=1 << 20,
+    ).collect()
+    assert all(r["truncated"] for r in rows)
+
+
+def test_ingest_documents_chain(spark, warc_dir):
+    docs = warc_ingest_documents(spark, warc_dir).collect()
+    by_uri = {r["uri"]: r for r in docs}
+    assert set(by_uri) == {
+        "https://example.org/one", "https://example.org/two"
+    }
+    one = by_uri["https://example.org/one"]
+    assert one["source"] == "example.org"
+    assert one["text"] == "<html>hello page one</html>"
+    assert one["http_status"] == 200
+    assert isinstance(one["doc_id"], int)
+    # deterministic ids across re-reads (stable join key)
+    again = {
+        r["uri"]: r["doc_id"]
+        for r in warc_ingest_documents(spark, warc_dir).collect()
+    }
+    assert again == {u: r["doc_id"] for u, r in by_uri.items()}

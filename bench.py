@@ -322,9 +322,16 @@ def main() -> None:
         # capture re-litigates that division. Recording best/cpu_probe
         # per query makes the round-over-round comparison one lookup:
         # if this ratio is flat, the plan didn't change, the box did.
+        # kept as two maps mirroring queries_best / queries_extra_best
+        # (a merged dict would silently prefer the EXTRA measurement if
+        # a name ever appeared in both lists)
         "queries_best_per_cpu_probe": {
             n: (round(v / cpu_probe_s, 2) if v is not None else None)
-            for n, v in {**timings_best, **extra_best}.items()
+            for n, v in timings_best.items()
+        },
+        "queries_extra_best_per_cpu_probe": {
+            n: (round(v / cpu_probe_s, 2) if v is not None else None)
+            for n, v in extra_best.items()
         },
         **({"errors": errors} if errors else {}),
     }

@@ -2046,18 +2046,45 @@ def extract_frames(
                     v = int.from_bytes(b[j + 8 : j + 12], "little")
                     uspf = v if v > 0 else None
                 # stream number = ordinal of its strl LIST in hdrl;
-                # the first strh with fccType 'vids' is the video
-                # stream whose chunks carry the avih frame clock
-                vid_id = None
-                k, ordinal = 0, 0
-                while True:
-                    k = b.find(b"strh", k, hdrl_end)
-                    if k < 0:
-                        break
-                    if b[k + 8 : k + 12] == b"vids" and vid_id is None:
-                        vid_id = b"%02d" % ordinal
-                    ordinal += 1
-                    k += 4
+                # the first strl whose strh has fccType 'vids' is the
+                # video stream whose chunks carry the avih frame
+                # clock. This walks the ACTUAL chunk structure — a raw
+                # byte-find for 'strh' would match stray occurrences
+                # inside junk/INFO data and miscount the ordinal
+                # (self-review r14).
+                def first_vids_stream():
+                    i = 12
+                    while i + 8 <= n:
+                        ckid = b[i : i + 4]
+                        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+                        ltype = b[i + 8 : i + 12]
+                        if ckid == b"LIST" and ltype == b"hdrl":
+                            j = i + 12
+                            hend = min(i + 8 + sz, n)
+                            ordinal = 0
+                            while j + 8 <= hend:
+                                cid = b[j : j + 4]
+                                csz = int.from_bytes(
+                                    b[j + 4 : j + 8], "little"
+                                )
+                                if (
+                                    cid == b"LIST"
+                                    and b[j + 8 : j + 12] == b"strl"
+                                ):
+                                    if (
+                                        b[j + 12 : j + 16] == b"strh"
+                                        and b[j + 20 : j + 24] == b"vids"
+                                    ):
+                                        return b"%02d" % ordinal
+                                    ordinal += 1
+                                j += 8 + csz + (csz & 1)
+                            return None
+                        if ckid == b"LIST" and ltype == b"movi":
+                            return None
+                        i += 8 + sz + (sz & 1)
+                    return None
+
+                vid_id = first_vids_stream()
                 seq = 0
 
                 def walk(i, end):

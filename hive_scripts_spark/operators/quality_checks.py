@@ -36,12 +36,14 @@ accepted_values, range, regex — compute in ONE full-scan aggregate
 rows come out of that single 1-row result via one
 ``explode(array(struct...))`` — NOT a union of k aggregates, which
 would re-scan the table per rule. Each ``unique`` rule adds exactly
-one groupBy exchange on its key; each ``referential`` rule adds one
-left-anti join against the DISTINCT reference keys (broadcastable
-when the dimension is small, shuffle-join otherwise — correctness
-never depends on the broadcast, per the repo's NO_BHJ soak). At 100
-TB: one scan + (number of unique/FK rules) keyed exchanges, report
-output is O(rules) rows.
+one groupBy exchange on its key; each ``referential`` rule adds ONE
+left join against the DISTINCT reference keys whose agg yields both
+n_checked and the orphan count in the same pass (an anti-join for
+violations plus a separate count would scan the table twice;
+broadcastable when the dimension is small, shuffle-join otherwise —
+correctness never depends on the broadcast, per the repo's NO_BHJ
+soak). At 100 TB: one scan + (number of unique/FK rules) keyed
+exchanges, report output is O(rules) rows.
 """
 
 from __future__ import annotations
@@ -74,6 +76,12 @@ def _row_level_exprs(rule: Mapping[str, Any]):
     if kind == "accepted_values":
         return present, present & ~c.isin(list(rule["values"]))
     if kind == "range":
+        if rule.get("lo") is None and rule.get("hi") is None:
+            # a boundless range rule can never fire — a typo'd bound
+            # key would otherwise become a permanently green gate
+            raise ValueError(
+                f"range rule on {rule['col']!r} needs 'lo' and/or 'hi'"
+            )
         bad = F.lit(False)
         if rule.get("lo") is not None:
             bad = bad | (c < F.lit(rule["lo"]))
@@ -162,22 +170,24 @@ def validate_expectations(
             fk = df.select(F.col(col).alias("__fk")).where(
                 F.col("__fk").isNotNull()
             )
-            orphans = fk.join(
-                ref_keys, fk["__fk"] == ref_keys["__refkey"], "left_anti"
-            )
-            checked = fk.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_checked")
-            )
-            bad = orphans.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_violations")
+            # ONE left join + one agg gets both counts in a single
+            # pass over df (an anti-join for violations plus a
+            # separate count agg would scan the table twice)
+            joined = fk.join(
+                ref_keys, fk["__fk"] == ref_keys["__refkey"], "left"
             )
             frames.append(
-                checked.join(bad).select(
+                joined.agg(
                     name.alias("constraint"),
                     F.lit("referential").alias("kind"),
                     F.lit(f"{col}->{rule['ref']}.{ref_col}").alias("column"),
-                    "n_checked",
-                    "n_violations",
+                    F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__refkey").isNull(), 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).cast("bigint").alias("n_violations"),
                 )
             )
         else:

@@ -20,9 +20,13 @@ Scale posture:
   defined inside the closure per the repo's vanilla-pickling rule).
 * **Decompression-bomb caps** (the multimodal posture applied to a
   text container): each gzip member inflates through a bounded
-  ``decompressobj`` loop that stops at ``max_member_bytes``; each
-  record's emitted payload is clipped at ``max_payload_bytes`` with a
-  ``truncated`` flag, so one hostile record cannot OOM an executor.
+  ``decompressobj`` loop capped PER MEMBER at ``max_member_bytes``
+  (a cross-member total would truncate every normal multi-member
+  shard); each record's emitted payload is clipped at
+  ``max_payload_bytes`` with a ``truncated`` flag, and payload bytes
+  beyond the clip are skipped WITHOUT buffering — the record walk is
+  incremental, so peak task memory is O(max_payload), not O(inflated
+  file), and one hostile record cannot OOM an executor.
 * **Corrupt records degrade, never kill** (the ``read_jsonl``
   contract): a malformed header block or short payload ends that
   FILE's walk at the failure point — records already parsed are kept,
@@ -80,107 +84,169 @@ def read_warc(
 
         import pandas as pd
 
-        def gunzip_members(b: bytes):
-            """Concatenated-gzip-member inflate, bomb-capped: feeds
-            ``unconsumed_tail`` back while a member is mid-stream
-            (``unused_data`` only carries bytes AFTER a member ends),
-            stops the whole walk at ``max_member_bytes`` total."""
-            out = bytearray()
-            truncated = False
-            data = b
-            while data[:2] == b"\x1f\x8b" and not truncated:
+        MAX_HEADER = 1 << 20  # a record header block beyond 1 MiB is hostile
+        CHUNK = 1 << 20
+
+        class Walker:
+            """Incremental WARC record parser. Inflated bytes stream
+            through ``feed``; records emit as soon as their header +
+            clipped payload are buffered, and payload bytes beyond
+            ``max_payload_bytes`` are SKIPPED without buffering — peak
+            memory is O(max_payload + max header), never O(file)
+            (self-review r14: the first version inflated the whole
+            file into one buffer, which at a ~4 GB-inflated crawl
+            shard per task is exactly the OOM the caps exist to
+            prevent)."""
+
+            def __init__(self, name):
+                self.name = name
+                self.buf = bytearray()
+                self.skip = 0
+                self.rows = []
+                self.ordinal = 0
+                self.dead = False
+
+            def corrupt(self):
+                if self.dead:
+                    return
+                self.rows.append(
+                    (self.name, self.ordinal, "_corrupt", None, None,
+                     None, None, None,
+                     bytes(self.buf[:max_payload_bytes]), True)
+                )
+                self.buf.clear()
+                self.dead = True
+
+            def feed(self, chunk):
+                if self.dead:
+                    return
+                self.buf += chunk
+                self._drain(final=False)
+
+            def finish(self):
+                if not self.dead:
+                    self._drain(final=True)
+                    if not self.dead and self.buf.strip(b"\r\n"):
+                        self.corrupt()  # non-blank truncated tail
+                return self.rows
+
+            def _drain(self, final):
+                b = self.buf
+                while not self.dead:
+                    if self.skip:
+                        n = min(self.skip, len(b))
+                        del b[:n]
+                        self.skip -= n
+                        if self.skip:
+                            return
+                    i = 0
+                    while b[i : i + 2] == b"\r\n":
+                        i += 2
+                    if i:
+                        del b[:i]
+                    if not b:
+                        return
+                    head = bytes(b[:5])
+                    if len(b) < 5:
+                        if b"WARC/".startswith(head) and not final:
+                            return  # maybe a prefix — wait for more
+                        self.corrupt()
+                        return
+                    if head != b"WARC/":
+                        self.corrupt()
+                        return
+                    hdr_end = b.find(b"\r\n\r\n")
+                    if hdr_end < 0:
+                        if final or len(b) > MAX_HEADER:
+                            self.corrupt()
+                        return
+                    headers = {}
+                    for line in bytes(b[:hdr_end]).split(b"\r\n")[1:]:
+                        k, sep, v = line.partition(b":")
+                        if sep:
+                            headers[k.strip().lower()] = v.strip()
+                    try:
+                        clen = int(headers.get(b"content-length", b""))
+                    except ValueError:
+                        clen = -1
+                    if clen < 0:
+                        self.corrupt()
+                        return
+                    keep = min(clen, max_payload_bytes)
+                    body_start = hdr_end + 4
+                    if len(b) < body_start + keep:
+                        if final:
+                            self.corrupt()
+                        return
+                    payload = bytes(b[body_start : body_start + keep])
+
+                    def h(key):
+                        v = headers.get(key)
+                        return (
+                            v.decode("utf-8", "replace")
+                            if v is not None else None
+                        )
+
+                    self.rows.append(
+                        (
+                            self.name,
+                            self.ordinal,
+                            (h(b"warc-type") or "").lower() or None,
+                            h(b"warc-record-id"),
+                            h(b"warc-target-uri"),
+                            h(b"warc-date"),
+                            h(b"content-type"),
+                            clen,
+                            payload,
+                            clen > keep,
+                        )
+                    )
+                    self.ordinal += 1
+                    del b[: body_start + keep]
+                    self.skip = clen - keep
+
+        def walk_gzip(blob, w):
+            """Per-MEMBER bomb cap (the documented semantics — a
+            cross-member cap would truncate every normal multi-member
+            crawl shard at the cap): a member that inflates past
+            ``max_member_bytes``, or ends mid-stream, quarantines the
+            rest of the file; records already emitted are kept."""
+            data = blob
+            while data[:2] == b"\x1f\x8b" and not w.dead:
                 d = zlib.decompressobj(wbits=31)
+                produced = 0
                 buf = data
+                ok = False
                 try:
                     while True:
-                        budget = max_member_bytes - len(out)
+                        budget = max_member_bytes - produced
                         if budget <= 0:
-                            truncated = True
-                            break
-                        out += d.decompress(buf, budget)
+                            break  # bomb: this member alone broke the cap
+                        out = d.decompress(buf, min(budget, CHUNK))
+                        produced += len(out)
+                        w.feed(out)
                         if d.eof:
+                            ok = True
                             break
                         buf = d.unconsumed_tail
-                        if not buf:
-                            # member ran out of input mid-stream
-                            truncated = True
-                            break
+                        if not buf and not out:
+                            break  # member ran out of input mid-stream
                 except zlib.error:
-                    truncated = True
-                    break
-                if not d.eof:
-                    break
+                    ok = False
+                if not ok:
+                    w.corrupt()
+                    return
                 data = d.unused_data
-            return bytes(out), truncated
+            if data.strip() and not w.dead:
+                w.corrupt()  # trailing non-gzip garbage
 
         def parse_file(name: str, blob: bytes):
-            truncated_inflate = False
+            w = Walker(name)
             if blob[:2] == b"\x1f\x8b":
-                blob, truncated_inflate = gunzip_members(blob)
-            rows = []
-            i, n, ordinal = 0, len(blob), 0
-            while i < n:
-                # skip inter-record CRLFs
-                while i < n and blob[i : i + 2] == b"\r\n":
-                    i += 2
-                if i >= n:
-                    break
-                if not blob.startswith(b"WARC/", i):
-                    rows.append(
-                        (name, ordinal, "_corrupt", None, None, None,
-                         None, None,
-                         blob[i : i + max_payload_bytes], True)
-                    )
-                    break
-                hdr_end = blob.find(b"\r\n\r\n", i)
-                if hdr_end < 0:
-                    rows.append(
-                        (name, ordinal, "_corrupt", None, None, None,
-                         None, None,
-                         blob[i : i + max_payload_bytes], True)
-                    )
-                    break
-                headers = {}
-                for line in blob[i:hdr_end].split(b"\r\n")[1:]:
-                    k, _, v = line.partition(b":")
-                    if _:
-                        headers[k.strip().lower()] = v.strip()
-                try:
-                    clen = int(headers.get(b"content-length", b""))
-                except ValueError:
-                    clen = -1
-                body_start = hdr_end + 4
-                if clen < 0 or body_start + clen > n:
-                    rows.append(
-                        (name, ordinal, "_corrupt", None, None, None,
-                         None, None,
-                         blob[i : i + max_payload_bytes], True)
-                    )
-                    break
-
-                def h(key: bytes):
-                    v = headers.get(key)
-                    return v.decode("utf-8", "replace") if v is not None else None
-
-                payload = blob[body_start : body_start + clen]
-                clipped = len(payload) > max_payload_bytes
-                rows.append(
-                    (
-                        name,
-                        ordinal,
-                        (h(b"warc-type") or "").lower() or None,
-                        h(b"warc-record-id"),
-                        h(b"warc-target-uri"),
-                        h(b"warc-date"),
-                        h(b"content-type"),
-                        clen,
-                        payload[:max_payload_bytes],
-                        clipped or truncated_inflate,
-                    )
-                )
-                ordinal += 1
-                i = body_start + clen
-            return rows
+                walk_gzip(blob, w)
+            else:
+                w.feed(blob)
+            return w.finish()
 
         cols = [
             "source_file", "record_offset", "warc_type", "record_id",

@@ -1837,8 +1837,28 @@ def test_extract_frames_multistream_avi(spark):
     body2 = b"AVI " + hdrl_min + lst(b"movi", movi_min)
     fallback = b"RIFF" + len(body2).to_bytes(4, "little") + body2
 
+    # junk bytes containing 'strh' inside a non-strl hdrl chunk must
+    # not shift the stream ordinal (the strh scan walks the actual
+    # chunk structure, not raw byte-finds)
+    hdrl_junk = lst(
+        b"hdrl",
+        chunk(b"avih", bytes(avih))
+        + chunk(b"JUNK", b"xxstrhxxvidsxx")
+        + strl(b"auds")
+        + strl(b"vids"),
+    )
+    body3 = b"AVI " + hdrl_junk + lst(
+        b"movi",
+        b"".join(
+            chunk(b"00wb", b"\x22" * 8) + chunk(b"01dc", fb)
+            for fb in frames
+        ),
+    )
+    junky = b"RIFF" + len(body3).to_bytes(4, "little") + body3
+
     df = spark.createDataFrame(
-        [(1, two_stream), (2, fallback)], "doc_id long, payload binary"
+        [(1, two_stream), (2, fallback), (3, junky)],
+        "doc_id long, payload binary",
     )
     out = M.extract_frames(df, every_n=1).collect()
     got = {}
@@ -1850,6 +1870,7 @@ def test_extract_frames_multistream_avi(spark):
     want = [(k, k * 40000, md5s[k]) for k in range(3)]
     assert sorted(got[1]) == want  # video chunks only, clean clock
     assert sorted(got[2]) == want  # fallback: first stream only
+    assert sorted(got[3]) == want  # junk 'strh' doesn't shift ordinal
 
 
 def test_extract_frames_ctts_and_corrupt_stts(spark):

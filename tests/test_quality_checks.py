@@ -141,3 +141,31 @@ def test_unknown_kind_raises(spark, frames):
     df, _ = frames
     with pytest.raises(ValueError, match="unknown"):
         validate_expectations(df, [{"kind": "positive", "col": "price"}])
+
+
+def test_boundless_range_raises(spark, frames):
+    """A range rule with neither bound can never fire — a typo'd bound
+    key must fail loudly, not become a permanently green gate."""
+    df, _ = frames
+    with pytest.raises(ValueError, match="needs 'lo'"):
+        validate_expectations(
+            df, [{"kind": "range", "col": "price", "low": 0.0}]
+        )
+
+
+def test_referential_single_pass_and_empty(spark, frames):
+    """The FK report comes from ONE join + agg (no second scan for
+    n_checked), and an empty fact side reports (0, 0, passed)."""
+    df, dim = frames
+    rule = [{"kind": "referential", "col": "fk", "ref": "dim",
+             "ref_col": "key"}]
+    out = validate_expectations(df, rule, refs={"dim": dim})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the fact-side leaf appears once for df, once for the dim frame
+    assert plan.lower().count("logicalrdd") == 2
+    empty = validate_expectations(
+        df.where("id < 0"), rule, refs={"dim": dim}
+    ).collect()[0]
+    assert (empty["n_checked"], empty["n_violations"], empty["passed"]) == (
+        0, 0, True
+    )

@@ -132,6 +132,23 @@ def test_payload_and_member_bomb_caps(spark, tmp_path):
     ).collect()
     assert all(r["truncated"] for r in rows)
 
+    # the cap is PER MEMBER (self-review r14): many normal members
+    # whose TOTAL exceeds the cap must all parse untruncated
+    recs = [
+        _record("response", _http(b"B" * 200_000),
+                uri=f"https://x/{k}", rec_id=f"m{k}")
+        for k in range(12)  # ~2.4 MB inflated total, 1 MiB member cap
+    ]
+    many = b"".join(gzip.compress(r) for r in recs)
+    (tmp_path / "many.warc.gz").write_bytes(many)
+    rows = read_warc(
+        spark, str(tmp_path / "many.warc.gz"),
+        max_member_bytes=1 << 20,
+    ).collect()
+    assert len(rows) == 12
+    assert not any(r["truncated"] for r in rows)
+    assert all(r["warc_type"] == "response" for r in rows)
+
 
 def test_ingest_documents_chain(spark, warc_dir):
     docs = warc_ingest_documents(spark, warc_dir).collect()

@@ -16,7 +16,8 @@ AUDITED = [
     "j2_count_reconcile",
     "a3_table_fingerprint",
     "a4_deterministic_sample",
-    "a4_stratified_sample",
+    # a4_stratified_sample retired from the registry (r14 swap); the
+    # same hash-mod filter shape audits via a4_deterministic_sample
     "q1_pricing_summary",
     "q2_revenue_by_nation",
     "g_q6_forecast_revenue",

@@ -661,6 +661,54 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warc(args: argparse.Namespace) -> int:
+    """WARC/Common Crawl ingest: crawl shards (.warc / .warc.gz,
+    per-record gzip members supported) → HTTP responses → the
+    documents-shaped parquet layout every curation subcommand
+    consumes, with truncated/bomb-capped records counted and corrupt
+    tails quarantined as rows (sources/warc.py contract)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.sources.warc import (
+        read_warc,
+        warc_ingest_documents,
+    )
+
+    spark = get_spark("hive-scripts-spark-warc")
+    docs = warc_ingest_documents(
+        spark, args.input, max_payload_bytes=args.max_payload_bytes
+    )
+    if args.status_ok_only:
+        docs = docs.where(F.col("http_status") == 200)
+    out = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        "uri",
+        "warc_date",
+        "http_status",
+        "truncated",
+        F.length(F.coalesce("text", F.lit(""))).alias("n_chars"),
+    )
+    out.write.mode("overwrite").parquet(f"{args.output}/documents.parquet")
+    written = spark.read.parquet(f"{args.output}/documents.parquet")
+    n_docs = written.count()
+    n_trunc = written.where("truncated").count()
+    # corrupt tails are rows, not files — count them for the report
+    n_corrupt = (
+        read_warc(spark, args.input)
+        .where("warc_type = '_corrupt'")
+        .count()
+    )
+    print(
+        f"wrote {args.output}/documents.parquet: {n_docs} docs"
+        + (f"; {n_trunc} truncated payloads" if n_trunc else "")
+        + (f"; {n_corrupt} corrupt record tails" if n_corrupt else "")
+    )
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """The full training-data production job: curate (dedup →
     optional decontamination → repetition/quality gates → language-ID)
@@ -1161,6 +1209,25 @@ def main(argv: list[str] | None = None) -> int:
         help="DDL schema of the JSONL records (declared = single-pass read)",
     )
     n.set_defaults(fn=cmd_ingest)
+
+    wa = sub.add_parser(
+        "warc",
+        help="WARC/Common Crawl shards -> documents parquet",
+    )
+    wa.add_argument("input", help=".warc/.warc.gz file or shard directory")
+    wa.add_argument("--output", required=True, help="output db directory")
+    wa.add_argument(
+        "--max-payload-bytes",
+        type=int,
+        default=4 * 1024 * 1024,
+        help="per-record payload clip (bomb posture)",
+    )
+    wa.add_argument(
+        "--status-ok-only",
+        action="store_true",
+        help="keep only HTTP 200 responses",
+    )
+    wa.set_defaults(fn=cmd_warc)
 
     e = sub.add_parser(
         "export",

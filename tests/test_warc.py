@@ -150,6 +150,32 @@ def test_payload_and_member_bomb_caps(spark, tmp_path):
     assert all(r["warc_type"] == "response" for r in rows)
 
 
+def test_warc_cli_to_documents(spark, warc_dir, tmp_path, capsys):
+    """`warc` subcommand e2e: shards -> documents parquet in the
+    layout the curation subcommands consume, truncation counted."""
+    from hive_scripts_spark.__main__ import main
+
+    out = tmp_path / "db"
+    rc = main(["warc", warc_dir, "--output", str(out), "--status-ok-only"])
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "documents.parquet"))
+    rows = {r["uri"]: r for r in docs.collect()}
+    assert set(rows) == {
+        "https://example.org/one", "https://example.org/two"
+    }
+    one = rows["https://example.org/one"]
+    assert one["n_chars"] == len("<html>hello page one</html>")
+    assert one["source"] == "example.org"
+    assert "2 docs" in capsys.readouterr().out
+    # the ingested table feeds the chunker directly
+    rc = main(
+        ["chunk", "--db", str(out), "--output", str(tmp_path / "chunks"),
+         "--chunk-tokens", "3", "--overlap", "1"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "chunks")).count() >= 2
+
+
 def test_ingest_documents_chain(spark, warc_dir):
     docs = warc_ingest_documents(spark, warc_dir).collect()
     by_uri = {r["uri"]: r for r in docs}

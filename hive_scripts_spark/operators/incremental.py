@@ -318,3 +318,152 @@ def compact_partition_dir(
     tmp.rename(src)
     shutil.rmtree(old)
     return n_before
+
+
+def merge_upsert(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (upsert, latest-wins) without a table format — the
+    recrawl-refresh step of a corpus pipeline: today's crawl delta
+    replaces yesterday's version of the same key (URL / doc_id), new
+    keys insert, and rows the delta flags via ``delete_col`` drop.
+
+    Semantics: for each key, the surviving row is the CHANGES row when
+    the key appears in changes, else the CURRENT row; among several
+    changes rows for one key the one with the greatest ``order_col``
+    wins. Remaining ties (and the no-``order_col`` multi-version case)
+    break on a hash of the full row — deterministic across runs and
+    engines given identical data, so a delta that should have carried
+    an ``order_col`` degrades reproducibly rather than randomly.
+    ``delete_col`` (boolean column on changes) marks tombstones: the
+    key's current row is suppressed and no new row lands.
+
+    Scale shape: ONE exchange — union the two sides with a provenance
+    flag, one ``row_number`` window over the key — no join (a join
+    form would shuffle both sides anyway and then shuffle again for
+    multi-version dedup). Output column order follows ``current``.
+    At 100 TB the delta is typically ≪ the corpus; the exchange is
+    still corpus-sized, which is what table formats avoid with file
+    pruning — documented trade: this operator is the format-free
+    fallback, correct on plain parquet anywhere.
+    """
+    from pyspark.sql import Window
+
+    if delete_col is not None and delete_col not in changes.columns:
+        raise ValueError(f"changes has no delete column {delete_col!r}")
+    out_cols = list(current.columns)
+    cur = current.select(
+        *out_cols,
+        F.lit(0).alias("__is_change"),
+        F.lit(False).alias("__del"),
+    )
+    chg = changes.select(
+        *out_cols,
+        F.lit(1).alias("__is_change"),
+        (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        ).alias("__del"),
+    )
+    order = [F.col("__is_change").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc_nulls_last())
+    # final tiebreak: full-row hash — reproducible survivor selection
+    # even when several equal-order versions of one key collide
+    order.append(F.xxhash64(*[F.col(c) for c in out_cols]).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ranked = cur.unionByName(chg).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return ranked.where(
+        (F.col("__rn") == 1) & ~F.col("__del")
+    ).select(*out_cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a batch of attribute
+    changes to a history-keeping dimension, closing superseded
+    versions instead of overwriting them (the metadata side of a
+    training corpus — source catalogs, license states, crawl configs —
+    where "what did we believe at training time?" must stay
+    answerable).
+
+    ``dim`` carries (key_cols, attrs..., valid_from, valid_to) with
+    ``valid_to IS NULL`` marking each key's current version;
+    ``changes`` carries (key_cols, attrs..., ts_col). Output:
+
+    * historical (closed) dim rows pass through untouched;
+    * a current dim row whose key receives changes closes at the
+      FIRST incoming change's timestamp;
+    * each change row becomes a version valid from its ``ts_col``
+      until the key's next change (NULL for the newest — multiple
+      changes for one key in one batch chain correctly);
+    * keys without changes keep their open row; brand-new keys insert
+      open-ended chains.
+
+    Scale shape: one window over (key, ts) sequences the incoming
+    changes (lead = next version's start), and one window over key
+    pairs the current dim row with its first successor — both ride
+    the SAME key-partitioned exchange; historical rows never shuffle
+    (they filter out before the union and re-enter with a cheap
+    unionByName). No join against the change stream per row.
+    """
+    from pyspark.sql import Window
+
+    attr_cols = [
+        c for c in dim.columns
+        if c not in (*key_cols, valid_from, valid_to)
+    ]
+    for c in (*key_cols, *attr_cols, ts_col):
+        if c not in changes.columns:
+            raise ValueError(f"changes is missing column {c!r}")
+
+    closed = dim.where(F.col(valid_to).isNotNull())
+    open_rows = dim.where(F.col(valid_to).isNull())
+
+    # sequence the incoming versions per key: each runs until the next
+    chg = changes.select(
+        *key_cols, *attr_cols, F.col(ts_col).alias(valid_from)
+    ).withColumn(
+        valid_to,
+        F.lead(valid_from).over(
+            Window.partitionBy(*key_cols).orderBy(valid_from)
+        ),
+    ).select(*key_cols, *attr_cols, valid_from, valid_to)
+
+    # close each key's open row at its first incoming change (keys
+    # with no change keep valid_to NULL via the min-over-empty = NULL)
+    first_change = F.min(
+        F.when(F.col("__src") == 1, F.col(valid_from))
+    ).over(Window.partitionBy(*key_cols))
+    stacked = open_rows.select(
+        *key_cols, *attr_cols, valid_from, valid_to,
+        F.lit(0).alias("__src"),
+    ).unionByName(
+        chg.select(
+            *key_cols, *attr_cols, valid_from, valid_to,
+            F.lit(1).alias("__src"),
+        )
+    )
+    adjusted = stacked.withColumn(
+        valid_to,
+        F.when(F.col("__src") == 0, first_change).otherwise(
+            F.col(valid_to)
+        ),
+    ).select(*key_cols, *attr_cols, valid_from, valid_to)
+
+    return closed.select(
+        *key_cols, *attr_cols, valid_from, valid_to
+    ).unionByName(adjusted)

@@ -376,10 +376,25 @@ def test_temperature_weights_replay_property(spark, toks):
     """The whole weights chain (share → sqrt → 6dp round → decimal sum
     → weight → upsample) must replay in pure python for ANY token
     distribution — the cross-engine determinism contract the DuckDB
-    oracle relies on."""
-    from decimal import Decimal
+    oracle relies on.
+
+    The replay must round HALF-UP on the double's shortest repr
+    (Java BigDecimal.valueOf + setScale(6, HALF_UP) — what Spark's
+    round() and DuckDB's round() both do); Python's builtin round is
+    half-to-EVEN and diverges on exact .5 ties (hypothesis found
+    toks=[1, 2]: upsample 0.8786805 → engines 0.878681, builtin
+    0.87868 — the engines agreed with each other, the old replay was
+    the odd one out)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     from hive_scripts_spark.functions.canonical import temperature_weights
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
     agg = spark.createDataFrame(
         [(f"s{i}", 1, int(t)) for i, t in enumerate(toks)],
@@ -389,13 +404,13 @@ def test_temperature_weights_replay_property(spark, toks):
 
     total = sum(toks)
     share = {f"s{i}": t / float(total) for i, t in enumerate(toks)}
-    sqrt_r = {s: Decimal(str(round(v ** 0.5, 6))) for s, v in share.items()}
+    sqrt_r = {s: Decimal(str(r6(v ** 0.5))) for s, v in share.items()}
     denom = float(sum(sqrt_r.values()))
     for s, v in share.items():
-        w = round(float(sqrt_r[s]) / denom, 6)
-        assert got[s]["token_share"] == round(v, 6), s
+        w = r6(float(sqrt_r[s]) / denom)
+        assert got[s]["token_share"] == r6(v), s
         assert got[s]["sample_weight"] == w, s
-        assert got[s]["upsample_factor"] == round(w / v, 6), s
+        assert got[s]["upsample_factor"] == r6(w / v), s
 
 
 @SMALL

@@ -516,6 +516,113 @@ def chunk_documents(
     )
 
 
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document HTML→text extraction — the step between a crawl
+    body (``sources/warc.split_http``) and the documents table the
+    text pipeline consumes. stdlib ``html.parser`` (tag-soup tolerant,
+    entities decoded), no third-party dependency:
+
+    * ``script`` / ``style`` / ``noscript`` / ``template`` / ``head``
+      subtrees drop entirely (markup plumbing, not content);
+    * block-level boundaries (``p div li tr h1..h6 br section article
+      header footer table ul ol blockquote pre``) become newlines, so
+      downstream line-granular operators (``dedup_lines``,
+      ``strip_boilerplate``) see the page's visual line structure;
+    * whitespace collapses per line, blank lines drop;
+    * the first ``<title>`` text lands in its own column, and
+      ``n_links`` counts anchors (a standard page-quality signal —
+      link farms score high).
+
+    Returns ``(id_col, title, text, n_links)``; unparseable payloads
+    degrade to NULL text (the multimodal decode contract), never
+    fail the job. Map-only Arrow batches — zero shuffle at any corpus
+    size; helpers live inside the closure (vanilla-pickling rule).
+    """
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, title string, "
+        "text string, n_links int"
+    )
+
+    def extract(batches):
+        import pandas as pd
+        from html.parser import HTMLParser
+
+        DROP = {"script", "style", "noscript", "template", "head"}
+        BLOCK = {
+            "p", "div", "li", "tr", "br", "h1", "h2", "h3", "h4", "h5",
+            "h6", "section", "article", "header", "footer", "table",
+            "ul", "ol", "blockquote", "pre",
+        }
+
+        class Extractor(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts = []
+                self.title_parts = []
+                self.drop_depth = 0
+                self.in_title = False
+                self.n_links = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in DROP:
+                    self.drop_depth += 1
+                elif tag == "title":
+                    self.in_title = True
+                elif tag == "a":
+                    self.n_links += 1
+                if tag in BLOCK:
+                    self.parts.append("\n")
+
+            def handle_endtag(self, tag):
+                if tag in DROP and self.drop_depth:
+                    self.drop_depth -= 1
+                elif tag == "title":
+                    self.in_title = False
+                if tag in BLOCK:
+                    self.parts.append("\n")
+
+            def handle_data(self, data):
+                # title wins over the drop guard: <title> lives inside
+                # <head>, which is itself a dropped subtree
+                if self.in_title:
+                    self.title_parts.append(data)
+                elif not self.drop_depth:
+                    self.parts.append(data)
+
+        def one(html):
+            if html is None:
+                return None, None, None
+            try:
+                ex = Extractor()
+                ex.feed(str(html))
+                ex.close()
+                lines = [
+                    " ".join(ln.split())
+                    for ln in "".join(ex.parts).split("\n")
+                ]
+                text = "\n".join(ln for ln in lines if ln)
+                title = " ".join("".join(ex.title_parts).split()) or None
+                return title, text, ex.n_links
+            except Exception:  # noqa: BLE001 — degrade, never fail
+                return None, None, None
+
+        for pdf in batches:
+            trip = [one(v) for v in pdf[html_col]]
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            out["title"] = [t[0] for t in trip]
+            out["text"] = [t[1] for t in trip]
+            out["n_links"] = pd.array(
+                [t[2] for t in trip], dtype="Int32"
+            )
+            yield out
+
+    return df.select(id_col, html_col).mapInPandas(extract, out_schema)
+
+
 def bigram_logprob_score(
     df: DataFrame,
     k: float = 0.5,

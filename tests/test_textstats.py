@@ -555,3 +555,58 @@ def test_compression_signal(spark):
     )
     # the signal separates: templated text compresses far better
     assert out[0]["compression_ratio"] > 3 * out[1]["compression_ratio"]
+
+
+def test_html_to_text_extraction(spark):
+    """HTML→text: scripts/styles drop, entities decode, block tags
+    become line boundaries, title and link count extract, tag soup
+    degrades instead of failing."""
+    from hive_scripts_spark.operators import textstats as X
+
+    page = (
+        "<html><head><title>My  Page</title>"
+        "<style>body { color: red }</style></head>"
+        "<body><h1>Header</h1>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<p>First&nbsp;para with <a href='/x'>a link</a> &amp; more</p>"
+        "<div>Second<br>block</div>"
+        "<noscript>enable js</noscript>"
+        "</body></html>"
+    )
+    soup = "<div><p>unclosed <b>bold <a href='y'>link"
+    df = spark.createDataFrame(
+        [(1, page), (2, soup), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in X.html_to_text(df).collect()}
+    assert out[1]["title"] == "My Page"
+    # &nbsp; decodes to U+00A0, which the whitespace collapse folds
+    # into a plain space like any other whitespace
+    assert out[1]["text"].split("\n") == [
+        "Header",
+        "First para with a link & more",
+        "Second",
+        "block",
+    ]
+    assert out[1]["n_links"] == 1
+    assert out[2]["text"] == "unclosed bold link"
+    assert out[2]["n_links"] == 1
+    assert out[3]["text"] is None and out[3]["n_links"] is None
+
+
+def test_html_to_text_chains_from_warc(spark, tmp_path):
+    """The full crawl chain: WARC shard -> HTTP split -> HTML body ->
+    extracted text ready for the documents pipeline."""
+    import gzip
+
+    from hive_scripts_spark.sources.warc import warc_ingest_documents
+    from hive_scripts_spark.operators import textstats as X
+    from tests.test_warc import _http, _record
+
+    body = b"<html><title>T</title><p>real content here</p></html>"
+    rec = _record("response", _http(body), uri="https://x/p", rec_id="c1")
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(rec))
+    docs = warc_ingest_documents(spark, str(tmp_path))
+    out = X.html_to_text(docs).collect()
+    assert len(out) == 1
+    assert out[0]["title"] == "T"
+    assert out[0]["text"] == "real content here"

@@ -675,8 +675,18 @@ def cmd_warc(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark("hive-scripts-spark-warc")
-    docs = warc_ingest_documents(
+    # ONE parse feeds the ingest AND the corrupt count (the cmd_ingest
+    # lesson — re-reading the shard set for a log line doubles the
+    # job), and the count sees the SAME cap as the ingest (corrupt
+    # classification depends on max_payload_bytes)
+    recs = read_warc(
         spark, args.input, max_payload_bytes=args.max_payload_bytes
+    ).cache()
+    docs = warc_ingest_documents(
+        spark,
+        args.input,
+        max_payload_bytes=args.max_payload_bytes,
+        records=recs,
     )
     if args.status_ok_only:
         docs = docs.where(F.col("http_status") == 200)
@@ -696,11 +706,8 @@ def cmd_warc(args: argparse.Namespace) -> int:
     n_docs = written.count()
     n_trunc = written.where("truncated").count()
     # corrupt tails are rows, not files — count them for the report
-    n_corrupt = (
-        read_warc(spark, args.input)
-        .where("warc_type = '_corrupt'")
-        .count()
-    )
+    n_corrupt = recs.where("warc_type = '_corrupt'").count()
+    recs.unpersist()
     print(
         f"wrote {args.output}/documents.parquet: {n_docs} docs"
         + (f"; {n_trunc} truncated payloads" if n_trunc else "")

@@ -356,6 +356,16 @@ def merge_upsert(
     if delete_col is not None and delete_col not in changes.columns:
         raise ValueError(f"changes has no delete column {delete_col!r}")
     out_cols = list(current.columns)
+    missing = [c for c in out_cols if c not in changes.columns]
+    if missing:
+        # a partial delta (keys + changed columns only) is the likely
+        # misuse — fail with the column list, not a deep
+        # AnalysisException from the select below
+        raise ValueError(
+            "changes must carry every column of current; missing: "
+            f"{missing} (project the unchanged columns in, or join the "
+            "delta against current first)"
+        )
     cur = current.select(
         *out_cols,
         F.lit(0).alias("__is_change"),
@@ -409,9 +419,19 @@ def scd2_apply(
       FIRST incoming change's timestamp;
     * each change row becomes a version valid from its ``ts_col``
       until the key's next change (NULL for the newest — multiple
-      changes for one key in one batch chain correctly);
+      changes for one key in one batch chain correctly; equal-``ts``
+      changes for one key tie-break on an attribute hash, so a
+      degenerate batch degrades reproducibly, not randomly);
     * keys without changes keep their open row; brand-new keys insert
       open-ended chains.
+
+    Precondition (documented, and clamped rather than corrupted):
+    changes must not PREdate the key's open row — SCD2 ``apply`` is an
+    append operation, and a late-arriving change belongs in a history
+    REBUILD, not an apply. If it happens anyway, the open row closes
+    at its own ``valid_from`` (a zero-length version — visible in the
+    output) instead of producing an inverted ``valid_to < valid_from``
+    interval that point-in-time queries would silently drop.
 
     Scale shape: one window over (key, ts) sequences the incoming
     changes (lead = next version's start), and one window over key
@@ -433,13 +453,18 @@ def scd2_apply(
     closed = dim.where(F.col(valid_to).isNotNull())
     open_rows = dim.where(F.col(valid_to).isNull())
 
-    # sequence the incoming versions per key: each runs until the next
+    # sequence the incoming versions per key: each runs until the next.
+    # The attr-hash tiebreak makes equal-ts batches reproducible (the
+    # merge_upsert degradation contract).
     chg = changes.select(
         *key_cols, *attr_cols, F.col(ts_col).alias(valid_from)
     ).withColumn(
         valid_to,
         F.lead(valid_from).over(
-            Window.partitionBy(*key_cols).orderBy(valid_from)
+            Window.partitionBy(*key_cols).orderBy(
+                F.col(valid_from),
+                F.xxhash64(*[F.col(c) for c in attr_cols]),
+            )
         ),
     ).select(*key_cols, *attr_cols, valid_from, valid_to)
 
@@ -457,11 +482,18 @@ def scd2_apply(
             F.lit(1).alias("__src"),
         )
     )
+    # clamp: a late-arriving change (ts before the open row's
+    # valid_from) must not invert the interval — see docstring. The
+    # isNotNull guard matters: Spark's greatest() SKIPS nulls, so an
+    # unguarded clamp would close untouched open rows (first_change
+    # NULL) at their own valid_from.
+    close_at = F.when(
+        first_change.isNotNull(),
+        F.greatest(first_change, F.col(valid_from)),
+    )
     adjusted = stacked.withColumn(
         valid_to,
-        F.when(F.col("__src") == 0, first_change).otherwise(
-            F.col(valid_to)
-        ),
+        F.when(F.col("__src") == 0, close_at).otherwise(F.col(valid_to)),
     ).select(*key_cols, *attr_cols, valid_from, valid_to)
 
     return closed.select(

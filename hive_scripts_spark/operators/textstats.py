@@ -553,9 +553,10 @@ def html_to_text(
 
         DROP = {"script", "style", "noscript", "template", "head"}
         BLOCK = {
-            "p", "div", "li", "tr", "br", "h1", "h2", "h3", "h4", "h5",
-            "h6", "section", "article", "header", "footer", "table",
-            "ul", "ol", "blockquote", "pre",
+            "p", "div", "li", "tr", "td", "th", "dt", "dd", "br",
+            "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+            "header", "footer", "table", "ul", "ol", "blockquote",
+            "pre",
         }
 
         class Extractor(HTMLParser):
@@ -568,11 +569,23 @@ def html_to_text(
                 self.n_links = 0
 
             def handle_starttag(self, tag, attrs):
+                # title is RCDATA — it cannot legally contain tags, so
+                # ANY start tag ends an unclosed <title> (tag-soup
+                # guard: otherwise the whole page routes into title)
+                if self.in_title and tag != "title":
+                    self.in_title = False
+                if tag == "body":
+                    # <body> implicitly closes an unclosed <head> (the
+                    # browser rule) — without this, tag soup that never
+                    # writes </head> would drop the entire page
+                    self.drop_depth = 0
                 if tag in DROP:
                     self.drop_depth += 1
                 elif tag == "title":
                     self.in_title = True
-                elif tag == "a":
+                elif tag == "a" and not self.drop_depth:
+                    # links inside dropped subtrees aren't content the
+                    # reader sees — don't inflate the quality signal
                     self.n_links += 1
                 if tag in BLOCK:
                     self.parts.append("\n")
@@ -591,7 +604,13 @@ def html_to_text(
                 if self.in_title:
                     self.title_parts.append(data)
                 elif not self.drop_depth:
-                    self.parts.append(data)
+                    # source-formatting line wraps are NOT page line
+                    # structure — only BLOCK tags emit '\n', so the
+                    # line-granular operators downstream see element
+                    # boundaries, not where the author's editor wrapped
+                    self.parts.append(
+                        data.replace("\n", " ").replace("\r", " ")
+                    )
 
         def one(html):
             if html is None:

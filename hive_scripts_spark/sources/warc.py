@@ -314,14 +314,26 @@ def warc_ingest_documents(
     spark: SparkSession,
     path: str,
     max_payload_bytes: int = 4 * 1024 * 1024,
+    records: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end crawl→documents chain: WARC records → HTTP
     responses → UTF-8 text bodies keyed by URI, in the documents-table
     shape (doc_id via a stable hash of record id, source = host).
     Text extraction here is the honest byte→utf8 step; HTML boilerplate
-    removal chains through ``textstats.strip_boilerplate`` downstream.
+    removal chains through ``textstats.html_to_text`` /
+    ``strip_boilerplate`` downstream.
+
+    Pass ``records`` (a — typically cached — :func:`read_warc` result)
+    to reuse one parse for several consumers (the ``warc`` CLI counts
+    corrupt tails from the SAME read it ingests from — re-parsing a
+    shard set for a log line would double the job, the ``cmd_ingest``
+    lesson).
     """
-    recs = read_warc(spark, path, max_payload_bytes=max_payload_bytes)
+    recs = (
+        records
+        if records is not None
+        else read_warc(spark, path, max_payload_bytes=max_payload_bytes)
+    )
     resp = split_http(recs.where(F.col("warc_type") == "response"))
     return resp.select(
         F.xxhash64("record_id").alias("doc_id"),

@@ -384,3 +384,54 @@ def test_scd2_missing_change_column_raises(spark):
     bad = spark.createDataFrame([("k1", 1)], "key string, effective_ts int")
     with pytest.raises(ValueError, match="missing column"):
         scd2_apply(dim, bad, ["key"])
+
+
+def test_merge_upsert_partial_delta_raises(spark):
+    from hive_scripts_spark.operators.incremental import merge_upsert
+
+    current = spark.createDataFrame(
+        [(1, "a", 10)], "id int, text string, crawl_ts int"
+    )
+    partial = spark.createDataFrame([(1, "b")], "id int, text string")
+    with pytest.raises(ValueError, match=r"missing: \['crawl_ts'\]"):
+        merge_upsert(current, partial, ["id"])
+
+
+def test_scd2_equal_ts_deterministic_and_late_change_clamped(spark):
+    """Self-review r14: equal-ts changes for one key chain in a
+    reproducible order (attr-hash tiebreak), and a late-arriving
+    change closes the open row at its own valid_from (zero-length
+    version) instead of inverting the interval."""
+    from hive_scripts_spark.operators.incremental import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("k1", "x", 20, None)],
+        "key string, attr string, valid_from int, valid_to int",
+    )
+    equal_ts = spark.createDataFrame(
+        [("k1", "a", 30), ("k1", "b", 30)],
+        "key string, attr string, effective_ts int",
+    )
+    outs = {
+        tuple(sorted(
+            (r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_apply(dim, equal_ts, ["key"]).collect()
+        ))
+        for _ in range(3)
+    }
+    assert len(outs) == 1  # reproducible across runs
+    rows = list(outs)[0]
+    open_rows = [r for r in rows if r[2] is None]
+    assert len(open_rows) == 1  # exactly one survivor stays open
+
+    late = spark.createDataFrame(
+        [("k1", "early", 10)], "key string, attr string, effective_ts int"
+    )
+    got = sorted(
+        (r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(dim, late, ["key"]).collect()
+    )
+    # no inverted interval anywhere; the open row closed at its own
+    # valid_from (zero-length, visible), the late chain stays open
+    assert all(vt is None or vt >= vf for _, vf, vt in got)
+    assert ("x", 20, 20) in got and ("early", 10, None) in got

@@ -610,3 +610,30 @@ def test_html_to_text_chains_from_warc(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["title"] == "T"
     assert out[0]["text"] == "real content here"
+
+
+def test_html_to_text_soup_guards(spark):
+    """Self-review r14 guards: unclosed <title> must not swallow the
+    page; td/th are word boundaries; source line wraps are not page
+    lines; links in dropped subtrees don't count."""
+    from hive_scripts_spark.operators import textstats as X
+
+    cases = [
+        # unclosed title (no </title>) — common tag soup
+        (1, "<head><title>Foo<body><p>page text</p>"),
+        # table cells must not concatenate into 'Name42'
+        (2, "<table><tr><td>Name</td><td>42</td></tr></table>"),
+        # author's editor wrapped the paragraph: one page line
+        (3, "<p>hello\nworld</p>"),
+        # noscript link is not reader-visible content
+        (4, "<noscript><a href='x'>enable</a></noscript>"
+            "<p>body <a href='y'>real</a></p>"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.html_to_text(df).collect()}
+    assert out[1]["title"] == "Foo"
+    assert out[1]["text"] == "page text"
+    assert out[2]["text"].split("\n") == ["Name", "42"]
+    assert out[3]["text"] == "hello world"
+    assert out[4]["n_links"] == 1
+    assert out[4]["text"] == "body real"

@@ -193,3 +193,30 @@ def test_ingest_documents_chain(spark, warc_dir):
         for r in warc_ingest_documents(spark, warc_dir).collect()
     }
     assert again == {u: r["doc_id"] for u, r in by_uri.items()}
+
+
+def test_warc_cli_corrupt_count_respects_cap(spark, tmp_path, capsys):
+    """Self-review r14: the CLI's corrupt-tail count comes from the
+    SAME read (and cap) as the ingest — a record whose tail parses
+    under a small payload clip must not be double-reported corrupt by
+    a second default-cap pass."""
+    from hive_scripts_spark.__main__ import main
+
+    good = _record("response", _http(b"ok"), uri="https://x/a", rec_id="g")
+    # declares an 8 KiB body but the file ends after 1000 bytes of it:
+    # under a 512 B clip the record parses (clipped); under the default
+    # 4 MiB cap it would classify corrupt
+    partial = _record("response", _http(b"B" * 8192),
+                      uri="https://x/b", rec_id="p")
+    cut = good + partial[: len(partial) - (8192 - 1000) - 4]
+    (tmp_path / "cut.warc").write_bytes(cut)
+    out = tmp_path / "db"
+    rc = main([
+        "warc", str(tmp_path / "cut.warc"), "--output", str(out),
+        "--max-payload-bytes", "512",
+    ])
+    assert rc == 0
+    report = capsys.readouterr().out
+    assert "2 docs" in report
+    assert "corrupt record tails" not in report
+    assert "truncated" in report  # the clipped record is flagged

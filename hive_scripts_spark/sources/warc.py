@@ -74,6 +74,18 @@ def read_warc(
     members stopped at ``max_member_bytes``.
     """
     raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInPandas(
+        _build_parse(max_payload_bytes, max_member_bytes), WARC_SCHEMA
+    )
+
+
+def _build_parse(max_payload_bytes: int, max_member_bytes: int):
+    """Factory for the record-parse closure shared by :func:`read_warc`
+    and :func:`read_warc_stream`. The returned function is NESTED (its
+    qualname carries ``<locals>``), so cloudpickle serializes it BY
+    VALUE — a module-level parse function would pickle by reference
+    and die with ModuleNotFoundError on the driver's vanilla workers
+    (verify-gates rule)."""
 
     def parse(batches):
         # EVERYTHING needed on the executor is defined inside this
@@ -259,7 +271,36 @@ def read_warc(
                 out.extend(parse_file(name, bytes(blob)))
             yield pd.DataFrame(out, columns=cols)
 
-    return raw.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return parse
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    max_payload_bytes: int = 4 * 1024 * 1024,
+    max_member_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — a file-source stream over
+    a landing directory of crawl shards, one parsed record row per
+    WARC record as shards ARRIVE (the continuous-ingest shape: the
+    crawler drops ``.warc.gz`` files, Structured Streaming discovers
+    and parses them exactly once per the file-source contract).
+
+    The parse is the SAME stateless ``mapInPandas`` as batch, so each
+    discovered file yields byte-identical rows to a batch read of that
+    file (parity-pinned in ``tests/test_warc.py``) — append mode, no
+    watermark, no state store. Downstream: ``split_http`` and the
+    documents projection are stateless too and chain unchanged;
+    cross-shard dedup composes via ``streaming.stateful`` keyed state,
+    the curation split documented in ``streaming/curation.py``.
+    """
+    raw = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    ).load(path)
+    return raw.select("path", "content").mapInPandas(
+        _build_parse(max_payload_bytes, max_member_bytes), WARC_SCHEMA
+    )
 
 
 def split_http(df: DataFrame, payload_col: str = "payload") -> DataFrame:

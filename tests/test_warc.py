@@ -220,3 +220,40 @@ def test_warc_cli_corrupt_count_respects_cap(spark, tmp_path, capsys):
     assert "2 docs" in report
     assert "corrupt record tails" not in report
     assert "truncated" in report  # the clipped record is flagged
+
+
+def test_read_warc_stream_matches_batch(spark, warc_dir, tmp_path):
+    """Streaming twin parity: an availableNow pass over the landing
+    directory yields exactly the batch read's rows (same parse
+    closure, stateless — the streaming.curation contract)."""
+    from hive_scripts_spark.sources.warc import read_warc_stream
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_warc_stream(spark, warc_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def digest(df):
+        return sorted(
+            (
+                r["source_file"].rsplit("/", 1)[-1],
+                r["record_offset"],
+                r["warc_type"],
+                r["record_id"],
+                r["content_length"],
+                bytes(r["payload"]) if r["payload"] is not None else None,
+                r["truncated"],
+            )
+            for r in df.collect()
+        )
+
+    streamed = digest(spark.read.parquet(out_dir))
+    batch = digest(read_warc(spark, warc_dir))
+    assert streamed == batch and len(streamed) == 6

@@ -703,10 +703,19 @@ def cmd_warc(args: argparse.Namespace) -> int:
     )
     out.write.mode("overwrite").parquet(f"{args.output}/documents.parquet")
     written = spark.read.parquet(f"{args.output}/documents.parquet")
-    n_docs = written.count()
-    n_trunc = written.where("truncated").count()
-    # corrupt tails are rows, not files — count them for the report
-    n_corrupt = recs.where("warc_type = '_corrupt'").count()
+    # one aggregate returns both report numbers (two counts = two scans)
+    n_docs, n_trunc = written.agg(
+        F.count(F.lit(1)),
+        F.coalesce(F.sum(F.col("truncated").cast("int")), F.lit(0)),
+    ).collect()[0]
+    # corrupt tails are rows, not files — count AND preserve them (the
+    # cmd_ingest quarantine contract: damaged input stays inspectable)
+    corrupt = recs.where("warc_type = '_corrupt'")
+    n_corrupt = corrupt.count()
+    if n_corrupt:
+        corrupt.select(
+            "source_file", "record_offset", "payload"
+        ).write.mode("overwrite").parquet(f"{args.output}/_quarantine")
     recs.unpersist()
     print(
         f"wrote {args.output}/documents.parquet: {n_docs} docs"

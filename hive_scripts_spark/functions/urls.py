@@ -45,12 +45,13 @@ TRACKING_PARAMS = (
 )
 
 _URL_RE = (
-    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"  # 1 scheme
-    r"(?:[^/?#@]*@)?"                  # userinfo (dropped)
-    r"([^/?#:]*)(?::([0-9]+))?"        # 2 host, 3 port
-    r"([^?#]*)"                        # 4 path
-    r"(?:\?([^#]*))?"                  # 5 query
-    r"(?:#.*)?$"                       # fragment (dropped)
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"   # 1 scheme
+    r"(?:[^/?#@]*@)?"                   # userinfo (dropped)
+    r"(\[[^\]/?#]*\]|[^/?#:]*)"         # 2 host ([IPv6] or reg-name)
+    r"(?::([0-9]+))?"                   # 3 port
+    r"([^?#]*)"                         # 4 path
+    r"(?:\?([^#]*))?"                   # 5 query
+    r"(?:#.*)?$"                        # fragment (dropped)
 )
 
 
@@ -124,15 +125,21 @@ _TWO_LEVEL_SUFFIXES = (
 def url_registered_domain(col: Column | str) -> Column:
     """The registrable domain (eTLD+1 approximation): last two host
     labels, or last THREE when the last two are a known two-level
-    public suffix (``a.b.co.uk`` → ``b.co.uk``). Per-host grouping key
-    for crawl politeness / per-site quotas."""
+    public suffix (``a.b.co.uk`` → ``b.co.uk``). IP-literal hosts
+    (IPv4 dotted quads, bracketed IPv6) have no registrable domain —
+    they return whole, one quota bucket per address, not per last-two
+    octets. Per-host grouping key for crawl politeness / per-site
+    quotas."""
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
     two_level = last2.isin(*_TWO_LEVEL_SUFFIXES)
+    ip_literal = host.rlike(r"^(\d{1,3}\.){3}\d{1,3}$") | host.startswith(
+        "["
+    )
     return (
-        F.when(n <= 2, host)
+        F.when(ip_literal | (n <= 2), host)
         .when(two_level & (n >= 3), F.array_join(F.slice(labels, n - 2, 3), "."))
         .otherwise(last2)
     )

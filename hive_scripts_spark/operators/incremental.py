@@ -356,6 +356,15 @@ def merge_upsert(
     if delete_col is not None and delete_col not in changes.columns:
         raise ValueError(f"changes has no delete column {delete_col!r}")
     out_cols = list(current.columns)
+    if order_col is not None and order_col not in out_cols:
+        # the window orders the UNION, so the version column must
+        # exist on current too (a delta-only crawl_ts would be dropped
+        # by the projection and die in an opaque AnalysisException) —
+        # a corpus without one adds a constant/epoch column first
+        raise ValueError(
+            f"order_col {order_col!r} must be a column of current "
+            "(the latest-wins window orders the union of both sides)"
+        )
     missing = [c for c in out_cols if c not in changes.columns]
     if missing:
         # a partial delta (keys + changed columns only) is the likely
@@ -383,9 +392,13 @@ def merge_upsert(
     order = [F.col("__is_change").desc()]
     if order_col is not None:
         order.append(F.col(order_col).desc_nulls_last())
-    # final tiebreak: full-row hash — reproducible survivor selection
-    # even when several equal-order versions of one key collide
-    order.append(F.xxhash64(*[F.col(c) for c in out_cols]).desc())
+    # final tiebreak: full-row hash INCLUDING the tombstone flag —
+    # reproducible survivor selection even when several equal-order
+    # versions of one key collide (a delete + re-insert of identical
+    # data would otherwise tie on every sort key and flip per shuffle)
+    order.append(
+        F.xxhash64(*[F.col(c) for c in out_cols], F.col("__del")).desc()
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     ranked = cur.unionByName(chg).withColumn(
         "__rn", F.row_number().over(w)

@@ -566,6 +566,7 @@ def html_to_text(
                 self.title_parts = []
                 self.drop_depth = 0
                 self.in_title = False
+                self.title_done = False
                 self.n_links = 0
 
             def handle_starttag(self, tag, attrs):
@@ -574,6 +575,7 @@ def html_to_text(
                 # guard: otherwise the whole page routes into title)
                 if self.in_title and tag != "title":
                     self.in_title = False
+                    self.title_done = True
                 if tag == "body":
                     # <body> implicitly closes an unclosed <head> (the
                     # browser rule) — without this, tag soup that never
@@ -581,7 +583,10 @@ def html_to_text(
                     self.drop_depth = 0
                 if tag in DROP:
                     self.drop_depth += 1
-                elif tag == "title":
+                elif tag == "title" and not self.title_done:
+                    # only the FIRST title element is the document
+                    # title — later <title>s (inline-SVG icon labels)
+                    # are body content, not metadata
                     self.in_title = True
                 elif tag == "a" and not self.drop_depth:
                     # links inside dropped subtrees aren't content the
@@ -593,8 +598,9 @@ def html_to_text(
             def handle_endtag(self, tag):
                 if tag in DROP and self.drop_depth:
                     self.drop_depth -= 1
-                elif tag == "title":
+                elif tag == "title" and self.in_title:
                     self.in_title = False
+                    self.title_done = True
                 if tag in BLOCK:
                     self.parts.append("\n")
 

@@ -376,11 +376,14 @@ def warc_ingest_documents(
         else read_warc(spark, path, max_payload_bytes=max_payload_bytes)
     )
     resp = split_http(recs.where(F.col("warc_type") == "response"))
+    from hive_scripts_spark.functions.urls import url_host
+
     return resp.select(
         F.xxhash64("record_id").alias("doc_id"),
-        F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1).alias(
-            "source"
-        ),
+        # the shared host extractor (case-folded, userinfo/port
+        # stripped) — a second hand-rolled host regex here would split
+        # one site across several per-source keys
+        url_host("target_uri").alias("source"),
         F.col("target_uri").alias("uri"),
         F.col("warc_date"),
         F.col("http_status"),

@@ -435,3 +435,30 @@ def test_scd2_equal_ts_deterministic_and_late_change_clamped(spark):
     # valid_from (zero-length, visible), the late chain stays open
     assert all(vt is None or vt >= vf for _, vf, vt in got)
     assert ("x", 20, 20) in got and ("early", 10, None) in got
+
+
+def test_merge_upsert_order_col_validated_and_del_tie_deterministic(spark):
+    from hive_scripts_spark.operators.incremental import merge_upsert
+
+    current = spark.createDataFrame([(1, "a")], "id int, text string")
+    with pytest.raises(ValueError, match="order_col"):
+        merge_upsert(current, current, ["id"], order_col="crawl_ts")
+
+    # tombstone + re-insert of IDENTICAL data at equal order: the
+    # survivor is arbitrary by contract but must be REPRODUCIBLE
+    changes = spark.createDataFrame(
+        [(1, "a", False), (1, "a", True)],
+        "id int, text string, deleted boolean",
+    )
+    outcomes = {
+        tuple(
+            sorted(
+                tuple(r)
+                for r in merge_upsert(
+                    current, changes, ["id"], delete_col="deleted"
+                ).collect()
+            )
+        )
+        for _ in range(3)
+    }
+    assert len(outcomes) == 1

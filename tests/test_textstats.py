@@ -637,3 +637,20 @@ def test_html_to_text_soup_guards(spark):
     assert out[3]["text"] == "hello world"
     assert out[4]["n_links"] == 1
     assert out[4]["text"] == "body real"
+
+
+def test_html_first_title_only(spark):
+    """Only the FIRST <title> is document metadata — inline-SVG icon
+    labels are body content and must not pollute the title or vanish
+    from the text."""
+    from hive_scripts_spark.operators import textstats as X
+
+    page = (
+        "<title>Home</title><body>"
+        "<svg><title>menu icon</title></svg><p>content</p>"
+    )
+    out = X.html_to_text(
+        spark.createDataFrame([(1, page)], "doc_id long, text string")
+    ).collect()[0]
+    assert out["title"] == "Home"
+    assert "menu icon" in out["text"] and "content" in out["text"]

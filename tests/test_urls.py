@@ -104,3 +104,29 @@ def test_canonical_url_stays_jvm_side(spark):
     # the array-HOF lambdas opt the projection out of whole-stage
     # fusion, but it is still ONE JVM-side Project over the scan
     assert "Project" in plan
+
+
+def test_ip_literal_hosts(spark):
+    """IP-literal hosts: bracketed IPv6 parses whole (not cut at the
+    first ':'), and neither v4 nor v6 literals get eTLD+1 chopped —
+    one politeness/quota bucket per ADDRESS."""
+    rows = [
+        ("https://[2001:db8::1]:8080/x", "[2001:db8::1]", "[2001:db8::1]"),
+        ("https://[::1]/x", "[::1]", "[::1]"),
+        ("https://192.168.0.1/x", "192.168.0.1", "192.168.0.1"),
+        ("https://192.168.0.1:8080/a?b=1", "192.168.0.1", "192.168.0.1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = {
+        r["url"]: (r["h"], r["d"])
+        for r in df.select(
+            "url",
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+        ).collect()
+    }
+    for u, h, d in rows:
+        assert got[u] == (h, d), u
+    # canonical_url keeps the bracket form intact too
+    c = df.select(canonical_url("url").alias("c")).collect()
+    assert "https://[2001:db8::1]:8080/x" in {r["c"] for r in c}

@@ -257,3 +257,26 @@ def test_read_warc_stream_matches_batch(spark, warc_dir, tmp_path):
     streamed = digest(spark.read.parquet(out_dir))
     batch = digest(read_warc(spark, warc_dir))
     assert streamed == batch and len(streamed) == 6
+
+
+def test_warc_cli_writes_quarantine(spark, tmp_path, capsys):
+    """Corrupt tails are preserved on disk (the cmd_ingest quarantine
+    contract), not just counted, and the host key is case-folded via
+    the shared url_host extractor."""
+    from hive_scripts_spark.__main__ import main
+
+    good = _record(
+        "response", _http(b"ok"),
+        uri="HTTPS://User@Example.ORG:8443/x", rec_id="g",
+    )
+    (tmp_path / "bad.warc").write_bytes(
+        good + b"WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    out = tmp_path / "db"
+    rc = main(["warc", str(tmp_path / "bad.warc"), "--output", str(out)])
+    assert rc == 0
+    assert "1 corrupt record tails" in capsys.readouterr().out
+    q = spark.read.parquet(str(out / "_quarantine")).collect()
+    assert len(q) == 1 and bytes(q[0]["payload"]).startswith(b"WARC/1.0")
+    docs = spark.read.parquet(str(out / "documents.parquet")).collect()
+    assert docs[0]["source"] == "example.org"

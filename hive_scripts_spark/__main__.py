@@ -725,6 +725,33 @@ def cmd_warc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Recrawl refresh: merge a delta parquet into a current table
+    (latest-wins by --order-col, optional tombstone --delete-col) and
+    write the merged result. The format-free batch MERGE
+    (operators/incremental.merge_upsert) for plain-parquet corpora."""
+    from hive_scripts_spark.operators.incremental import merge_upsert
+
+    spark = get_spark("hive-scripts-spark-merge")
+    current = spark.read.parquet(args.current)
+    changes = spark.read.parquet(args.changes)
+    merged = merge_upsert(
+        current,
+        changes,
+        args.key.split(","),
+        order_col=args.order_col,
+        delete_col=args.delete_col,
+    )
+    merged.write.mode("overwrite").parquet(args.output)
+    n_cur = current.count()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"merged {args.changes} into {args.current}: "
+        f"{n_cur} -> {n_out} rows at {args.output}"
+    )
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """The full training-data production job: curate (dedup →
     optional decontamination → repetition/quality gates → language-ID)
@@ -1244,6 +1271,21 @@ def main(argv: list[str] | None = None) -> int:
         help="keep only HTTP 200 responses",
     )
     wa.set_defaults(fn=cmd_warc)
+
+    mg = sub.add_parser(
+        "merge",
+        help="latest-wins upsert of a delta parquet into a table",
+    )
+    mg.add_argument("current", help="current table parquet path")
+    mg.add_argument("changes", help="delta parquet path")
+    mg.add_argument("--key", required=True,
+                    help="comma-separated key columns")
+    mg.add_argument("--order-col", default=None,
+                    help="version column (latest wins)")
+    mg.add_argument("--delete-col", default=None,
+                    help="boolean tombstone column on the delta")
+    mg.add_argument("--output", required=True, help="merged output path")
+    mg.set_defaults(fn=cmd_merge)
 
     e = sub.add_parser(
         "export",

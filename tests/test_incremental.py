@@ -462,3 +462,27 @@ def test_merge_upsert_order_col_validated_and_del_tie_deterministic(spark):
         for _ in range(3)
     }
     assert len(outcomes) == 1
+
+
+def test_merge_cli_e2e(spark, tmp_path, capsys):
+    from hive_scripts_spark.__main__ import main
+
+    cur = str(tmp_path / "cur")
+    chg = str(tmp_path / "chg")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id int, text string, v int"
+    ).write.parquet(cur)
+    spark.createDataFrame(
+        [(2, "B", 20, False), (3, "c", 20, False), (1, "a", 20, True)],
+        "id int, text string, v int, deleted boolean",
+    ).write.parquet(chg)
+    rc = main([
+        "merge", cur, chg, "--key", "id", "--order-col", "v",
+        "--delete-col", "deleted", "--output", out,
+    ])
+    assert rc == 0
+    rows = {r["id"]: (r["text"], r["v"])
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {2: ("B", 20), 3: ("c", 20)}
+    assert "2 -> 2 rows" in capsys.readouterr().out

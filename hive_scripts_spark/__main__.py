@@ -712,10 +712,12 @@ def cmd_warc(args: argparse.Namespace) -> int:
     # cmd_ingest quarantine contract: damaged input stays inspectable)
     corrupt = recs.where("warc_type = '_corrupt'")
     n_corrupt = corrupt.count()
-    if n_corrupt:
-        corrupt.select(
-            "source_file", "record_offset", "payload"
-        ).write.mode("overwrite").parquet(f"{args.output}/_quarantine")
+    # ALWAYS overwrite the quarantine (an empty one included): a stale
+    # _quarantine from a previous run into the same --output would be
+    # misattributed to this run's input
+    corrupt.select(
+        "source_file", "record_offset", "payload"
+    ).write.mode("overwrite").parquet(f"{args.output}/_quarantine")
     recs.unpersist()
     print(
         f"wrote {args.output}/documents.parquet: {n_docs} docs"
@@ -732,23 +734,32 @@ def cmd_merge(args: argparse.Namespace) -> int:
     (operators/incremental.merge_upsert) for plain-parquet corpora."""
     from hive_scripts_spark.operators.incremental import merge_upsert
 
+    import os.path
+
+    if os.path.abspath(args.output) in (
+        os.path.abspath(args.current), os.path.abspath(args.changes),
+    ):
+        # Spark cannot overwrite a path it is reading from; in-place
+        # refresh needs a staged write-then-swap (see
+        # incremental.compact_partition_dir) — fail clearly up front
+        raise SystemExit(
+            "merge: --output must differ from the input paths "
+            "(write to a new directory, then swap)"
+        )
     spark = get_spark("hive-scripts-spark-merge")
     current = spark.read.parquet(args.current)
     changes = spark.read.parquet(args.changes)
     merged = merge_upsert(
         current,
         changes,
-        args.key.split(","),
+        [k.strip() for k in args.key.split(",")],
         order_col=args.order_col,
         delete_col=args.delete_col,
     )
     merged.write.mode("overwrite").parquet(args.output)
-    n_cur = current.count()
     n_out = spark.read.parquet(args.output).count()
-    print(
-        f"merged {args.changes} into {args.current}: "
-        f"{n_cur} -> {n_out} rows at {args.output}"
-    )
+    print(f"merged {args.changes} into {args.current}: "
+          f"{n_out} rows at {args.output}")
     return 0
 
 

@@ -356,6 +356,11 @@ def merge_upsert(
     if delete_col is not None and delete_col not in changes.columns:
         raise ValueError(f"changes has no delete column {delete_col!r}")
     out_cols = list(current.columns)
+    bad_keys = [k for k in key_cols if k not in out_cols]
+    if bad_keys:
+        raise ValueError(
+            f"key columns {bad_keys} not in current's columns {out_cols}"
+        )
     if order_col is not None and order_col not in out_cols:
         # the window orders the UNION, so the version column must
         # exist on current too (a delta-only crawl_ts would be dropped

@@ -575,7 +575,14 @@ def html_to_text(
                 # guard: otherwise the whole page routes into title)
                 if self.in_title and tag != "title":
                     self.in_title = False
-                    self.title_done = True
+                    # lock only if something was captured: an empty or
+                    # tag-interrupted first <title> must not shadow a
+                    # later real one
+                    self.title_done = bool(
+                        "".join(self.title_parts).strip()
+                    )
+                    if not self.title_done:
+                        self.title_parts.clear()
                 if tag == "body":
                     # <body> implicitly closes an unclosed <head> (the
                     # browser rule) — without this, tag soup that never
@@ -600,7 +607,11 @@ def html_to_text(
                     self.drop_depth -= 1
                 elif tag == "title" and self.in_title:
                     self.in_title = False
-                    self.title_done = True
+                    self.title_done = bool(
+                        "".join(self.title_parts).strip()
+                    )
+                    if not self.title_done:
+                        self.title_parts.clear()
                 if tag in BLOCK:
                     self.parts.append("\n")
 

@@ -485,4 +485,4 @@ def test_merge_cli_e2e(spark, tmp_path, capsys):
     rows = {r["id"]: (r["text"], r["v"])
             for r in spark.read.parquet(out).collect()}
     assert rows == {2: ("B", 20), 3: ("c", 20)}
-    assert "2 -> 2 rows" in capsys.readouterr().out
+    assert "2 rows" in capsys.readouterr().out

@@ -136,7 +136,10 @@ def merge_query(spark, sf_dir):
     from hive_scripts_spark.operators.incremental import merge_upsert
     from hive_scripts_spark.plans.registry import table
 
-    orders = table(spark, sf_dir, "orders")
+    # pin the projection to ORDER_COLS: the oracle enumerates exactly
+    # these six, so a testdata regeneration that widens the orders
+    # schema must not silently change the merge's output surface
+    orders = table(spark, sf_dir, "orders").select(*ORDER_COLS)
     changes = orders.where(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         "o_custkey",

@@ -654,3 +654,16 @@ def test_html_first_title_only(spark):
     ).collect()[0]
     assert out["title"] == "Home"
     assert "menu icon" in out["text"] and "content" in out["text"]
+
+
+def test_html_empty_first_title_does_not_shadow(spark):
+    """An empty or tag-interrupted first <title> must not lock out a
+    later real title (fourth-pass review regression)."""
+    from hive_scripts_spark.operators import textstats as X
+
+    df = spark.createDataFrame(
+        [(1, "<title></title><body><title>Real Title</title><p>x</p>")],
+        "doc_id long, text string",
+    )
+    out = X.html_to_text(df).collect()[0]
+    assert out["title"] == "Real Title"

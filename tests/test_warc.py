@@ -238,7 +238,7 @@ def test_read_warc_stream_matches_batch(spark, warc_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "availableNow pass did not finish"
 
     def digest(df):
         return sorted(

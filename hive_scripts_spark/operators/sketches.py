@@ -1,0 +1,323 @@
+"""Mergeable distinct / frequency sketches for incremental statistics.
+
+At 100 TB you cannot re-scan the lake to answer "how many distinct
+users landed this quarter" after every daily ingest. The standard
+answer is a *mergeable sketch* per partition, persisted at write time
+(KB per partition regardless of row count), merged at query time — the
+incremental-statistics twin of ``incremental.incremental_count_reconcile``.
+Two families here, both keyed on the engine-portable
+:func:`~hive_scripts_spark.operators.dedup.portable_hash60` (md5) so
+every estimate is exactly reproducible in ANSI SQL (the DuckDB-gradable
+sketch family, same philosophy as ``minhash_lsh_pairs_portable``; a
+production deployment would swap ``xxhash64`` in via the ``hash_fn``
+hook for ~3× cheaper hashing at identical plan shape).
+
+* **KMV (k-minimum-values) distinct sketch** (Bar-Yossef et al. 2002,
+  "Counting distinct elements in a data stream"): keep the ``k``
+  smallest *distinct* hash values; with hashes uniform on
+  ``[0, 2^60)``, the k-th smallest value ``h_(k)`` estimates density,
+  giving ``(k-1) * 2^60 / h_(k)`` distinct values (unbiased; relative
+  error ~ ``1/sqrt(k-2)``). Merging two sketches = union + keep the
+  k smallest — and the merge is EXACT: the merged sketch is
+  bit-identical to sketching the concatenated input, so per-partition
+  sketches compose associatively across any ingest schedule.
+* **Count-min sketch** (Cormode & Muthukrishnan 2005): a
+  ``depth × width`` counter grid; each key increments one counter per
+  row (independent salted hashes); a point lookup takes the MIN over
+  its ``depth`` counters. One-sided error (never under-counts);
+  merging = counter-wise sum. The sketch is ``depth × width`` rows
+  *independent of input size* — the whole point at scale: the shuffle
+  behind :func:`countmin_build` carries at most ``depth × width`` rows
+  per map task (map-side partial aggregation), not the key space.
+
+Scale notes (the shapes that survive 100×):
+
+- :func:`kmv_sketch` never shuffles raw hashes: an Arrow
+  ``mapInPandas`` pass keeps the k smallest distinct per *partition*
+  (bounded memory: one ``k``-long array per task), so the global
+  distinct+sort touches at most ``partitions × k`` longs.
+- :func:`kmv_sketch_grouped` is the same two-level shape keyed by
+  group: local per-(partition, group) top-k first, then ONE hash
+  exchange of the ``≤ partitions × groups × k`` survivors, then a
+  final per-group merge. Raw rows never cross the wire.
+- Estimation (:func:`kmv_estimate`, :func:`countmin_lookup`) runs on
+  sketch tables — KB-scale inputs, sub-second at any corpus size.
+
+Reference parity: the reference engine has no sketch surface (its
+counts are exact full scans, ``verizon_automation_script.sh:90-130``);
+this module is part of the training-data-pipeline extension mandate
+(incremental corpus statistics between recrawl merges).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from hive_scripts_spark.operators.dedup import portable_hash60
+
+#: hash domain size for portable_hash60 (60-bit, always positive)
+HASH_SPACE = float(2**60)
+
+
+def _hash_col(cols: Sequence[str], hash_fn: Callable[..., Column]) -> Column:
+    return hash_fn(*[F.col(c) for c in cols]).alias("kmv_hash")
+
+
+def _local_topk_distinct(k: int):
+    """mapInPandas closure: k smallest distinct int64 values seen in
+    this partition, O(batch + k) memory (``np.unique`` sorts, so the
+    running state is always the sorted head)."""
+
+    def gen(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            vals = pdf["kmv_hash"].dropna().to_numpy(dtype="int64")
+            if vals.size == 0:
+                continue
+            cand = vals if best is None else np.concatenate([best, vals])
+            best = np.unique(cand)[:k]
+        if best is not None and best.size:
+            yield pd.DataFrame({"kmv_hash": best})
+
+    return gen
+
+
+_SKETCH_SCHEMA = StructType([StructField("kmv_hash", LongType(), False)])
+
+
+def kmv_sketch(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: int = 256,
+    hash_fn: Callable[..., Column] = portable_hash60,
+) -> DataFrame:
+    """Build a KMV distinct sketch over ``cols``: the ``k`` smallest
+    distinct 60-bit hashes, as a ``k``-row table (column ``kmv_hash``,
+    ascending values not guaranteed in row order — the sketch is a set).
+
+    Plan shape: JVM-side md5 projection → per-partition Arrow top-k
+    (no shuffle, bounded memory) → distinct + ordered limit over the
+    ``≤ partitions × k`` survivors. At 100 TB the only full-data work
+    is the scan+hash map stage.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
+    hashed = df.select(_hash_col(cols, hash_fn))
+    local = hashed.mapInPandas(_local_topk_distinct(k), _SKETCH_SCHEMA)
+    return local.distinct().orderBy("kmv_hash").limit(k)
+
+
+def kmv_merge(sketches: Sequence[DataFrame], k: int = 256) -> DataFrame:
+    """Merge KMV sketches (union → distinct → k smallest). Exact: the
+    result equals :func:`kmv_sketch` over the concatenated inputs, so
+    per-partition sketches compose associatively and incrementally."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy("kmv_hash").limit(k)
+
+
+def _estimate_expr(k: int) -> Column:
+    # under-full sketch (< k hashes) has seen every distinct value:
+    # the count IS the exact answer; otherwise the k-th smallest hash
+    # (= max of the sketch) estimates density on [0, 2^60).
+    # (k-1) * 2^60 is exact in double for any practical k (< 2^53).
+    return F.round(
+        F.when(
+            F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1) * HASH_SPACE)
+            / F.col("kth_hash").cast("double")
+        ),
+        4,
+    ).alias("est_distinct")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row
+    ``(n_hashes, kth_hash, est_distinct)``. Exact (= ``n_hashes``)
+    while the sketch is under-full; ``(k-1)*2^60/h_(k)`` once full.
+    Runs on a ≤ k-row input — driver-free and constant-time."""
+    agg = sketch.agg(
+        F.count("kmv_hash").alias("n_hashes"),
+        F.max("kmv_hash").alias("kth_hash"),
+    )
+    return agg.select("n_hashes", "kth_hash", _estimate_expr(k))
+
+
+def kmv_sketch_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cols: Sequence[str],
+    k: int = 64,
+    hash_fn: Callable[..., Column] = portable_hash60,
+) -> DataFrame:
+    """Per-group KMV sketches: ``group_cols… , kmv_hash`` with ≤ k rows
+    per group. Two-level plan (the only scalable shape without a JVM
+    UDAF): per-(partition, group) Arrow top-k first — raw rows never
+    shuffle — then ONE hash exchange of the ``≤ partitions×groups×k``
+    survivors and a final per-group merge on co-located groups.
+
+    This is the persist-at-write-time face of incremental distinct
+    stats: sketch each ingest batch / partition directory with its
+    partition values as ``group_cols``, store the k-row-per-group
+    result next to the data, answer any-range distinct queries later
+    via :func:`kmv_merge` + :func:`kmv_estimate_grouped` without
+    touching the raw rows again.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
+    group_cols = list(group_cols)
+    hashed = df.select(*group_cols, _hash_col(cols, hash_fn))
+    schema = StructType(
+        [hashed.schema[c] for c in group_cols]
+        + [StructField("kmv_hash", LongType(), False)]
+    )
+
+    def grouped_topk(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        best: dict = {}
+        for pdf in batches:
+            for gvals, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = gvals if isinstance(gvals, tuple) else (gvals,)
+                vals = sub["kmv_hash"].dropna().to_numpy(dtype="int64")
+                if vals.size == 0:
+                    continue
+                prev = best.get(key)
+                cand = vals if prev is None else np.concatenate([prev, vals])
+                best[key] = np.unique(cand)[:k]
+        for key, arr in best.items():
+            out = pd.DataFrame({"kmv_hash": arr})
+            for name, val in zip(group_cols, key):
+                out[name] = val
+            yield out[group_cols + ["kmv_hash"]]
+
+    local = hashed.mapInPandas(grouped_topk, schema)
+    return local.repartition(*group_cols).mapInPandas(grouped_topk, schema)
+
+
+def kmv_estimate_grouped(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Per-group distinct estimates from a grouped KMV sketch:
+    ``group_cols… , n_hashes, est_distinct`` (same under-full-exact /
+    full-ratio estimator as :func:`kmv_estimate`)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("kmv_hash").alias("n_hashes"),
+        F.max("kmv_hash").alias("kth_hash"),
+    )
+    return agg.select(*group_cols, "n_hashes", _estimate_expr(k))
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(
+    key: Column, row_idx: int, width: int, hash_fn: Callable[..., Column]
+) -> Column:
+    # salt each row with its index; portable_hash60 is always positive,
+    # so `%` agrees between Spark and DuckDB (documented on the hash).
+    return (hash_fn(F.lit(str(row_idx)), key) % width).cast("int")
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    hash_fn: Callable[..., Column] = portable_hash60,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: a
+    ``(cm_row, cm_bucket, cm_count)`` table of ≤ ``depth × width``
+    rows, independent of input size. Each input row (or its
+    ``weight_col``) lands in one bucket per sketch row via independent
+    salted hashes; map-side partial aggregation bounds the shuffle at
+    ``depth × width`` rows per task, so at 100 TB the exchange carries
+    counters, never keys."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}x{width}")
+    key = F.col(key_col)
+    weight = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("cm_row"),
+                _cm_bucket(key, d, width, hash_fn).alias("cm_bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"), weight.alias("w"))
+        .groupBy(
+            F.col("cell.cm_row").alias("cm_row"),
+            F.col("cell.cm_bucket").alias("cm_bucket"),
+        )
+        .agg(F.sum("w").alias("cm_count"))
+    )
+
+
+def countmin_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge count-min sketches built with the SAME (depth, width,
+    hash): counter-wise sum. Exact: equals building on the
+    concatenated input."""
+    if not sketches:
+        raise ValueError("countmin_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("cm_row", "cm_bucket").agg(
+        F.sum("cm_count").alias("cm_count")
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: Callable[..., Column] = portable_hash60,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a count-min sketch:
+    ``(key_col, est_count)`` with ``est_count = min`` over the key's
+    ``depth`` counters (missing bucket = 0). One-sided error:
+    ``est_count >= true count`` always. The sketch side is ≤
+    ``depth × width`` rows — broadcast it, so the probe never
+    shuffles."""
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("cm_row"),
+                _cm_bucket(key, d, width, hash_fn).alias("cm_bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = keys.select(key, F.explode(cells).alias("cell")).select(
+        key_col,
+        F.col("cell.cm_row").alias("cm_row"),
+        F.col("cell.cm_bucket").alias("cm_bucket"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch), on=["cm_row", "cm_bucket"], how="left"
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cm_count"), F.lit(0))).alias("est_count")
+    )

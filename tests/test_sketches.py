@@ -1,0 +1,234 @@
+"""Unit tests for operators/sketches — KMV distinct and count-min.
+
+The load-bearing properties, each pinned here:
+
+* KMV merge EXACTNESS: merging per-split sketches is bit-identical to
+  sketching the whole input (any split), so per-partition sketches
+  compose incrementally.
+* Estimator contract: exact while under-full; within the published
+  ~1/sqrt(k-2) error band once full; duplicate rows never move it.
+* Count-min one-sided error (never under-counts) and exact counter
+  merge across splits.
+* Plan shape: the grouped KMV shuffles ONE exchange of survivors (raw
+  rows never cross the wire); countmin_build shuffles only the
+  partial-aggregated counter grid; countmin_lookup broadcasts the
+  sketch side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators import sketches as SK
+
+_SHUFFLE = re.compile(r"(?<!Reused)Exchange (hash|range|Single)")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 5000 distinct keys, each duplicated twice (10k rows) across
+    # many partitions — exercises cross-partition dedup in the sketch.
+    return (
+        spark.range(0, 10000, 1, 8)
+        .select((F.col("id") % 5000).alias("k"))
+        .select(F.concat(F.lit("key-"), F.col("k")).alias("k"))
+    )
+
+
+def _rows(sketch):
+    return sorted(r["kmv_hash"] for r in sketch.collect())
+
+
+def test_kmv_sketch_is_k_smallest_distinct(spark, ids):
+    got = _rows(SK.kmv_sketch(ids, ["k"], k=64))
+    # oracle: exact k smallest distinct hashes via plain DataFrame ops
+    exact = [
+        r["h"]
+        for r in ids.select(
+            SK.portable_hash60(F.col("k")).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    ]
+    assert got == exact
+    assert len(got) == 64 == len(set(got))
+
+
+def test_kmv_duplicates_do_not_move_the_sketch(spark, ids):
+    once = ids.distinct()
+    assert _rows(SK.kmv_sketch(ids, ["k"], k=32)) == _rows(
+        SK.kmv_sketch(once, ["k"], k=32)
+    )
+
+
+def test_kmv_merge_equals_whole_input_sketch(spark, ids):
+    whole = _rows(SK.kmv_sketch(ids, ["k"], k=48))
+    # split on a hash-unrelated predicate; merge of parts == whole
+    left = ids.where(F.length("k") <= 7)
+    right = ids.where(F.length("k") > 7)
+    merged = SK.kmv_merge(
+        [SK.kmv_sketch(left, ["k"], k=48), SK.kmv_sketch(right, ["k"], k=48)],
+        k=48,
+    )
+    assert _rows(merged) == whole
+
+
+def test_kmv_estimate_exact_when_underfull(spark):
+    small = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    est = SK.kmv_estimate(SK.kmv_sketch(small, ["k"], k=256), k=256).collect()[0]
+    assert est["n_hashes"] == 100
+    assert est["est_distinct"] == 100.0
+
+
+def test_kmv_estimate_within_error_band(spark, ids):
+    # 5000 true distinct, k=256 → stderr ~ 1/sqrt(254) ≈ 6.3%; assert
+    # a generous 4-sigma band (deterministic given the fixed hash).
+    est = SK.kmv_estimate(SK.kmv_sketch(ids, ["k"], k=256), k=256).collect()[0]
+    assert est["n_hashes"] == 256
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_empty_input(spark):
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    sk = SK.kmv_sketch(empty, ["k"], k=16)
+    assert sk.count() == 0
+    est = SK.kmv_estimate(sk, k=16).collect()[0]
+    assert est["n_hashes"] == 0 and est["est_distinct"] == 0.0
+
+
+def test_kmv_rejects_degenerate_k(spark, ids):
+    with pytest.raises(ValueError):
+        SK.kmv_sketch(ids, ["k"], k=1)
+    with pytest.raises(ValueError):
+        SK.kmv_sketch_grouped(ids, ["k"], ["k"], k=0)
+
+
+def test_kmv_grouped_matches_per_group_global(spark, ids):
+    grouped = ids.select(
+        (F.length("k") % 3).cast("int").alias("g"), "k"
+    )
+    sk = SK.kmv_sketch_grouped(grouped, ["g"], ["k"], k=16)
+    by_group = {}
+    for r in sk.collect():
+        by_group.setdefault(r["g"], []).append(r["kmv_hash"])
+    for g in [0, 1, 2]:
+        solo = _rows(
+            SK.kmv_sketch(grouped.where(F.col("g") == g), ["k"], k=16)
+        )
+        assert sorted(by_group.get(g, [])) == solo
+
+
+def test_kmv_grouped_estimates(spark):
+    # group 'a': 10 distinct (under-full → exact); 'b': 3 distinct
+    rows = [("a", f"v{i}") for i in range(10)] * 2 + [
+        ("b", v) for v in ["x", "y", "z"]
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    est = {
+        r["g"]: (r["n_hashes"], r["est_distinct"])
+        for r in SK.kmv_estimate_grouped(
+            SK.kmv_sketch_grouped(df, ["g"], ["k"], k=64), ["g"], k=64
+        ).collect()
+    }
+    assert est == {"a": (10, 10.0), "b": (3, 3.0)}
+
+
+def test_kmv_grouped_single_survivor_exchange(spark, ids):
+    grouped = ids.select((F.length("k") % 3).cast("int").alias("g"), "k")
+    plan = _plan(SK.kmv_sketch_grouped(grouped, ["g"], ["k"], k=16))
+    # one hashpartitioning exchange (the survivor repartition); the raw
+    # rows only ever flow scan → project → local Arrow top-k
+    assert len(_SHUFFLE.findall(plan)) == 1, plan
+
+
+def test_countmin_never_undercounts(spark):
+    # skewed stream: key-0 ×500, key-1 ×100, tail of 200 singletons
+    rows = (
+        [("key-0",)] * 500 + [("key-1",)] * 100 + [(f"t{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    sk = SK.countmin_build(df, "k", depth=4, width=64)
+    keys = spark.createDataFrame(
+        [("key-0", 500), ("key-1", 100), ("t5", 1), ("absent", 0)],
+        "k string, true_n long",
+    )
+    got = {
+        r["k"]: r["est_count"]
+        for r in SK.countmin_lookup(sk, keys, "k", depth=4, width=64).collect()
+    }
+    for k, true_n in [("key-0", 500), ("key-1", 100), ("t5", 1)]:
+        assert got[k] >= true_n
+    # width 64 over ~202 keys: heavy hitters dominate their buckets
+    assert got["key-0"] < 500 + 300  # collisions bounded by tail mass
+    # an absent key can only pick up collision mass, never go negative
+    assert got["absent"] >= 0
+
+
+def test_countmin_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "k string, w long"
+    )
+    sk = SK.countmin_build(df, "k", depth=3, width=512, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {
+        r["k"]: r["est_count"]
+        for r in SK.countmin_lookup(sk, keys, "k", depth=3, width=512).collect()
+    }
+    assert got["a"] >= 15 and got["b"] >= 2
+
+
+def test_countmin_merge_equals_whole_build(spark):
+    rows = [(f"k{i % 37}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    # deterministic split on key length ("k0".."k9" vs "k10".."k36")
+    left = df.where(F.length("k") == 2)
+    right = df.where(F.length("k") == 3)
+    whole = SK.countmin_build(df, "k", depth=4, width=128)
+    merged = SK.countmin_merge(
+        [
+            SK.countmin_build(left, "k", depth=4, width=128),
+            SK.countmin_build(right, "k", depth=4, width=128),
+        ]
+    )
+    as_map = lambda s: {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in s.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+
+
+def test_countmin_sketch_bounded_and_partial_agg(spark):
+    df = spark.range(0, 5000, 1, 8).select(
+        F.concat(F.lit("u"), (F.col("id") % 997)).alias("k")
+    )
+    sk = SK.countmin_build(df, "k", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+    plan = _plan(sk)
+    assert len(_SHUFFLE.findall(plan)) == 1, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_countmin_lookup_broadcasts_sketch(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    sk = SK.countmin_build(df, "k", depth=2, width=16)
+    keys = spark.createDataFrame([("a",)], "k string")
+    plan = _plan(SK.countmin_lookup(sk, keys, "k", depth=2, width=16))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_countmin_rejects_degenerate_dims(spark):
+    df = None
+    with pytest.raises(ValueError):
+        SK.countmin_build(df, "k", depth=0, width=16)
+    with pytest.raises(ValueError):
+        SK.kmv_merge([])
+    with pytest.raises(ValueError):
+        SK.countmin_merge([])

@@ -763,6 +763,116 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sketch(args: argparse.Namespace) -> int:
+    """Mergeable-sketch maintenance (the incremental-statistics face
+    of operators/sketches.py): ``build`` sketches one table / ingest
+    batch into a KB-scale parquet + meta.json; ``estimate`` merges any
+    number of compatible sketch directories (per-day sketches
+    answering a quarter-range distinct count, say) and prints the
+    estimates WITHOUT touching the raw rows again."""
+    import json
+    from pathlib import Path
+
+    from hive_scripts_spark.operators import sketches as SK
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-sketch")
+    if args.action == "build":
+        for flag, val in (("--db", args.db), ("--table", args.table),
+                          ("--out", args.out), ("--cols", args.cols)):
+            if not val:
+                raise SystemExit(f"sketch build requires {flag}")
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        df = load_sf_table(spark, args.db, args.table)
+        group_cols = [c for c in args.group_cols.split(",") if c]
+        if args.kind == "kmv":
+            cols = [c for c in args.cols.split(",") if c]
+            if group_cols:
+                sk = SK.kmv_sketch_grouped(df, group_cols, cols, k=args.k)
+            else:
+                sk = SK.kmv_sketch(df, cols, k=args.k)
+            meta = {"kind": "kmv", "k": args.k, "cols": cols,
+                    "group_cols": group_cols}
+        else:
+            if "," in args.cols:
+                raise SystemExit(
+                    "sketch build --kind countmin takes ONE --cols key column"
+                )
+            if group_cols:
+                raise SystemExit("--group-cols is a kmv-only flag")
+            sk = SK.countmin_build(
+                df, args.cols, depth=args.depth, width=args.width
+            )
+            meta = {"kind": "countmin", "depth": args.depth,
+                    "width": args.width, "key_col": args.cols}
+        sk.write.mode("overwrite").parquet(str(out / "sketch"))
+        (out / "meta.json").write_text(json.dumps(meta))
+        n = spark.read.parquet(str(out / "sketch")).count()
+        print(f"wrote {out} ({meta['kind']}, {n} rows)")
+        return 0
+    # estimate: merge N compatible sketches, print estimates
+    if not args.sketch_dirs:
+        raise SystemExit("sketch estimate requires --sketch-dirs")
+    metas = []
+    for d in args.sketch_dirs:
+        p = Path(d) / "meta.json"
+        if not p.is_file():
+            raise SystemExit(f"not a sketch dir (no meta.json): {d}")
+        metas.append(json.loads(p.read_text()))
+    if any(m != metas[0] for m in metas[1:]):
+        raise SystemExit(
+            "incompatible sketches (meta.json differs): merging is only "
+            "exact for identical kind/k/cols (kmv) or depth/width/key "
+            "(countmin) — rebuild with matching parameters"
+        )
+    meta = metas[0]
+    parts = [
+        spark.read.parquet(str(Path(d) / "sketch"))
+        for d in args.sketch_dirs
+    ]
+    if meta["kind"] == "kmv":
+        if meta["group_cols"]:
+            merged = SK.kmv_merge_grouped(
+                parts, meta["group_cols"], k=meta["k"]
+            )
+            est = SK.kmv_estimate_grouped(
+                merged, meta["group_cols"], k=meta["k"]
+            )
+            for r in est.orderBy(*meta["group_cols"]).collect():
+                g = ",".join(str(r[c]) for c in meta["group_cols"])
+                print(
+                    f"{g}: n_hashes={r['n_hashes']} "
+                    f"est_distinct={r['est_distinct']}"
+                )
+        else:
+            merged = SK.kmv_merge(parts, k=meta["k"])
+            r = SK.kmv_estimate(merged, k=meta["k"]).collect()[0]
+            print(
+                f"n_hashes={r['n_hashes']} est_distinct={r['est_distinct']}"
+            )
+    else:
+        if not args.keys:
+            raise SystemExit(
+                "sketch estimate --kind countmin requires --keys (the "
+                "probe values)"
+            )
+        merged = SK.countmin_merge(parts)
+        # probe keys as strings: the portable hash pre-image is the
+        # string form, so "5" and bigint 5 land in the same bucket
+        keys = spark.createDataFrame(
+            [(v,) for v in args.keys.split(",")],
+            f"{meta['key_col']} string",
+        )
+        est = SK.countmin_lookup(
+            merged, keys, meta["key_col"],
+            depth=meta["depth"], width=meta["width"],
+        )
+        for r in est.orderBy(meta["key_col"]).collect():
+            print(f"{r[meta['key_col']]}: est_count={r['est_count']}")
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """The full training-data production job: curate (dedup →
     optional decontamination → repetition/quality gates → language-ID)
@@ -1297,6 +1407,39 @@ def main(argv: list[str] | None = None) -> int:
                     help="boolean tombstone column on the delta")
     mg.add_argument("--output", required=True, help="merged output path")
     mg.set_defaults(fn=cmd_merge)
+
+    sk = sub.add_parser(
+        "sketch",
+        help="mergeable sketches: per-batch build + merged any-range "
+        "estimate (incremental distinct / frequency stats)",
+    )
+    sk.add_argument("action", choices=("build", "estimate"))
+    sk.add_argument("--db", default="", help="(build) sf_dir with <table>.parquet")
+    sk.add_argument("--table", default="", help="(build) table name")
+    sk.add_argument(
+        "--cols",
+        default="",
+        help="(build) comma-sep value columns (kmv) / ONE key column "
+        "(countmin)",
+    )
+    sk.add_argument(
+        "--group-cols", default="",
+        help="(build, kmv) per-group sketch keys",
+    )
+    sk.add_argument("--kind", choices=("kmv", "countmin"), default="kmv")
+    sk.add_argument("--k", type=int, default=256, help="kmv sketch size")
+    sk.add_argument("--depth", type=int, default=4, help="countmin rows")
+    sk.add_argument("--width", type=int, default=1024, help="countmin buckets")
+    sk.add_argument("--out", default="", help="(build) sketch output dir")
+    sk.add_argument(
+        "--sketch-dirs", nargs="*", default=[],
+        help="(estimate) sketch dirs to merge",
+    )
+    sk.add_argument(
+        "--keys", default="",
+        help="(estimate, countmin) comma-sep probe key values",
+    )
+    sk.set_defaults(fn=cmd_sketch)
 
     e = sub.add_parser(
         "export",

@@ -206,6 +206,30 @@ def kmv_sketch_grouped(
     return local.repartition(*group_cols).mapInPandas(grouped_topk, schema)
 
 
+def kmv_merge_grouped(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge grouped KMV sketches: union → distinct → k smallest per
+    group (row_number window). Exact, like :func:`kmv_merge` — the
+    result equals :func:`kmv_sketch_grouped` over the concatenated
+    inputs. Input is sketch tables (≤ groups × k rows each), so the
+    window runs on KB-scale data regardless of corpus size."""
+    if not sketches:
+        raise ValueError("kmv_merge_grouped needs at least one sketch")
+    from pyspark.sql.window import Window
+
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        merged.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_estimate_grouped(
     sketch: DataFrame, group_cols: Sequence[str], k: int = 64
 ) -> DataFrame:

@@ -792,3 +792,126 @@ def test_frames_subcommand_end_to_end(spark, tmp_path, capsys):
     assert set(got.columns) >= {
         "doc_id", "frame_index", "frame_payload", "frame_md5"
     }
+
+
+def _orders_db(spark, tmp_path, name, pred=None):
+    """Write a (filtered) copy of sf0.001 orders as a sketchable db
+    dir (<dir>/orders.parquet)."""
+    db = tmp_path / name
+    db.mkdir()
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    if pred is not None:
+        df = df.where(pred)
+    df.write.parquet(str(db / "orders.parquet"))
+    return str(db)
+
+
+def test_sketch_kmv_build_estimate(spark, tmp_path, capsys):
+    """kmv build over orders (150 distinct custkeys > k=64 -> the
+    estimator branch) then estimate from the stored sketch."""
+    out = str(tmp_path / "sk")
+    rc = main(
+        [
+            "sketch", "build", "--db", "/root/testdata/sf0.001",
+            "--table", "orders", "--cols", "o_custkey",
+            "--k", "64", "--out", out,
+        ]
+    )
+    assert rc == 0
+    assert "(kmv, 64 rows)" in capsys.readouterr().out
+    rc = main(["sketch", "estimate", "--sketch-dirs", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "n_hashes=64 est_distinct=" in printed
+
+
+def test_sketch_kmv_split_merge_matches_whole(spark, tmp_path, capsys):
+    """THE mergeability contract, end to end: per-half sketches merged
+    at estimate time print the exact same line as one whole-table
+    sketch."""
+    from pyspark.sql import functions as F
+
+    whole = _orders_db(spark, tmp_path, "whole")
+    even = _orders_db(spark, tmp_path, "even", F.col("o_orderkey") % 2 == 0)
+    odd = _orders_db(spark, tmp_path, "odd", F.col("o_orderkey") % 2 == 1)
+    args = ["--table", "orders", "--cols", "o_custkey", "--k", "64"]
+    for db, out in [(whole, "w"), (even, "e"), (odd, "o")]:
+        assert main(
+            ["sketch", "build", "--db", db, *args,
+             "--out", str(tmp_path / out)]
+        ) == 0
+    capsys.readouterr()
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs", str(tmp_path / "w")]
+    ) == 0
+    whole_line = capsys.readouterr().out
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs",
+         str(tmp_path / "e"), str(tmp_path / "o")]
+    ) == 0
+    merged_line = capsys.readouterr().out
+    assert merged_line == whole_line
+
+
+def test_sketch_kmv_grouped_estimate(spark, tmp_path, capsys):
+    out = str(tmp_path / "skg")
+    rc = main(
+        [
+            "sketch", "build", "--db", "/root/testdata/sf0.001",
+            "--table", "orders", "--cols", "o_custkey",
+            "--group-cols", "o_orderpriority", "--k", "16", "--out", out,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert main(["sketch", "estimate", "--sketch-dirs", out]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5  # one per o_orderpriority
+    assert all("est_distinct=" in ln for ln in lines)
+
+
+def test_sketch_countmin_build_estimate(spark, tmp_path, capsys):
+    out = str(tmp_path / "cm")
+    rc = main(
+        [
+            "sketch", "build", "--kind", "countmin",
+            "--db", "/root/testdata/sf0.001", "--table", "lineitem",
+            "--cols", "l_suppkey", "--depth", "4", "--width", "128",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs", out, "--keys", "1,2,3"]
+    ) == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 3
+    # one-sided error vs the exact counts
+    exact = {
+        r["l_suppkey"]: r["n"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        )
+        .groupBy("l_suppkey")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for ln in printed:
+        key, est = ln.split(": est_count=")
+        assert int(est) >= exact[int(key)]
+
+
+def test_sketch_estimate_rejects_incompatible(spark, tmp_path, capsys):
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = [
+        "sketch", "build", "--db", "/root/testdata/sf0.001",
+        "--table", "orders", "--cols", "o_custkey",
+    ]
+    assert main(base + ["--k", "32", "--out", a]) == 0
+    assert main(base + ["--k", "64", "--out", b]) == 0
+    with pytest.raises(SystemExit, match="incompatible"):
+        main(["sketch", "estimate", "--sketch-dirs", a, b])

@@ -232,3 +232,19 @@ def test_countmin_rejects_degenerate_dims(spark):
         SK.kmv_merge([])
     with pytest.raises(ValueError):
         SK.countmin_merge([])
+
+
+def test_kmv_merge_grouped_equals_whole(spark, ids):
+    grouped = ids.select((F.length("k") % 3).cast("int").alias("g"), "k")
+    whole = SK.kmv_sketch_grouped(grouped, ["g"], ["k"], k=16)
+    parts = [
+        SK.kmv_sketch_grouped(grouped.where(F.col("k") < "key-3"), ["g"], ["k"], k=16),
+        SK.kmv_sketch_grouped(grouped.where(F.col("k") >= "key-3"), ["g"], ["k"], k=16),
+    ]
+    merged = SK.kmv_merge_grouped(parts, ["g"], k=16)
+    as_map = lambda s: {
+        g: sorted(h for gg, h in rows if gg == g)
+        for rows in [[(r["g"], r["kmv_hash"]) for r in s.collect()]]
+        for g in {r[0] for r in rows}
+    }
+    assert as_map(merged) == as_map(whole)

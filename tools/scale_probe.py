@@ -172,6 +172,7 @@ def main() -> int:
             "pipeline10m",
             "multimodal",
             "codecthroughput",
+            "sketches",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -234,6 +235,8 @@ def main() -> int:
         _probe_multimodal(spark, scratch, args, report)
     if args.probe == "codecthroughput":
         _probe_codec_throughput(spark, scratch, args, report)
+    if args.probe == "sketches":
+        _probe_sketches(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1152,6 +1155,53 @@ def _probe_codec_throughput(spark, scratch, args, report):
             mb_per_s=round(mb / sec, 1),
             exchanges=ex,
         )
+
+
+def _probe_sketches(spark, scratch, args, report):
+    # ---- mergeable sketches vs exact distinct at scale (r14) --------
+    # args.docs rows (10M default shape), ~docs/10 distinct string
+    # keys, 32 partitions. Claims to verify: kmv_sketch's exchange
+    # carries only partitions×k survivors (the exact-distinct plan
+    # shuffles every distinct key), build cost stays scan-bound, and
+    # the estimate lands inside the ~1/sqrt(k-2) band.
+    from hive_scripts_spark.operators import sketches as SK
+
+    n = args.docs
+    n_keys = max(1, n // 10)
+    path = str(scratch / f"sketch_{n}")
+    spark.range(0, n, 1, 32).select(
+        F.concat(
+            F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(n_keys))
+        ).alias("k"),
+        F.pmod(F.col("id"), F.lit(8)).cast("int").alias("g"),
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    true_distinct = df.select("k").distinct().count()
+
+    sec, ex = _timed(
+        lambda: df.select(F.countDistinct("k").alias("d")), args.reps
+    )
+    report("exact_count_distinct", rows=n, sec=sec, exchanges=ex,
+           true_distinct=true_distinct)
+
+    sec, ex = _timed(lambda: SK.kmv_sketch(df, ["k"], k=256), args.reps)
+    est = SK.kmv_estimate(
+        SK.kmv_sketch(df, ["k"], k=256), k=256
+    ).collect()[0]["est_distinct"]
+    report(
+        "kmv_sketch_k256", rows=n, sec=sec, exchanges=ex, est=est,
+        rel_err=round(abs(est - true_distinct) / true_distinct, 4),
+    )
+
+    sec, ex = _timed(
+        lambda: SK.kmv_sketch_grouped(df, ["g"], ["k"], k=256), args.reps
+    )
+    report("kmv_grouped_8groups_k256", rows=n, sec=sec, exchanges=ex)
+
+    sec, ex = _timed(
+        lambda: SK.countmin_build(df, "k", depth=4, width=4096), args.reps
+    )
+    report("countmin_4x4096", rows=n, sec=sec, exchanges=ex)
 
 
 if __name__ == "__main__":

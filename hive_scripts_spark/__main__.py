@@ -785,9 +785,15 @@ def cmd_sketch(args: argparse.Namespace) -> int:
         out = Path(args.out)
         out.mkdir(parents=True, exist_ok=True)
         df = load_sf_table(spark, args.db, args.table)
-        group_cols = [c for c in args.group_cols.split(",") if c]
+        group_cols = [c for c in
+                      (t.strip() for t in args.group_cols.split(",")) if c]
+        cols = [c for c in (t.strip() for t in args.cols.split(",")) if c]
+        if not cols:
+            raise SystemExit(
+                "sketch build: --cols named no columns (got "
+                f"{args.cols!r})"
+            )
         if args.kind == "kmv":
-            cols = [c for c in args.cols.split(",") if c]
             if group_cols:
                 sk = SK.kmv_sketch_grouped(df, group_cols, cols, k=args.k)
             else:
@@ -795,17 +801,17 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             meta = {"kind": "kmv", "k": args.k, "cols": cols,
                     "group_cols": group_cols}
         else:
-            if "," in args.cols:
+            if len(cols) != 1:
                 raise SystemExit(
                     "sketch build --kind countmin takes ONE --cols key column"
                 )
             if group_cols:
                 raise SystemExit("--group-cols is a kmv-only flag")
             sk = SK.countmin_build(
-                df, args.cols, depth=args.depth, width=args.width
+                df, cols[0], depth=args.depth, width=args.width
             )
             meta = {"kind": "countmin", "depth": args.depth,
-                    "width": args.width, "key_col": args.cols}
+                    "width": args.width, "key_col": cols[0]}
         sk.write.mode("overwrite").parquet(str(out / "sketch"))
         (out / "meta.json").write_text(json.dumps(meta))
         n = spark.read.parquet(str(out / "sketch")).count()
@@ -858,8 +864,8 @@ def cmd_sketch(args: argparse.Namespace) -> int:
                 "probe values)"
             )
         merged = SK.countmin_merge(parts)
-        # probe keys as strings: the portable hash pre-image is the
-        # string form, so "5" and bigint 5 land in the same bucket
+        # probe keys as strings: the hash pre-image is a block over the
+        # value's STRING form, so "5" and bigint 5 land in the same bucket
         keys = spark.createDataFrame(
             [(v,) for v in args.keys.split(",")],
             f"{meta['key_col']} string",

@@ -10,7 +10,11 @@ Two families here, both keyed on the engine-portable
 every estimate is exactly reproducible in ANSI SQL (the DuckDB-gradable
 sketch family, same philosophy as ``minhash_lsh_pairs_portable``; a
 production deployment would swap ``xxhash64`` in via the ``hash_fn``
-hook for ~3× cheaper hashing at identical plan shape).
+hook for ~3× cheaper hashing at identical plan shape). Pre-images go
+through :func:`sketch_pre_image` — per-column fixed-width md5 blocks
+with a NULL sentinel — so distinct tuples never collide the way raw
+``concat_ws`` strings do (``('a', NULL)`` vs ``(NULL, 'a')``,
+separator characters inside values).
 
 * **KMV (k-minimum-values) distinct sketch** (Bar-Yossef et al. 2002,
   "Counting distinct elements in a data stream"): keep the ``k``
@@ -62,8 +66,39 @@ from hive_scripts_spark.operators.dedup import portable_hash60
 HASH_SPACE = float(2**60)
 
 
+def _col_block(c: Column) -> Column:
+    """Fixed-width, null-safe, separator-free encoding of one column
+    for sketch pre-images: md5 of the value's string form, or the
+    6-char sentinel ``<null>`` for NULL (never confusable with 32-char
+    hex). Raw ``concat_ws`` pre-images conflate distinct tuples —
+    ``('a', NULL)`` vs ``(NULL, 'a')``, ``'a|b'`` vs separate columns
+    ``'a','b'`` — which silently biases distinct estimates low; the
+    per-column md5 block removes the ambiguity at the cost of one
+    extra md5 per column. DuckDB twin: ``case when c is null then
+    '<null>' else md5(cast(c as varchar)) end``."""
+    return F.when(c.isNull(), F.lit("<null>")).otherwise(
+        F.md5(c.cast("string"))
+    )
+
+
+def sketch_pre_image(cols: Sequence[str]) -> Column:
+    """Collision-free multi-column pre-image: the concatenation of each
+    column's fixed-width :func:`_col_block`. Never NULL (blocks are
+    never null), injective on tuples up to md5 collisions."""
+    return F.concat(*[_col_block(F.col(c)) for c in cols])
+
+
 def _hash_col(cols: Sequence[str], hash_fn: Callable[..., Column]) -> Column:
-    return hash_fn(*[F.col(c) for c in cols]).alias("kmv_hash")
+    return hash_fn(sketch_pre_image(cols)).alias("kmv_hash")
+
+
+def _union_all(sketches: Sequence[DataFrame], caller: str) -> DataFrame:
+    if not sketches:
+        raise ValueError(f"{caller} needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged
 
 
 def _local_topk_distinct(k: int):
@@ -108,6 +143,8 @@ def kmv_sketch(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
+    if not cols:
+        raise ValueError("kmv_sketch needs at least one value column")
     hashed = df.select(_hash_col(cols, hash_fn))
     local = hashed.mapInPandas(_local_topk_distinct(k), _SKETCH_SCHEMA)
     return local.distinct().orderBy("kmv_hash").limit(k)
@@ -117,11 +154,7 @@ def kmv_merge(sketches: Sequence[DataFrame], k: int = 256) -> DataFrame:
     """Merge KMV sketches (union → distinct → k smallest). Exact: the
     result equals :func:`kmv_sketch` over the concatenated inputs, so
     per-partition sketches compose associatively and incrementally."""
-    if not sketches:
-        raise ValueError("kmv_merge needs at least one sketch")
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_all(sketches, "kmv_merge")
     return merged.distinct().orderBy("kmv_hash").limit(k)
 
 
@@ -175,6 +208,8 @@ def kmv_sketch_grouped(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
+    if not cols:
+        raise ValueError("kmv_sketch_grouped needs at least one value column")
     group_cols = list(group_cols)
     hashed = df.select(*group_cols, _hash_col(cols, hash_fn))
     schema = StructType(
@@ -214,13 +249,9 @@ def kmv_merge_grouped(
     result equals :func:`kmv_sketch_grouped` over the concatenated
     inputs. Input is sketch tables (≤ groups × k rows each), so the
     window runs on KB-scale data regardless of corpus size."""
-    if not sketches:
-        raise ValueError("kmv_merge_grouped needs at least one sketch")
     from pyspark.sql.window import Window
 
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_all(sketches, "kmv_merge_grouped")
     w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
     return (
         merged.distinct()
@@ -248,12 +279,28 @@ def kmv_estimate_grouped(
 # ---------------------------------------------------------------------------
 
 
-def _cm_bucket(
-    key: Column, row_idx: int, width: int, hash_fn: Callable[..., Column]
+def _cm_cells(
+    key: Column, depth: int, width: int, hash_fn: Callable[..., Column]
 ) -> Column:
-    # salt each row with its index; portable_hash60 is always positive,
-    # so `%` agrees between Spark and DuckDB (documented on the hash).
-    return (hash_fn(F.lit(str(row_idx)), key) % width).cast("int")
+    """The (cm_row, cm_bucket) cell array for one key — the build /
+    lookup compatibility contract, shared so the salting scheme can
+    never diverge between the two. Each row d salts the key's
+    :func:`_col_block` with ``"{d}:"``; portable_hash60 is always
+    positive, so ``%`` agrees between Spark and DuckDB (documented on
+    the hash). NULL keys hash via the block sentinel — both engines
+    count all NULLs as one key."""
+    block = _col_block(key)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("cm_row"),
+                (hash_fn(F.concat(F.lit(f"{d}:"), block)) % width)
+                .cast("int")
+                .alias("cm_bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
 
 
 def countmin_build(
@@ -277,15 +324,7 @@ def countmin_build(
     weight = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("int").alias("cm_row"),
-                _cm_bucket(key, d, width, hash_fn).alias("cm_bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    cells = _cm_cells(key, depth, width, hash_fn)
     return (
         df.select(F.explode(cells).alias("cell"), weight.alias("w"))
         .groupBy(
@@ -300,11 +339,7 @@ def countmin_merge(sketches: Sequence[DataFrame]) -> DataFrame:
     """Merge count-min sketches built with the SAME (depth, width,
     hash): counter-wise sum. Exact: equals building on the
     concatenated input."""
-    if not sketches:
-        raise ValueError("countmin_merge needs at least one sketch")
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_all(sketches, "countmin_merge")
     return merged.groupBy("cm_row", "cm_bucket").agg(
         F.sum("cm_count").alias("cm_count")
     )
@@ -325,15 +360,7 @@ def countmin_lookup(
     ``depth × width`` rows — broadcast it, so the probe never
     shuffles."""
     key = F.col(key_col)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("int").alias("cm_row"),
-                _cm_bucket(key, d, width, hash_fn).alias("cm_bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    cells = _cm_cells(key, depth, width, hash_fn)
     probes = keys.select(key, F.explode(cells).alias("cell")).select(
         key_col,
         F.col("cell.cm_row").alias("cm_row"),

@@ -915,3 +915,14 @@ def test_sketch_estimate_rejects_incompatible(spark, tmp_path, capsys):
     assert main(base + ["--k", "64", "--out", b]) == 0
     with pytest.raises(SystemExit, match="incompatible"):
         main(["sketch", "estimate", "--sketch-dirs", a, b])
+
+
+def test_sketch_build_rejects_empty_cols(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="named no columns"):
+        main(
+            ["sketch", "build", "--db", "/root/testdata/sf0.001",
+             "--table", "orders", "--cols", ",",
+             "--out", str(tmp_path / "x")]
+        )

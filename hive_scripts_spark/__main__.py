@@ -799,7 +799,7 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             else:
                 sk = SK.kmv_sketch(df, cols, k=args.k)
             meta = {"kind": "kmv", "k": args.k, "cols": cols,
-                    "group_cols": group_cols}
+                    "group_cols": group_cols, "pre_image": "block-v1"}
         else:
             if len(cols) != 1:
                 raise SystemExit(
@@ -811,7 +811,8 @@ def cmd_sketch(args: argparse.Namespace) -> int:
                 df, cols[0], depth=args.depth, width=args.width
             )
             meta = {"kind": "countmin", "depth": args.depth,
-                    "width": args.width, "key_col": cols[0]}
+                    "width": args.width, "key_col": cols[0],
+                    "pre_image": "block-v1"}
         sk.write.mode("overwrite").parquet(str(out / "sketch"))
         (out / "meta.json").write_text(json.dumps(meta))
         n = spark.read.parquet(str(out / "sketch")).count()
@@ -833,6 +834,15 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             "(countmin) — rebuild with matching parameters"
         )
     meta = metas[0]
+    if meta.get("pre_image") != "block-v1":
+        # hash-scheme versioning: merging sketches built under a
+        # different pre-image encoding would union hashes drawn from
+        # two different hash functions and silently double-count
+        raise SystemExit(
+            "sketch was built with a different hash pre-image scheme "
+            f"({meta.get('pre_image')!r} != 'block-v1') — rebuild it "
+            "with the current code before merging"
+        )
     parts = [
         spark.read.parquet(str(Path(d) / "sketch"))
         for d in args.sketch_dirs

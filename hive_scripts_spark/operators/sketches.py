@@ -318,13 +318,26 @@ def digit_hist(
     Everything is exact integer/decimal/string arithmetic — no
     ``log()`` — so the bucket index is bit-identical across engines
     (the DuckDB-gradable property; see :func:`_digit_parts`).
-    Domain: ``|v| < 10^(38-scale)`` (the decimal cast's range; Spark
-    nulls an overflow where ANSI SQL errors — keep inputs inside)."""
+
+    Domain: finite values with ``|v| < 10^31``. NaN, ±Inf, and
+    out-of-range values are excluded like NULLs (SQL-aggregate
+    semantics — quantiles are over finite in-domain values); without
+    the guard they would either abort the job (this repo's sessions
+    keep Spark 4's ANSI default, so a decimal-cast overflow THROWS)
+    or land in a garbage NULL-decade bucket that skews every
+    quantile. The one-decade margin below the decimal(38,scale)
+    ceiling keeps boundary values from overflowing inside the cast."""
     if not 1 <= digits <= 6:
         raise ValueError(f"digits must be in [1, 6]: {digits}")
     vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
+    vdbl = F.col(value_col).cast("double")
+    finite = (
+        F.col(value_col).isNotNull()
+        & ~F.isnan(vdbl)
+        & (F.abs(vdbl) < F.lit(1e31))
+    )
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(finite)
         .select(sign.alias("sign"), decade.alias("decade"), sub.alias("sub"))
         .groupBy("sign", "decade", "sub")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -10,13 +10,20 @@ Two shapes, matching the two sketch algebras:
   Exactly-once comes from the engine's stateful-aggregation
   checkpointing; :func:`streaming_countmin` is the documented wrapper.
 * **KMV** folds through ``foreachBatch`` (:func:`kmv_sketch_sink`):
-  sketch each micro-batch, merge with the stored sketch, staged-write
-  + rename swap. The KMV merge is a distinct-union — IDEMPOTENT — so
-  replaying a micro-batch after a crash changes nothing: at-least-once
-  delivery gives exactly-once sketch state with no checkpoint
-  coordination. (Count-min does NOT have this property — replays
-  double-count — which is why it rides the engine's stateful agg and
-  KMV rides foreachBatch.)
+  sketch each micro-batch, merge with the stored sketch, write a NEW
+  version directory, then atomically install it via a ``CURRENT``
+  pointer file (``os.replace`` — file renames are atomic on POSIX;
+  directory swaps are not, and a two-rename directory swap has crash
+  windows that lose or wedge the state). The KMV merge is a
+  distinct-union — IDEMPOTENT — and a replayed batch whose pointer is
+  already installed short-circuits, so at-least-once delivery gives
+  exactly-once sketch state with no checkpoint coordination: a crash
+  at ANY point leaves either the old pointer (replay re-merges — a
+  no-op on already-folded data) or the new pointer (replay skips);
+  stale version dirs are garbage, never corruption. (Count-min does
+  NOT have the idempotence property — replays double-count — which is
+  why it rides the engine's stateful agg and KMV rides foreachBatch.)
+  Read the live sketch with :func:`read_kmv_sketch`.
 
 Batch/stream parity is pinned in ``tests/test_streaming_sketches.py``:
 the streamed sketch equals the batch build over the same files,
@@ -26,11 +33,12 @@ carried across the micro-batch boundary).
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from hive_scripts_spark.operators.sketches import (
     countmin_build,
@@ -49,36 +57,68 @@ def streaming_countmin(
     return countmin_build(events, key_col, depth=depth, width=width)
 
 
+def _current_version(root: Path) -> str | None:
+    pointer = root / "CURRENT"
+    return pointer.read_text().strip() if pointer.exists() else None
+
+
+def read_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Read the live sketch written by :func:`kmv_sketch_sink`:
+    resolve the ``CURRENT`` pointer to its version directory. Raises
+    ``FileNotFoundError`` before the first fold commits."""
+    root = Path(sketch_dir)
+    version = _current_version(root)
+    if version is None:
+        raise FileNotFoundError(
+            f"no committed sketch at {sketch_dir} (missing CURRENT pointer)"
+        )
+    return spark.read.parquet(str(root / version))
+
+
 def kmv_sketch_sink(
     sketch_dir: str, cols: Sequence[str], k: int = 256
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callable: fold each micro-batch into the KMV
-    sketch stored at ``sketch_dir/sketch`` (the ``sketch`` CLI layout).
+    sketch stored under ``sketch_dir`` (version dirs + a ``CURRENT``
+    pointer file — read with :func:`read_kmv_sketch`).
 
     Per batch: sketch the batch (raw rows never shuffle — the
-    per-partition Arrow top-k), merge with the stored k-row sketch,
-    write to a staging dir, swap by rename. Idempotent under replay:
-    re-merging an already-folded batch is a no-op (distinct union), so
-    streaming retries cannot corrupt the sketch. The stored sketch
-    stays ≤ k rows forever — state does not grow with the stream."""
+    per-partition Arrow top-k), merge with the current k-row sketch,
+    write ``sketch_v{batch_id}``, atomically install it by
+    ``os.replace`` on the pointer file, then best-effort clean
+    versions older than the immediate predecessor (kept so a reader
+    that resolved the pointer a moment ago can finish). Crash-safe by
+    construction: a crash before the pointer install leaves the old
+    pointer (the replayed batch re-merges — a no-op, the merge is a
+    distinct union); a crash after it makes the replay short-circuit
+    on the already-installed version; stale version dirs are garbage,
+    never corruption. The live sketch stays ≤ k rows forever — state
+    does not grow with the stream."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         root = Path(sketch_dir)
         root.mkdir(parents=True, exist_ok=True)
-        cur = root / "sketch"
+        version = f"sketch_v{batch_id}"
+        current = _current_version(root)
+        if current == version:
+            return  # replay of a fully committed fold
         new = kmv_sketch(batch_df, cols, k=k)
-        if cur.exists():
-            merged = kmv_merge([spark.read.parquet(str(cur)), new], k=k)
+        if current is not None:
+            merged = kmv_merge(
+                [spark.read.parquet(str(root / current)), new], k=k
+            )
         else:
             merged = new
-        stage = root / f"sketch_stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(str(stage))
-        # swap: the reader only ever sees a complete directory
-        old = root / f"sketch_old_{batch_id}"
-        if cur.exists():
-            cur.rename(old)
-        stage.rename(cur)
-        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(str(root / version))
+        # atomic install: rename over an existing FILE is atomic on
+        # POSIX (directory swaps are not)
+        tmp = root / f"CURRENT.tmp.{batch_id}"
+        tmp.write_text(version)
+        os.replace(tmp, root / "CURRENT")
+        keep = {version, current}
+        for d in root.glob("sketch_v*"):
+            if d.name not in keep:
+                shutil.rmtree(d, ignore_errors=True)
 
     return fold

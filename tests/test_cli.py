@@ -926,3 +926,23 @@ def test_sketch_build_rejects_empty_cols(spark, tmp_path):
              "--table", "orders", "--cols", ",",
              "--out", str(tmp_path / "x")]
         )
+
+
+def test_sketch_estimate_rejects_old_pre_image_scheme(spark, tmp_path):
+    import json
+
+    import pytest
+
+    out = str(tmp_path / "sk")
+    assert main(
+        ["sketch", "build", "--db", "/root/testdata/sf0.001",
+         "--table", "orders", "--cols", "o_custkey", "--out", out]
+    ) == 0
+    # simulate a sketch persisted before the block-v1 pre-image: same
+    # kind/k/cols, different hash scheme — merging would double-count
+    meta_path = tmp_path / "sk" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["pre_image"]
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(SystemExit, match="pre-image scheme"):
+        main(["sketch", "estimate", "--sketch-dirs", out])

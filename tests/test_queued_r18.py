@@ -37,7 +37,9 @@ TABLES = (
 _BUCKETS = """
     with vals as (
       select cast(o_totalprice as decimal(38,6)) as vd
-      from orders where o_totalprice is not null
+      from orders
+      where o_totalprice is not null
+        and isfinite(o_totalprice) and abs(o_totalprice) < 1e31
     ), parts as (
       select vd,
              regexp_replace(

@@ -392,3 +392,19 @@ def test_digit_hist_single_exchange(spark):
     df = spark.range(1, 1001).select((F.col("id") * 1.5).alias("v"))
     plan = _plan(SK.digit_hist(df, "v", digits=2))
     assert len(_SHUFFLE.findall(plan)) == 1, plan
+
+
+def test_digit_hist_excludes_nan_inf_and_overflow(spark):
+    # non-finite and out-of-domain values are excluded like NULLs —
+    # without the guard NaN/Inf land in a garbage NULL-decade bucket
+    # (skewing every quantile) and 1e35 aborts the ANSI decimal cast
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),),
+         (1e35,), (-1e35,), (5.0,), (None,)],
+        "v double",
+    )
+    got = {
+        (r["sign"], r["decade"], r["sub"]): r["cnt"]
+        for r in SK.digit_hist(df, "v", digits=2).collect()
+    }
+    assert got == {(1, 7, 50): 1}  # only the finite in-domain 5.0

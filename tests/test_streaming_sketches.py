@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from hive_scripts_spark.operators import sketches as SK
 from hive_scripts_spark.streaming.sketches import (
     kmv_sketch_sink,
+    read_kmv_sketch,
     streaming_countmin,
 )
 
@@ -44,7 +45,7 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in time"
 
     want = {
         (r["cm_row"], r["cm_bucket"]): r["cm_count"]
@@ -78,11 +79,11 @@ def test_kmv_foreachbatch_fold_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in time"
 
     stored = sorted(
         r["kmv_hash"]
-        for r in spark.read.parquet(str(sketch_dir / "sketch")).collect()
+        for r in read_kmv_sketch(spark, str(sketch_dir)).collect()
     )
     whole = sorted(
         r["kmv_hash"]
@@ -91,17 +92,67 @@ def test_kmv_foreachbatch_fold_matches_batch(spark, tmp_path):
     assert stored == whole and len(stored) == 32
 
 
+def _stored(spark, root):
+    return sorted(
+        r["kmv_hash"] for r in read_kmv_sketch(spark, str(root)).collect()
+    )
+
+
 def test_kmv_fold_is_idempotent_under_replay(spark, tmp_path):
     df = spark.range(500).select(F.col("id").cast("string").alias("k"))
-    fold = kmv_sketch_sink(str(tmp_path / "kmv"), ["k"], k=16)
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
     fold(df, 0)
-    once = sorted(
-        r["kmv_hash"]
-        for r in spark.read.parquet(str(tmp_path / "kmv" / "sketch")).collect()
-    )
+    once = _stored(spark, root)
     fold(df, 0)  # replayed micro-batch (streaming retry)
-    twice = sorted(
+    assert _stored(spark, root) == once
+
+
+def test_kmv_fold_crash_before_pointer_install_recovers(spark, tmp_path):
+    """Crash window 1: the version dir was (partially) written but the
+    pointer never moved. The replay must rebuild the version from the
+    still-intact previous state — no data loss."""
+    df0 = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+    df1 = spark.range(300, 600).select(F.col("id").cast("string").alias("k"))
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    fold(df0, 0)
+    # simulate the crash: batch 1's dir exists with garbage, pointer at v0
+    bad = root / "sketch_v1"
+    bad.mkdir()
+    (bad / "junk").write_text("partial write")
+    fold(df1, 1)  # the replay
+    want = sorted(
         r["kmv_hash"]
-        for r in spark.read.parquet(str(tmp_path / "kmv" / "sketch")).collect()
+        for r in SK.kmv_sketch(df0.unionByName(df1), ["k"], k=16).collect()
     )
-    assert once == twice
+    assert _stored(spark, root) == want
+    assert (root / "CURRENT").read_text() == "sketch_v1"
+
+
+def test_kmv_fold_crash_after_pointer_install_short_circuits(spark, tmp_path):
+    """Crash window 2: the pointer moved but the engine never committed
+    the batch. The replay must skip (the fold already happened) —
+    re-folding different replay content cannot corrupt the state, and
+    the stream makes progress."""
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    fold(df, 0)
+    before = _stored(spark, root)
+    other = spark.range(900, 999).select(F.col("id").cast("string").alias("k"))
+    fold(other, 0)  # replay of batch 0 after its pointer committed
+    assert _stored(spark, root) == before
+
+
+def test_kmv_fold_cleanup_keeps_predecessor(spark, tmp_path):
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("string").alias("k")
+        )
+        fold(df, i)
+    names = {d.name for d in root.glob("sketch_v*")}
+    # current + immediate predecessor survive; older versions cleaned
+    assert names == {"sketch_v2", "sketch_v1"}

@@ -173,6 +173,7 @@ def main() -> int:
             "multimodal",
             "codecthroughput",
             "sketches",
+            "pagerank",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -237,6 +238,8 @@ def main() -> int:
         _probe_codec_throughput(spark, scratch, args, report)
     if args.probe == "sketches":
         _probe_sketches(spark, scratch, args, report)
+    if args.probe == "pagerank":
+        _probe_pagerank(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1202,6 +1205,53 @@ def _probe_sketches(spark, scratch, args, report):
         lambda: SK.countmin_build(df, "k", depth=4, width=4096), args.reps
     )
     report("countmin_4x4096", rows=n, sec=sec, exchanges=ex)
+
+
+def _probe_pagerank(spark, scratch, args, report):
+    # ---- iterative link-graph scaling (r14) -------------------------
+    # args.docs edges over docs/10 nodes with a power-law-ish hub (node
+    # 0 receives 10% of all edges — the real crawl-graph shape). The
+    # claims: per-iteration cost is flat (the lineage truncation works),
+    # total time is linear in edges, and the hot dst key (a 10%-mass
+    # hub under the inflow groupBy) is absorbed by map-side partial agg.
+    from hive_scripts_spark.operators.graph import (
+        pagerank,
+        pagerank_portable,
+    )
+
+    n_edges = args.docs
+    n_nodes = max(2, n_edges // 10)
+    path = str(scratch / f"pr_{n_edges}")
+    spark.range(0, n_edges, 1, 32).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        F.when(
+            F.col("id") % 10 == 0, F.lit(0)  # hub: 10% of edges land on 0
+        ).otherwise(F.pmod(F.xxhash64("id") + 7, F.lit(n_nodes))).alias("dst"),
+    ).write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+
+    def timed_inclusive(build):
+        # _timed() starts its clock AFTER df_builder() returns, but
+        # pagerank's localCheckpoint is EAGER — most of the compute
+        # happens during construction, so time the whole thing
+        best = None
+        for _ in range(max(1, args.reps)):
+            t0 = time.perf_counter()
+            _noop(build())
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 2)
+
+    for label, iters in (("5it", 5), ("10it", 10)):
+        sec = timed_inclusive(
+            lambda i=iters: pagerank_portable(edges, iterations=i)
+        )
+        report(
+            f"pagerank_portable_{label}", edges=n_edges, nodes=n_nodes,
+            sec=sec,
+        )
+    sec = timed_inclusive(lambda: pagerank(edges, iterations=5))
+    report("pagerank_double_5it", edges=n_edges, nodes=n_nodes, sec=sec)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,12 @@ def pagerank_portable(
         raise ValueError(f"damping_pct must be in [1, 99]: {damping_pct}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
+    # the loop-invariant frames (e, nodes, deg) are deliberately NOT
+    # persisted: each checkpoint segment executes as one plan, where
+    # Catalyst's ReusedExchange dedupes the repeated distinct/agg
+    # subtrees — a same-session A/B at 1M edges measured explicit
+    # persist() 15–40 % SLOWER (cache materialization overhead beats
+    # the recompute it saves; PLANS.md "PageRank scale probe r14")
     e = _distinct_edges(edges, src_col, dst_col)
     nodes = _nodes(e)
     n = nodes.count()

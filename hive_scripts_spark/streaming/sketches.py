@@ -59,7 +59,13 @@ def streaming_countmin(
 
 def _current_version(root: Path) -> str | None:
     pointer = root / "CURRENT"
-    return pointer.read_text().strip() if pointer.exists() else None
+    if not pointer.exists():
+        return None
+    # a power-loss-truncated pointer reads as "": treat it like the
+    # missing pointer (root / "" would alias the root dir and wedge
+    # every subsequent read with a schema-inference error)
+    version = pointer.read_text().strip()
+    return version or None
 
 
 def read_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
@@ -76,7 +82,10 @@ def read_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 
 
 def kmv_sketch_sink(
-    sketch_dir: str, cols: Sequence[str], k: int = 256
+    sketch_dir: str,
+    cols: Sequence[str],
+    k: int = 256,
+    keep: int = 3,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callable: fold each micro-batch into the KMV
     sketch stored under ``sketch_dir`` (version dirs + a ``CURRENT``
@@ -85,15 +94,24 @@ def kmv_sketch_sink(
     Per batch: sketch the batch (raw rows never shuffle — the
     per-partition Arrow top-k), merge with the current k-row sketch,
     write ``sketch_v{batch_id}``, atomically install it by
-    ``os.replace`` on the pointer file, then best-effort clean
-    versions older than the immediate predecessor (kept so a reader
-    that resolved the pointer a moment ago can finish). Crash-safe by
-    construction: a crash before the pointer install leaves the old
-    pointer (the replayed batch re-merges — a no-op, the merge is a
-    distinct union); a crash after it makes the replay short-circuit
-    on the already-installed version; stale version dirs are garbage,
-    never corruption. The live sketch stays ≤ k rows forever — state
+    ``os.replace`` on the fsynced pointer file, then best-effort clean
+    all but the ``keep`` newest versions. Crash-safe by construction:
+    a crash before the pointer install leaves the old pointer (the
+    replayed batch re-merges — a no-op, the merge is a distinct
+    union); a crash after it makes the replay short-circuit on the
+    already-installed version; stale version dirs are garbage, never
+    corruption; a power-loss-truncated pointer reads as missing, and
+    the pointer bytes + directory entry are fsynced before the swap so
+    the installed pointer never outlives its data on disk.
+
+    Reader contract: :func:`read_kmv_sketch` resolves the pointer to a
+    version directory that survives the next ``keep - 1`` folds —
+    readers must finish within that many micro-batch intervals (size
+    ``keep`` to the slowest consumer; each version is ≤ k rows, so
+    retention is KB). The live sketch stays ≤ k rows forever — state
     does not grow with the stream."""
+    if keep < 2:
+        raise ValueError(f"keep must be >= 2 (current + predecessor): {keep}")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -112,13 +130,25 @@ def kmv_sketch_sink(
             merged = new
         merged.write.mode("overwrite").parquet(str(root / version))
         # atomic install: rename over an existing FILE is atomic on
-        # POSIX (directory swaps are not)
+        # POSIX (directory swaps are not); fsync the tmp bytes and the
+        # directory entry so a kernel crash cannot surface an empty or
+        # dangling pointer after the rename is visible
         tmp = root / f"CURRENT.tmp.{batch_id}"
-        tmp.write_text(version)
+        with open(tmp, "w") as fh:
+            fh.write(version)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, root / "CURRENT")
-        keep = {version, current}
-        for d in root.glob("sketch_v*"):
-            if d.name not in keep:
-                shutil.rmtree(d, ignore_errors=True)
+        dir_fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+        versions = sorted(
+            (d for d in root.glob("sketch_v*")),
+            key=lambda d: int(d.name.rsplit("v", 1)[1]),
+        )
+        for d in versions[:-keep]:
+            shutil.rmtree(d, ignore_errors=True)
 
     return fold

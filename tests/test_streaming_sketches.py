@@ -145,14 +145,31 @@ def test_kmv_fold_crash_after_pointer_install_short_circuits(spark, tmp_path):
     assert _stored(spark, root) == before
 
 
-def test_kmv_fold_cleanup_keeps_predecessor(spark, tmp_path):
+def test_kmv_fold_cleanup_keeps_newest_versions(spark, tmp_path):
     root = tmp_path / "kmv"
-    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    fold = kmv_sketch_sink(str(root), ["k"], k=16, keep=2)
     for i in range(3):
         df = spark.range(i * 100, (i + 1) * 100).select(
             F.col("id").cast("string").alias("k")
         )
         fold(df, i)
     names = {d.name for d in root.glob("sketch_v*")}
-    # current + immediate predecessor survive; older versions cleaned
+    # keep=2: current + immediate predecessor survive; older cleaned
     assert names == {"sketch_v2", "sketch_v1"}
+
+
+def test_kmv_empty_pointer_treated_as_missing(spark, tmp_path):
+    """A power-loss-truncated CURRENT must not alias the root dir."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    fold(df, 0)
+    (root / "CURRENT").write_text("")  # simulate torn pointer write
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_kmv_sketch(spark, str(root))
+    fold(df, 1)  # recovery: fold proceeds as a fresh start
+    assert _stored(spark, root) == sorted(
+        r["kmv_hash"] for r in SK.kmv_sketch(df, ["k"], k=16).collect()
+    )

@@ -1233,13 +1233,19 @@ def _probe_pagerank(spark, scratch, args, report):
     def timed_inclusive(build):
         # _timed() starts its clock AFTER df_builder() returns, but
         # pagerank's localCheckpoint is EAGER — most of the compute
-        # happens during construction, so time the whole thing
-        best = None
+        # happens during construction, so time the whole thing (with
+        # the same steal telemetry every other probe carries)
+        best, best_steal = None, None
         for _ in range(max(1, args.reps)):
+            steal0 = _steal_ticks()
             t0 = time.perf_counter()
             _noop(build())
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            steal = (_steal_ticks() - steal0) / _CLK_TCK
+            if best is None or dt < best:
+                best, best_steal = dt, steal
+        print(json.dumps({"telemetry": "best_rep_steal_s",
+                          "value": round(best_steal, 2)}), flush=True)
         return round(best, 2)
 
     for label, iters in (("5it", 5), ("10it", 10)):

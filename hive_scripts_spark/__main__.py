@@ -800,6 +800,16 @@ def cmd_sketch(args: argparse.Namespace) -> int:
                 sk = SK.kmv_sketch(df, cols, k=args.k)
             meta = {"kind": "kmv", "k": args.k, "cols": cols,
                     "group_cols": group_cols, "pre_image": "block-v1"}
+        elif args.kind == "digit":
+            if len(cols) != 1:
+                raise SystemExit(
+                    "sketch build --kind digit takes ONE --cols value column"
+                )
+            if group_cols:
+                raise SystemExit("--group-cols is a kmv-only flag")
+            sk = SK.digit_hist(df, cols[0], digits=args.digits)
+            meta = {"kind": "digit", "digits": args.digits,
+                    "value_col": cols[0], "pre_image": "digit-v1"}
         else:
             if len(cols) != 1:
                 raise SystemExit(
@@ -834,20 +844,33 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             "(countmin) — rebuild with matching parameters"
         )
     meta = metas[0]
-    if meta.get("pre_image") != "block-v1":
-        # hash-scheme versioning: merging sketches built under a
-        # different pre-image encoding would union hashes drawn from
-        # two different hash functions and silently double-count
+    expected_scheme = {"kmv": "block-v1", "countmin": "block-v1",
+                       "digit": "digit-v1"}.get(meta.get("kind"))
+    if meta.get("pre_image") != expected_scheme:
+        # scheme versioning: merging sketches built under a different
+        # encoding would union values drawn from two different
+        # functions and silently corrupt the estimates
         raise SystemExit(
-            "sketch was built with a different hash pre-image scheme "
-            f"({meta.get('pre_image')!r} != 'block-v1') — rebuild it "
-            "with the current code before merging"
+            "sketch was built with a different pre-image scheme "
+            f"({meta.get('pre_image')!r} != {expected_scheme!r}) — "
+            "rebuild it with the current code before merging"
         )
     parts = [
         spark.read.parquet(str(Path(d) / "sketch"))
         for d in args.sketch_dirs
     ]
-    if meta["kind"] == "kmv":
+    if meta["kind"] == "digit":
+        merged = SK.digit_hist_merge(parts)
+        qs = [float(q) for q in args.qs.split(",") if q]
+        est = SK.digit_hist_quantiles(
+            merged, qs, digits=meta["digits"]
+        )
+        for r in est.orderBy("q").collect():
+            print(
+                f"q={r['q']}: est={r['est']} "
+                f"(sign={r['sign']} decade={r['decade']} sub={r['sub']})"
+            )
+    elif meta["kind"] == "kmv":
         if meta["group_cols"]:
             merged = SK.kmv_merge_grouped(
                 parts, meta["group_cols"], k=meta["k"]
@@ -1442,10 +1465,20 @@ def main(argv: list[str] | None = None) -> int:
         "--group-cols", default="",
         help="(build, kmv) per-group sketch keys",
     )
-    sk.add_argument("--kind", choices=("kmv", "countmin"), default="kmv")
+    sk.add_argument(
+        "--kind", choices=("kmv", "countmin", "digit"), default="kmv"
+    )
     sk.add_argument("--k", type=int, default=256, help="kmv sketch size")
     sk.add_argument("--depth", type=int, default=4, help="countmin rows")
     sk.add_argument("--width", type=int, default=1024, help="countmin buckets")
+    sk.add_argument(
+        "--digits", type=int, default=2,
+        help="digit-histogram significant digits (quantile resolution)",
+    )
+    sk.add_argument(
+        "--qs", default="0.25,0.5,0.75,0.95,0.99",
+        help="(estimate, digit) comma-sep quantiles to print",
+    )
     sk.add_argument("--out", default="", help="(build) sketch output dir")
     sk.add_argument(
         "--sketch-dirs", nargs="*", default=[],

@@ -946,3 +946,37 @@ def test_sketch_estimate_rejects_old_pre_image_scheme(spark, tmp_path):
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(SystemExit, match="pre-image scheme"):
         main(["sketch", "estimate", "--sketch-dirs", out])
+
+
+def test_sketch_digit_build_estimate_split_merge(spark, tmp_path, capsys):
+    """digit sketch CLI: per-half histograms merged at estimate time
+    print the same quantiles as one whole-table build (the counter-sum
+    exactness, end to end), and the median lands near the true one."""
+    from pyspark.sql import functions as F
+
+    whole = _orders_db(spark, tmp_path, "dwhole")
+    even = _orders_db(spark, tmp_path, "deven", F.col("o_orderkey") % 2 == 0)
+    odd = _orders_db(spark, tmp_path, "dodd", F.col("o_orderkey") % 2 == 1)
+    args = ["--kind", "digit", "--table", "orders",
+            "--cols", "o_totalprice", "--digits", "3"]
+    for db, out in [(whole, "dw"), (even, "de"), (odd, "do")]:
+        assert main(
+            ["sketch", "build", "--db", db, *args,
+             "--out", str(tmp_path / out)]
+        ) == 0
+    capsys.readouterr()
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs", str(tmp_path / "dw"),
+         "--qs", "0.5"]
+    ) == 0
+    whole_line = capsys.readouterr().out
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs",
+         str(tmp_path / "de"), str(tmp_path / "do"), "--qs", "0.5"]
+    ) == 0
+    assert capsys.readouterr().out == whole_line
+    est = float(whole_line.split("est=")[1].split(" ")[0])
+    true_median = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    assert abs(est - true_median) / true_median < 0.01  # digits=3 -> 0.5%

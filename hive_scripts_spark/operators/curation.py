@@ -76,3 +76,59 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def split_leakage_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Eval-contamination check: near-duplicate pairs whose two ends
+    land in DIFFERENT train/val/test splits — the leakage that makes a
+    held-out set quietly un-held-out (a val doc that is a near-dup of
+    a train doc measures memorization, not generalization). Composes
+    the hash-stable :func:`~hive_scripts_spark.functions.canonical.
+    train_val_test_split` with any near-dup pair frame
+    (``(a_id, b_id, …)``, e.g. the MinHash-LSH verifiers).
+
+    Returns the pair frame + ``split_a`` / ``split_b``, filtered to
+    ``split_a != split_b``. Plan: the split assignment is a pure
+    scan-side projection of the doc keys (no shuffle), so the cost is
+    two broadcast-or-keyed joins of the SMALL pair frame against the
+    id→split projection — at 100 TB the pair frame (LSH-verified
+    near-dups) is orders smaller than the corpus and the corpus is
+    touched once, projection-only.
+    """
+    from hive_scripts_spark.functions.canonical import train_val_test_split
+
+    assigned = train_val_test_split(
+        docs, key_cols or [id_col], val_pct=val_pct, test_pct=test_pct
+    ).select(F.col(id_col), F.col("split"))
+    out = (
+        pairs.join(
+            assigned.select(
+                F.col(id_col).alias("a_id"), F.col("split").alias("split_a")
+            ),
+            "a_id",
+        )
+        .join(
+            assigned.select(
+                F.col(id_col).alias("b_id"), F.col("split").alias("split_b")
+            ),
+            "b_id",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    return out
+
+
+def split_leakage_report(leaks: DataFrame) -> DataFrame:
+    """Rollup of :func:`split_leakage_pairs`: pair counts per ordered
+    (split_a, split_b) boundary — the number every training run should
+    assert is zero (or route through pair-aware split assignment)."""
+    return leaks.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1,0 +1,118 @@
+"""Queued r20 registration candidate (the ``test_queued_r15.py``
+pattern): body + oracle held as literals, parity-verified at sf0.001
+AND the driver's grading scale sf0.01, awaiting a future capacity
+swap. Grades the round-14 eval-contamination composition:
+
+``x_split_leakage`` — near-duplicate pairs that STRADDLE the
+train/val/test boundary (``operators/curation.split_leakage_pairs``):
+the leakage that silently turns a held-out set into a memorization
+test. Composes two already-portable pieces end to end — the md5
+MinHash-LSH verified pair pipeline (the ``x_dedup_minhash_portable``
+oracle CTEs, imported so the two queries can never drift apart) and
+the hash-stable split assignment (the ``x_train_val_split`` idiom).
+Split shares are 50/25/25 here (not the production 90/5/5) so the
+boundary-crossing probability is ~62 % and the graded result is
+robustly non-empty at both scales.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+LEAKAGE_NAME = "x_split_leakage"
+
+
+def _leakage_oracle() -> str:
+    from hive_scripts_spark.plans.extension_queries import (
+        _DUCK_MINHASH_VERIFIED,
+    )
+
+    return (
+        _DUCK_MINHASH_VERIFIED
+        + """
+    , assigned as (
+      select doc_id,
+             case when b < 50 then 'train'
+                  when b < 75 then 'val'
+                  else 'test' end as split
+      from (
+        select doc_id,
+               cast(('0x' || substr(
+                   md5('split' || chr(1) || cast(doc_id as varchar)),
+                   1, 15)) as bigint) % 100 as b
+        from documents
+      )
+    )
+    select v.a_id, v.b_id, v.jaccard,
+           sa.split as split_a, sb.split as split_b
+    from mh_verified v
+    join assigned sa on v.a_id = sa.doc_id
+    join assigned sb on v.b_id = sb.doc_id
+    where sa.split != sb.split
+"""
+    )
+
+
+LEAKAGE_ORACLE = _leakage_oracle()
+
+
+def leakage_query(spark, sf_dir):
+    """The x_split_leakage body (verbatim future registration)."""
+    from hive_scripts_spark.operators.curation import split_leakage_pairs
+    from hive_scripts_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+    from hive_scripts_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(docs, threshold=0.2)
+    leaks = split_leakage_pairs(
+        docs, pairs, key_cols=["doc_id"], val_pct=25, test_pct=25
+    )
+    return leaks.select("a_id", "b_id", "jaccard", "split_a", "split_b")
+
+
+# ---------------------------------------------------------------------------
+# parity harness (same order-insensitive digest as tools/parity.py)
+# ---------------------------------------------------------------------------
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_queued_query_matches_oracle(spark, sf_dir):
+    got = leakage_query(spark, sf_dir)
+    spark_digest = _digest(got.columns, got.collect())
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+            )
+        rel = con.sql(LEAKAGE_ORACLE)
+        duck_digest = _digest(rel.columns, rel.fetchall())
+    finally:
+        con.close()
+    assert len(spark_digest) == len(duck_digest) > 0
+    assert spark_digest == duck_digest

@@ -912,6 +912,48 @@ def cmd_sketch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_bpe(args: argparse.Namespace) -> int:
+    """Real BPE tokenization (operators/tokenizer.py): ``train`` fits
+    merges on the corpus word frequencies and writes ``merges.json``;
+    ``apply`` tokenizes the documents table with a stored merge list
+    into a ``(doc_id, tokens, n_tokens)`` parquet — the exact-count
+    input for token-budget packing and mixture weighting."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators import tokenizer as T
+    from hive_scripts_spark.plans.registry import table as load_sf_table
+
+    spark = get_spark("hive-scripts-spark-bpe")
+    docs = load_sf_table(spark, args.db, "documents")
+    if args.action == "train":
+        merges = T.train_bpe(
+            docs, num_merges=args.merges, max_words=args.max_words
+        )
+        out = Path(args.model)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps({"merges": [list(m) for m in merges]}))
+        print(f"trained {len(merges)} merges -> {out}")
+        return 0
+    model = json.loads(Path(args.model).read_text())
+    merges = [tuple(m) for m in model["merges"]]
+    if not args.output:
+        raise SystemExit("bpe apply requires --output")
+    encoded = T.bpe_encode(docs, merges)
+    encoded.write.mode("overwrite").parquet(args.output)
+    stats = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    print(
+        f"tokenized {stats['docs']} docs, {stats['tokens']} tokens "
+        f"-> {args.output}"
+    )
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """The full training-data production job: curate (dedup →
     optional decontamination → repetition/quality gates → language-ID)
@@ -1489,6 +1531,19 @@ def main(argv: list[str] | None = None) -> int:
         help="(estimate, countmin) comma-sep probe key values",
     )
     sk.set_defaults(fn=cmd_sketch)
+
+    bp = sub.add_parser(
+        "bpe",
+        help="real BPE: train merges on the corpus / tokenize with a "
+        "stored merge list",
+    )
+    bp.add_argument("action", choices=("train", "apply"))
+    bp.add_argument("--db", required=True, help="dir with documents.parquet")
+    bp.add_argument("--model", required=True, help="merges.json path")
+    bp.add_argument("--merges", type=int, default=200, help="(train)")
+    bp.add_argument("--max-words", type=int, default=50_000, help="(train)")
+    bp.add_argument("--output", default="", help="(apply) tokens parquet dir")
+    bp.set_defaults(fn=cmd_bpe)
 
     e = sub.add_parser(
         "export",

@@ -980,3 +980,28 @@ def test_sketch_digit_build_estimate_split_merge(spark, tmp_path, capsys):
         "/root/testdata/sf0.001/orders.parquet"
     ).approxQuantile("o_totalprice", [0.5], 0.0)[0]
     assert abs(est - true_median) / true_median < 0.01  # digits=3 -> 0.5%
+
+
+def test_bpe_train_apply_end_to_end(spark, tmp_path, capsys):
+    model = str(tmp_path / "merges.json")
+    rc = main(
+        ["bpe", "train", "--db", "/root/testdata/sf0.001",
+         "--model", model, "--merges", "50", "--max-words", "2000"]
+    )
+    assert rc == 0
+    assert "trained 50 merges" in capsys.readouterr().out
+    out = str(tmp_path / "tokens")
+    rc = main(
+        ["bpe", "apply", "--db", "/root/testdata/sf0.001",
+         "--model", model, "--output", out]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "tokenized" in printed
+    got = spark.read.parquet(out)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert got.count() == n_docs
+    row = got.where(got.n_tokens > 0).first()
+    assert row is not None and len(row["tokens"]) == row["n_tokens"]

@@ -174,6 +174,7 @@ def main() -> int:
             "codecthroughput",
             "sketches",
             "pagerank",
+            "bpe",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -240,6 +241,8 @@ def main() -> int:
         _probe_sketches(spark, scratch, args, report)
     if args.probe == "pagerank":
         _probe_pagerank(spark, scratch, args, report)
+    if args.probe == "bpe":
+        _probe_bpe(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1258,6 +1261,30 @@ def _probe_pagerank(spark, scratch, args, report):
         )
     sec = timed_inclusive(lambda: pagerank(edges, iterations=5))
     report("pagerank_double_5it", edges=n_edges, nodes=n_nodes, sec=sec)
+
+
+def _probe_bpe(spark, scratch, args, report):
+    # ---- real-BPE apply throughput (r14) ----------------------------
+    # args.docs synthetic docs × 50 tokens from a 500-word vocab (the
+    # word-memo best case is Zipf reality; this uniform vocab is its
+    # WORST case — real corpora re-encode fewer distinct words).
+    from hive_scripts_spark.operators import tokenizer as T
+
+    n = args.docs
+    path = str(scratch / f"bpe_{n}")
+    gen_documents(spark, n, path)
+    docs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    merges = T.train_bpe(docs, num_merges=200, max_words=50_000)
+    train_s = round(time.perf_counter() - t0, 2)
+    report("bpe_train_200", docs=n, sec=train_s)
+    sec, ex = _timed(lambda: T.bpe_encode(docs, merges), args.reps)
+    tokens = T.bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    report(
+        "bpe_apply", docs=n, sec=sec, exchanges=ex,
+        tokens=int(tokens), docs_per_s=round(n / sec),
+        tokens_per_s=round(tokens / sec),
+    )
 
 
 if __name__ == "__main__":

@@ -844,8 +844,13 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             "(countmin) — rebuild with matching parameters"
         )
     meta = metas[0]
-    expected_scheme = {"kmv": "block-v1", "countmin": "block-v1",
-                       "digit": "digit-v1"}.get(meta.get("kind"))
+    schemes = {"kmv": "block-v1", "countmin": "block-v1",
+               "digit": "digit-v1"}
+    if meta.get("kind") not in schemes:
+        raise SystemExit(
+            f"unrecognized sketch kind in meta.json: {meta.get('kind')!r}"
+        )
+    expected_scheme = schemes[meta["kind"]]
     if meta.get("pre_image") != expected_scheme:
         # scheme versioning: merging sketches built under a different
         # encoding would union values drawn from two different
@@ -861,7 +866,17 @@ def cmd_sketch(args: argparse.Namespace) -> int:
     ]
     if meta["kind"] == "digit":
         merged = SK.digit_hist_merge(parts)
-        qs = [float(q) for q in args.qs.split(",") if q]
+        try:
+            qs = [float(q) for q in args.qs.split(",") if q.strip()]
+        except ValueError as exc:
+            raise SystemExit(f"--qs must be comma-separated floats: {exc}")
+        if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+            # out-of-range quantiles silently match no bucket — catch
+            # the percent-style typo (--qs 50,95) loudly instead
+            raise SystemExit(
+                f"--qs values must be in (0, 1]: {args.qs!r} "
+                "(use 0.5, not 50)"
+            )
         est = SK.digit_hist_quantiles(
             merged, qs, digits=meta["digits"]
         )
@@ -941,11 +956,20 @@ def cmd_bpe(args: argparse.Namespace) -> int:
     merges = [tuple(m) for m in model["merges"]]
     if not args.output:
         raise SystemExit("bpe apply requires --output")
+    out_abs = os.path.abspath(args.output)
+    db_abs = os.path.abspath(args.db)
+    if out_abs == db_abs or out_abs.startswith(db_abs + os.sep):
+        # bpe_encode reads the documents table lazily while the write
+        # truncates --output: writing into the source db would destroy
+        # the input mid-read (same guard as cmd_merge)
+        raise SystemExit(
+            "bpe apply: --output must be outside the --db directory"
+        )
     encoded = T.bpe_encode(docs, merges)
     encoded.write.mode("overwrite").parquet(args.output)
     stats = spark.read.parquet(args.output).agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
     ).collect()[0]
     print(
         f"tokenized {stats['docs']} docs, {stats['tokens']} tokens "

@@ -1,6 +1,6 @@
 """Real BPE tokenization: corpus-trained merges + distributed apply.
 
-``textstats.bpeish_token_count`` approximates sub-word counts with a
+``textstats.bpe_ish_token_count`` approximates sub-word counts with a
 regex; this module does the actual thing — train byte-pair-encoding
 merges on corpus word frequencies (Sennrich et al. 2016, "Neural
 machine translation of rare words with subword units") and apply them
@@ -18,10 +18,16 @@ the word sample is ordered (count desc, word asc).
 
 Apply shape: Arrow ``mapInPandas`` with the merge-rank dict captured
 in the closure (shipped once per task via the serialized function, KB
-— never per row), a per-batch word→tokens memo (Zipf again: a batch
-re-encodes few distinct words), and the same pre-tokenizer regex as
-the regex counter so the two counts are comparable. Pure map — zero
-exchanges, embarrassingly parallel at any corpus size.
+— never per row), a size-capped per-task word→tokens memo (Zipf: a
+task re-encodes few distinct words; the cap bounds memory on
+high-entropy text), and the same pre-tokenizer segmentation as the
+regex counter so the two counts are comparable. The Python regex is
+compiled with ``re.ASCII`` so ``\\s``/letter classes match Java regex
+semantics — without it, Unicode whitespace (NBSP, ubiquitous in
+HTML-derived corpora) segments differently between the Spark-side
+trainer and the Python-side encoder and the trained merges fit a
+distribution the encoder never sees. Pure map — zero exchanges,
+embarrassingly parallel at any corpus size.
 
 Not SQL-expressible (the merge loop is inherently sequential per
 word), so this family is pytest-graded: hand-computed Sennrich-style
@@ -43,8 +49,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: pre-tokenizer — same segmentation as textstats.bpeish_token_count
+#: pre-tokenizer — same segmentation as textstats.bpe_ish_token_count
 PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: memo entries per task before reset (bounds worker memory on
+#: high-entropy text where every "word" is distinct)
+_MEMO_CAP = 1 << 16
 
 #: end-of-word marker (Sennrich convention): lets merges distinguish
 #: word-final from word-internal contexts
@@ -91,43 +101,88 @@ def train_bpe(
     )
 
 
+def _merge_symbols(
+    symbols: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    """Replace all non-overlapping occurrences of ``pair`` (leftmost
+    first — the standard BPE order)."""
+    merged_sym = pair[0] + pair[1]
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i < len(symbols) - 1 and (symbols[i], symbols[i + 1]) == pair:
+            out.append(merged_sym)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
 def train_bpe_from_frequencies(
     word_freqs: Sequence[tuple[str, int]], num_merges: int
 ) -> list[tuple[str, str]]:
     """The greedy merge loop (pure Python, deterministic): repeatedly
     merge the most frequent adjacent symbol pair; ties break to the
-    lexicographically smallest pair."""
-    vocab: dict[tuple[str, ...], int] = {}
+    lexicographically smallest pair.
+
+    Incremental: pair counts and a pair→words index are maintained
+    across merges, so each iteration rewrites ONLY the words containing
+    the merged pair (cost ∝ the pair's support + one scan of the
+    distinct-pair table for argmin) instead of recounting the whole
+    vocabulary — at real vocab sizes (32k merges × 50k word types) a
+    full recount per merge is minutes of driver time; this is
+    seconds."""
+    # word id -> (symbols, freq); merging never changes freq
+    words: list[tuple[tuple[str, ...], int]] = []
+    seen: dict[tuple[str, ...], int] = {}
     for word, n in word_freqs:
         key = tuple(word) + (EOW,)
-        vocab[key] = vocab.get(key, 0) + n
+        if key in seen:
+            idx = seen[key]
+            words[idx] = (key, words[idx][1] + n)
+        else:
+            seen[key] = len(words)
+            words.append((key, n))
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (symbols, n) in enumerate(words):
+        for i in range(len(symbols) - 1):
+            p = (symbols[i], symbols[i + 1])
+            pair_counts[p] += n
+            pair_words.setdefault(p, set()).add(idx)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for symbols, n in vocab.items():
-            for i in range(len(symbols) - 1):
-                pairs[(symbols[i], symbols[i + 1])] += n
-        if not pairs:
+        best, best_key = None, None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            k = (-c, p)
+            if best_key is None or k < best_key:
+                best, best_key = p, k
+        if best is None:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        merged_sym = best[0] + best[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for symbols, n in vocab.items():
-            out = []
-            i = 0
-            while i < len(symbols):
-                if (
-                    i < len(symbols) - 1
-                    and (symbols[i], symbols[i + 1]) == best
-                ):
-                    out.append(merged_sym)
-                    i += 2
-                else:
-                    out.append(symbols[i])
-                    i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
-        vocab = new_vocab
+        for idx in sorted(pair_words.get(best, ())):
+            symbols, n = words[idx]
+            for i in range(len(symbols) - 1):
+                p = (symbols[i], symbols[i + 1])
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(idx)
+                    if not ws:
+                        del pair_words[p]
+            new_symbols = _merge_symbols(symbols, best)
+            words[idx] = (new_symbols, n)
+            for i in range(len(new_symbols) - 1):
+                p = (new_symbols[i], new_symbols[i + 1])
+                pair_counts[p] += n
+                pair_words.setdefault(p, set()).add(idx)
     return merges
 
 
@@ -172,7 +227,9 @@ def bpe_encode(
     map — zero exchanges; the merge ranks ride the closure (KB, once
     per task) and a per-batch word memo amortizes the Zipf head."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    pat = re.compile(PRETOKEN_RE)
+    # re.ASCII: make \s / letter classes match Java regex semantics so
+    # apply segments exactly like the Spark-side trainer (NBSP etc.)
+    pat = re.compile(PRETOKEN_RE, re.ASCII)
     schema = StructType(
         [
             StructField(id_col, docs.schema[id_col].dataType, True),
@@ -194,6 +251,9 @@ def bpe_encode(
                 toks = memo.get(w)
                 if toks is None:
                     toks = encode_word(w, ranks)
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()  # bound worker memory (high-
+                        # entropy text makes every word distinct)
                     memo[w] = toks
                 out.extend(toks)
             return out

@@ -1005,3 +1005,31 @@ def test_bpe_train_apply_end_to_end(spark, tmp_path, capsys):
     assert got.count() == n_docs
     row = got.where(got.n_tokens > 0).first()
     assert row is not None and len(row["tokens"]) == row["n_tokens"]
+
+
+def test_sketch_digit_estimate_rejects_percent_style_qs(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "dh")
+    assert main(
+        ["sketch", "build", "--kind", "digit",
+         "--db", "/root/testdata/sf0.001", "--table", "orders",
+         "--cols", "o_totalprice", "--out", out]
+    ) == 0
+    with pytest.raises(SystemExit, match="use 0.5, not 50"):
+        main(["sketch", "estimate", "--sketch-dirs", out, "--qs", "50,95"])
+
+
+def test_bpe_apply_rejects_output_inside_db(tmp_path):
+    import json
+
+    import pytest
+
+    model = tmp_path / "merges.json"
+    model.write_text(json.dumps({"merges": [["e", "r"]]}))
+    with pytest.raises(SystemExit, match="outside the --db"):
+        main(
+            ["bpe", "apply", "--db", "/root/testdata/sf0.001",
+             "--model", str(model),
+             "--output", "/root/testdata/sf0.001/documents.parquet"]
+        )

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hive_scripts_spark.operators.sketches import (
     countmin_build,
+    digit_hist,
     kmv_merge,
     kmv_sketch,
 )
@@ -79,6 +80,18 @@ def read_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
             f"no committed sketch at {sketch_dir} (missing CURRENT pointer)"
         )
     return spark.read.parquet(str(root / version))
+
+
+def streaming_digit_hist(
+    events: DataFrame, value_col: str, digits: int = 2
+) -> DataFrame:
+    """Digit histogram over a stream: like count-min, the construction
+    is a pure keyed sum, so Structured Streaming incrementalizes it
+    with state bounded at the bucket count (≤ ~90·decades rows) —
+    continuous quantile monitoring over an ingest stream. Run with
+    ``outputMode("complete")`` and feed the result to
+    ``digit_hist_quantiles``."""
+    return digit_hist(events, value_col, digits=digits)
 
 
 def kmv_sketch_sink(

@@ -173,3 +173,31 @@ def test_kmv_empty_pointer_treated_as_missing(spark, tmp_path):
     assert _stored(spark, root) == sorted(
         r["kmv_hash"] for r in SK.kmv_sketch(df, ["k"], k=16).collect()
     )
+
+
+def test_streaming_digit_hist_matches_batch(spark, tmp_path):
+    stream_dir = _stage_events(spark, tmp_path)
+    batch_df = spark.read.parquet(str(stream_dir))
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+
+    from hive_scripts_spark.streaming.sketches import streaming_digit_hist
+
+    out = streaming_digit_hist(stream, "value", digits=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dh_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "stream did not finish in time"
+    want = {
+        (r["sign"], r["decade"], r["sub"]): r["cnt"]
+        for r in SK.digit_hist(batch_df, "value", digits=2).collect()
+    }
+    got = {
+        (r["sign"], r["decade"], r["sub"]): r["cnt"]
+        for r in spark.table("dh_stream_test").collect()
+    }
+    assert got == want and len(got) > 0

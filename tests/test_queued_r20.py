@@ -98,11 +98,78 @@ def _digest(cols, rows):
     return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# candidate 2: x_kmv_merge_groups (sketch algebra as a graded row)
+# ---------------------------------------------------------------------------
+
+KMV_MERGE_NAME = "x_kmv_merge_groups"
+
+#: the merged estimate equals the whole-table estimate by the KMV
+#: exactness theorem; the oracle deliberately restates the TWO-LEVEL
+#: construction (per-group survivors → global k smallest) instead of
+#: relying on the theorem, so the merge path itself is what is graded
+KMV_MERGE_ORACLE = """
+    with h as (
+      select distinct o_orderpriority,
+             cast(('0x' || substr(md5(
+               case when o_custkey is null then '<null>'
+                    else md5(cast(o_custkey as varchar)) end
+             ), 1, 15)) as bigint) as kmv_hash
+      from orders
+    ), ranked as (
+      select o_orderpriority, kmv_hash,
+             row_number() over (partition by o_orderpriority
+                                order by kmv_hash) as rn
+      from h
+    ), survivors as (
+      select kmv_hash from ranked where rn <= 128
+    ), topk as (
+      select distinct kmv_hash from survivors
+      order by kmv_hash limit 128
+    )
+    select cast(count(*) as bigint) as n_hashes,
+           max(kmv_hash) as kth_hash,
+           round(case when count(*) < 128 then cast(count(*) as double)
+                 else (cast(127 as double)
+                       * cast(1152921504606846976 as double))
+                      / cast(max(kmv_hash) as double) end, 4) as est_distinct
+    from topk
+"""
+
+
+def kmv_merge_query(spark, sf_dir):
+    """The x_kmv_merge_groups body (verbatim future registration):
+    per-priority sketches merged into one global estimate — the
+    persist-per-partition / answer-any-range pattern as a graded
+    row."""
+    from hive_scripts_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch_grouped,
+    )
+    from hive_scripts_spark.plans.registry import table
+
+    orders = table(spark, sf_dir, "orders")
+    grouped = kmv_sketch_grouped(
+        orders, ["o_orderpriority"], ["o_custkey"], k=128
+    )
+    merged = kmv_merge([grouped.select("kmv_hash")], k=128)
+    return kmv_estimate(merged, k=128)
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-def test_queued_query_matches_oracle(spark, sf_dir):
-    got = leakage_query(spark, sf_dir)
+@pytest.mark.parametrize(
+    "query,oracle",
+    [
+        (leakage_query, LEAKAGE_ORACLE),
+        (kmv_merge_query, KMV_MERGE_ORACLE),
+    ],
+    ids=[LEAKAGE_NAME, KMV_MERGE_NAME],
+)
+def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
+    got = query(spark, sf_dir)
     spark_digest = _digest(got.columns, got.collect())
     con = duckdb.connect()
     try:
@@ -110,7 +177,7 @@ def test_queued_query_matches_oracle(spark, sf_dir):
             con.execute(
                 f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
             )
-        rel = con.sql(LEAKAGE_ORACLE)
+        rel = con.sql(oracle)
         duck_digest = _digest(rel.columns, rel.fetchall())
     finally:
         con.close()

@@ -51,8 +51,14 @@ def morton_key_sql(a: str, b: str, bits: int = 16) -> str:
     never drift."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31]: {bits}")
+    # cast each operand to bigint (DuckDB shifts in the OPERAND's type:
+    # an int32 column overflows at bit 31 with a data-dependent error
+    # the Spark twin — which casts to long — never raises) and
+    # parenthesize it (a caller expression with low-precedence
+    # operators would otherwise mis-parse inside the shift)
+    ca, cb = f"cast(({a}) as bigint)", f"cast(({b}) as bigint)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ca} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({cb} >> {i}) & 1) << {2 * i + 1})")
     return "cast(" + " + ".join(terms) + " as bigint)"

@@ -83,15 +83,16 @@ def read_kmv_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 
 
 def streaming_digit_hist(
-    events: DataFrame, value_col: str, digits: int = 2
+    events: DataFrame, value_col: str, digits: int = 2, scale: int = 6
 ) -> DataFrame:
     """Digit histogram over a stream: like count-min, the construction
     is a pure keyed sum, so Structured Streaming incrementalizes it
     with state bounded at the bucket count (≤ ~90·decades rows) —
     continuous quantile monitoring over an ingest stream. Run with
     ``outputMode("complete")`` and feed the result to
-    ``digit_hist_quantiles``."""
-    return digit_hist(events, value_col, digits=digits)
+    ``digit_hist_quantiles``. Both (digits, scale) pass through —
+    merged sketches must share them."""
+    return digit_hist(events, value_col, digits=digits, scale=scale)
 
 
 def kmv_sketch_sink(

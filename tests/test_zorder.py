@@ -31,28 +31,46 @@ def test_matches_python_reference(spark):
         assert z == _py_morton(a, b, 16), (a, b)
 
 
-def test_spark_and_sql_twins_agree(spark):
+@pytest.mark.parametrize("bits", [10, 16])
+def test_spark_and_sql_twins_agree(spark, bits):
     import duckdb
 
-    rows = [(i * 37 % 1000, i * 91 % 1000) for i in range(200)]
-    df = spark.createDataFrame(rows, "a long, b long")
-    got = sorted(
-        r["z"]
-        for r in df.select(morton_key("a", "b", bits=10).alias("z")).collect()
-    )
-    want = sorted(
-        r[0]
+    # values >= 32768 at bits=16 exercised deliberately: DuckDB shifts
+    # in the OPERAND's type, and an un-cast int32 column overflows at
+    # bit 31 (a review-caught twin divergence the sorted-multiset form
+    # of this test missed) — hence int32 inputs AND a keyed comparison
+    rows = [(i * 37 % 65536, i * 9091 % 65536) for i in range(300)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_key("a", "b", bits=bits).alias("z")
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
         for r in duckdb.sql(
-            "select "
-            + morton_key_sql("a", "b", bits=10)
-            + " as z from (select unnest("
+            "select a, b, "
+            + morton_key_sql("a", "b", bits=bits)
+            + " as z from (select unnest(cast("
             + str([a for a, _ in rows])
-            + ") as a, unnest("
+            + " as int[])) as a, unnest(cast("
             + str([b for _, b in rows])
-            + ") as b)"
+            + " as int[])) as b)"
         ).fetchall()
-    )
+    }
     assert got == want
+
+
+def test_sql_twin_parenthesizes_operands(spark):
+    import duckdb
+
+    # a low-precedence caller expression must not mis-parse inside the
+    # generated shifts
+    got = duckdb.sql(
+        "select " + morton_key_sql("1 + 2", "0", bits=4) + " as z"
+    ).fetchall()[0][0]
+    assert got == _py_morton(3, 0, 4)
 
 
 def test_locality_property(spark):

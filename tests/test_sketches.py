@@ -408,3 +408,41 @@ def test_digit_hist_excludes_nan_inf_and_overflow(spark):
         for r in SK.digit_hist(df, "v", digits=2).collect()
     }
     assert got == {(1, 7, 50): 1}  # only the finite in-domain 5.0
+
+
+def test_digit_hist_grouped_matches_per_group_global(spark):
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i * 11)) for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    grouped = SK.digit_hist_grouped(df, ["g"], "v", digits=2)
+    by_g = {}
+    for r in grouped.collect():
+        by_g.setdefault(r["g"], {})[(r["sign"], r["decade"], r["sub"])] = r["cnt"]
+    for g in ["a", "b"]:
+        solo = {
+            (r["sign"], r["decade"], r["sub"]): r["cnt"]
+            for r in SK.digit_hist(
+                df.where(F.col("g") == g), "v", digits=2
+            ).collect()
+        }
+        assert by_g[g] == solo
+
+
+def test_digit_hist_quantiles_grouped(spark):
+    # group 'a': uniform 1..1000 (median ~500); 'b': uniform 1..100
+    rows = [("a", float(i)) for i in range(1, 1001)] + [
+        ("b", float(i)) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = SK.digit_hist_grouped(df, ["g"], "v", digits=3)
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.digit_hist_quantiles_grouped(
+            sk, ["g"], [0.5, 0.9], digits=3
+        ).collect()
+    }
+    assert abs(got[("a", 0.5)] - 500) / 500 < 0.005
+    assert abs(got[("a", 0.9)] - 900) / 900 < 0.005
+    assert abs(got[("b", 0.5)] - 50) / 50 < 0.02  # 2-digit values: coarser
+    assert abs(got[("b", 0.9)] - 90) / 90 < 0.02

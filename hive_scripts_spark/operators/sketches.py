@@ -92,6 +92,25 @@ def _hash_col(cols: Sequence[str], hash_fn: Callable[..., Column]) -> Column:
     return hash_fn(sketch_pre_image(cols)).alias("kmv_hash")
 
 
+#: column names the sketch builders/readers project internally — a
+#: group column sharing one of these would make the plan ambiguous
+_RESERVED = frozenset(
+    {"sign", "decade", "sub", "cnt", "ord", "cum", "total", "q", "b",
+     "kmv_hash", "n_hashes", "kth_hash"}
+)
+
+
+def _check_group_cols(group_cols: Sequence[str], caller: str) -> list[str]:
+    clash = sorted(set(group_cols) & _RESERVED)
+    if clash:
+        raise ValueError(
+            f"{caller}: group column(s) {clash} collide with the "
+            f"sketch's internal column names {sorted(_RESERVED)} — "
+            "rename them before sketching"
+        )
+    return list(group_cols)
+
+
 def _union_all(sketches: Sequence[DataFrame], caller: str) -> DataFrame:
     if not sketches:
         raise ValueError(f"{caller} needs at least one sketch")
@@ -210,7 +229,7 @@ def kmv_sketch_grouped(
         raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
     if not cols:
         raise ValueError("kmv_sketch_grouped needs at least one value column")
-    group_cols = list(group_cols)
+    group_cols = _check_group_cols(group_cols, "kmv_sketch_grouped")
     hashed = df.select(*group_cols, _hash_col(cols, hash_fn))
     schema = StructType(
         [hashed.schema[c] for c in group_cols]
@@ -327,29 +346,38 @@ def digit_hist(
     or land in a garbage NULL-decade bucket that skews every
     quantile. The one-decade margin below the decimal(38,scale)
     ceiling keeps boundary values from overflowing inside the cast."""
-    if not 1 <= digits <= 6:
-        raise ValueError(f"digits must be in [1, 6]: {digits}")
-    vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
-    vdbl = F.col(value_col).cast("double")
-    finite = (
-        F.col(value_col).isNotNull()
-        & ~F.isnan(vdbl)
-        & (F.abs(vdbl) < F.lit(1e31))
-    )
-    return (
-        df.where(finite)
-        .select(sign.alias("sign"), decade.alias("decade"), sub.alias("sub"))
-        .groupBy("sign", "decade", "sub")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return digit_hist_grouped(df, [], value_col, digits=digits, scale=scale)
 
 
 def digit_hist_merge(sketches: Sequence[DataFrame]) -> DataFrame:
-    """Merge digit histograms built with the SAME (digits, scale):
-    counter-wise sum. Exact: equals building on the concatenated
-    input."""
+    """Merge GLOBAL digit histograms built with the SAME (digits,
+    scale): counter-wise sum. Exact: equals building on the
+    concatenated input. Grouped sketches must go through
+    :func:`digit_hist_merge_grouped` — this form would silently sum
+    counters ACROSS groups; it refuses inputs with extra columns."""
     merged = _union_all(sketches, "digit_hist_merge")
+    extra = set(merged.columns) - {"sign", "decade", "sub", "cnt"}
+    if extra:
+        raise ValueError(
+            f"digit_hist_merge got grouped sketches (extra columns "
+            f"{sorted(extra)}) — use digit_hist_merge_grouped, or the "
+            "merge would silently collapse groups together"
+        )
     return merged.groupBy("sign", "decade", "sub").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def digit_hist_merge_grouped(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge grouped digit histograms built with the SAME (digits,
+    scale, group_cols): counter-wise sum per (group, bucket). Exact —
+    the grouped twin of :func:`digit_hist_merge`, mirroring
+    :func:`kmv_merge_grouped`."""
+    group_cols = _check_group_cols(group_cols, "digit_hist_merge_grouped")
+    merged = _union_all(sketches, "digit_hist_merge_grouped")
+    return merged.groupBy(*group_cols, "sign", "decade", "sub").agg(
         F.sum("cnt").alias("cnt")
     )
 
@@ -366,53 +394,12 @@ def digit_hist_quantiles(
     bucket midpoint ``sign·(sub+0.5)·10^(decade-digits-scale)``. The
     bucket choice is exact integer math (gradable); ``est`` is one
     float expression on top. Runs on the ≤ few-thousand-row sketch —
-    the singleton-partition windows here sort KB, not data."""
-    from pyspark.sql.window import Window
-
-    ordk = (
-        F.col("sign")
-        * (F.col("decade") * (10 ** (digits + 1)) + F.col("sub"))
-    ).alias("ord")
-    w = Window.orderBy("ord")
-    ranked = (
-        sketch.select("sign", "decade", "sub", "cnt", ordk)
-        .withColumn(
-            "cum",
-            F.sum("cnt").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn(
-            "total",
-            F.sum("cnt").over(
-                w.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
+    the singleton-partition windows here sort KB, not data.
+    (The grouped form with no group columns — one implementation, so
+    the ord encoding / rank rule / finite guard cannot diverge.)"""
+    return digit_hist_quantiles_grouped(
+        sketch, [], qs, digits=digits, scale=scale
     )
-    qcol = F.explode(
-        F.array(*[F.lit(float(q)) for q in qs])
-    ).alias("q")
-    eligible = ranked.select("*", qcol).where(
-        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
-    )
-    pick = eligible.groupBy("q").agg(
-        F.min_by(F.struct("sign", "decade", "sub"), F.col("ord")).alias("b")
-    )
-    est = (
-        F.col("b.sign").cast("double")
-        * (F.col("b.sub") + F.lit(0.5))
-        * F.pow(F.lit(10.0), F.col("b.decade") - F.lit(digits + scale))
-    )
-    return pick.select(
-        "q",
-        F.col("b.sign").alias("sign"),
-        F.col("b.decade").alias("decade"),
-        F.col("b.sub").alias("sub"),
-        est.alias("est"),
-    )
-
 
 def digit_hist_grouped(
     df: DataFrame,
@@ -425,10 +412,11 @@ def digit_hist_grouped(
     cnt`` — per-language length quantiles, per-host fetch-latency
     percentiles. Same single keyed-sum exchange as the global form
     (the group columns just widen the key); same finite-domain
-    exclusions."""
+    exclusions. This is THE implementation — :func:`digit_hist` is the
+    empty-group special case."""
     if not 1 <= digits <= 6:
         raise ValueError(f"digits must be in [1, 6]: {digits}")
-    group_cols = list(group_cols)
+    group_cols = _check_group_cols(group_cols, "digit_hist_grouped")
     vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
     vdbl = F.col(value_col).cast("double")
     finite = (
@@ -459,10 +447,14 @@ def digit_hist_quantiles_grouped(
     """Per-group quantile picks from a grouped digit histogram:
     ``group_cols…, q, sign, decade, sub, est`` — the grouped twin of
     :func:`digit_hist_quantiles`, with the cumulative windows
-    partitioned by group (one keyed sort over the KB-scale sketch)."""
+    partitioned by group (one keyed sort over the KB-scale sketch).
+    This is THE implementation — the global reader is the empty-group
+    special case."""
     from pyspark.sql.window import Window
 
-    group_cols = list(group_cols)
+    group_cols = _check_group_cols(
+        group_cols, "digit_hist_quantiles_grouped"
+    )
     ordk = (
         F.col("sign")
         * (F.col("decade") * (10 ** (digits + 1)) + F.col("sub"))

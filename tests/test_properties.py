@@ -780,32 +780,42 @@ def test_kmv_merge_exact_over_any_split(spark, rows, cut, k):
             allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
         ),
         min_size=1,
-        max_size=50,
+        max_size=30,
+        unique=True,
     ),
     digits=st.sampled_from([1, 2, 3]),
 )
-def test_digit_hist_bucket_bound_property(spark, vals, digits):
-    """Every value's bucket midpoint is within the published relative
-    error (0.5·10^(1-digits)) of the value, for any finite input above
-    the scale floor — the guarantee quantile reads inherit."""
+def test_digit_hist_bucket_contains_its_value(spark, vals, digits):
+    """Every value lands in a bucket whose numeric range actually
+    CONTAINS it (within the decimal-cast floor), and the bucket
+    midpoint is within the published relative error for values above
+    the scale floor — checked per raw value, not per bucket, so a
+    wrong decade/sub mapping cannot pass."""
     from hive_scripts_spark.operators import sketches as SK
 
-    df = spark.createDataFrame([(v,) for v in vals], "v double")
-    buckets = SK.digit_hist(df, "v", digits=digits).collect()
-    total = sum(r["cnt"] for r in buckets)
-    assert total == len(vals)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    by_id = {
+        r["rid"]: (r["sign"], r["decade"], r["sub"])
+        for r in SK.digit_hist_grouped(df, ["rid"], "v", digits=digits).collect()
+    }
+    assert len(by_id) == len(vals)
     tol = 0.5 * 10.0 ** (1 - digits) + 1e-9
-    for r in buckets:
-        if r["sign"] == 0 or r["decade"] == 0:
+    eps = 10.0 ** -6  # the decimal(38,6) cast quantum
+    for rid, v in rows:
+        sign, decade, sub = by_id[rid]
+        if abs(v) < 4e-7:
+            # quantizes to decimal 0.000000: the zero bucket (the
+            # falsified first draft assumed nonzero doubles keep their
+            # sign — a subnormal 2e-311 does not survive the cast)
+            assert (sign, decade, sub) == (0, 0, 0)
             continue
-        mid = (
-            r["sign"] * (r["sub"] + 0.5) * 10.0 ** (r["decade"] - digits - 6)
-        )
-        # every value in this bucket is within tol of the midpoint —
-        # check against the bucket's own bounds instead of raw values
-        lo = r["sign"] * r["sub"] * 10.0 ** (r["decade"] - digits - 6)
-        hi = r["sign"] * (r["sub"] + 1) * 10.0 ** (r["decade"] - digits - 6)
-        span = abs(hi - lo)
-        assert abs(mid - lo) <= span and abs(hi - mid) <= span
-        if abs(mid) > 10.0 ** (digits - 6):
-            assert span / abs(mid) <= 2 * tol
+        if abs(v) < 1e-5:
+            continue  # inside the cast's rounding gray zone
+        assert sign == (1 if v > 0 else -1)
+        lo = sub * 10.0 ** (decade - digits - 6)
+        hi = (sub + 1) * 10.0 ** (decade - digits - 6)
+        assert lo - eps <= abs(v) <= hi + eps, (v, sign, decade, sub)
+        mid = (sub + 0.5) * 10.0 ** (decade - digits - 6)
+        if abs(v) >= 10.0 ** (digits - 6):  # above the resolution floor
+            assert abs(mid - abs(v)) / abs(v) <= tol + 2 * eps / abs(v)

@@ -446,3 +446,37 @@ def test_digit_hist_quantiles_grouped(spark):
     assert abs(got[("a", 0.9)] - 900) / 900 < 0.005
     assert abs(got[("b", 0.5)] - 50) / 50 < 0.02  # 2-digit values: coarser
     assert abs(got[("b", 0.9)] - 90) / 90 < 0.02
+
+
+def test_digit_hist_merge_refuses_grouped_input(spark):
+    rows = [("a", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    grouped = SK.digit_hist_grouped(df, ["g"], "v")
+    with pytest.raises(ValueError, match="digit_hist_merge_grouped"):
+        SK.digit_hist_merge([grouped])
+
+
+def test_digit_hist_merge_grouped_equals_whole(spark):
+    rows = [("a", float(i)) for i in range(1, 60)] + [
+        ("b", float(i * 3)) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    whole = SK.digit_hist_grouped(df, ["g"], "v")
+    parts = [
+        SK.digit_hist_grouped(df.where(F.col("v") <= 50), ["g"], "v"),
+        SK.digit_hist_grouped(df.where(F.col("v") > 50), ["g"], "v"),
+    ]
+    as_map = lambda s: {
+        (r["g"], r["sign"], r["decade"], r["sub"]): r["cnt"]
+        for r in s.collect()
+    }
+    assert as_map(SK.digit_hist_merge_grouped(parts, ["g"])) == as_map(whole)
+
+
+def test_group_cols_reserved_names_rejected(spark):
+    df = spark.createDataFrame([("x", 1.0)], "sub string, v double")
+    with pytest.raises(ValueError, match="collide"):
+        SK.digit_hist_grouped(df, ["sub"], "v")
+    df2 = spark.createDataFrame([("x", "y")], "kmv_hash string, k string")
+    with pytest.raises(ValueError, match="collide"):
+        SK.kmv_sketch_grouped(df2, ["kmv_hash"], ["k"])

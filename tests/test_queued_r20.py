@@ -1,7 +1,10 @@
-"""Queued r20 registration candidate (the ``test_queued_r15.py``
+"""Queued r20 registration candidates (the ``test_queued_r15.py``
 pattern): body + oracle held as literals, parity-verified at sf0.001
 AND the driver's grading scale sf0.01, awaiting a future capacity
-swap. Grades the round-14 eval-contamination composition:
+swap. Grades the round-14 eval-contamination composition plus two
+sketch-algebra rows (``x_kmv_merge_groups``, ``x_digit_hist_merged``
+— with r19's ``x_countmin_merged``, every sketch family's MERGE path
+is value-graded):
 
 ``x_split_leakage`` — near-duplicate pairs that STRADDLE the
 train/val/test boundary (``operators/curation.split_leakage_pairs``):
@@ -157,6 +160,68 @@ def kmv_merge_query(spark, sf_dir):
     return kmv_estimate(merged, k=128)
 
 
+# ---------------------------------------------------------------------------
+# candidate 3: x_digit_hist_merged (the digit merge path, value-graded —
+# completes the merge-path grading triple: kmv / countmin / digit)
+# ---------------------------------------------------------------------------
+
+DIGIT_MERGE_NAME = "x_digit_hist_merged"
+
+DIGIT_MERGE_ORACLE = """
+    with halves as (
+      select cast(o_orderkey % 2 as int) as half,
+             cast(o_totalprice as decimal(38,6)) as vd
+      from orders
+      where o_totalprice is not null
+        and isfinite(o_totalprice) and abs(o_totalprice) < 1e31
+    ), parts as (
+      select half, vd,
+             regexp_replace(
+               regexp_replace(cast(abs(vd) as varchar), '[.]', ''),
+               '^0+', '') as stripped
+      from halves
+    ), grids as (
+      select half,
+             cast(case when vd < 0 then -1 when vd > 0 then 1
+                       else 0 end as int) as sign,
+             cast(length(stripped) as int) as decade,
+             cast(case when length(stripped) = 0 then 0
+                  else cast(rpad(substr(stripped, 1, 2), 2, '0') as int)
+                  end as int) as sub,
+             cast(count(*) as bigint) as cnt
+      from parts
+      group by 1, 2, 3, 4
+    )
+    select sign, decade, sub, cast(sum(cnt) as bigint) as cnt
+    from grids group by 1, 2, 3
+"""
+
+
+def digit_merge_query(spark, sf_dir):
+    """The x_digit_hist_merged body (verbatim future registration):
+    per-half histograms merged counter-wise — the oracle restates the
+    split+sum construction, grading the merge path itself."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.sketches import (
+        digit_hist,
+        digit_hist_merge,
+    )
+    from hive_scripts_spark.plans.registry import table
+
+    orders = table(spark, sf_dir, "orders")
+    halves = [
+        digit_hist(
+            orders.where(F.col("o_orderkey") % 2 == h),
+            "o_totalprice",
+            digits=2,
+        )
+        for h in (0, 1)
+    ]
+    return digit_hist_merge(halves)
+
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
@@ -165,8 +230,9 @@ def kmv_merge_query(spark, sf_dir):
     [
         (leakage_query, LEAKAGE_ORACLE),
         (kmv_merge_query, KMV_MERGE_ORACLE),
+        (digit_merge_query, DIGIT_MERGE_ORACLE),
     ],
-    ids=[LEAKAGE_NAME, KMV_MERGE_NAME],
+    ids=[LEAKAGE_NAME, KMV_MERGE_NAME, DIGIT_MERGE_NAME],
 )
 def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
     got = query(spark, sf_dir)

@@ -92,21 +92,27 @@ def _hash_col(cols: Sequence[str], hash_fn: Callable[..., Column]) -> Column:
     return hash_fn(sketch_pre_image(cols)).alias("kmv_hash")
 
 
-#: column names the sketch builders/readers project internally — a
-#: group column sharing one of these would make the plan ambiguous
-_RESERVED = frozenset(
-    {"sign", "decade", "sub", "cnt", "ord", "cum", "total", "q", "b",
-     "kmv_hash", "n_hashes", "kth_hash"}
+#: column names each sketch family projects internally — a group
+#: column sharing one would make the plan ambiguous (or, worse, be
+#: silently overwritten by a withColumn); per-family so the KMV side
+#: does not ban plausible digit-side names like "total" and vice versa
+_KMV_RESERVED = frozenset(
+    {"kmv_hash", "_rn", "n_hashes", "kth_hash", "est_distinct"}
+)
+_DIGIT_RESERVED = frozenset(
+    {"sign", "decade", "sub", "cnt", "ord", "cum", "total", "q", "b", "est"}
 )
 
 
-def _check_group_cols(group_cols: Sequence[str], caller: str) -> list[str]:
-    clash = sorted(set(group_cols) & _RESERVED)
+def _check_group_cols(
+    group_cols: Sequence[str], caller: str, reserved: frozenset
+) -> list[str]:
+    clash = sorted(set(group_cols) & reserved)
     if clash:
         raise ValueError(
-            f"{caller}: group column(s) {clash} collide with the "
-            f"sketch's internal column names {sorted(_RESERVED)} — "
-            "rename them before sketching"
+            f"{caller}: group column(s) {clash} collide with this "
+            f"sketch family's internal column names {sorted(reserved)} "
+            "— rename them before sketching"
         )
     return list(group_cols)
 
@@ -174,6 +180,15 @@ def kmv_merge(sketches: Sequence[DataFrame], k: int = 256) -> DataFrame:
     result equals :func:`kmv_sketch` over the concatenated inputs, so
     per-partition sketches compose associatively and incrementally."""
     merged = _union_all(sketches, "kmv_merge")
+    extra = set(merged.columns) - {"kmv_hash"}
+    if extra:
+        raise ValueError(
+            f"kmv_merge got grouped sketches (extra columns "
+            f"{sorted(extra)}) — use kmv_merge_grouped, or drop the "
+            "group columns explicitly: a global distinct over "
+            "(group, hash) rows would keep duplicate hashes and "
+            "silently inflate the estimate"
+        )
     return merged.distinct().orderBy("kmv_hash").limit(k)
 
 
@@ -229,7 +244,9 @@ def kmv_sketch_grouped(
         raise ValueError(f"k must be >= 2 (k-1 divides the estimate): {k}")
     if not cols:
         raise ValueError("kmv_sketch_grouped needs at least one value column")
-    group_cols = _check_group_cols(group_cols, "kmv_sketch_grouped")
+    group_cols = _check_group_cols(
+        group_cols, "kmv_sketch_grouped", _KMV_RESERVED
+    )
     hashed = df.select(*group_cols, _hash_col(cols, hash_fn))
     schema = StructType(
         [hashed.schema[c] for c in group_cols]
@@ -270,6 +287,9 @@ def kmv_merge_grouped(
     window runs on KB-scale data regardless of corpus size."""
     from pyspark.sql.window import Window
 
+    group_cols = _check_group_cols(
+        group_cols, "kmv_merge_grouped", _KMV_RESERVED
+    )
     merged = _union_all(sketches, "kmv_merge_grouped")
     w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
     return (
@@ -286,6 +306,9 @@ def kmv_estimate_grouped(
     """Per-group distinct estimates from a grouped KMV sketch:
     ``group_cols… , n_hashes, est_distinct`` (same under-full-exact /
     full-ratio estimator as :func:`kmv_estimate`)."""
+    group_cols = _check_group_cols(
+        group_cols, "kmv_estimate_grouped", _KMV_RESERVED
+    )
     agg = sketch.groupBy(*group_cols).agg(
         F.count("kmv_hash").alias("n_hashes"),
         F.max("kmv_hash").alias("kth_hash"),
@@ -363,9 +386,7 @@ def digit_hist_merge(sketches: Sequence[DataFrame]) -> DataFrame:
             f"{sorted(extra)}) — use digit_hist_merge_grouped, or the "
             "merge would silently collapse groups together"
         )
-    return merged.groupBy("sign", "decade", "sub").agg(
-        F.sum("cnt").alias("cnt")
-    )
+    return digit_hist_merge_grouped([merged], [])
 
 
 def digit_hist_merge_grouped(
@@ -375,7 +396,9 @@ def digit_hist_merge_grouped(
     scale, group_cols): counter-wise sum per (group, bucket). Exact —
     the grouped twin of :func:`digit_hist_merge`, mirroring
     :func:`kmv_merge_grouped`."""
-    group_cols = _check_group_cols(group_cols, "digit_hist_merge_grouped")
+    group_cols = _check_group_cols(
+        group_cols, "digit_hist_merge_grouped", _DIGIT_RESERVED
+    )
     merged = _union_all(sketches, "digit_hist_merge_grouped")
     return merged.groupBy(*group_cols, "sign", "decade", "sub").agg(
         F.sum("cnt").alias("cnt")
@@ -416,7 +439,9 @@ def digit_hist_grouped(
     empty-group special case."""
     if not 1 <= digits <= 6:
         raise ValueError(f"digits must be in [1, 6]: {digits}")
-    group_cols = _check_group_cols(group_cols, "digit_hist_grouped")
+    group_cols = _check_group_cols(
+        group_cols, "digit_hist_grouped", _DIGIT_RESERVED
+    )
     vd, sign, decade, sub = _digit_parts(value_col, digits, scale)
     vdbl = F.col(value_col).cast("double")
     finite = (
@@ -453,7 +478,7 @@ def digit_hist_quantiles_grouped(
     from pyspark.sql.window import Window
 
     group_cols = _check_group_cols(
-        group_cols, "digit_hist_quantiles_grouped"
+        group_cols, "digit_hist_quantiles_grouped", _DIGIT_RESERVED
     )
     ordk = (
         F.col("sign")

@@ -480,3 +480,12 @@ def test_group_cols_reserved_names_rejected(spark):
     df2 = spark.createDataFrame([("x", "y")], "kmv_hash string, k string")
     with pytest.raises(ValueError, match="collide"):
         SK.kmv_sketch_grouped(df2, ["kmv_hash"], ["k"])
+
+
+def test_kmv_merge_refuses_grouped_input(spark, ids):
+    grouped = ids.select((F.length("k") % 3).cast("int").alias("g"), "k")
+    sk = SK.kmv_sketch_grouped(grouped, ["g"], ["k"], k=8)
+    # a global distinct over (group, hash) rows keeps duplicate hashes
+    # and silently inflates the estimate — must refuse loudly
+    with pytest.raises(ValueError, match="kmv_merge_grouped"):
+        SK.kmv_merge([sk], k=8)

@@ -80,14 +80,28 @@ def test_shortlist_not_rotted():
     """The r13 VERDICT failure mode: COVERAGE.md's "next swap"
     retirement shortlist was correct when written and silently wrong
     after the very grading run it was written for (its candidates
-    re-greened and retiring one would overflow strict rotation).
+    re-greened and retiring one would overflow strict rotation). The
+    first guard here (r14) checked literal invariants — last-green ==
+    latest-1, not in FRONT_ORDER — and had the INVERSE state bug (the
+    r14 VERDICT finding): those literals only hold mid-round before
+    the round's own artifact lands; read after, they reject a CORRECT
+    shortlist and prescribe retirees that overflow.
 
-    Guard: every backticked candidate in the shortlist block must
-    (a) exist in the oracled registry, (b) have last-green == the
-    latest committed artifact round - 1 (i.e. it WILL be in the next
-    round's stale set, the only strict-rotation-safe retiree pool at
-    capacity), and (c) not sit in the upcoming grading window (window
-    membership means the next run re-greens it)."""
+    So this guard now runs the definition itself: a shortlist is valid
+    iff executing its swap — registry names minus the candidates plus
+    one never-graded dummy per candidate (swaps are N-for-N) — passes
+    ``compute_front_order(strict=True)``. A fresh-green candidate
+    leaves the full stale set intact while the dummies still enter, so
+    it overflows; a genuinely stale candidate shrinks the stale set
+    one-for-one with the dummies. No literal round arithmetic, so the
+    check is artifact-timing-independent, with one projection: when
+    the registry holds never-graded entries (this round's swap already
+    executed, its artifact not yet written), the shortlist is for the
+    NEXT round's swap, which executes only after the pending run
+    grades the current window — so project that run (every FRONT_ORDER
+    query greens at latest+1) before simulating. A pending
+    registration named as a candidate also fails: projected fresh, it
+    cannot offset its dummy."""
     import re
     from pathlib import Path
 
@@ -106,13 +120,24 @@ def test_shortlist_not_rotted():
 
     for n in names:
         assert n in ORACLES, f"shortlist names unknown/retired query {n}"
-        lg = last_green.get(n)
-        assert lg == latest - 1, (
-            f"shortlist candidate {n} last-green r{lg} is not in the "
-            f"r{latest + 1} stale set (needs last-green r{latest - 1}); "
-            "the shortlist has rotted — recompute with tools/rotate.py"
-        )
-        assert n not in FRONT_ORDER, (
-            f"shortlist candidate {n} is in the upcoming grading window "
-            "and will re-green next round — not a safe retiree"
-        )
+
+    oracled = list(ORACLES)
+    if any(n not in last_green for n in oracled):
+        # mid-swap: this round's registrations await their first row,
+        # so the shortlist targets the round after the pending grading
+        # run — simulate against that run's projected history.
+        last_green = dict(last_green)
+        latest += 1
+        for n in FRONT_ORDER:
+            last_green[n] = latest
+
+    sim = [n for n in oracled if n not in set(names)]
+    sim += [f"__queued_dummy_{i}" for i in range(len(names))]
+    try:
+        compute_front_order(sim, last_green, latest, window=WINDOW)
+    except ValueError as e:
+        raise AssertionError(
+            f"shortlist {names} is not strict-rotation-safe "
+            f"(simulated swap overflows: {e}); the shortlist has "
+            "rotted — recompute with tools/rotate.py"
+        ) from e

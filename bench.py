@@ -90,7 +90,10 @@ EXTRA = [
     # uncapped chain in the same run), the IVF quality rollup, and the
     # per-source quality-gate report
     "x_corpus_ngram_topk",
-    "x_dedup_minhash_bucketcap",
+    # x_dedup_minhash_bucketcap retired from the registry in the r15
+    # capacity swap (slot funds x_validate_expectations); its capped-
+    # LSH composition stays value-pinned in tests/test_retired_queries.py
+    # and its timing series ends at r14
     "x_ann_ivf_cell_stats",
     "x_quality_gate_report",
     "x_strip_boilerplate",
@@ -133,6 +136,13 @@ EXTRA = [
     "x_events_sessionize_chunked",
     "x_multimodal_resize_png",
     "x_audio_zero_crossings",
+    # r15 registry swap — timing series starts here: the declarative
+    # quality-expectations report (one scan, N rules), the GIF LZW
+    # decode (compare vs the JPEG/PNG codec rows in the same run), and
+    # the bigram-LM scorer (compare vs x_text_unigram_logprob)
+    "x_validate_expectations",
+    "x_multimodal_resize_gif",
+    "x_text_bigram_logprob",
 ]
 
 
@@ -261,6 +271,16 @@ def main() -> None:
     timings, timings_warm, timings_reps, timings_steal = run(HEADLINE)
     extra, extra_warm, extra_reps, extra_steal = run(EXTRA)
     load_after = os.getloadavg()
+    bench_wall_s = round(time.perf_counter() - t_bench_start, 1)
+    # re-probe AFTER the timed region (VERDICT r14: the upfront probe is
+    # a point sample — r14's min-of-3 caught an idle slice while the run
+    # itself was contended, so the _norm fields OVERSTATED 1.4-2.5x; the
+    # inverse of r13, where normalization corrected an understated box).
+    # Convention: trust the _norm series only when cpu_probe_s,
+    # cpu_probe_after_s, and the loadavg pair AGREE the box was quiet
+    # (probes within ~15% and loadavg well under the core count);
+    # otherwise read min-of-reps raw and the steal/loadavg telemetry.
+    cpu_probe_after_s = min(_cpu_probe() for _ in range(3))
 
     def total_of(d: dict[str, float | None]) -> float:
         return round(sum(t for t in d.values() if t is not None), 3)
@@ -315,7 +335,8 @@ def main() -> None:
         # series should be read with suspicion.
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
-        "bench_wall_s": round(time.perf_counter() - t_bench_start, 1),
+        "cpu_probe_after_s": cpu_probe_after_s,
+        "bench_wall_s": bench_wall_s,
         # probe-normalized best series (r14, VERDICT r13 item 5): the
         # committed r13 capture read 1.25-1.31x raw vs r12 while its
         # own cpu_probe said the HOST ran 1.41x slower — every noisy
@@ -361,6 +382,13 @@ def main() -> None:
         # same way the queries did, the host changed, not the code.
         "cpu_probe_s": cpu_probe_s,
         "jvm_probe_s": jvm_probe_s,
+        # load context on the SUMMARY line (VERDICT r14 item 6): the
+        # probe is a point sample, contention is sustained — read the
+        # _norm fields only when the before/after probes agree and
+        # loadavg stayed low; full telemetry is in bench_detail.json
+        "cpu_probe_after_s": cpu_probe_after_s,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
         # probe-normalized totals (VERDICT r13 item 5): total_best and
         # total_warm divided by cpu_probe_s — the host-speed-free
         # series to compare round over round; per-query ratios live in

@@ -468,12 +468,15 @@ def x_dedup_minhash_portable(spark, sf_dir):
     return D.minhash_lsh_pairs_portable(docs, threshold=0.2)
 
 
-@register(
-    "x_dedup_minhash_bucketcap",
-    oracle=f"{_duck_minhash_verified(2)} select a_id, b_id, jaccard from mh_verified",
-)
 def x_dedup_minhash_bucketcap(spark, sf_dir):
-    """The degenerate-bucket guard (``max_bucket_size``) made value-
+    """[retired from the graded registry in the r15 capacity swap —
+    slot funds ``x_validate_expectations``; the cap is exercised by
+    every capped production call, the md5 chain stays graded end-to-end
+    by ``x_dedup_minhash_portable``, and this exact capped composition
+    stays value-pinned against its frozen r12 oracle in
+    ``tests/test_retired_queries.py``]
+
+    The degenerate-bucket guard (``max_bucket_size``) made value-
     gradable: the portable MinHash-LSH pipeline pairing only inside
     (band, bucket) groups of ≤ 2 docs — oversized buckets (boilerplate
     signatures, the m²/2-candidate skew risk at corpus scale) are
@@ -903,28 +906,13 @@ def x_multimodal_audio(spark, sf_dir):
     )
 
 
-@register(
-    "x_ann_ivf_assign",
-    oracle=f"""
-    with centroids as (
-      select vec_id as centroid_id, cast(embedding as double[]) as c
-      from embeddings where vec_id < 8
-    ), scored as (
-      select e.vec_id, c.centroid_id,
-             round(list_dot_product(cast(e.embedding as double[]), c.c)
-                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
-                                            cast(e.embedding as double[])))
-                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
-      from embeddings e cross join centroids c
-    ), ranked as (
-      select *, row_number() over (
-        partition by vec_id order by sim desc, centroid_id) as rn
-      from scored
-    )
-    select vec_id, centroid_id, sim from ranked where rn = 1
-    """,
-)
 def x_ann_ivf_assign(spark, sf_dir):
+    """[retired from the graded registry in the r15 capacity swap —
+    slot funds ``x_multimodal_resize_gif``; the centroid-assignment
+    step rides inside the graded ``x_ann_ivf_topk`` and
+    ``x_ann_ivf_cell_stats`` compositions, and this standalone assign
+    row stays value-pinned against its frozen r12 oracle in
+    ``tests/test_retired_queries.py``]"""
     emb = table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
@@ -2585,6 +2573,56 @@ def x_text_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "x_text_bigram_logprob",
+    oracle=f"""
+    with toks0 as (
+      select doc_id, string_split({_NORM}, ' ') as ws
+      from documents where length({_NORM}) > 0
+    ), positions as (
+      select doc_id, ws, unnest(range(1, len(ws) + 1)) as pos from toks0
+    ), toks as (
+      select doc_id, pos, ws[pos] as term from positions
+    ), pairs as (
+      select doc_id, pos, ws[pos] as w1, ws[pos + 1] as w2
+      from positions where pos < len(ws)
+    ), c2 as (
+      select w1, w2, count(*) as c2 from pairs group by w1, w2
+    ), c1 as (
+      select w1, count(*) as c1 from pairs group by w1
+    ), v as (
+      select cast(count(distinct term) as double) as v from toks
+    ), scored as (
+      select p.doc_id, p.pos,
+             log2((cast(c2.c2 as double) + 0.5)
+                  / (cast(c1.c1 as double) + 0.5 * (select v from v))) as lp
+      from pairs p
+      join c2 on c2.w1 = p.w1 and c2.w2 = p.w2
+      join c1 on c1.w1 = p.w1
+    ), packed as (
+      select doc_id, list(lp order by pos) as seq from scored group by doc_id
+    )
+    select doc_id,
+           cast(len(seq) as bigint) as n_bigrams,
+           round(-list_reduce(list_prepend(0.0, seq), (a, b) -> a + b)
+                 / len(seq), 6) as mean_neg_logprob
+    from packed
+    """,
+)
+def x_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score (the r14
+    :func:`~hive_scripts_spark.operators.textstats.bigram_logprob_score`):
+    add-k-smoothed corpus bigram conditionals
+    ``(c(w1,w2)+k) / (c(w1)+k*V)``, folded per document in POSITION
+    order — the unigram scorer's summation-order determinism contract
+    one LM order up, so the float fold is bit-identical across engines.
+    Registered in the r15 capacity swap (retiring
+    ``j_semi_nations_with_suppliers``) after sitting parity-verified at
+    sf0.001 AND sf0.01 in ``tests/test_queued_r15.py`` through r14."""
+    docs = table(spark, sf_dir, "documents")
+    return X.bigram_logprob_score(docs, k=0.5)
+
+
+@register(
     "x_doc_chunk",
     oracle=f"""
     with toks as (
@@ -3165,6 +3203,82 @@ def x_multimodal_resize_png(spark, sf_dir):
         .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(bytes.fromhex(_PNG_CONST_HEX[1])))
         .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(bytes.fromhex(_PNG_CONST_HEX[2])))
         .otherwise(F.lit(bytes.fromhex(_PNG_CONST_HEX[3])))
+        .alias("payload"),
+    )
+    return M.resize_images(
+        framed,
+        target=(2, 2),
+        fake=False,
+        parallelism=min(8, spark.sparkContext.defaultParallelism),
+    )
+
+
+#: four constant-index 8x8 GIF89a literals over one shared 4-entry
+#: palette (components < 128, md5-portable rule) generated by the
+#: independent test encoder — tests/test_queued_r15.py re-derives them
+#: so an edit to either side fails loudly
+_GIF_PALETTE = ((18, 35, 52), (69, 86, 103), (86, 103, 120), (103, 120, 127))
+_GIF_CONST_HEX = {
+    0: (
+        "4749463839610800080081000012233445566756677867787f2c000000000800"
+        "0800000206848fa9cbed5d003b"
+    ),
+    1: (
+        "4749463839610800080081000012233445566756677867787f2c000000000800"
+        "08000002068c8fa9cbed5d003b"
+    ),
+    2: (
+        "4749463839610800080081000012233445566756677867787f2c000000000800"
+        "0800000206948fa9cbed5d003b"
+    ),
+    3: (
+        "4749463839610800080081000012233445566756677867787f2c000000000800"
+        "08000002069c8fa9cbed5d003b"
+    ),
+}
+
+_GIF_MD5_ARMS = " ".join(
+    f"when {k} then md5(repeat(chr({r}) || chr({g}) || chr({b_}), 4))"
+    for k, (r, g, b_) in list(enumerate(_GIF_PALETTE))[:3]
+)
+_GIF_R3, _GIF_G3, _GIF_B3 = _GIF_PALETTE[3]
+
+
+@register(
+    "x_multimodal_resize_gif",
+    # decode of a constant-index GIF89a yields 64 copies of the palette
+    # RGB; the 2x2 resize keeps 4 of them, and every component < 128
+    # keeps the md5 portable to DuckDB's UTF-8 chr()
+    oracle=f"""
+    select doc_id,
+           cast(2 as int) as width,
+           cast(2 as int) as height,
+           case cast(doc_id % 4 as int) {_GIF_MD5_ARMS}
+                else md5(repeat(chr({_GIF_R3}) || chr({_GIF_G3}) || chr({_GIF_B3}), 4))
+           end as resized_md5
+    from documents
+    """,
+)
+def x_multimodal_resize_gif(spark, sf_dir):
+    """REAL GIF LZW decode + resize — completes the graded codec
+    triple (JPEG r12, PNG r14, GIF r15): each document selects one of
+    four constant-index 8x8 GIF89a plan literals by doc_id % 4;
+    ``resize_images`` runs the actual header parse -> LZW decompress
+    -> palette-expand path, and the oracle computes each resized
+    buffer's md5 in pure SQL (4 copies of the palette RGB, all
+    components < 128 — the established md5-portable rule). The wider
+    GIF surface (interlace, local palettes, frame disposal) stays
+    round-trip pytest against the independent test encoder. Registered
+    in the r15 capacity swap (retiring ``x_ann_ivf_assign``) after
+    sitting parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r15.py`` through r14."""
+    docs = table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(bytes.fromhex(_GIF_CONST_HEX[0])))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(bytes.fromhex(_GIF_CONST_HEX[1])))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(bytes.fromhex(_GIF_CONST_HEX[2])))
+        .otherwise(F.lit(bytes.fromhex(_GIF_CONST_HEX[3])))
         .alias("payload"),
     )
     return M.resize_images(
@@ -4506,3 +4620,101 @@ def x_cluster_balanced_sample(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
     return S.cluster_balanced_sample(emb, centroids, cap_per_cell=40)
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations (r14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_validate_expectations",
+    oracle="""
+    with rows_agg as (
+      select
+        cast(count(*) as bigint) as n_rows,
+        cast(sum(case when o_custkey is null then 1 else 0 end)
+             as bigint) as nn_bad,
+        cast(count(o_orderstatus) as bigint) as st_chk,
+        cast(sum(case when o_orderstatus is not null
+                       and o_orderstatus not in ('O', 'F')
+                      then 1 else 0 end) as bigint) as st_bad,
+        cast(count(o_totalprice) as bigint) as pr_chk,
+        cast(sum(case when o_totalprice is not null
+                       and (o_totalprice < 0 or o_totalprice > 400000)
+                      then 1 else 0 end) as bigint) as pr_bad,
+        cast(count(o_orderpriority) as bigint) as re_chk,
+        cast(sum(case when o_orderpriority is not null
+                       and not regexp_full_match(o_orderpriority,
+                                                 '[1-3]-[A-Z ]+')
+                      then 1 else 0 end) as bigint) as re_bad
+      from orders
+    ), uniq as (
+      select cast(count(*) as bigint) as n,
+             cast(count(*) - count(distinct o_orderkey) as bigint) as bad
+      from orders
+    ), fk as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(case when c.c_custkey is null then 1 else 0 end)
+                  as bigint) as bad
+      from orders o
+      left join (select distinct c_custkey from customer
+                 where c_custkey is not null) c
+        on o.o_custkey = c.c_custkey
+      where o.o_custkey is not null
+    ), report as (
+      select 'not_null:o_custkey' as constraint, 'not_null' as kind,
+             'o_custkey' as "column", n_rows as n_checked,
+             nn_bad as n_violations from rows_agg
+      union all
+      select 'accepted_values:o_orderstatus', 'accepted_values',
+             'o_orderstatus', st_chk, st_bad from rows_agg
+      union all
+      select 'range:o_totalprice', 'range', 'o_totalprice',
+             pr_chk, pr_bad from rows_agg
+      union all
+      select 'regex:o_orderpriority', 'regex', 'o_orderpriority',
+             re_chk, re_bad from rows_agg
+      union all
+      select 'unique:o_orderkey', 'unique', 'o_orderkey', n, bad from uniq
+      union all
+      select 'referential:o_custkey', 'referential',
+             'o_custkey->customer.c_custkey', n, bad from fk
+    )
+    select *, n_violations = 0 as passed from report
+    """,
+)
+def x_validate_expectations(spark, sf_dir):
+    """The r14 dbt-test/Deequ-style declarative constraint report
+    (:mod:`hive_scripts_spark.operators.quality_checks`): six rules
+    over orders (+customer FK) spanning every rule kind, with both
+    passing AND firing constraints at the grading sf (status/range/
+    regex fire; not-null/unique/referential pass — a report where no
+    interesting branch executes would be a weaker row, the r10
+    planted-duplication lesson). One scan grades N scan-rules; the FK
+    rule is a broadcast-sized distinct-keys left join. Registered in
+    the r15 capacity swap (retiring ``x_dedup_minhash_bucketcap``)
+    after sitting parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r15.py`` through r14."""
+    from hive_scripts_spark.operators.quality_checks import (
+        validate_expectations,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return validate_expectations(
+        orders,
+        [
+            {"kind": "not_null", "col": "o_custkey"},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F"]},
+            {"kind": "range", "col": "o_totalprice", "lo": 0.0,
+             "hi": 400000.0},
+            {"kind": "regex", "col": "o_orderpriority",
+             "pattern": "[1-3]-[A-Z ]+"},
+            {"kind": "unique", "cols": ["o_orderkey"]},
+            {"kind": "referential", "col": "o_custkey",
+             "ref": "customer", "ref_col": "c_custkey"},
+        ],
+        refs={"customer": customer},
+    )

@@ -512,14 +512,12 @@ def j_anti_customers_no_pending(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
-@register(
-    "j_semi_nations_with_suppliers",
-    oracle="""
-    select n_nationkey, n_name from nation n
-    where exists (select 1 from supplier s where s.s_nationkey = n.n_nationkey)
-    """,
-)
 def j_semi_nations_with_suppliers(spark, sf_dir):
+    """[retired from the graded registry in the r15 capacity swap —
+    slot funds ``x_text_bigram_logprob``; a minimal left-semi
+    demonstration whose family stays graded by the reference-derived
+    ``j1_reconcile_matched`` row, value-pinned against its frozen r12
+    oracle in ``tests/test_retired_queries.py``]"""
     nation = table(spark, sf_dir, "nation")
     supp = table(spark, sf_dir, "supplier")
     return nation.join(

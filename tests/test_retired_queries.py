@@ -304,6 +304,89 @@ RETIRED = {
       from adc)
     where rank <= 10
     """,
+    # retired r15 (slots fund x_validate_expectations /
+    # x_multimodal_resize_gif / x_text_bigram_logprob); frozen
+    # verbatim from the r12-graded registry text (bucketcap's is the
+    # generated _duck_minhash_verified(2) expansion)
+    "j_semi_nations_with_suppliers": """
+    select n_nationkey, n_name from nation n
+    where exists (select 1 from supplier s where s.s_nationkey = n.n_nationkey)
+    """,
+    "x_ann_ivf_assign": """
+    with centroids as (
+      select vec_id as centroid_id, cast(embedding as double[]) as c
+      from embeddings where vec_id < 8
+    ), scored as (
+      select e.vec_id, c.centroid_id,
+             round(list_dot_product(cast(e.embedding as double[]), c.c)
+                   / (sqrt(list_dot_product(cast(e.embedding as double[]),
+                                            cast(e.embedding as double[])))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) as sim
+      from embeddings e cross join centroids c
+    ), ranked as (
+      select *, row_number() over (
+        partition by vec_id order by sim desc, centroid_id) as rn
+      from scored
+    )
+    select vec_id, centroid_id, sim from ranked where rn = 1
+    """,
+    "x_dedup_minhash_bucketcap": r"""
+    with toks as (
+      select doc_id, string_split(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g')), ' ') as ws from documents
+    ), sh as (
+      select doc_id,
+             unnest(list_distinct([
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, greatest(len(ws) - 1, 1))
+             ])) as shingle
+      from toks where len(ws) >= 3
+    ),
+    sig as (
+      -- hash i = 8-hex window (i % 4) of md5(seed (i // 4) | shingle):
+      -- 4 independent 32-bit draws per digest (disjoint windows of a
+      -- uniformly-mixed digest), 2 md5s per shingle instead of 8
+      select doc_id, i,
+             min(cast(('0x' || substr(
+                   md5(cast(i // 4 as varchar) || '|' || shingle),
+                   1 + 8 * (i % 4), 8)) as bigint)) as mh
+      from sh cross join range(8) seeds(i)
+      group by doc_id, i
+    ), sigarr as (
+      select doc_id, list(mh order by i) as s from sig group by doc_id
+    ), banded as (
+      select doc_id, b,
+             md5(cast(b as varchar) || ':' ||
+                 cast(s[b * 2 + 1] as varchar) || ',' ||
+                 cast(s[b * 2 + 2] as varchar)) as bucket
+      from sigarr cross join range(4) bb(b)
+    ), okb as (
+      select b, bucket from banded group by b, bucket
+      having count(*) <= 2
+    ), cand as (
+      select distinct x.doc_id as a_id, y.doc_id as b_id
+      from banded x join okb o on x.b = o.b and x.bucket = o.bucket
+      join banded y
+        on x.b = y.b and x.bucket = y.bucket and x.doc_id < y.doc_id
+    ), sizes as (
+      select doc_id, count(*) as n_sh from sh group by doc_id
+    ), common as (
+      select s1.doc_id as a_id, s2.doc_id as b_id, count(*) as n_common
+      from sh s1 join sh s2
+        on s1.shingle = s2.shingle and s1.doc_id < s2.doc_id
+      group by 1, 2
+    ), mh_verified as (
+      select c.a_id, c.b_id,
+             round(cast(n_common as double)
+                   / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+      from cand c
+      join common m on m.a_id = c.a_id and m.b_id = c.b_id
+      join sizes sa on sa.doc_id = c.a_id
+      join sizes sb on sb.doc_id = c.b_id
+      where round(cast(n_common as double)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    )
+    select a_id, b_id, jaccard from mh_verified
+    """,
 }
 
 

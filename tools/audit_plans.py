@@ -42,7 +42,8 @@ AUDITED = [
     "x_token_budget_pack",
     "x_multimodal_decode_meta",
     "x_multimodal_decode_real",
-    "x_ann_ivf_assign",
+    # x_ann_ivf_assign retired from the registry (r15 swap); its
+    # assignment step rides inside x_ann_ivf_topk below
     "x_ann_ivf_topk",
     "x_dedup_components",
     "x_group_cap",

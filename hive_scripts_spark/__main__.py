@@ -808,7 +808,12 @@ def cmd_sketch(args: argparse.Namespace) -> int:
             if group_cols:
                 raise SystemExit("--group-cols is a kmv-only flag")
             sk = SK.digit_hist(df, cols[0], digits=args.digits)
-            meta = {"kind": "digit", "digits": args.digits,
+            # scale is recorded even while the CLI only exposes the
+            # library default: the meta-equality merge guard can only
+            # catch a scale mismatch if scale is IN the meta, and a
+            # mismatch shifts every quantile estimate by powers of 10
+            # (ADVICE r14)
+            meta = {"kind": "digit", "digits": args.digits, "scale": 6,
                     "value_col": cols[0], "pre_image": "digit-v1"}
         else:
             if len(cols) != 1:
@@ -877,8 +882,10 @@ def cmd_sketch(args: argparse.Namespace) -> int:
                 f"--qs values must be in (0, 1]: {args.qs!r} "
                 "(use 0.5, not 50)"
             )
+        # .get default 6 keeps pre-r15 sketch dirs (no scale in meta,
+        # all built under the library default) readable
         est = SK.digit_hist_quantiles(
-            merged, qs, digits=meta["digits"]
+            merged, qs, digits=meta["digits"], scale=meta.get("scale", 6)
         )
         for r in est.orderBy("q").collect():
             print(

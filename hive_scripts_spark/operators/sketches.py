@@ -197,10 +197,33 @@ def _estimate_expr(k: int) -> Column:
     # the count IS the exact answer; otherwise the k-th smallest hash
     # (= max of the sketch) estimates density on [0, 2^60).
     # (k-1) * 2^60 is exact in double for any practical k (< 2^53).
+    #
+    # k-mismatch guard (ADVICE r14): the sketch schema carries no k at
+    # the library level, so a sketch estimated with a SMALLER k than it
+    # was built with would read as over-full — n_hashes > k is
+    # impossible for a matching k, so raise instead of emitting a
+    # bogus ratio. The opposite mismatch (built k, estimated with a
+    # larger one) is undetectable from the rows alone — a full k-row
+    # sketch is indistinguishable from an under-full larger-k one —
+    # and silently returns n_hashes as an "exact" count; see the
+    # kmv_estimate docstring. The CLI closes both directions via
+    # meta.json.
     return F.round(
         F.when(
-            F.col("n_hashes") < k, F.col("n_hashes").cast("double")
-        ).otherwise(
+            F.col("n_hashes") > k,
+            F.raise_error(
+                F.concat(
+                    F.lit("kmv estimate k mismatch: sketch holds "),
+                    F.col("n_hashes").cast("string"),
+                    F.lit(
+                        f" hashes, impossible for k={k}; pass the k "
+                        "the sketch was built with"
+                    ),
+                )
+            ).cast("double"),
+        )
+        .when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
             F.lit(float(k - 1) * HASH_SPACE)
             / F.col("kth_hash").cast("double")
         ),
@@ -212,7 +235,15 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
     """Distinct-count estimate from a KMV sketch: one row
     ``(n_hashes, kth_hash, est_distinct)``. Exact (= ``n_hashes``)
     while the sketch is under-full; ``(k-1)*2^60/h_(k)`` once full.
-    Runs on a ≤ k-row input — driver-free and constant-time."""
+    Runs on a ≤ k-row input — driver-free and constant-time.
+
+    ``k`` MUST be the k the sketch was built with. A smaller k reads
+    as an over-full sketch and raises (``n_hashes > k`` is impossible
+    for a matching k). A LARGER k is undetectable from the rows — a
+    full k-row sketch looks under-full and returns ``n_hashes`` as an
+    "exact" count, a large silent underestimate — so callers that
+    persist sketches must persist k beside them (the sketch CLI
+    records it in ``meta.json`` and refuses mismatched estimates)."""
     agg = sketch.agg(
         F.count("kmv_hash").alias("n_hashes"),
         F.max("kmv_hash").alias("kth_hash"),
@@ -248,6 +279,28 @@ def kmv_sketch_grouped(
         group_cols, "kmv_sketch_grouped", _KMV_RESERVED
     )
     hashed = df.select(*group_cols, _hash_col(cols, hash_fn))
+    # Arrow→pandas converts a NULLABLE bigint column to float64 (NaN
+    # for the nulls), silently rounding group keys above 2^53 so
+    # distinct groups could collide in the emitted sketch (ADVICE
+    # r14). Long group columns therefore ride through both pandas
+    # stages as strings — a lossless round-trip — and are cast back
+    # to bigint on the way out. Smaller ints are exact in float64 and
+    # strings/decimals never take the float path, so they pass
+    # through untouched.
+    long_cols = {
+        c
+        for c in group_cols
+        if isinstance(hashed.schema[c].dataType, LongType)
+    }
+    if long_cols:
+        hashed = hashed.select(
+            *[
+                F.col(c).cast("string").alias(c) if c in long_cols
+                else F.col(c)
+                for c in group_cols
+            ],
+            "kmv_hash",
+        )
     schema = StructType(
         [hashed.schema[c] for c in group_cols]
         + [StructField("kmv_hash", LongType(), False)]
@@ -274,7 +327,17 @@ def kmv_sketch_grouped(
             yield out[group_cols + ["kmv_hash"]]
 
     local = hashed.mapInPandas(grouped_topk, schema)
-    return local.repartition(*group_cols).mapInPandas(grouped_topk, schema)
+    out = local.repartition(*group_cols).mapInPandas(grouped_topk, schema)
+    if long_cols:
+        out = out.select(
+            *[
+                F.col(c).cast("long").alias(c) if c in long_cols
+                else F.col(c)
+                for c in group_cols
+            ],
+            "kmv_hash",
+        )
+    return out
 
 
 def kmv_merge_grouped(
@@ -305,7 +368,10 @@ def kmv_estimate_grouped(
 ) -> DataFrame:
     """Per-group distinct estimates from a grouped KMV sketch:
     ``group_cols… , n_hashes, est_distinct`` (same under-full-exact /
-    full-ratio estimator as :func:`kmv_estimate`)."""
+    full-ratio estimator as :func:`kmv_estimate`, including its
+    k-mismatch contract: a too-small k raises on the first group with
+    more than k hashes, a too-large k silently under-estimates — pass
+    the build k, persist it beside stored sketches)."""
     group_cols = _check_group_cols(
         group_cols, "kmv_estimate_grouped", _KMV_RESERVED
     )
@@ -567,13 +633,40 @@ def countmin_build(
     ``weight_col``) lands in one bucket per sketch row via independent
     salted hashes; map-side partial aggregation bounds the shuffle at
     ``depth × width`` rows per task, so at 100 TB the exchange carries
-    counters, never keys."""
+    counters, never keys.
+
+    ``weight_col`` values must be non-null and non-negative — the
+    one-sided ``estimate >= truth`` guarantee of
+    :func:`countmin_lookup` holds only for non-negative mass, and a
+    NULL would silently vanish from the sum — so violations raise at
+    execution time rather than corrupting the sketch."""
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1: {depth}x{width}")
     key = F.col(key_col)
-    weight = (
-        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    )
+    if weight_col:
+        # weight validation (ADVICE r14): the one-sided "never
+        # under-counts" guarantee requires non-negative weights (min
+        # over counters can dip below true mass otherwise), and a NULL
+        # weight would silently drop its row from F.sum — so both fail
+        # loudly at execution instead of corrupting the sketch. A null
+        # here also catches a weight column whose cast to long failed.
+        w = F.col(weight_col).cast("long")
+        weight = F.when(
+            w.isNull() | (w < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"countmin_build: weight_col {weight_col!r} "
+                        "must be non-null and non-negative, got "
+                    ),
+                    F.coalesce(
+                        F.col(weight_col).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(w)
+    else:
+        weight = F.lit(1).cast("long")
     cells = _cm_cells(key, depth, width, hash_fn)
     return (
         df.select(F.explode(cells).alias("cell"), weight.alias("w"))

@@ -116,7 +116,13 @@ def kmv_sketch_sink(
     already-installed version; stale version dirs are garbage, never
     corruption; a power-loss-truncated pointer reads as missing, and
     the pointer bytes + directory entry are fsynced before the swap so
-    the installed pointer never outlives its data on disk.
+    the installed pointer never outlives its data on disk. A restart
+    with a FRESH checkpoint (batch_id reset to 0 against an existing
+    ``sketch_dir``) is also safe: replayed rows re-merge as a no-op
+    (distinct union), and cleanup orders versions by mtime with the
+    CURRENT-named version excluded outright, so the reset's low-
+    numbered-but-newest version is never deleted from under the
+    pointer (ADVICE r14).
 
     Reader contract: :func:`read_kmv_sketch` resolves the pointer to a
     version directory that survives the next ``keep - 1`` folds —
@@ -158,11 +164,23 @@ def kmv_sketch_sink(
             os.fsync(dir_fd)
         finally:
             os.close(dir_fd)
+        # cleanup orders by mtime, not version number, and never touches
+        # the version CURRENT names (re-read, not assumed): a stream
+        # restarted against an existing sketch_dir with a FRESH
+        # checkpoint resets batch_id to 0, so the just-installed
+        # sketch_v0 is the NUMERICALLY smallest dir while being the
+        # newest — number-ordered cleanup would delete it and leave
+        # CURRENT dangling (ADVICE r14). mtime makes "newest" survive
+        # resets; the CURRENT exclusion is the hard guarantee either
+        # way. Replayed data re-merging after a reset is a no-op — the
+        # KMV merge is a distinct union.
+        installed = _current_version(root)
         versions = sorted(
             (d for d in root.glob("sketch_v*")),
-            key=lambda d: int(d.name.rsplit("v", 1)[1]),
+            key=lambda d: (d.stat().st_mtime, int(d.name.rsplit("v", 1)[1])),
         )
         for d in versions[:-keep]:
-            shutil.rmtree(d, ignore_errors=True)
+            if d.name != installed:
+                shutil.rmtree(d, ignore_errors=True)
 
     return fold

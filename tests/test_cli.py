@@ -964,6 +964,13 @@ def test_sketch_digit_build_estimate_split_merge(spark, tmp_path, capsys):
             ["sketch", "build", "--db", db, *args,
              "--out", str(tmp_path / out)]
         ) == 0
+    # ADVICE r14: scale is quantile-defining (a mismatch shifts every
+    # estimate by powers of 10), so the meta-equality merge guard can
+    # only catch it if build records it
+    import json
+
+    meta = json.loads((tmp_path / "dw" / "meta.json").read_text())
+    assert meta["scale"] == 6
     capsys.readouterr()
     assert main(
         ["sketch", "estimate", "--sketch-dirs", str(tmp_path / "dw"),

@@ -489,3 +489,59 @@ def test_kmv_merge_refuses_grouped_input(spark, ids):
     # and silently inflates the estimate — must refuse loudly
     with pytest.raises(ValueError, match="kmv_merge_grouped"):
         SK.kmv_merge([sk], k=8)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r14 regressions: k-mismatch guard, weight validation, bigint groups
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_rejects_smaller_k_than_build(spark, ids):
+    """Estimating with a smaller k than the build k used to silently
+    take the ratio branch against the wrong kth hash; n_hashes > k is
+    impossible for a matching k, so it now raises."""
+    sk = SK.kmv_sketch(ids, ["k"], k=256)
+    with pytest.raises(Exception, match="k mismatch"):
+        SK.kmv_estimate(sk, k=64).collect()
+
+
+def test_kmv_estimate_grouped_rejects_smaller_k(spark, ids):
+    g = ids.withColumn("g", F.lit("a"))
+    sk = SK.kmv_sketch_grouped(g, ["g"], ["k"], k=64)
+    with pytest.raises(Exception, match="k mismatch"):
+        SK.kmv_estimate_grouped(sk, ["g"], k=16).collect()
+
+
+def test_countmin_rejects_negative_weight(spark):
+    """Negative mass breaks the one-sided never-under-counts
+    guarantee, so the build fails loudly instead."""
+    df = spark.createDataFrame([("a", 10), ("b", -1)], "k string, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        SK.countmin_build(
+            df, "k", depth=2, width=32, weight_col="w"
+        ).collect()
+
+
+def test_countmin_rejects_null_weight(spark):
+    """A NULL weight would silently drop its row from the counter sum
+    (the key's estimate could then under-count its non-null truth)."""
+    df = spark.createDataFrame([("a", 10), ("b", None)], "k string, w long")
+    with pytest.raises(Exception, match="non-null"):
+        SK.countmin_build(
+            df, "k", depth=2, width=32, weight_col="w"
+        ).collect()
+
+
+def test_kmv_grouped_nullable_bigint_groups_beyond_2_53(spark):
+    """Arrow->pandas converts a NULLABLE bigint group column to
+    float64, where keys differing by 1 above 2^53 collide — two
+    distinct groups would merge into one corrupted sketch. The string
+    round-trip inside kmv_sketch_grouped must keep them distinct and
+    hand back bigint."""
+    big = 2**60 + 1  # big and big+1 both round to 2^60 in float64
+    rows = [(big, "a"), (big, "b"), (big + 1, "c"), (None, "d")]
+    df = spark.createDataFrame(rows, "g long, v string")
+    sk = SK.kmv_sketch_grouped(df, ["g"], ["v"], k=8)
+    got = {r["g"]: r["count"] for r in sk.groupBy("g").count().collect()}
+    assert got == {big: 2, big + 1: 1, None: 1}
+    assert dict(sk.dtypes)["g"] == "bigint"

@@ -158,6 +158,43 @@ def test_kmv_fold_cleanup_keeps_newest_versions(spark, tmp_path):
     assert names == {"sketch_v2", "sketch_v1"}
 
 
+def test_kmv_fold_survives_checkpoint_reset(spark, tmp_path):
+    """ADVICE r14: a stream restarted against an existing sketch_dir
+    with a FRESH checkpoint resets batch_id to 0 — the fold installs
+    sketch_v0 while numerically-higher dirs from the old run still
+    exist. Number-ordered cleanup deleted the just-installed v0 and
+    left CURRENT dangling; mtime ordering + the CURRENT exclusion must
+    keep the reset run readable and foldable."""
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    for i in range(4):  # old run: CURRENT -> sketch_v3, dirs v1..v3
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("string").alias("k")
+        )
+        fold(df, i)
+    assert (root / "CURRENT").read_text() == "sketch_v3"
+
+    fold2 = kmv_sketch_sink(str(root), ["k"], k=16)  # fresh checkpoint
+    df_new = spark.range(400, 500).select(
+        F.col("id").cast("string").alias("k")
+    )
+    fold2(df_new, 0)
+    assert (root / "CURRENT").read_text() == "sketch_v0"
+    assert (root / "sketch_v0").exists()
+    want = sorted(
+        r["kmv_hash"]
+        for r in SK.kmv_sketch(
+            spark.range(500).select(F.col("id").cast("string").alias("k")),
+            ["k"],
+            k=16,
+        ).collect()
+    )
+    assert _stored(spark, root) == want
+    # and the next fold still reads a live CURRENT
+    fold2(df_new, 1)
+    assert _stored(spark, root) == want
+
+
 def test_kmv_empty_pointer_treated_as_missing(spark, tmp_path):
     """A power-loss-truncated CURRENT must not alias the root dir."""
     df = spark.range(100).select(F.col("id").cast("string").alias("k"))

@@ -1,0 +1,299 @@
+"""Unit + e2e tests for the RFC 9309 robots.txt politeness filter
+(`operators/robots.py`).
+
+The parser tests exercise `build_rules_fn()` — the EXACT nested
+function worker closures capture — against the RFC's documented
+semantics (group selection/merge, longest-match precedence, the
+allow-wins tie). The Spark decision is additionally cross-checked
+against an independent pure-Python regex matcher over a pattern×path
+grid, and the plan is pinned join-only (no corpus exchange).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators import robots as R
+
+rules_for = R.build_rules_fn()
+
+
+# ---------------------------------------------------------------------------
+# parser: grouping + agent selection
+# ---------------------------------------------------------------------------
+
+
+def test_group_selection_exact_token_beats_star():
+    payload = """
+    User-agent: *
+    Disallow: /all/
+    User-agent: TrainBot
+    Disallow: /train/
+    """
+    star = rules_for(payload, "*")
+    named = rules_for(payload, "trainbot")
+    assert [p for p, _, _ in star] == ["/all/%"]
+    assert [p for p, _, _ in named] == ["/train/%"]
+
+
+def test_star_group_is_fallback_only():
+    payload = "User-agent: *\nDisallow: /x\n"
+    assert rules_for(payload, "anybot") == [("/x%", 2, False)]
+
+
+def test_matching_groups_merge():
+    """RFC 9309 §2.2.1: multiple groups naming the same agent combine."""
+    payload = """
+    User-agent: a
+    Disallow: /one
+    User-agent: b
+    Disallow: /other
+    User-agent: a
+    Allow: /two
+    """
+    got = rules_for(payload, "A")  # case-insensitive
+    assert got == [("/one%", 4, False), ("/two%", 4, True)]
+
+
+def test_consecutive_ua_lines_share_one_group():
+    payload = """
+    User-agent: a
+    User-agent: b
+    Disallow: /shared
+    """
+    assert rules_for(payload, "b") == [("/shared%", 7, False)]
+
+
+def test_ua_after_rules_starts_new_group():
+    payload = """
+    User-agent: a
+    Disallow: /first
+    User-agent: a
+    Disallow: /second
+    """
+    # two groups, both match agent a -> merged, both rules present
+    assert [p for p, _, _ in rules_for(payload, "a")] == [
+        "/first%",
+        "/second%",
+    ]
+
+
+def test_rules_before_any_group_are_ignored():
+    assert rules_for("Disallow: /x\nUser-agent: *\nDisallow: /y\n", "*") == [
+        ("/y%", 2, False)
+    ]
+
+
+def test_empty_disallow_is_allow_all():
+    assert rules_for("User-agent: *\nDisallow:\n", "*") == []
+
+
+def test_comments_and_unknown_directives():
+    payload = """
+    # a comment line
+    User-agent: *  # trailing comment
+    Crawl-delay: 10
+    Disallow: /x   # blocked
+    Sitemap: https://e.com/s.xml
+    """
+    assert rules_for(payload, "*") == [("/x%", 2, False)]
+
+
+def test_no_matching_group_means_no_rules():
+    assert rules_for("User-agent: a\nDisallow: /\n", "b") == []
+
+
+# ---------------------------------------------------------------------------
+# parser: pattern compilation
+# ---------------------------------------------------------------------------
+
+
+def test_like_translation_wildcard_anchor_escape():
+    payload = """
+    User-agent: *
+    Disallow: /*.php$
+    Disallow: /a_b
+    Disallow: /p%q
+    Allow: bare
+    """
+    got = rules_for(payload, "*")
+    assert got == [
+        ("/%.php", 7, False),  # anchored: no trailing %
+        (r"/a\_b%", 4, False),  # LIKE metachar escaped
+        (r"/p\%q%", 4, False),
+        ("/bare%", 5, True),  # leading / prepended
+    ]
+
+
+def test_specificity_counts_the_anchor():
+    """/a$ must outrank /a on the exact path /a (RFC most-octets)."""
+    payload = "User-agent: *\nAllow: /a$\nDisallow: /a\n"
+    got = {p: (s, a) for p, s, a in rules_for(payload, "*")}
+    assert got["/a"] == (3, True) and got["/a%"] == (2, False)
+
+
+# ---------------------------------------------------------------------------
+# Spark decision
+# ---------------------------------------------------------------------------
+
+PAYLOAD = """
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /*.pdf$
+Disallow: /dir
+Allow: /dir
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    df = spark.createDataFrame(
+        [("example.com", PAYLOAD), ("empty.com", ""), ("null.com", None)],
+        "host string, payload string",
+    )
+    return R.robots_rules(df).cache()
+
+
+def _decide(spark, rules, urls):
+    docs = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = R.apply_robots(docs, rules)
+    return {r["url"]: r["robots_allowed"] for r in out.collect()}
+
+
+def test_decisions_hand_computed(spark, rules):
+    got = _decide(
+        spark,
+        rules,
+        [
+            "https://example.com/",
+            "https://example.com/private/secret",
+            "https://example.com/private/ok/page",  # longest match: allow
+            "https://example.com/doc.pdf",  # anchored
+            "https://example.com/doc.pdf?dl=1",  # query defeats anchor
+            "https://example.com/dir/x",  # equal-length tie -> allow
+            "https://empty.com/anything",  # empty robots = allow
+            "https://null.com/anything",  # null payload = allow
+            "https://norobots.net/anything",  # no rules row = allow
+        ],
+    )
+    assert got == {
+        "https://example.com/": True,
+        "https://example.com/private/secret": False,
+        "https://example.com/private/ok/page": True,
+        "https://example.com/doc.pdf": False,
+        "https://example.com/doc.pdf?dl=1": True,
+        "https://example.com/dir/x": True,
+        "https://empty.com/anything": True,
+        "https://null.com/anything": True,
+        "https://norobots.net/anything": True,
+    }
+
+
+def test_null_and_relative_urls_degrade_to_allowed(spark, rules):
+    docs = spark.createDataFrame(
+        [(None,), ("not a url",)], "url string"
+    )
+    out = R.apply_robots(docs, rules).collect()
+    assert all(r["robots_allowed"] for r in out)
+
+
+def test_filter_by_robots_keeps_allowed_only(spark, rules):
+    docs = spark.createDataFrame(
+        [
+            ("https://example.com/private/secret",),
+            ("https://example.com/open",),
+        ],
+        "url string",
+    )
+    kept = R.filter_by_robots(docs, rules).collect()
+    assert [r["url"] for r in kept] == ["https://example.com/open"]
+    assert kept[0].asDict().keys() == {"url"}  # helper columns dropped
+
+
+def test_reserved_column_collision_raises(spark, rules):
+    docs = spark.createDataFrame(
+        [("https://e.com/x", 1)], "url string, __robots_host int"
+    )
+    with pytest.raises(ValueError, match="__robots_host"):
+        R.apply_robots(docs, rules)
+
+
+def test_plan_is_join_only_no_corpus_exchange(spark, rules):
+    docs = spark.createDataFrame(
+        [("https://example.com/a",)], "url string"
+    )
+    out = R.apply_robots(docs, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"(?<!Reused)Exchange (hash|range|Single)", plan)
+
+
+# ---------------------------------------------------------------------------
+# independent cross-check: regex reference matcher vs the Spark fold
+# ---------------------------------------------------------------------------
+
+GRID_RULES = [
+    ("/", False),
+    ("/a", True),
+    ("/a$", False),
+    ("/fish*", False),
+    ("/*.php$", False),
+    ("/p_q", False),
+    ("*suffix$", False),
+    ("/dir/", False),
+    ("/dir/open", True),
+]
+
+GRID_PATHS = [
+    "/",
+    "/a",
+    "/ab",
+    "/a/b",
+    "/fishing",
+    "/fish",
+    "/x.php",
+    "/x.php?y=1",
+    "/p_q",
+    "/pXq",
+    "/asuffix",
+    "/suffix/no",
+    "/dir/secret",
+    "/dir/open/deep",
+]
+
+
+def _ref_allowed(raw_rules, path):
+    """Independent matcher: robots pattern -> anchored regex."""
+    best_spec, best_allow = -1, True
+    for pattern, allow in raw_rules:
+        if not pattern.startswith(("/", "*")):
+            pattern = "/" + pattern
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+        if re.match("^" + rx + ("$" if anchored else ""), path):
+            spec = len(pattern)
+            if spec > best_spec or (spec == best_spec and allow):
+                best_spec, best_allow = spec, allow
+    return best_allow
+
+
+def test_spark_matches_reference_on_grid(spark):
+    payload = "User-agent: *\n" + "\n".join(
+        f"{'Allow' if allow else 'Disallow'}: {p}" for p, allow in GRID_RULES
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("g.com", payload)], "host string, payload string"
+        )
+    )
+    urls = [f"https://g.com{p}" for p in GRID_PATHS]
+    got = _decide(spark, rules, urls)
+    want = {
+        f"https://g.com{p}": _ref_allowed(GRID_RULES, p) for p in GRID_PATHS
+    }
+    assert got == want

@@ -175,6 +175,7 @@ def main() -> int:
             "sketches",
             "pagerank",
             "bpe",
+            "robots",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -243,6 +244,8 @@ def main() -> int:
         _probe_pagerank(spark, scratch, args, report)
     if args.probe == "bpe":
         _probe_bpe(spark, scratch, args, report)
+    if args.probe == "robots":
+        _probe_robots(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1284,6 +1287,59 @@ def _probe_bpe(spark, scratch, args, report):
         "bpe_apply", docs=n, sec=sec, exchanges=ex,
         tokens=int(tokens), docs_per_s=round(n / sec),
         tokens_per_s=round(tokens / sec),
+    )
+
+
+def _probe_robots(spark, scratch, args, report):
+    # ---- robots.txt gate throughput (r15) ---------------------------
+    # args.docs URLs spread over 10k hosts, 8 rules/host (wildcards,
+    # an anchor, an allow-override — the shapes real files use); the
+    # decision is one broadcast host join + a LIKE fold per row.
+    from hive_scripts_spark.operators import robots as R
+
+    n, hosts = args.docs, 10_000
+    payload = (
+        "User-agent: probe\nDisallow: /blocked/\n"
+        "User-agent: *\n"
+        "Disallow: /private/\nAllow: /private/public\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp*\nAllow: /tmp/keep\n"
+        "Disallow: /search?\nAllow: /search?safe=1\n"
+    )
+    robots_src = spark.range(hosts).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        F.lit(payload).alias("payload"),
+    )
+    t0 = time.perf_counter()
+    rules_path = str(scratch / "robots_rules")
+    R.robots_rules(robots_src).write.mode("overwrite").parquet(rules_path)
+    build_s = round(time.perf_counter() - t0, 2)
+    rules = spark.read.parquet(rules_path)
+    report("robots_rules_build", hosts=hosts, sec=build_s)
+
+    seg = F.element_at(
+        F.array(
+            F.lit("/private/a"), F.lit("/private/public/x"),
+            F.lit("/doc.pdf"), F.lit("/doc.pdf?dl=1"), F.lit("/tmp/x"),
+            F.lit("/tmp/keep/y"), F.lit("/search?q=z"), F.lit("/open/page"),
+        ),
+        (F.col("id") % 8 + 1).cast("int"),
+    )
+    docs_path = str(scratch / f"robots_docs_{n}")
+    spark.range(n).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % hosts), F.lit(".example"), seg
+        ).alias("url")
+    ).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    sec, ex = _timed(lambda: R.apply_robots(docs, rules), args.reps)
+    blocked = (
+        R.apply_robots(docs, rules)
+        .where(~F.col("robots_allowed"))
+        .count()
+    )
+    report(
+        "robots_apply", docs=n, hosts=hosts, sec=sec, exchanges=ex,
+        blocked=blocked, docs_per_s=round(n / sec),
     )
 
 

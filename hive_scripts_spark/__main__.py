@@ -807,14 +807,20 @@ def cmd_sketch(args: argparse.Namespace) -> int:
                 )
             if group_cols:
                 raise SystemExit("--group-cols is a kmv-only flag")
-            sk = SK.digit_hist(df, cols[0], digits=args.digits)
-            # scale is recorded even while the CLI only exposes the
-            # library default: the meta-equality merge guard can only
-            # catch a scale mismatch if scale is IN the meta, and a
-            # mismatch shifts every quantile estimate by powers of 10
-            # (ADVICE r14)
-            meta = {"kind": "digit", "digits": args.digits, "scale": 6,
-                    "value_col": cols[0], "pre_image": "digit-v1"}
+            # scale is recorded even while the CLI only exposes one
+            # value: the meta-equality merge guard can only catch a
+            # scale mismatch if scale is IN the meta, and a mismatch
+            # shifts every quantile estimate by powers of 10 (ADVICE
+            # r14). ONE constant feeds both the build call and the
+            # meta record, so they cannot drift if the library
+            # default ever changes.
+            scale = 6
+            sk = SK.digit_hist(
+                df, cols[0], digits=args.digits, scale=scale
+            )
+            meta = {"kind": "digit", "digits": args.digits,
+                    "scale": scale, "value_col": cols[0],
+                    "pre_image": "digit-v1"}
         else:
             if len(cols) != 1:
                 raise SystemExit(
@@ -842,6 +848,13 @@ def cmd_sketch(args: argparse.Namespace) -> int:
         if not p.is_file():
             raise SystemExit(f"not a sketch dir (no meta.json): {d}")
         metas.append(json.loads(p.read_text()))
+    for m in metas:
+        # pre-r15 digit sketch dirs carry no scale key; they were all
+        # built under the library default 6, so normalize before the
+        # equality check rather than rejecting an exactly-mergeable
+        # old+new pair
+        if m.get("kind") == "digit":
+            m.setdefault("scale", 6)
     if any(m != metas[0] for m in metas[1:]):
         raise SystemExit(
             "incompatible sketches (meta.json differs): merging is only "

@@ -201,8 +201,14 @@ def apply_robots(
             raise ValueError(f"apply_robots: column {c!r} already exists")
     from hive_scripts_spark.functions.urls import url_host
 
+    # the docs side joins on url_host() output (lowercased, trailing
+    # dot stripped); the rules side gets the SAME normalization here —
+    # a rules table fed raw fetch metadata ('Example.COM.') would
+    # otherwise miss the join and silently allow every URL on the host
     rules_side = rules.select(
-        F.col("host").alias("__robots_host"),
+        F.lower(
+            F.regexp_replace(F.col("host"), r"\.$", "")
+        ).alias("__robots_host"),
         F.col("rules").alias("__robots_rules"),
     )
     if broadcast_rules:

@@ -15,11 +15,12 @@ Two shapes, matching the two sketch algebras:
   pointer file (``os.replace`` — file renames are atomic on POSIX;
   directory swaps are not, and a two-rename directory swap has crash
   windows that lose or wedge the state). The KMV merge is a
-  distinct-union — IDEMPOTENT — and a replayed batch whose pointer is
-  already installed short-circuits, so at-least-once delivery gives
+  distinct-union — IDEMPOTENT — so at-least-once delivery gives
   exactly-once sketch state with no checkpoint coordination: a crash
   at ANY point leaves either the old pointer (replay re-merges — a
-  no-op on already-folded data) or the new pointer (replay skips);
+  no-op on already-folded data) or the new pointer (replay re-folds
+  into a suffixed sibling — a no-op merge for identical content, an
+  additive fold for a source that re-delivers different rows);
   stale version dirs are garbage, never corruption. (Count-min does
   NOT have the idempotence property — replays double-count — which is
   why it rides the engine's stateful agg and KMV rides foreachBatch.)
@@ -112,16 +113,21 @@ def kmv_sketch_sink(
     all but the ``keep`` newest versions. Crash-safe by construction:
     a crash before the pointer install leaves the old pointer (the
     replayed batch re-merges — a no-op, the merge is a distinct
-    union); a crash after it makes the replay short-circuit on the
-    already-installed version; stale version dirs are garbage, never
-    corruption; a power-loss-truncated pointer reads as missing, and
+    union); a crash after it makes the replay re-fold into a suffixed
+    sibling version — a no-op merge for identical replay content, a
+    correct ADDITIVE fold when a non-replayable source re-delivers
+    different rows under the same batch id (a skip would lose them);
+    stale version dirs are garbage, never corruption; a power-loss-
+    truncated pointer reads as missing, and
     the pointer bytes + directory entry are fsynced before the swap so
     the installed pointer never outlives its data on disk. A restart
     with a FRESH checkpoint (batch_id reset to 0 against an existing
     ``sketch_dir``) is also safe: replayed rows re-merge as a no-op
-    (distinct union), and cleanup orders versions by mtime with the
-    CURRENT-named version excluded outright, so the reset's low-
-    numbered-but-newest version is never deleted from under the
+    (distinct union) and new rows fold in even when the reset batch id
+    collides with an old run's committed version (the suffixed-sibling
+    path above — r15 review), and cleanup orders versions by mtime
+    with the CURRENT-named version excluded outright, so the reset's
+    low-numbered-but-newest version is never deleted from under the
     pointer (ADVICE r14).
 
     Reader contract: :func:`read_kmv_sketch` resolves the pointer to a
@@ -140,7 +146,20 @@ def kmv_sketch_sink(
         version = f"sketch_v{batch_id}"
         current = _current_version(root)
         if current == version:
-            return  # replay of a fully committed fold
+            # the natural name IS the live version: either a replay
+            # after the pointer installed (same data — the merge below
+            # is then a no-op, KMV merge is a distinct union) or a
+            # fresh-checkpoint restart whose batch 0 collides with an
+            # old run's committed sketch_v0 and carries NEW rows —
+            # skipping here would silently drop them from the sketch
+            # forever (r15 review finding). Fold into a suffixed
+            # sibling instead: both cases converge to the right
+            # sketch, and Spark never overwrites the directory it is
+            # reading the current sketch from.
+            n = 1
+            while (root / f"{version}_r{n}").exists():
+                n += 1
+            version = f"{version}_r{n}"
         new = kmv_sketch(batch_df, cols, k=k)
         if current is not None:
             merged = kmv_merge(
@@ -177,7 +196,7 @@ def kmv_sketch_sink(
         installed = _current_version(root)
         versions = sorted(
             (d for d in root.glob("sketch_v*")),
-            key=lambda d: (d.stat().st_mtime, int(d.name.rsplit("v", 1)[1])),
+            key=lambda d: (d.stat().st_mtime, d.name),
         )
         for d in versions[:-keep]:
             if d.name != installed:

@@ -987,6 +987,18 @@ def test_sketch_digit_build_estimate_split_merge(spark, tmp_path, capsys):
         "/root/testdata/sf0.001/orders.parquet"
     ).approxQuantile("o_totalprice", [0.5], 0.0)[0]
     assert abs(est - true_median) / true_median < 0.01  # digits=3 -> 0.5%
+    # r15 review: a pre-r15 sketch dir (no scale in meta — all built
+    # under the default 6) must still merge with a new one; the
+    # equality guard normalizes instead of rejecting
+    old_meta = tmp_path / "de" / "meta.json"
+    m = json.loads(old_meta.read_text())
+    del m["scale"]
+    old_meta.write_text(json.dumps(m))
+    assert main(
+        ["sketch", "estimate", "--sketch-dirs",
+         str(tmp_path / "de"), str(tmp_path / "do"), "--qs", "0.5"]
+    ) == 0
+    assert capsys.readouterr().out == whole_line
 
 
 def test_bpe_train_apply_end_to_end(spark, tmp_path, capsys):

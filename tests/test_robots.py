@@ -214,6 +214,27 @@ def test_filter_by_robots_keeps_allowed_only(spark, rules):
     assert kept[0].asDict().keys() == {"url"}  # helper columns dropped
 
 
+def test_rules_host_is_normalized_like_url_host(spark):
+    """r15 review: a rules table fed raw fetch metadata
+    ('Example.COM.') must still join the url_host-normalized docs
+    side — a silent join miss would ALLOW explicitly disallowed
+    paths."""
+    df = spark.createDataFrame(
+        [("Example.COM.", "User-agent: *\nDisallow: /x\n")],
+        "host string, payload string",
+    )
+    rules = R.robots_rules(df)
+    got = _decide(
+        spark,
+        rules,
+        ["https://example.com/x/1", "https://EXAMPLE.com./y"],
+    )
+    assert got == {
+        "https://example.com/x/1": False,
+        "https://EXAMPLE.com./y": True,
+    }
+
+
 def test_reserved_column_collision_raises(spark, rules):
     docs = spark.createDataFrame(
         [("https://e.com/x", 1)], "url string, __robots_host int"

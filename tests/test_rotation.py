@@ -122,7 +122,25 @@ def test_shortlist_not_rotted():
         assert n in ORACLES, f"shortlist names unknown/retired query {n}"
 
     oracled = list(ORACLES)
-    if any(n not in last_green for n in oracled):
+    # mid-swap means never-GRADED (no row in ANY artifact), not
+    # never-GREEN: a query that was graded RED stays out of
+    # last_green forever, and treating it as "pending" would keep
+    # this test projecting a fabricated one-round-ahead history after
+    # the artifact landed — the silent-wrong-state mode this rewrite
+    # exists to kill. A red-graded query instead flows into the
+    # un-projected simulation as a never-green window claimant, where
+    # an overflow fails loudly (the shortlist must then account for
+    # it).
+    graded_ever: set[str] = set()
+    import json
+    from pathlib import Path
+
+    for p in sorted(Path(repo_root()).glob("CORRECTNESS_r*.json")):
+        try:
+            graded_ever.update(json.loads(p.read_text()).keys())
+        except (OSError, ValueError):
+            continue
+    if any(n not in graded_ever for n in oracled):
         # mid-swap: this round's registrations await their first row,
         # so the shortlist targets the round after the pending grading
         # run — simulate against that run's projected history.

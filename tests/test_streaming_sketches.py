@@ -130,19 +130,42 @@ def test_kmv_fold_crash_before_pointer_install_recovers(spark, tmp_path):
     assert (root / "CURRENT").read_text() == "sketch_v1"
 
 
-def test_kmv_fold_crash_after_pointer_install_short_circuits(spark, tmp_path):
-    """Crash window 2: the pointer moved but the engine never committed
-    the batch. The replay must skip (the fold already happened) —
-    re-folding different replay content cannot corrupt the state, and
-    the stream makes progress."""
+def test_kmv_fold_replay_after_pointer_install_is_idempotent(spark, tmp_path):
+    """Crash window 2, replayable source: the pointer moved but the
+    engine never committed the batch, so batch 0 replays with the SAME
+    content. The re-fold lands in a suffixed sibling version and the
+    distinct-union merge leaves the sketch bit-identical."""
     df = spark.range(500).select(F.col("id").cast("string").alias("k"))
     root = tmp_path / "kmv"
     fold = kmv_sketch_sink(str(root), ["k"], k=16)
     fold(df, 0)
     before = _stored(spark, root)
-    other = spark.range(900, 999).select(F.col("id").cast("string").alias("k"))
-    fold(other, 0)  # replay of batch 0 after its pointer committed
+    fold(df, 0)  # replay of batch 0 after its pointer committed
     assert _stored(spark, root) == before
+    assert (root / "CURRENT").read_text() == "sketch_v0_r1"
+
+
+def test_kmv_fold_replay_with_new_rows_folds_them_in(spark, tmp_path):
+    """Crash window 2, NON-replayable source (or a fresh-checkpoint
+    batch-0 collision, the r15 review finding): the same batch id
+    re-delivers DIFFERENT rows. The old short-circuit silently dropped
+    them forever; the suffixed-sibling re-fold must merge them in."""
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16)
+    fold(df, 0)
+    other = spark.range(900, 999).select(F.col("id").cast("string").alias("k"))
+    fold(other, 0)  # same batch id, new content
+    want = sorted(
+        r["kmv_hash"]
+        for r in SK.kmv_sketch(df.unionByName(other), ["k"], k=16).collect()
+    )
+    assert _stored(spark, root) == want
+    # and a second identical replay converges (no growth; the natural
+    # name is free again since CURRENT moved to the _r1 sibling)
+    fold(other, 0)
+    assert _stored(spark, root) == want
+    assert (root / "CURRENT").read_text() == "sketch_v0"
 
 
 def test_kmv_fold_cleanup_keeps_newest_versions(spark, tmp_path):

@@ -1,0 +1,164 @@
+"""Mojibake repair — UTF-8 read as cp1252/Latin-1, undone
+(LLM-pipeline extension surface; the reference has no encoding
+concept — its fixed-width exports are ASCII by contract,
+``verizon_automation_script.sh:90-130``).
+
+Web crawls are full of text that was UTF-8 on the wire but decoded
+with a legacy single-byte codec somewhere in the publishing chain:
+``é`` (UTF-8 ``C3 A9``) surfaces as ``Ã©``, ``—`` (``E2 80 94``) as
+``â€"``, and double-mangled pages stack the damage (``Ã©`` →
+``ÃƒÂ©``). Left in, these strings poison dedup keys (the clean and
+mangled copies of a page stop colliding), inflate token counts, and
+teach the model garbage codepoints — so crawl pipelines run an
+ftfy-style fixer right after HTML extraction (the ``ftfy`` tool is
+the public reference for the approach; this is a stdlib-only
+re-derivation of its core UTF-8/cp1252 case, not a port).
+
+The repair is the inverse transform: re-encode the text with cp1252
+(Latin-1 as fallback for the five cp1252 holes), re-decode as UTF-8,
+and ACCEPT the result only when it strictly reduces a mojibake
+badness score — the count of lead-byte/continuation-byte character
+pairs (``Â``–``ô`` followed by a codepoint that cp1252/Latin-1 maps a
+UTF-8 continuation byte to) that essentially never occur in clean
+text but always occur in mangled UTF-8. Up to ``max_passes`` rounds
+unstack double-encoding; anything that fails to encode (CJK, emoji —
+text that cannot BE cp1252 mojibake as a whole), fails to decode, or
+doesn't improve is returned unchanged. Degrade, never damage: the
+accept-only-if-better rule makes the operator idempotent and safe to
+run on already-clean corpora.
+
+Scale posture: a pure per-row string transform behind ONE Arrow-
+batched ``pandas_udf`` projection — zero shuffle, zero join at any
+corpus size; the fast path (clean text) is a single regex scan that
+bails before any codec work. Chain:
+``warc_ingest_documents`` → ``html_to_text`` → ``fix_mojibake`` →
+dedup/quality/decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_fix_fn():
+    """Return the pure ``(text, max_passes) -> text`` fixer as a
+    NESTED function (captured by value in worker closures — the
+    off-repo-driver rule; tests exercise the exact code executors
+    run)."""
+    import re
+
+    # a mojibake "suspicion pair": the cp1252/Latin-1 decoding of a
+    # UTF-8 LEAD byte (C2-F4 -> Â..ô) immediately followed by the
+    # decoding of a CONTINUATION byte (80-BF): as Latin-1 those are
+    # U+0080-U+00BF verbatim; as cp1252, bytes 80-9F land on the
+    # punctuation/letter set spelled out below (the five cp1252 holes
+    # 81 8D 8F 90 9D pass through as C1 controls, already covered by
+    # the U+0080-U+009F span).
+    bad = re.compile(
+        # lead: cp1252/latin-1 view of UTF-8 lead bytes C2-F4
+        "[\u00c2-\u00f4]"
+        "["
+        # latin-1 view of continuation bytes 80-BF (includes the five
+        # cp1252 holes 81 8D 8F 90 9D, which pass through as C1)
+        "\u0080-\u00bf"
+        # cp1252 view of continuation bytes 80-9F
+        "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6"
+        "\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c"
+        "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a"
+        "\u0153\u017e\u0178"
+        "]"
+    )
+
+    def badness(s: str) -> int:
+        return len(bad.findall(s))
+
+    # WHATWG-style windows-1252 reverse map: Python's strict cp1252
+    # codec REFUSES the five hole bytes (81 8D 8F 90 9D), but the web
+    # decodes them to the C1 controls (HTML5 windows-1252), and real
+    # mojibake mixes holes with cp1252 punctuation in one string
+    # ('â€\\x9d' for '”') — so the re-encode uses this 256-entry map,
+    # holes included, with plain latin-1 as the fallback for strings
+    # mangled by a pure latin-1 decoder (C1 codepoints where cp1252
+    # has printable punctuation).
+    rev = {}
+    for b_ in range(256):
+        try:
+            ch = bytes([b_]).decode("cp1252")
+        except UnicodeDecodeError:
+            ch = chr(b_)  # the five holes pass through as C1
+        rev[ch] = b_
+
+    def fix_text(s, max_passes: int = 3):
+        if not isinstance(s, str):
+            return s  # None (and pandas NaN inside the UDF) pass through
+        for _ in range(max_passes):
+            score = badness(s)
+            if score == 0:
+                return s
+            try:
+                raw = bytes(rev[c] for c in s)
+            except KeyError:
+                try:
+                    raw = s.encode("latin-1")
+                except UnicodeEncodeError:
+                    return s  # not whole-string mojibake (CJK, emoji)
+            try:
+                cand = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                return s  # suspicious-looking but not valid UTF-8
+            if badness(cand) >= score:
+                return s  # no strict improvement -> keep the original
+            s = cand
+        return s
+
+    return fix_text
+
+
+def fix_mojibake_col(
+    col: Column | str, max_passes: int = 3
+) -> Column:
+    """Column form: the repaired text (NULL in, NULL out). One
+    Arrow-batched ``pandas_udf`` — a map-side projection, no
+    shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    fix_text = build_fix_fn()
+
+    @pandas_udf("string")
+    def fix_udf(texts):
+        return texts.map(lambda s: fix_text(s, max_passes))
+
+    return fix_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    max_passes: int = 3,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Repair mojibake in ``text_col`` (in place by default; pass
+    ``out_col`` to keep the original beside it). ``flag_col`` adds a
+    boolean marking rows the repair actually changed — the audit
+    column a curation report wants without a second diff pass.
+
+    The fixed value is staged once under a temp alias and both the
+    output column and the flag read THAT (the UDF runs once —
+    ExtractPythonUDFs lifts it into a single ArrowEvalPython node),
+    and the flag compares against the ORIGINAL column before any
+    overwrite, so ``out_col=None`` cannot self-compare."""
+    fixed = fix_mojibake_col(text_col, max_passes=max_passes)
+    if flag_col is None:
+        return df.withColumn(out_col or text_col, fixed)
+    tmp = "__mojibake_fixed"
+    if tmp in df.columns:
+        raise ValueError(f"fix_mojibake: column {tmp!r} already exists")
+    staged = df.withColumn(tmp, fixed).withColumn(
+        flag_col,
+        F.when(
+            F.col(tmp).isNull() | F.col(text_col).isNull(), F.lit(False)
+        ).otherwise(F.col(tmp) != F.col(text_col)),
+    )
+    return staged.withColumn(out_col or text_col, F.col(tmp)).drop(tmp)

@@ -1,0 +1,161 @@
+"""Tests for the mojibake repair operator (`operators/encoding.py`).
+
+The pure fixer (`build_fix_fn()` — the exact nested function worker
+closures capture) is pinned on hand-built cases plus a hypothesis
+round-trip property (clean text mangled through Latin-1/cp1252 must
+recover exactly); the Spark form is checked end-to-end with the flag
+column and a zero-exchange plan assert.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_scripts_spark.operators.encoding import (
+    build_fix_fn,
+    fix_mojibake,
+)
+
+fix = build_fix_fn()
+
+
+# ---------------------------------------------------------------------------
+# pure fixer
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "mangled,clean",
+    [
+        ("cafÃ©", "café"),  # C3 A9 read as latin-1/cp1252
+        ("â€™tis the â€œquoteâ€\x9d", "’tis the “quote”"),
+        ("emâ€”dash â€“ en", "em—dash – en"),
+        ("10Â°C Â± 2", "10°C ± 2"),
+        ("cafÃƒÂ©", "café"),  # double-encoded, needs two passes
+        ("Ã¼ber naÃ¯ve", "über naïve"),
+        ("æ\x97¥æ\x9c¬èª\x9e", "日本語"),  # 3-byte leads via latin-1
+    ],
+)
+def test_known_mojibake_repairs(mangled, clean):
+    assert fix(mangled) == clean
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "plain ascii",
+        "clean café, naïve, São Paulo — ok",
+        "日本語のテキスト",
+        "emoji 🙂 stays",
+        "mixed 日本語 and café",
+        "résumé déjà vu",
+    ],
+)
+def test_clean_text_unchanged(text):
+    assert fix(text) == text
+
+
+def test_none_and_non_text_pass_through():
+    assert fix(None) is None
+
+
+def test_invalid_utf8_suspect_unchanged():
+    # 'Ã' + continuation-class char that does NOT reassemble into
+    # valid UTF-8 (lead byte with a non-continuation follower)
+    s = "ÃÀx"  # bytes C3 C0 78 — C0 is not a continuation byte
+    assert fix(s) == s
+
+
+def test_fix_is_idempotent():
+    once = fix("cafÃƒÂ© â€” end")
+    assert fix(once) == once
+
+
+def test_accept_requires_strict_improvement():
+    # a single stray suspicious pair whose "fix" produces another
+    # suspicious-looking string must not loop or change badness-equal
+    # text; idempotence on the output is the contract
+    s = "weird Â control"
+    out = fix(s)
+    assert fix(out) == out
+
+
+_ALPHABET = "abc XYZ 0.9,!?éüñç—’…日本ß€™"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=40))
+def test_latin1_mangle_roundtrip_property(s):
+    """Mangling clean text through latin-1 must recover exactly
+    whenever the clean text is not itself mojibake-shaped (the
+    alphabet can form rare decodable pairs like 'ss-euro' -- the
+    fixer itself is the detector for that documented ambiguity)."""
+    if fix(s) != s:
+        return  # s already looks like mojibake: ambiguous by design
+    mangled = s.encode("utf-8").decode("latin-1")
+    assert fix(mangled) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=40))
+def test_cp1252_mangle_roundtrip_property(s):
+    if fix(s) != s:
+        return
+    try:
+        mangled = s.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return  # bytes hitting the five cp1252 holes
+    assert fix(mangled) == s
+
+
+# ---------------------------------------------------------------------------
+# Spark form
+# ---------------------------------------------------------------------------
+
+
+def test_fix_mojibake_e2e_with_flag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cafÃ©"),
+            (2, "already clean"),
+            (3, None),
+            (4, "æ\x97¥æ\x9c¬èª\x9e"),
+        ],
+        "doc_id int, text string",
+    )
+    out = fix_mojibake(df, "text", flag_col="was_mojibake")
+    rows = {r["doc_id"]: (r["text"], r["was_mojibake"]) for r in out.collect()}
+    assert rows == {
+        1: ("café", True),
+        2: ("already clean", False),
+        3: (None, False),
+        4: ("日本語", True),
+    }
+
+
+def test_fix_mojibake_out_col_keeps_original(spark):
+    df = spark.createDataFrame([("cafÃ©",)], "text string")
+    out = fix_mojibake(df, "text", out_col="text_fixed").collect()[0]
+    assert out["text"] == "cafÃ©" and out["text_fixed"] == "café"
+
+
+def test_fix_mojibake_plan_is_map_only(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    out = fix_mojibake(df, "text", flag_col="f")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"(?<!Reused)Exchange (hash|range|Single)", plan)
+    assert plan.count("ArrowEvalPython") == 1  # the UDF runs once
+
+
+def test_fix_mojibake_tmp_collision_raises(spark):
+    df = spark.createDataFrame(
+        [("x", 1)], "text string, __mojibake_fixed int"
+    )
+    with pytest.raises(ValueError, match="__mojibake_fixed"):
+        fix_mojibake(df, "text", flag_col="f")

@@ -176,6 +176,7 @@ def main() -> int:
             "pagerank",
             "bpe",
             "robots",
+            "mojibake",
         ),
         default="all",
         help="which probe family to run (default: all)",
@@ -246,6 +247,8 @@ def main() -> int:
         _probe_bpe(spark, scratch, args, report)
     if args.probe == "robots":
         _probe_robots(spark, scratch, args, report)
+    if args.probe == "mojibake":
+        _probe_mojibake(spark, scratch, args, report)
 
     print(json.dumps({"summary": results}))
     shutil.rmtree(scratch, ignore_errors=True)
@@ -1287,6 +1290,38 @@ def _probe_bpe(spark, scratch, args, report):
         "bpe_apply", docs=n, sec=sec, exchanges=ex,
         tokens=int(tokens), docs_per_s=round(n / sec),
         tokens_per_s=round(tokens / sec),
+    )
+
+
+def _probe_mojibake(spark, scratch, args, report):
+    # ---- mojibake repair throughput (r15) ---------------------------
+    # args.docs ~300-char docs, every 10th mangled (utf8 read as
+    # latin-1): the fast path is a regex scan, the slow path two full
+    # codec round-trips; 10% dirty is a realistic crawl mix.
+    from hive_scripts_spark.operators.encoding import fix_mojibake
+
+    n = args.docs
+    clean = "The quick brown fox — naïve café résumé. " * 7
+    mangled = clean.encode("utf-8").decode("latin-1")
+    path = str(scratch / f"moji_{n}")
+    spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, F.lit(mangled))
+        .otherwise(F.lit(clean))
+        .alias("text")
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    sec, ex = _timed(
+        lambda: fix_mojibake(docs, "text", flag_col="was_mojibake"),
+        args.reps,
+    )
+    fixed = (
+        fix_mojibake(docs, "text", flag_col="was_mojibake")
+        .where(F.col("was_mojibake"))
+        .count()
+    )
+    report(
+        "mojibake_fix", docs=n, sec=sec, exchanges=ex, fixed=fixed,
+        docs_per_s=round(n / sec),
     )
 
 

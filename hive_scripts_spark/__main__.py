@@ -690,6 +690,17 @@ def cmd_warc(args: argparse.Namespace) -> int:
     )
     if args.status_ok_only:
         docs = docs.where(F.col("http_status") == 200)
+    if args.robots:
+        # politeness gate BEFORE the text work: dropped docs never pay
+        # the mojibake/codec path
+        from hive_scripts_spark.operators.robots import filter_by_robots
+
+        rules = spark.read.parquet(args.robots)
+        docs = filter_by_robots(docs, rules, url_col="uri")
+    if args.fix_mojibake:
+        from hive_scripts_spark.operators.encoding import fix_mojibake
+
+        docs = fix_mojibake(docs, "text")
     out = docs.select(
         "doc_id",
         F.col("text"),
@@ -1515,6 +1526,18 @@ def main(argv: list[str] | None = None) -> int:
         "--status-ok-only",
         action="store_true",
         help="keep only HTTP 200 responses",
+    )
+    wa.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="repair UTF-8-as-cp1252 mojibake in extracted text "
+        "(operators/encoding.py; map-only)",
+    )
+    wa.add_argument(
+        "--robots",
+        default=None,
+        help="per-host robots rules parquet (from operators/robots.py "
+        "robots_rules); documents disallowed for their URI are dropped",
     )
     wa.set_defaults(fn=cmd_warc)
 

@@ -280,3 +280,44 @@ def test_warc_cli_writes_quarantine(spark, tmp_path, capsys):
     assert len(q) == 1 and bytes(q[0]["payload"]).startswith(b"WARC/1.0")
     docs = spark.read.parquet(str(out / "documents.parquet")).collect()
     assert docs[0]["source"] == "example.org"
+
+
+def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
+    """The r15 curation-chain flags: --robots drops disallowed URIs
+    before any text work, --fix-mojibake repairs the survivors."""
+    from hive_scripts_spark.__main__ import main
+    from hive_scripts_spark.operators.robots import robots_rules
+
+    blocked = _record(
+        "response", _http(b"<html>secret</html>"),
+        uri="https://example.org/private/x", rec_id="r1",
+    )
+    mangled_body = "cafÃ© page".encode("utf-8")  # 'cafÃ© page'
+    kept = _record(
+        "response", _http(mangled_body),
+        uri="https://example.org/ok", rec_id="r2",
+    )
+    shard = tmp_path / "shard.warc"
+    shard.write_bytes(blocked + kept)
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("example.org", "User-agent: *\nDisallow: /private/\n")],
+            "host string, payload string",
+        )
+    )
+    rules_path = tmp_path / "rules"
+    rules.write.mode("overwrite").parquet(str(rules_path))
+
+    out = tmp_path / "db"
+    rc = main(
+        ["warc", str(shard), "--output", str(out),
+         "--robots", str(rules_path), "--fix-mojibake"]
+    )
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "documents.parquet")).collect()
+    assert len(docs) == 1
+    assert docs[0]["uri"] == "https://example.org/ok"
+    assert docs[0]["text"] == "café page"
+    assert docs[0]["n_chars"] == len("café page")  # post-repair length
+    assert "1 docs" in capsys.readouterr().out

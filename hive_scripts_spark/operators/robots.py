@@ -79,6 +79,10 @@ def build_rules_fn():
         agent = agent.strip().lower()
         groups: list[tuple[set, list]] = []
         collecting_ua = False
+        # a UTF-8 BOM (common in real robots.txt files) would glue
+        # itself to the first directive name and silently void the
+        # whole file (unknown key -> group never opens -> allow-all)
+        payload = payload.lstrip("﻿")
         for raw in payload.splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line or ":" not in line:

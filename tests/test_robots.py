@@ -106,6 +106,15 @@ def test_no_matching_group_means_no_rules():
     assert rules_for("User-agent: a\nDisallow: /\n", "b") == []
 
 
+def test_utf8_bom_does_not_void_the_file():
+    """Real robots.txt files often start with a BOM; glued to the
+    first 'User-agent' it would read as an unknown directive and
+    silently void every rule."""
+    assert rules_for("﻿User-agent: *\nDisallow: /x\n", "*") == [
+        ("/x%", 2, False)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # parser: pattern compilation
 # ---------------------------------------------------------------------------

@@ -67,6 +67,16 @@ def _clean_query(query: Column) -> Column:
     return F.array_join(F.array_sort(parts), "&")
 
 
+def normalize_host(col: Column | str) -> Column:
+    """The host EQUALITY form — lowercased, one trailing dot stripped.
+    Every consumer that compares or joins hosts must use this one
+    expression (url_host, canonical_url, and the robots politeness
+    join all route through it), so the normalization can never diverge
+    between join sides."""
+    h = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(h, r"\.$", ""))
+
+
 def canonical_url(col: Column | str) -> Column:
     """The canonical form of an absolute URL (see module docstring);
     NULL in, NULL out; a string that does not parse as an absolute URL
@@ -74,9 +84,7 @@ def canonical_url(col: Column | str) -> Column:
     garbage pass through for the caller to filter)."""
     url = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
-    host = F.lower(
-        F.regexp_replace(F.regexp_extract(url, _URL_RE, 2), r"\.$", "")
-    )
+    host = normalize_host(F.regexp_extract(url, _URL_RE, 2))
     port = F.regexp_extract(url, _URL_RE, 3)
     path = F.regexp_extract(url, _URL_RE, 4)
     query = F.coalesce(F.regexp_extract(url, _URL_RE, 5), F.lit(""))
@@ -104,11 +112,9 @@ def canonical_url(col: Column | str) -> Column:
 
 
 def url_host(col: Column | str) -> Column:
-    """Lowercased host of an absolute URL ('' for non-URLs)."""
+    """Normalized host of an absolute URL ('' for non-URLs)."""
     url = F.col(col) if isinstance(col, str) else col
-    return F.lower(
-        F.regexp_replace(F.regexp_extract(url, _URL_RE, 2), r"\.$", "")
-    )
+    return normalize_host(F.regexp_extract(url, _URL_RE, 2))
 
 
 #: two-level public suffixes where the registrable domain is the THIRD

@@ -149,6 +149,23 @@ def fix_mojibake(
     ExtractPythonUDFs lifts it into a single ArrowEvalPython node),
     and the flag compares against the ORIGINAL column before any
     overwrite, so ``out_col=None`` cannot self-compare."""
+    # collision guards (r15 review pass 2): silently clobbering an
+    # existing column would destroy earlier audit data with no error —
+    # only the documented in-place overwrite (out_col None / text_col)
+    # is allowed to replace anything
+    if out_col and out_col != text_col and out_col in df.columns:
+        raise ValueError(
+            f"fix_mojibake: out_col {out_col!r} already exists"
+        )
+    if flag_col is not None:
+        if flag_col in df.columns:
+            raise ValueError(
+                f"fix_mojibake: flag_col {flag_col!r} already exists"
+            )
+        if flag_col == (out_col or text_col):
+            raise ValueError(
+                "fix_mojibake: flag_col and the output column must differ"
+            )
     fixed = fix_mojibake_col(text_col, max_passes=max_passes)
     if flag_col is None:
         return df.withColumn(out_col or text_col, fixed)

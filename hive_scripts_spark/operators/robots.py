@@ -203,17 +203,25 @@ def apply_robots(
     for c in ("__robots_host", "__robots_path", "__robots_rules"):
         if c in docs.columns:
             raise ValueError(f"apply_robots: column {c!r} already exists")
-    from hive_scripts_spark.functions.urls import url_host
+    from hive_scripts_spark.functions.urls import normalize_host, url_host
 
-    # the docs side joins on url_host() output (lowercased, trailing
-    # dot stripped); the rules side gets the SAME normalization here —
-    # a rules table fed raw fetch metadata ('Example.COM.') would
-    # otherwise miss the join and silently allow every URL on the host
-    rules_side = rules.select(
-        F.lower(
-            F.regexp_replace(F.col("host"), r"\.$", "")
-        ).alias("__robots_host"),
-        F.col("rules").alias("__robots_rules"),
+    # the docs side joins on url_host() output; the rules side routes
+    # through the SAME normalize_host expression — a rules table fed
+    # raw fetch metadata ('Example.COM.') would otherwise miss the
+    # join and silently allow every URL on the host. Rows whose raw
+    # hosts collapse to one normalized host MERGE their rule arrays
+    # (RFC 9309 group-merge semantics): a plain select would emit
+    # duplicate join keys, duplicating every corpus row for the host
+    # AND letting a disallowed doc survive filter_by_robots through
+    # its empty-rules copy. The groupBy is an exchange on the
+    # host-count-bounded rules side only — the corpus never shuffles.
+    rules_side = (
+        rules.select(
+            normalize_host("host").alias("__robots_host"),
+            F.col("rules").alias("__rules"),
+        )
+        .groupBy("__robots_host")
+        .agg(F.flatten(F.collect_list("__rules")).alias("__robots_rules"))
     )
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)

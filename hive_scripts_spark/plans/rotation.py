@@ -73,6 +73,23 @@ def load_green_history(root: Path) -> tuple[dict[str, int], int]:
     return last_green, latest
 
 
+def load_graded_names(root: Path) -> set[str]:
+    """Every query name that has a row — green OR red — in ANY
+    committed ``CORRECTNESS_r*.json``. Shares this module's artifact
+    discovery (same glob, same stem filter, same skip-on-damage) so
+    consumers like the shortlist guard's mid-swap detection cannot
+    drift from :func:`load_green_history`'s view of the history."""
+    graded: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        if not re.search(r"r(\d+)", p.stem):
+            continue
+        try:
+            graded.update(json.loads(p.read_text()).keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    return graded
+
+
 def compute_front_order(
     names: list[str],
     last_green: dict[str, int],

@@ -145,19 +145,26 @@ def kmv_sketch_sink(
         root.mkdir(parents=True, exist_ok=True)
         version = f"sketch_v{batch_id}"
         current = _current_version(root)
-        if current == version:
-            # the natural name IS the live version: either a replay
-            # after the pointer installed (same data — the merge below
-            # is then a no-op, KMV merge is a distinct union) or a
-            # fresh-checkpoint restart whose batch 0 collides with an
-            # old run's committed sketch_v0 and carries NEW rows —
-            # skipping here would silently drop them from the sketch
-            # forever (r15 review finding). Fold into a suffixed
-            # sibling instead: both cases converge to the right
-            # sketch, and Spark never overwrites the directory it is
-            # reading the current sketch from.
+        if current == version or (root / version).exists():
+            # the natural name is the live version OR an existing dir:
+            # a replay after the pointer installed (same data — the
+            # merge below is then a no-op, KMV merge is a distinct
+            # union), a fresh-checkpoint restart whose batch ids
+            # collide with an old run's committed versions and carry
+            # NEW rows (skipping would silently drop them forever —
+            # r15 review), or a partial dir from a crash before
+            # install. Fold into a fresh suffixed sibling in every
+            # case: NO existing directory is ever rewritten in place,
+            # so a reader that resolved CURRENT keeps its directory
+            # for the full documented keep-window (in-place overwrite
+            # would yank it after as little as one fold — second r15
+            # review pass), and Spark never overwrites the directory
+            # it is reading the current sketch from.
             n = 1
-            while (root / f"{version}_r{n}").exists():
+            while (
+                current == f"{version}_r{n}"
+                or (root / f"{version}_r{n}").exists()
+            ):
                 n += 1
             version = f"{version}_r{n}"
         new = kmv_sketch(batch_df, cols, k=k)
@@ -194,9 +201,22 @@ def kmv_sketch_sink(
         # way. Replayed data re-merging after a reset is a no-op — the
         # KMV merge is a distinct union.
         installed = _current_version(root)
+
+        def vkey(d):
+            # numeric-aware tie-break for mtime ties (coarse-mtime
+            # filesystems): sketch_v10 must sort after sketch_v2, and
+            # suffixed retry versions after their base; foreign dir
+            # names sort first (oldest) rather than crashing cleanup
+            tail = d.name.rsplit("v", 1)[1]
+            base, _, retry = tail.partition("_r")
+            try:
+                return (int(base), int(retry or 0))
+            except ValueError:
+                return (-1, -1)
+
         versions = sorted(
             (d for d in root.glob("sketch_v*")),
-            key=lambda d: (d.stat().st_mtime, d.name),
+            key=lambda d: (d.stat().st_mtime, vkey(d)),
         )
         for d in versions[:-keep]:
             if d.name != installed:

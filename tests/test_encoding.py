@@ -159,3 +159,22 @@ def test_fix_mojibake_tmp_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="__mojibake_fixed"):
         fix_mojibake(df, "text", flag_col="f")
+
+
+def test_fix_mojibake_collision_guards(spark):
+    """r15 review pass 2: pre-existing flag/out columns must raise,
+    not silently clobber earlier audit data; only the documented
+    in-place overwrite of text_col itself is allowed."""
+    df = spark.createDataFrame(
+        [("x", True)], "text string, was_mojibake boolean"
+    )
+    with pytest.raises(ValueError, match="flag_col"):
+        fix_mojibake(df, "text", flag_col="was_mojibake")
+    with pytest.raises(ValueError, match="out_col"):
+        fix_mojibake(df, "text", out_col="was_mojibake")
+    with pytest.raises(ValueError, match="must differ"):
+        fix_mojibake(df, "text", out_col="fixed", flag_col="fixed")
+    # in-place overwrite of text_col stays allowed
+    assert fix_mojibake(df, "text", out_col="text").columns == [
+        "text", "was_mojibake"
+    ]

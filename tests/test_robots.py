@@ -259,7 +259,37 @@ def test_plan_is_join_only_no_corpus_exchange(spark, rules):
     out = R.apply_robots(docs, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert not re.search(r"(?<!Reused)Exchange (hash|range|Single)", plan)
+    # exactly ONE hash exchange: the rules-side host merge (bounded by
+    # host count); the corpus side stays map-only into the broadcast
+    assert len(re.findall(r"(?<!Reused)Exchange (hash|range|Single)", plan)) == 1
+
+
+def test_duplicate_raw_hosts_merge_not_duplicate(spark):
+    """r15 review pass 2: two raw rows collapsing to one normalized
+    host must MERGE their rules — a plain select would emit duplicate
+    join keys, duplicating corpus rows AND letting a disallowed URL
+    survive filter_by_robots through its empty-rules copy."""
+    df = spark.createDataFrame(
+        [
+            ("example.com", "User-agent: *\nDisallow: /x\n"),
+            ("Example.COM.", ""),  # same host, empty refetch
+        ],
+        "host string, payload string",
+    )
+    rules = R.robots_rules(df)
+    docs = spark.createDataFrame(
+        [("https://example.com/x/1",), ("https://example.com/y",)],
+        "url string",
+    )
+    out = R.apply_robots(docs, rules).collect()
+    assert len(out) == 2  # no row duplication
+    got = {r["url"]: r["robots_allowed"] for r in out}
+    assert got == {
+        "https://example.com/x/1": False,
+        "https://example.com/y": True,
+    }
+    kept = R.filter_by_robots(docs, rules).collect()
+    assert [r["url"] for r in kept] == ["https://example.com/y"]
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,29 @@ def test_non_strict_overflow_truncates_deterministically():
     assert out == ["q0", "q1", "q2"]
 
 
+def test_load_graded_names_sees_red_rows_and_filters_stems(tmp_path):
+    """graded-ever must include RED rows (a red-graded query is not
+    'pending') and skip files whose stem carries no round number —
+    the same discovery rules as load_green_history."""
+    import json
+
+    from hive_scripts_spark.plans.rotation import load_graded_names
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({
+            "green_q": {"rows_match": True, "schema_match": True,
+                        "hash_match": True},
+            "red_q": {"rows_match": False, "schema_match": True,
+                      "hash_match": False},
+        })
+    )
+    (tmp_path / "CORRECTNESS_rX.json").write_text(
+        json.dumps({"phantom": {}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    assert load_graded_names(tmp_path) == {"green_q", "red_q"}
+
+
 def test_shortlist_not_rotted():
     """The r13 VERDICT failure mode: COVERAGE.md's "next swap"
     retirement shortlist was correct when written and silently wrong
@@ -131,15 +154,9 @@ def test_shortlist_not_rotted():
     # un-projected simulation as a never-green window claimant, where
     # an overflow fails loudly (the shortlist must then account for
     # it).
-    graded_ever: set[str] = set()
-    import json
-    from pathlib import Path
+    from hive_scripts_spark.plans.rotation import load_graded_names
 
-    for p in sorted(Path(repo_root()).glob("CORRECTNESS_r*.json")):
-        try:
-            graded_ever.update(json.loads(p.read_text()).keys())
-        except (OSError, ValueError):
-            continue
+    graded_ever = load_graded_names(repo_root())
     if any(n not in graded_ever for n in oracled):
         # mid-swap: this round's registrations await their first row,
         # so the shortlist targets the round after the pending grading

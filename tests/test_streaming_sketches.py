@@ -127,7 +127,9 @@ def test_kmv_fold_crash_before_pointer_install_recovers(spark, tmp_path):
         for r in SK.kmv_sketch(df0.unionByName(df1), ["k"], k=16).collect()
     )
     assert _stored(spark, root) == want
-    assert (root / "CURRENT").read_text() == "sketch_v1"
+    # the partial dir is never rewritten in place — the rebuilt fold
+    # lands in a fresh suffixed sibling (second r15 review pass)
+    assert (root / "CURRENT").read_text() == "sketch_v1_r1"
 
 
 def test_kmv_fold_replay_after_pointer_install_is_idempotent(spark, tmp_path):
@@ -161,11 +163,14 @@ def test_kmv_fold_replay_with_new_rows_folds_them_in(spark, tmp_path):
         for r in SK.kmv_sketch(df.unionByName(other), ["k"], k=16).collect()
     )
     assert _stored(spark, root) == want
-    # and a second identical replay converges (no growth; the natural
-    # name is free again since CURRENT moved to the _r1 sibling)
+    # a second identical replay converges (no growth) in yet another
+    # fresh sibling — existing dirs are NEVER rewritten in place, so a
+    # reader that resolved sketch_v0 or _r1 keeps its directory for
+    # the full keep window
     fold(other, 0)
     assert _stored(spark, root) == want
-    assert (root / "CURRENT").read_text() == "sketch_v0"
+    assert (root / "CURRENT").read_text() == "sketch_v0_r2"
+    assert (root / "sketch_v0").exists() and (root / "sketch_v0_r1").exists()
 
 
 def test_kmv_fold_cleanup_keeps_newest_versions(spark, tmp_path):

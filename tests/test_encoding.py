@@ -178,3 +178,41 @@ def test_fix_mojibake_collision_guards(spark):
     assert fix_mojibake(df, "text", out_col="text").columns == [
         "text", "was_mojibake"
     ]
+
+
+def test_fix_mojibake_runs_streaming_native(spark, tmp_path):
+    """Stateless projection: the repair runs under Structured
+    Streaming with results BYTE-identical to batch over the same
+    files — no foreachBatch needed."""
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "cafÃ©"), (2, "clean"), (3, "â€™quoted")],
+        "doc_id int, text string",
+    ).write.mode("overwrite").parquet(str(src))
+
+    batch = sorted(
+        map(
+            tuple,
+            fix_mojibake(
+                spark.read.parquet(str(src)), "text", flag_col="fixed"
+            ).collect(),
+        )
+    )
+    stream_df = fix_mojibake(
+        spark.readStream.schema("doc_id int, text string").parquet(
+            str(src)
+        ),
+        "text",
+        flag_col="fixed",
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("moji_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(map(tuple, spark.table("moji_stream").collect()))
+    assert got == batch and len(got) == 3

@@ -357,3 +357,45 @@ def test_spark_matches_reference_on_grid(spark):
         f"https://g.com{p}": _ref_allowed(GRID_RULES, p) for p in GRID_PATHS
     }
     assert got == want
+
+
+def test_apply_robots_runs_as_stream_static_join(spark, tmp_path):
+    """The politeness gate composes with Structured Streaming as a
+    stream-static join (streaming corpus x static rules) — results
+    identical to batch over the same files."""
+    src = tmp_path / "urls"
+    spark.createDataFrame(
+        [("https://s.com/block/1",), ("https://s.com/ok",)],
+        "url string",
+    ).write.mode("overwrite").parquet(str(src))
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("s.com", "User-agent: *\nDisallow: /block\n")],
+            "host string, payload string",
+        )
+    ).cache()
+
+    batch = sorted(
+        map(
+            tuple,
+            R.apply_robots(spark.read.parquet(str(src)), rules).collect(),
+        )
+    )
+    stream_df = R.apply_robots(
+        spark.readStream.schema("url string").parquet(str(src)), rules
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("robots_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(map(tuple, spark.table("robots_stream").collect()))
+    assert got == batch
+    assert dict(got) == {
+        "https://s.com/block/1": False,
+        "https://s.com/ok": True,
+    }

@@ -152,17 +152,26 @@ def fix_mojibake(
     # collision guards (r15 review pass 2): silently clobbering an
     # existing column would destroy earlier audit data with no error —
     # only the documented in-place overwrite (out_col None / text_col)
-    # is allowed to replace anything
-    if out_col and out_col != text_col and out_col in df.columns:
+    # is allowed to replace anything. Membership is checked
+    # case-INSENSITIVELY (review pass 3): withColumn resolves names
+    # case-insensitively under the spark.sql.caseSensitive=false
+    # default, so an exact-match guard still lets 'Was_Mojibake'
+    # clobber 'was_mojibake'.
+    existing = {c.lower() for c in df.columns}
+    if (
+        out_col
+        and out_col.lower() != text_col.lower()
+        and out_col.lower() in existing
+    ):
         raise ValueError(
             f"fix_mojibake: out_col {out_col!r} already exists"
         )
     if flag_col is not None:
-        if flag_col in df.columns:
+        if flag_col.lower() in existing:
             raise ValueError(
                 f"fix_mojibake: flag_col {flag_col!r} already exists"
             )
-        if flag_col == (out_col or text_col):
+        if flag_col.lower() == (out_col or text_col).lower():
             raise ValueError(
                 "fix_mojibake: flag_col and the output column must differ"
             )

@@ -196,12 +196,22 @@ def apply_robots(
 
     One equi-join on host (broadcast by default — the rules side is
     bounded by host count; pass ``broadcast_rules=False`` to let AQE
-    choose when the host set is huge) plus one JVM array fold per row;
-    no other exchange, so the corpus side stays map-only. Hosts with
-    no rules row, empty rule arrays, and unparseable URLs are allowed
-    (RFC: no robots.txt means crawl permitted)."""
+    choose when the host set is huge) plus one JVM array fold per
+    row; the only other exchange is the rules-side host merge, so the
+    corpus side stays map-only. Hosts with no rules row, empty rule
+    arrays, and unparseable URLs are allowed (RFC: no robots.txt
+    means crawl permitted); duplicate rows collapsing to one
+    normalized host combine conservatively — identical refetches
+    merge, an empty refetch defers, but DIFFERING non-empty rule sets
+    raise at execution (dedupe upstream by fetch time). Streaming
+    consumers (stream-static join) should ``.cache()`` the ``rules``
+    DataFrame — the static side re-executes its compile + merge every
+    micro-batch otherwise."""
+    existing = {c.lower() for c in docs.columns}
     for c in ("__robots_host", "__robots_path", "__robots_rules"):
-        if c in docs.columns:
+        # case-insensitive: withColumn resolves names that way under
+        # the spark.sql.caseSensitive=false default
+        if c in existing:
             raise ValueError(f"apply_robots: column {c!r} already exists")
     from hive_scripts_spark.functions.urls import normalize_host, url_host
 
@@ -209,19 +219,57 @@ def apply_robots(
     # through the SAME normalize_host expression — a rules table fed
     # raw fetch metadata ('Example.COM.') would otherwise miss the
     # join and silently allow every URL on the host. Rows whose raw
-    # hosts collapse to one normalized host MERGE their rule arrays
-    # (RFC 9309 group-merge semantics): a plain select would emit
-    # duplicate join keys, duplicating every corpus row for the host
-    # AND letting a disallowed doc survive filter_by_robots through
-    # its empty-rules copy. The groupBy is an exchange on the
-    # host-count-bounded rules side only — the corpus never shuffles.
+    # hosts collapse to one normalized host combine: a plain select
+    # would emit duplicate join keys, duplicating every corpus row
+    # for the host AND letting a disallowed doc survive
+    # filter_by_robots through its empty-rules copy. Combining is
+    # CONSERVATIVE (review pass 3): identical refetches collapse and
+    # an empty-rules refetch defers to the non-empty one, but two
+    # DIFFERING non-empty rule sets raise at execution — RFC 9309's
+    # group merge is defined within one robots.txt, not across
+    # conflicting fetches, and silently unioning them can under-block
+    # (a stale longer Allow outranking the live Disallow). Dedupe
+    # upstream by fetch time (merge_upsert) to resolve. The groupBy
+    # is an exchange on the host-count-bounded rules side only — the
+    # corpus never shuffles.
+    distinct_sets = F.array_distinct(F.collect_list("__rules"))
+    nonempty = F.filter(distinct_sets, lambda a: F.size(a) > 0)
     rules_side = (
         rules.select(
             normalize_host("host").alias("__robots_host"),
             F.col("rules").alias("__rules"),
         )
         .groupBy("__robots_host")
-        .agg(F.flatten(F.collect_list("__rules")).alias("__robots_rules"))
+        .agg(
+            F.when(
+                F.size(nonempty) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "apply_robots: conflicting robots rules "
+                            "for host "
+                        ),
+                        F.col("__robots_host"),
+                        F.lit(
+                            " (distinct fetches disagree) — dedupe "
+                            "the rules table upstream, keeping the "
+                            "latest fetch per host"
+                        ),
+                    )
+                ).cast(
+                    "array<struct<pat: string, spec: int, "
+                    "allow: boolean>>"
+                ),
+            )
+            .when(F.size(nonempty) == 1, F.element_at(nonempty, 1))
+            .otherwise(
+                F.lit([]).cast(
+                    "array<struct<pat: string, spec: int, "
+                    "allow: boolean>>"
+                )
+            )
+            .alias("__robots_rules")
+        )
     )
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)

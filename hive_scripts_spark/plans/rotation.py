@@ -46,16 +46,8 @@ def load_green_history(root: Path) -> tuple[dict[str, int], int]:
     """
     last_green: dict[str, int] = {}
     latest = 0
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.stem)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+    for rnd, rows in _artifact_rows(root):
         latest = max(latest, rnd)
-        try:
-            rows = json.loads(p.read_text())
-        except (OSError, json.JSONDecodeError):
-            continue
         for name, row in rows.items():
             if row.get("err") == "no_oracle":
                 # declared-no-oracle rows get the driver's weaker
@@ -73,20 +65,31 @@ def load_green_history(root: Path) -> tuple[dict[str, int], int]:
     return last_green, latest
 
 
-def load_graded_names(root: Path) -> set[str]:
-    """Every query name that has a row — green OR red — in ANY
-    committed ``CORRECTNESS_r*.json``. Shares this module's artifact
-    discovery (same glob, same stem filter, same skip-on-damage) so
-    consumers like the shortlist guard's mid-swap detection cannot
-    drift from :func:`load_green_history`'s view of the history."""
-    graded: set[str] = set()
+def _artifact_rows(root: Path):
+    """THE artifact-discovery loop (glob, stem filter, parse,
+    skip-on-damage) — yields ``(round, rows)`` per readable
+    ``CORRECTNESS_r*.json``. Both public loaders build on this one
+    generator so their views of the history cannot drift."""
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        if not re.search(r"r(\d+)", p.stem):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
             continue
         try:
-            graded.update(json.loads(p.read_text()).keys())
+            rows = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        yield int(m.group(1)), rows
+
+
+def load_graded_names(root: Path) -> set[str]:
+    """Every query name that has a row — green OR red — in ANY
+    committed ``CORRECTNESS_r*.json``. Built on the same
+    :func:`_artifact_rows` discovery as :func:`load_green_history`,
+    so consumers like the shortlist guard's mid-swap detection cannot
+    drift from the green history's view."""
+    graded: set[str] = set()
+    for _, rows in _artifact_rows(root):
+        graded.update(rows.keys())
     return graded
 
 

@@ -206,7 +206,12 @@ def kmv_sketch_sink(
             # numeric-aware tie-break for mtime ties (coarse-mtime
             # filesystems): sketch_v10 must sort after sketch_v2, and
             # suffixed retry versions after their base; foreign dir
-            # names sort first (oldest) rather than crashing cleanup
+            # names sort first (oldest) rather than crashing cleanup.
+            # A checkpoint reset makes version numbers non-monotonic
+            # vs recency, so ties CAN still mis-order — which is why
+            # the keep>=2 reader contract (current + immediate
+            # predecessor) is enforced by the explicit protected set
+            # below, never by the ordering.
             tail = d.name.rsplit("v", 1)[1]
             base, _, retry = tail.partition("_r")
             try:
@@ -214,12 +219,18 @@ def kmv_sketch_sink(
             except ValueError:
                 return (-1, -1)
 
+        # `current` is the PRE-fold pointer = the immediate
+        # predecessor a reader may still be scanning; protecting it
+        # outright (third r15 review pass) makes the documented
+        # "survives the next fold" window hold even when coarse
+        # mtimes + a reset mis-order the sort.
+        protected = {installed, current}
         versions = sorted(
             (d for d in root.glob("sketch_v*")),
             key=lambda d: (d.stat().st_mtime, vkey(d)),
         )
         for d in versions[:-keep]:
-            if d.name != installed:
+            if d.name not in protected:
                 shutil.rmtree(d, ignore_errors=True)
 
     return fold

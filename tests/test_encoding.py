@@ -213,6 +213,6 @@ def test_fix_mojibake_runs_streaming_native(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in time"
     got = sorted(map(tuple, spark.table("moji_stream").collect()))
     assert got == batch and len(got) == 3

@@ -359,6 +359,26 @@ def test_spark_matches_reference_on_grid(spark):
     assert got == want
 
 
+def test_conflicting_host_fetches_raise(spark):
+    """r15 review pass 3: two fetches of one host with DIFFERING
+    non-empty rules must raise, not silently union -- a stale
+    longer-match Allow would outrank the live Disallow and
+    under-block."""
+    df = spark.createDataFrame(
+        [
+            ("example.com", "User-agent: *\nDisallow: /x\n"),
+            ("Example.COM.", "User-agent: *\nAllow: /x/page\n"),
+        ],
+        "host string, payload string",
+    )
+    rules = R.robots_rules(df)
+    docs = spark.createDataFrame(
+        [("https://example.com/x/page",)], "url string"
+    )
+    with pytest.raises(Exception, match="conflicting robots rules"):
+        R.apply_robots(docs, rules).collect()
+
+
 def test_apply_robots_runs_as_stream_static_join(spark, tmp_path):
     """The politeness gate composes with Structured Streaming as a
     stream-static join (streaming corpus x static rules) — results
@@ -392,7 +412,7 @@ def test_apply_robots_runs_as_stream_static_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in time"
     got = sorted(map(tuple, spark.table("robots_stream").collect()))
     assert got == batch
     assert dict(got) == {

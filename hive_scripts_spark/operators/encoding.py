@@ -179,7 +179,7 @@ def fix_mojibake(
     if flag_col is None:
         return df.withColumn(out_col or text_col, fixed)
     tmp = "__mojibake_fixed"
-    if tmp in df.columns:
+    if tmp in existing:
         raise ValueError(f"fix_mojibake: column {tmp!r} already exists")
     staged = df.withColumn(tmp, fixed).withColumn(
         flag_col,

@@ -157,10 +157,12 @@ def robots_rules(
         import pandas as pd
 
         for pdf in batches:
+            # isinstance guard covers both None and the pandas-NaN
+            # form a null string column can take inside the UDF
             rules = [
-                []
-                if payload is None
-                else rules_for(str(payload), agent)
+                rules_for(payload, agent)
+                if isinstance(payload, str)
+                else []
                 for payload in pdf["payload"]
             ]
             yield pd.DataFrame({"host": pdf["host"], "rules": rules})

@@ -14,7 +14,6 @@ import re
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from hive_scripts_spark.operators.encoding import (
     build_fix_fn,

@@ -14,7 +14,6 @@ from __future__ import annotations
 import re
 
 import pytest
-from pyspark.sql import functions as F
 
 from hive_scripts_spark.operators import robots as R
 

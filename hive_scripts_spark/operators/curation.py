@@ -132,3 +132,72 @@ def split_leakage_report(leaks: DataFrame) -> DataFrame:
     return leaks.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    salts: int = 32,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-registrable-domain document quota: at most ``cap`` docs per
+    eTLD+1, picked in portable-md5 order of ``id_col`` — the domain
+    balancing a Common-Crawl-derived training mix runs so that one
+    SEO-farm or wiki-mirror domain cannot dominate the corpus (the
+    C4/Gopher-style per-site cap, applied deterministically instead of
+    by ``rand()``: reruns, engines, and any replay agree row-for-row).
+
+    The grouping key is
+    :func:`~hive_scripts_spark.functions.urls.url_registered_domain`
+    (eTLD+1 approximation; IP-literal hosts bucket whole), so
+    ``a.example.com`` and ``b.example.com`` share one quota — per-HOST
+    capping would let a subdomain farm multiply its share. Docs whose
+    URL has no host ('' — relative or garbage) share the '' bucket and
+    are capped like any domain rather than passed through unbounded.
+
+    Scale shape: the pick is
+    :func:`~hive_scripts_spark.functions.skew.topk_per_group`, the
+    salted two-level EXACT top-k — the very domain the cap exists to
+    neutralize is the hot group that would otherwise make the natural
+    single-window form a one-task straggler. Salting is
+    bit-transparent (result equals the window form), so the oracle
+    idiom for anything built on this is the plain
+    ``row_number() over (partition by domain order by md5(id), id)``.
+    One exchange on (domain, salt) + the bounded level-2 rank; no
+    joins. ``keep_rank=True`` retains the 1-based ``pick_order``
+    audit column."""
+    from hive_scripts_spark.functions.skew import topk_per_group
+    from hive_scripts_spark.functions.urls import url_registered_domain
+
+    if cap < 1:
+        raise ValueError(f"cap_per_domain: cap must be >= 1, got {cap}")
+    existing = {c.lower() for c in docs.columns}
+    if "__domain" in existing:
+        raise ValueError("cap_per_domain: column '__domain' already exists")
+    staged = docs.withColumn("__domain", url_registered_domain(url_col))
+    capped = topk_per_group(
+        staged,
+        ["__domain"],
+        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        cap,
+        salt_from=id_col,
+        salts=salts,
+        rank_name="pick_order",
+    )
+    out = capped.drop("__domain")
+    return out if keep_rank else out.drop("pick_order")
+
+
+def domain_report(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain corpus profile: ``(domain, n_docs)``
+    sorted nowhere (caller orders) — the before/after audit frame for
+    :func:`cap_per_domain` and the quota-sizing input (pick ``cap``
+    off this distribution's tail). One map-side-combined exchange on
+    the domain key."""
+    from hive_scripts_spark.functions.urls import url_registered_domain
+
+    return docs.groupBy(
+        url_registered_domain(url_col).alias("domain")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -188,3 +188,110 @@ def fix_mojibake(
         ).otherwise(F.col(tmp) != F.col(text_col)),
     )
     return staged.withColumn(out_col or text_col, F.col(tmp)).drop(tmp)
+
+
+# --------------------------------------------------------------------------
+# unicode hygiene: control/invisible stripping + canonical normalization
+# --------------------------------------------------------------------------
+
+#: regex class of characters a training corpus never wants verbatim:
+#: C0 controls except tab/newline (carriage returns are normalized by
+#: functions.strings.normalize_whitespace; stripped here too for
+#: standalone use), DEL + C1 controls, ZWSP, LRM/RLM + bidi
+#: embedding/override/isolate controls, the word joiner,
+#: ZWNBSP/BOM, and the soft hyphen — all invisible, all dedup-key
+#: poison (two visually identical pages differing by a ZWSP stop
+#: colliding). ZWNJ/ZWJ (U+200C/U+200D) are deliberately NOT here:
+#: they are rendering-SEMANTIC in Persian/Indic scripts and emoji
+#: sequences — see ``strip_joiners``.
+_STRIP_CLASS = (
+    "[\\x00-\\x08\\x0b-\\x1f\\x7f"  # C0 minus \t \n, DEL
+    "\\u0080-\\u009f"  # C1
+    "\\u00ad"  # soft hyphen
+    "\\u200b"  # ZWSP
+    "\\u200e-\\u200f"  # LRM/RLM
+    "\\u202a-\\u202e"  # bidi embedding/override
+    "\\u2060"  # word joiner
+    "\\u2066-\\u2069"  # bidi isolates
+    "\\ufeff"  # ZWNBSP/BOM
+    "]"
+)
+
+#: the joiners, separately: zero-width in Latin text (where they are
+#: homoglyph-attack / dedup noise) but meaningful in Persian, Indic
+#: scripts, and emoji ZWJ sequences — strip only for corpora where
+#: that trade is understood
+_JOINER_CLASS = "[\\u200c\\u200d]"
+
+
+def strip_invisible_col(
+    col: Column | str, strip_joiners: bool = False
+) -> Column:
+    """Remove control and invisible characters (see ``_STRIP_CLASS``),
+    keeping tab and newline — and keeping ZWNJ/ZWJ unless
+    ``strip_joiners=True`` (they shape Persian/Indic rendering and
+    emoji sequences; stripping them damages multilingual text). Pure
+    JVM ``regexp_replace`` — stays inside whole-stage codegen, zero
+    Python at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _STRIP_CLASS, "")
+    if strip_joiners:
+        out = F.regexp_replace(out, _JOINER_CLASS, "")
+    return out
+
+
+def nfc_col(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (``NFC``/``NFKC``/``NFD``/
+    ``NFKD``). Spark SQL has no normalization builtin, so this is the
+    one Arrow ``pandas_udf`` in the cleanup chain; the fast path
+    (``unicodedata.is_normalized`` — true for ASCII and most web text)
+    skips the rewrite per row. NULL in, NULL out.
+
+    Why it matters for curation: composed ``é`` (U+00E9) and
+    decomposed ``e``+U+0301 render identically but hash differently —
+    un-normalized corpora leak near-duplicates straight through exact
+    dedup and fragment token statistics."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"nfc_col: unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    def norm(s, _form=form):
+        import unicodedata
+
+        if not isinstance(s, str) or unicodedata.is_normalized(_form, s):
+            return s
+        return unicodedata.normalize(_form, s)
+
+    @pandas_udf("string")
+    def norm_udf(texts):
+        return texts.map(norm)
+
+    return norm_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str | None = "NFC",
+    strip_joiners: bool = False,
+) -> DataFrame:
+    """The standard pretraining text-hygiene pass (the C4/OSCAR-style
+    cleanup): strip control/invisible characters (JVM projection),
+    then Unicode-normalize to ``form`` (``None`` skips the
+    normalization UDF entirely — the whole pass is then pure
+    codegen). In place by default; ``out_col`` keeps the original.
+    Chain position: after :func:`fix_mojibake`, before dedup keys and
+    token statistics — both stripping and normalization exist to make
+    visually-identical texts byte-identical."""
+    existing = {c.lower() for c in df.columns}
+    if (
+        out_col
+        and out_col.lower() != text_col.lower()
+        and out_col.lower() in existing
+    ):
+        raise ValueError(f"clean_text: out_col {out_col!r} already exists")
+    cleaned = strip_invisible_col(text_col, strip_joiners=strip_joiners)
+    if form is not None:
+        cleaned = nfc_col(cleaned, form=form)
+    return df.withColumn(out_col or text_col, cleaned)

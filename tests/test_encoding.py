@@ -215,3 +215,104 @@ def test_fix_mojibake_runs_streaming_native(spark, tmp_path):
     assert q.awaitTermination(240), "stream did not finish in time"
     got = sorted(map(tuple, spark.table("moji_stream").collect()))
     assert got == batch and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# unicode hygiene: strip_invisible_col / nfc_col / clean_text
+# ---------------------------------------------------------------------------
+
+from hive_scripts_spark.operators.encoding import clean_text  # noqa: E402
+
+
+def _clean_one(spark, s, form="NFC"):
+    df = spark.createDataFrame([(s,)], "text string")
+    return clean_text(df, "text", form=form).collect()[0]["text"]
+
+
+def test_strip_invisible_characters(spark):
+    s = (
+        "zero\u200bwidth and bidi \u202eevil\u202c soft\u00adhyphen "
+        "c1\u0085ctrl cr\r keeps\ttab\nand newline"
+    )
+    got = _clean_one(spark, s, form=None)
+    assert got == (
+        "zerowidth and bidi evil softhyphen "
+        "c1ctrl cr keeps\ttab\nand newline"
+    )
+
+
+def test_nfc_makes_composed_and_decomposed_collide(spark):
+    composed = "caf\u00e9"
+    decomposed = "cafe\u0301"
+    assert composed != decomposed  # distinct dedup keys before cleanup
+    assert _clean_one(spark, decomposed) == composed
+    assert _clean_one(spark, composed) == composed
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    assert _clean_one(spark, "\ufb01le", form="NFC") == "\ufb01le"
+    assert _clean_one(spark, "\ufb01le", form="NFKC") == "file"
+
+
+def test_clean_text_null_and_plan_shape(spark):
+    df = spark.createDataFrame([(1, None), (2, "ok")], "i int, text string")
+    rows = {r["i"]: r["text"] for r in clean_text(df, "text").collect()}
+    assert rows == {1: None, 2: "ok"}
+    # form=None: pure JVM projection, zero Python
+    plan_jvm = (
+        clean_text(df, "text", form=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan_jvm
+    plan_nfc = (
+        clean_text(df, "text")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_nfc.count("ArrowEvalPython") == 1
+
+
+def test_nfc_col_rejects_unknown_form():
+    import pyspark.sql.functions as SF
+
+    from hive_scripts_spark.operators.encoding import nfc_col
+
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        nfc_col(SF.col("x"), form="NFX")
+
+
+def test_clean_text_out_col_collision(spark):
+    df = spark.createDataFrame([("a", "b")], "text string, other string")
+    with pytest.raises(ValueError, match="out_col"):
+        clean_text(df, "text", out_col="other")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60))
+def test_clean_is_idempotent_property(s):
+    """strip + NFC reaches a fixed point in one application (pure
+    function check on the UDF's row fn plus the strip regex)."""
+    import re as _re
+    import unicodedata
+
+    from hive_scripts_spark.operators.encoding import _STRIP_CLASS
+
+    strip_re = _re.compile(_STRIP_CLASS)
+
+    def clean(x):
+        return unicodedata.normalize("NFC", strip_re.sub("", x))
+
+    once = clean(s)
+    assert clean(once) == once
+
+
+def test_joiners_kept_by_default_stripped_on_request(spark):
+    """ZWNJ/ZWJ are rendering-semantic (Persian, Indic, emoji ZWJ
+    sequences) — kept by default, stripped only via strip_joiners."""
+    farsi = "\u0645\u06cc\u200c\u062e\u0648\u0627\u0647\u0645"
+    assert _clean_one(spark, farsi) == farsi
+    df = spark.createDataFrame([(farsi,)], "text string")
+    stripped = clean_text(df, "text", strip_joiners=True).collect()[0][
+        "text"
+    ]
+    assert "\u200c" not in stripped and len(stripped) == len(farsi) - 1

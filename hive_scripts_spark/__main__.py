@@ -697,10 +697,28 @@ def cmd_warc(args: argparse.Namespace) -> int:
 
         rules = spark.read.parquet(args.robots)
         docs = filter_by_robots(docs, rules, url_col="uri")
+    # hygiene and repair interleave: a raw invisible (ZWSP, BOM)
+    # embedded INSIDE mojibake blocks the whole-string re-encode, so
+    # cleaning runs first to enable the repair; and the repair can
+    # DECODE a mangled invisible (the classic 'ï»¿' prefix becomes a
+    # real BOM), so invisibles are stripped once more afterwards — a
+    # free JVM projection.
+    if args.clean_text:
+        from hive_scripts_spark.operators.encoding import clean_text
+
+        docs = clean_text(docs, "text")
     if args.fix_mojibake:
         from hive_scripts_spark.operators.encoding import fix_mojibake
 
         docs = fix_mojibake(docs, "text")
+        if args.clean_text:
+            from hive_scripts_spark.operators.encoding import (
+                strip_invisible_col,
+            )
+
+            docs = docs.withColumn(
+                "text", strip_invisible_col("text")
+            )
     out = docs.select(
         "doc_id",
         F.col("text"),
@@ -1532,6 +1550,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="repair UTF-8-as-cp1252 mojibake in extracted text "
         "(operators/encoding.py; map-only)",
+    )
+    wa.add_argument(
+        "--clean-text",
+        action="store_true",
+        help="strip control/invisible characters and NFC-normalize "
+        "extracted text (operators/encoding.clean_text; map-only)",
     )
     wa.add_argument(
         "--robots",

@@ -284,7 +284,8 @@ def test_warc_cli_writes_quarantine(spark, tmp_path, capsys):
 
 def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
     """The r15 curation-chain flags: --robots drops disallowed URIs
-    before any text work, --fix-mojibake repairs the survivors."""
+    before any text work, --fix-mojibake repairs the survivors, and
+    --clean-text strips invisibles + NFC-normalizes afterwards."""
     from hive_scripts_spark.__main__ import main
     from hive_scripts_spark.operators.robots import robots_rules
 
@@ -292,7 +293,10 @@ def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
         "response", _http(b"<html>secret</html>"),
         uri="https://example.org/private/x", rec_id="r1",
     )
-    mangled_body = "cafÃ© page".encode("utf-8")  # 'cafÃ© page'
+    # mangled + a raw zero-width space (blocks whole-string repair
+    # unless cleaning runs first) + a mangled BOM prefix (repairs INTO
+    # an invisible, so stripping must run again after the repair)
+    mangled_body = "\u00ef\u00bb\u00bfcafÃ©\u200b page".encode("utf-8")
     kept = _record(
         "response", _http(mangled_body),
         uri="https://example.org/ok", rec_id="r2",
@@ -312,12 +316,12 @@ def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
     out = tmp_path / "db"
     rc = main(
         ["warc", str(shard), "--output", str(out),
-         "--robots", str(rules_path), "--fix-mojibake"]
+         "--robots", str(rules_path), "--fix-mojibake", "--clean-text"]
     )
     assert rc == 0
     docs = spark.read.parquet(str(out / "documents.parquet")).collect()
     assert len(docs) == 1
     assert docs[0]["uri"] == "https://example.org/ok"
-    assert docs[0]["text"] == "café page"
-    assert docs[0]["n_chars"] == len("café page")  # post-repair length
+    assert docs[0]["text"] == "café page"  # repaired AND ZWSP-stripped
+    assert docs[0]["n_chars"] == len("café page")  # post-cleanup length
     assert "1 docs" in capsys.readouterr().out

@@ -697,28 +697,31 @@ def cmd_warc(args: argparse.Namespace) -> int:
 
         rules = spark.read.parquet(args.robots)
         docs = filter_by_robots(docs, rules, url_col="uri")
-    # hygiene and repair interleave: a raw invisible (ZWSP, BOM)
-    # embedded INSIDE mojibake blocks the whole-string re-encode, so
-    # cleaning runs first to enable the repair; and the repair can
-    # DECODE a mangled invisible (the classic 'ï»¿' prefix becomes a
-    # real BOM), so invisibles are stripped once more afterwards — a
-    # free JVM projection.
+    # hygiene and repair interleave (r15 review pass 4): the
+    # pre-repair pass strips ONLY the non-latin1 invisibles
+    # (repair_safe — a raw ZWSP/BOM embedded inside mojibake blocks
+    # the whole-string re-encode, but C0/C1/soft-hyphen ARE the
+    # repair's input alphabet: stripping U+0080/U+0094 first turns
+    # the repairable latin-1-mangled em dash into a bare 'â'
+    # forever); the FULL clean — latin-1-range strip + newline
+    # conversion + NFC — runs after the repair, which can itself
+    # decode mangled bytes into invisibles (the 'ï»¿' prefix becomes
+    # a real BOM) or into decomposed sequences NFC must fold.
+    if args.fix_mojibake:
+        from hive_scripts_spark.operators.encoding import (
+            fix_mojibake,
+            strip_invisible_col,
+        )
+
+        if args.clean_text:
+            docs = docs.withColumn(
+                "text", strip_invisible_col("text", repair_safe=True)
+            )
+        docs = fix_mojibake(docs, "text")
     if args.clean_text:
         from hive_scripts_spark.operators.encoding import clean_text
 
         docs = clean_text(docs, "text")
-    if args.fix_mojibake:
-        from hive_scripts_spark.operators.encoding import fix_mojibake
-
-        docs = fix_mojibake(docs, "text")
-        if args.clean_text:
-            from hive_scripts_spark.operators.encoding import (
-                strip_invisible_col,
-            )
-
-            docs = docs.withColumn(
-                "text", strip_invisible_col("text")
-            )
     out = docs.select(
         "doc_id",
         F.col("text"),

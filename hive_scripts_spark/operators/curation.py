@@ -167,7 +167,10 @@ def cap_per_domain(
     ``row_number() over (partition by domain order by md5(id), id)``.
     One exchange on (domain, salt) + the bounded level-2 rank; no
     joins. ``keep_rank=True`` retains the 1-based ``pick_order``
-    audit column."""
+    audit column. ``id_col`` must be non-null (enforced — NULLs raise
+    at execution) and unique (the caller's contract, as for every
+    doc_id here): duplicates make the pick order a non-total order
+    with nondeterministic ranks."""
     from hive_scripts_spark.functions.skew import topk_per_group
     from hive_scripts_spark.functions.urls import url_registered_domain
 
@@ -177,10 +180,27 @@ def cap_per_domain(
     if "__domain" in existing:
         raise ValueError("cap_per_domain: column '__domain' already exists")
     staged = docs.withColumn("__domain", url_registered_domain(url_col))
+    # the pick order (md5(id), id) is a total order ONLY for non-null
+    # unique ids (topk_per_group's stated requirement). md5(NULL) is
+    # NULL and sorts first, so NULL-id rows would both monopolize the
+    # quota and rank nondeterministically — fail loudly instead
+    # (r15 review pass 4). Duplicate ids are the caller's contract
+    # (every docs table here carries a unique doc_id); they cannot be
+    # detected row-locally without an extra pass.
+    id_c = F.col(id_col)
+    guarded_id = F.when(
+        id_c.isNull(),
+        F.raise_error(
+            F.lit(
+                f"cap_per_domain: {id_col!r} contains NULLs — the md5 "
+                "pick order requires non-null unique ids"
+            )
+        ).cast("string"),
+    ).otherwise(id_c.cast("string"))
     capped = topk_per_group(
         staged,
         ["__domain"],
-        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        [F.md5(guarded_id), id_c],
         cap,
         salt_from=id_col,
         salts=salts,

@@ -98,6 +98,17 @@ def test_keep_rank_and_guards(spark):
         cap_per_domain(clashing)
 
 
+def test_null_ids_raise(spark):
+    """md5(NULL) sorts first and ties — NULL ids would monopolize the
+    quota with nondeterministic picks, so they fail loudly."""
+    docs = spark.createDataFrame(
+        [(None, "https://a.com/x"), (2, "https://a.com/y")],
+        "doc_id long, url string",
+    )
+    with pytest.raises(Exception, match="contains NULLs"):
+        cap_per_domain(docs, cap=1).collect()
+
+
 def test_domain_report_counts(spark):
     rows = [(1, "https://a.example.com/1"), (2, "https://b.example.com/2"),
             (3, "https://other.net/3")]

@@ -232,13 +232,35 @@ def _clean_one(spark, s, form="NFC"):
 def test_strip_invisible_characters(spark):
     s = (
         "zero\u200bwidth and bidi \u202eevil\u202c soft\u00adhyphen "
-        "c1\u0085ctrl cr\r keeps\ttab\nand newline"
+        "c1\u0085ctrl keeps\ttab\nand newline"
     )
     got = _clean_one(spark, s, form=None)
     assert got == (
         "zerowidth and bidi evil softhyphen "
-        "c1ctrl cr keeps\ttab\nand newline"
+        "c1ctrl keeps\ttab\nand newline"
     )
+
+
+def test_line_boundary_controls_convert_not_delete(spark):
+    """Bare CR / VT / FF are line-boundary-ish: deleting them would
+    fuse 'line1\\rline2' into one garbage token, so they convert to
+    newline; CRLF collapses to one LF first (never doubles)."""
+    assert _clean_one(spark, "a\rb\x0bc\x0cd", form=None) == "a\nb\nc\nd"
+    assert _clean_one(spark, "win\r\nline", form=None) == "win\nline"
+
+
+def test_repair_safe_strip_leaves_latin1_range_alone(spark):
+    """repair_safe mode strips only non-latin1 invisibles: C1 bytes
+    are fix_mojibake's input alphabet and must survive."""
+    from hive_scripts_spark.operators.encoding import strip_invisible_col
+
+    df = spark.createDataFrame(
+        [("\u200bâ\u0080\u0094x\ufeff",)], "text string"
+    )
+    got = df.select(
+        strip_invisible_col("text", repair_safe=True).alias("t")
+    ).collect()[0]["t"]
+    assert got == "â\u0080\u0094x"
 
 
 def test_nfc_makes_composed_and_decomposed_collide(spark):
@@ -300,6 +322,8 @@ def test_clean_is_idempotent_property(s):
     strip_re = _re.compile(_STRIP_CLASS)
 
     def clean(x):
+        x = x.replace("\r\n", "\n")
+        x = _re.sub("[\x0b\x0c\x0d]", "\n", x)
         return unicodedata.normalize("NFC", strip_re.sub("", x))
 
     once = clean(s)

@@ -294,9 +294,14 @@ def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
         uri="https://example.org/private/x", rec_id="r1",
     )
     # mangled + a raw zero-width space (blocks whole-string repair
-    # unless cleaning runs first) + a mangled BOM prefix (repairs INTO
-    # an invisible, so stripping must run again after the repair)
-    mangled_body = "\u00ef\u00bb\u00bfcafÃ©\u200b page".encode("utf-8")
+    # unless the repair-safe pre-strip runs) + a mangled BOM prefix
+    # (repairs INTO an invisible the post-clean must strip) + a
+    # latin-1-mangled em dash whose continuation bytes are C1
+    # controls (review pass 4: a naive clean-first pass deleted them
+    # and destroyed the repair forever)
+    mangled_body = (
+        "\u00ef\u00bb\u00bfcafÃ©\u200b â\u0080\u0094 page".encode("utf-8")
+    )
     kept = _record(
         "response", _http(mangled_body),
         uri="https://example.org/ok", rec_id="r2",
@@ -322,6 +327,6 @@ def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
     docs = spark.read.parquet(str(out / "documents.parquet")).collect()
     assert len(docs) == 1
     assert docs[0]["uri"] == "https://example.org/ok"
-    assert docs[0]["text"] == "café page"  # repaired AND ZWSP-stripped
-    assert docs[0]["n_chars"] == len("café page")  # post-cleanup length
+    assert docs[0]["text"] == "café \u2014 page"  # repaired + cleaned
+    assert docs[0]["n_chars"] == len("café \u2014 page")
     assert "1 docs" in capsys.readouterr().out

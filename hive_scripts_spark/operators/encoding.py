@@ -204,43 +204,48 @@ def fix_mojibake(
 #: colliding). ZWNJ/ZWJ (U+200C/U+200D) are deliberately NOT here:
 #: they are rendering-SEMANTIC in Persian/Indic scripts and emoji
 #: sequences — see ``strip_joiners``.
-#: latin-1-range invisibles: C0 controls minus tab/newline/VT/FF/CR
-#: (those three are line-boundary-ish and CONVERT to newline, never
-#: delete — deleting a bare CR would fuse 'line1\\rline2' into one
-#: garbage token), DEL + C1 controls, soft hyphen. These characters
-#: are ALSO the latin-1/cp1252-hole decodings of UTF-8 continuation
-#: bytes, i.e. fix_mojibake's input alphabet — any cleanup that runs
-#: BEFORE a repair must leave them alone or it destroys repairable
-#: text (r15 review pass 4: stripping U+0080/U+0094 turns the
-#: repairable mangled em dash into a bare 'â' forever).
-_LATIN1_STRIP = (
-    "[\\x00-\\x08\\x0e-\\x1f\\x7f"  # C0 minus \t \n \x0b-\x0d, DEL
+#: class BODIES (no brackets — the classes below derive as
+#: "[" + body + "]", so membership can never silently corrupt on a
+#: bracket edit):
+#:
+#: latin-1-range invisibles — C0 controls minus tab/newline (VT/FF/CR
+#: are handled separately: they are line-boundary-ish and CONVERT to
+#: newline, never delete, because deleting a bare CR fuses
+#: 'line1\\rline2' into one garbage token), DEL, C1 controls, soft
+#: hyphen. These characters are ALSO the latin-1/cp1252-hole
+#: decodings of UTF-8 continuation bytes, i.e. fix_mojibake's input
+#: alphabet — any cleanup that runs BEFORE a repair must leave them
+#: alone or it destroys repairable text (r15 review pass 4: stripping
+#: U+0080/U+0094 turns the repairable mangled em dash into a bare
+#: 'â' forever).
+_LATIN1_BODY = (
+    "\\x00-\\x08\\x0e-\\x1f\\x7f"  # C0 minus \t \n \x0b-\x0d, DEL
     "\\u0080-\\u009f"  # C1
     "\\u00ad"  # soft hyphen
-    "]"
 )
 
 #: invisibles OUTSIDE the latin-1/cp1252 alphabet — safe to strip even
-#: before a mojibake repair (none of them can be a mangled byte)
-_WIDE_STRIP = (
-    "[\\u200b"  # ZWSP
+#: before a mojibake repair (none of them can be a mangled byte; their
+#: mojibake forms are multi-char sequences like 'â€‹', repaired first)
+_WIDE_BODY = (
+    "\\u200b"  # ZWSP
     "\\u200e-\\u200f"  # LRM/RLM
     "\\u202a-\\u202e"  # bidi embedding/override
     "\\u2060"  # word joiner
     "\\u2066-\\u2069"  # bidi isolates
     "\\ufeff"  # ZWNBSP/BOM
-    "]"
 )
-
-#: the full strip class (tests and the idempotence property reference
-#: it); VT/FF/CR handled separately as newline conversions
-_STRIP_CLASS = _LATIN1_STRIP[:-1] + _WIDE_STRIP[1:]
 
 #: the joiners, separately: zero-width in Latin text (where they are
 #: homoglyph-attack / dedup noise) but meaningful in Persian, Indic
 #: scripts, and emoji ZWJ sequences — strip only for corpora where
-#: that trade is understood
-_JOINER_CLASS = "[\\u200c\\u200d]"
+#: that trade is understood. Outside the latin-1 alphabet, so safe in
+#: repair_safe mode too.
+_JOINER_BODY = "\\u200c\\u200d"
+
+#: the full deletion class (tests and the idempotence property
+#: reference it); VT/FF/CR are newline CONVERSIONS, not members
+_STRIP_CLASS = "[" + _LATIN1_BODY + _WIDE_BODY + "]"
 
 
 def strip_invisible_col(
@@ -250,29 +255,29 @@ def strip_invisible_col(
 ) -> Column:
     """Remove control and invisible characters, keeping tab and
     newline; VT/FF/CR convert to newline instead of vanishing (CRLF
-    first collapses to LF so it cannot double), because deleting a
-    bare-CR line boundary fuses the adjacent words. ZWNJ/ZWJ are kept
-    unless ``strip_joiners=True`` (they shape Persian/Indic rendering
-    and emoji sequences; stripping them damages multilingual text).
+    collapses to one LF in the same scan, so it cannot double).
+    ZWNJ/ZWJ are kept unless ``strip_joiners=True`` (they shape
+    Persian/Indic rendering and emoji sequences; stripping them
+    damages multilingual text).
 
     ``repair_safe=True`` strips ONLY the invisibles outside the
-    latin-1/cp1252 alphabet (ZWSP, bidi marks, word joiner, BOM) and
-    leaves C0/C1/soft-hyphen/CR untouched — the pre-``fix_mojibake``
-    mode: those bytes are the repair's input alphabet, and removing
-    them first destroys repairable mojibake.
+    latin-1/cp1252 alphabet (ZWSP, bidi marks, word joiner, BOM — and
+    the joiners when requested) and leaves C0/C1/soft-hyphen/CR
+    untouched: the pre-``fix_mojibake`` mode, because those bytes are
+    the repair's input alphabet and removing them first destroys
+    repairable mojibake.
 
-    Pure JVM ``regexp_replace`` chain — stays inside whole-stage
-    codegen, zero Python at any corpus size."""
+    Two JVM ``regexp_replace`` scans in full mode (one in
+    repair-safe) — stays inside whole-stage codegen, zero Python at
+    any corpus size."""
     c = F.col(col) if isinstance(col, str) else col
+    joiners = _JOINER_BODY if strip_joiners else ""
     if repair_safe:
-        return F.regexp_replace(c, _WIDE_STRIP, "")
-    out = F.regexp_replace(c, "\\r\\n", "\n")
-    out = F.regexp_replace(out, "[\\x0b\\x0c\\x0d]", "\n")
-    out = F.regexp_replace(out, _LATIN1_STRIP, "")
-    out = F.regexp_replace(out, _WIDE_STRIP, "")
-    if strip_joiners:
-        out = F.regexp_replace(out, _JOINER_CLASS, "")
-    return out
+        return F.regexp_replace(c, "[" + _WIDE_BODY + joiners + "]", "")
+    out = F.regexp_replace(c, "\\r\\n|[\\x0b\\x0c\\x0d]", "\n")
+    return F.regexp_replace(
+        out, "[" + _LATIN1_BODY + _WIDE_BODY + joiners + "]", ""
+    )
 
 
 def nfc_col(col: Column | str, form: str = "NFC") -> Column:

@@ -340,3 +340,20 @@ def test_joiners_kept_by_default_stripped_on_request(spark):
         "text"
     ]
     assert "\u200c" not in stripped and len(stripped) == len(farsi) - 1
+
+
+def test_repair_safe_honors_strip_joiners(spark):
+    """Joiners are outside the latin-1 repair alphabet, so the
+    repair-safe pre-strip can honor strip_joiners too (pass 5: the
+    flag was silently ignored in that mode)."""
+    from hive_scripts_spark.operators.encoding import strip_invisible_col
+
+    df = spark.createDataFrame(
+        [("a\u200cb\u200b\u0080",)], "text string"
+    )
+    got = df.select(
+        strip_invisible_col(
+            "text", strip_joiners=True, repair_safe=True
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert got == "ab\u0080"  # joiner + ZWSP gone, C1 byte kept

@@ -30,6 +30,11 @@ HEADLINE = [
     "x_dedup_minhash_lsh",
     "x_ann_brute_topk",
     "x_text_token_count",
+    # x_multimodal_decode_meta retired from the GRADED registry in the
+    # r16 capacity swap (slot funds x_url_canonical) but stays in the
+    # HEADLINE so the 12-query total remains byte-comparable across
+    # rounds: the function is unchanged, merely deregistered, and
+    # _resolve() falls back to the plans module for retired names
     "x_multimodal_decode_meta",
     "x_events_hourly",
     "x_events_sessionize",
@@ -143,6 +148,17 @@ EXTRA = [
     "x_validate_expectations",
     "x_multimodal_resize_gif",
     "x_text_bigram_logprob",
+    # r16 registry swap — timing series starts here: URL
+    # canonicalization (pure string plan, zero exchanges expected),
+    # the recrawl merge (one co-partitioned full-outer shuffle), and
+    # SCD2 (dim+changes union through one per-key window). The r16
+    # retirees x_multimodal_resize / x_multimodal_audio leave no EXTRA
+    # gap (neither was in a bench list; their decode cost is carried
+    # by the _real / codec rows), and x_multimodal_decode_meta keeps
+    # its HEADLINE series via the retired-name fallback above.
+    "x_url_canonical",
+    "x_merge_upsert",
+    "x_scd2_apply",
 ]
 
 
@@ -190,11 +206,28 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — telemetry must never fail a run
             return 0
 
+    def _resolve(name: str):
+        """Registry first; retired-but-benchmarked names (HEADLINE
+        continuity) fall back to their unchanged plans-module function,
+        the same resolution tests/test_retired_queries.py uses."""
+        fn = QUERIES.get(name)
+        if fn is not None:
+            return fn
+        from hive_scripts_spark.plans import (
+            extension_queries,
+            reference_queries,
+        )
+
+        for mod in (reference_queries, extension_queries):
+            if hasattr(mod, name):
+                return getattr(mod, name)
+        raise KeyError(name)
+
     def run_once(name: str) -> tuple[float | None, float]:
         steal0 = _steal_ticks()
         start = time.perf_counter()
         try:
-            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            _resolve(name)(spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception as exc:  # noqa: BLE001 — isolate, report, go on

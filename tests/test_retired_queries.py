@@ -387,6 +387,43 @@ RETIRED = {
     )
     select a_id, b_id, jaccard from mh_verified
     """,
+    # retired r16 (slots fund x_url_canonical / x_merge_upsert /
+    # x_scd2_apply); frozen verbatim from the r13-graded registry text
+    # — the three fake-mode multimodal plumbing rows, whose families
+    # stay graded by x_multimodal_decode_real / x_multimodal_resize_real
+    # + the codec triple / x_multimodal_audio_real + x_audio_zero_crossings
+    "x_multimodal_decode_meta": """
+    select doc_id,
+           strlen(text) as byte_len,
+           md5(text) as content_md5,
+           cast(1 + cast(('0x' || substr(md5(text), 1, 4)) as int) % 1024 as int)
+             as width,
+           cast(1 + cast(('0x' || substr(md5(text), 5, 4)) as int) % 1024 as int)
+             as height
+    from documents
+    """,
+    "x_multimodal_resize": """
+    select doc_id,
+           cast(224 as int) as width,
+           cast(224 as int) as height,
+           md5(text || '224x224') as resized_md5
+    from documents
+    """,
+    # bytes == codepoints (ASCII testdata, asserted in round-2 probe);
+    # exact int64 square-sum then single double divides — bit-identical
+    # across engines, no rounding needed
+    "x_multimodal_audio": """
+    select doc_id,
+           strlen(text) as n_samples,
+           cast(strlen(text) as double) / cast(16000 as double) as duration_s,
+           case when strlen(text) = 0 then cast(0.0 as double)
+                else sqrt(
+                  cast(list_sum(list_transform(string_split_regex(text, ''),
+                                               c -> unicode(c) * unicode(c)))
+                       as double)
+                  / cast(strlen(text) as double)) end as rms_energy
+    from documents
+    """,
 }
 
 

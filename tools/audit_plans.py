@@ -40,7 +40,8 @@ AUDITED = [
     "x_decontaminate",
     "x_text_repetition",
     "x_token_budget_pack",
-    "x_multimodal_decode_meta",
+    # x_multimodal_decode_meta retired from the registry (r16 swap);
+    # the same mapInPandas decode plan shape audits via the real twin
     "x_multimodal_decode_real",
     # x_ann_ivf_assign retired from the registry (r15 swap); its
     # assignment step rides inside x_ann_ivf_topk below

@@ -185,12 +185,17 @@ def _url_path_query(url: Column) -> Column:
     )
 
 
+#: SQL type of one compiled rule array (the RULES_SCHEMA value side)
+_RULES_ARRAY_T = "array<struct<pat: string, spec: int, allow: boolean>>"
+
+
 def apply_robots(
     docs: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
     broadcast_rules: bool = True,
     decision_col: str = "robots_allowed",
+    validate_rules: bool = True,
 ) -> DataFrame:
     """Add ``decision_col`` (boolean) to ``docs``: whether each row's
     ``url_col`` is allowed by the per-host ``rules`` table (from
@@ -205,10 +210,17 @@ def apply_robots(
     means crawl permitted); duplicate rows collapsing to one
     normalized host combine conservatively — identical refetches
     merge, an empty refetch defers, but DIFFERING non-empty rule sets
-    raise at execution (dedupe upstream by fetch time). Streaming
-    consumers (stream-static join) should ``.cache()`` the ``rules``
-    DataFrame — the static side re-executes its compile + merge every
-    micro-batch otherwise."""
+    are an error (dedupe upstream by fetch time). With
+    ``validate_rules=True`` (default) that conflict check runs as an
+    EAGER job over the host-count-sized rules side at plan-build time,
+    so a bad rules table fails in seconds instead of aborting the
+    (possibly 100 TB, mid-write) corpus job at execution; pass
+    ``validate_rules=False`` to skip the extra rules-side job — the
+    conflict then raises lazily from inside the corpus-side join.
+    Streaming consumers (stream-static join) should ``.cache()`` the
+    ``rules`` DataFrame — the static side re-executes its compile +
+    merge every micro-batch otherwise (and, with validation on, once
+    more up front)."""
     existing = {c.lower() for c in docs.columns}
     for c in ("__robots_host", "__robots_path", "__robots_rules"):
         # case-insensitive: withColumn resolves names that way under
@@ -221,57 +233,75 @@ def apply_robots(
     # through the SAME normalize_host expression — a rules table fed
     # raw fetch metadata ('Example.COM.') would otherwise miss the
     # join and silently allow every URL on the host. Rows whose raw
+    # hosts normalize to ''/NULL are dropped (r15 ADVICE): they can
+    # never name a real site, but '' is exactly the join key every
+    # garbage/relative URL lands on (_url_path_query gives those
+    # path '/'), so one malformed rules row would otherwise gate
+    # every non-URL in the corpus under its rules. Rows whose raw
     # hosts collapse to one normalized host combine: a plain select
     # would emit duplicate join keys, duplicating every corpus row
     # for the host AND letting a disallowed doc survive
     # filter_by_robots through its empty-rules copy. Combining is
     # CONSERVATIVE (review pass 3): identical refetches collapse and
     # an empty-rules refetch defers to the non-empty one, but two
-    # DIFFERING non-empty rule sets raise at execution — RFC 9309's
-    # group merge is defined within one robots.txt, not across
-    # conflicting fetches, and silently unioning them can under-block
-    # (a stale longer Allow outranking the live Disallow). Dedupe
-    # upstream by fetch time (merge_upsert) to resolve. The groupBy
-    # is an exchange on the host-count-bounded rules side only — the
-    # corpus never shuffles.
+    # DIFFERING non-empty rule sets raise — RFC 9309's group merge is
+    # defined within one robots.txt, not across conflicting fetches,
+    # and silently unioning them can under-block (a stale longer
+    # Allow outranking the live Disallow). Dedupe upstream by fetch
+    # time (merge_upsert) to resolve. The groupBy is an exchange on
+    # the host-count-bounded rules side only — the corpus never
+    # shuffles.
     distinct_sets = F.array_distinct(F.collect_list("__rules"))
     nonempty = F.filter(distinct_sets, lambda a: F.size(a) > 0)
-    rules_side = (
+    grouped = (
         rules.select(
             normalize_host("host").alias("__robots_host"),
             F.col("rules").alias("__rules"),
         )
-        .groupBy("__robots_host")
-        .agg(
-            F.when(
-                F.size(nonempty) > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "apply_robots: conflicting robots rules "
-                            "for host "
-                        ),
-                        F.col("__robots_host"),
-                        F.lit(
-                            " (distinct fetches disagree) — dedupe "
-                            "the rules table upstream, keeping the "
-                            "latest fetch per host"
-                        ),
-                    )
-                ).cast(
-                    "array<struct<pat: string, spec: int, "
-                    "allow: boolean>>"
-                ),
-            )
-            .when(F.size(nonempty) == 1, F.element_at(nonempty, 1))
-            .otherwise(
-                F.lit([]).cast(
-                    "array<struct<pat: string, spec: int, "
-                    "allow: boolean>>"
-                )
-            )
-            .alias("__robots_rules")
+        .where(
+            F.col("__robots_host").isNotNull()
+            & (F.col("__robots_host") != "")
         )
+        .groupBy("__robots_host")
+        .agg(nonempty.alias("__robots_sets"))
+    )
+    conflict_msg = (
+        "conflicting robots rules for host {} (distinct fetches "
+        "disagree) — dedupe the rules table upstream, keeping the "
+        "latest fetch per host"
+    )
+    if validate_rules:
+        bad = [
+            r["__robots_host"]
+            for r in grouped.where(F.size("__robots_sets") > 1)
+            .select("__robots_host")
+            .limit(5)
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                "apply_robots: " + conflict_msg.format(", ".join(bad))
+            )
+        # try_element_at: NULL (-> empty via the coalesce below) when
+        # every fetch for the host was empty-rules; plain element_at
+        # throws on the empty array under ANSI
+        merged = F.try_element_at("__robots_sets", F.lit(1))
+    else:
+        merged = F.when(
+            F.size("__robots_sets") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_robots: " + conflict_msg.split("{}")[0]),
+                    F.col("__robots_host"),
+                    F.lit(conflict_msg.split("{}")[1]),
+                )
+            ).cast(_RULES_ARRAY_T),
+        ).otherwise(F.try_element_at("__robots_sets", F.lit(1)))
+    rules_side = grouped.select(
+        "__robots_host",
+        F.coalesce(merged, F.lit([]).cast(_RULES_ARRAY_T)).alias(
+            "__robots_rules"
+        ),
     )
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)
@@ -283,12 +313,7 @@ def apply_robots(
 
     path = F.col("__robots_path")
     matched = F.filter(
-        F.coalesce(
-            F.col("__robots_rules"),
-            F.lit([]).cast(
-                "array<struct<pat: string, spec: int, allow: boolean>>"
-            ),
-        ),
+        F.coalesce(F.col("__robots_rules"), F.lit([]).cast(_RULES_ARRAY_T)),
         lambda r: F.like(path, r["pat"], F.lit("\\")),
     )
     # longest match wins; equal-length tie -> allow wins; no match ->

@@ -225,9 +225,22 @@ def kmv_sketch_sink(
         # "survives the next fold" window hold even when coarse
         # mtimes + a reset mis-order the sort.
         protected = {installed, current}
+
+        def mkey(d):
+            # a version dir deleted concurrently (manual cleanup, an
+            # external janitor) between the glob and this stat must
+            # not fail the fold after the pointer is already
+            # installed (r15 ADVICE) — treat a vanished dir as oldest
+            # and let the rmtree below no-op on it, the same
+            # tolerance vkey has for foreign names
+            try:
+                return d.stat().st_mtime
+            except OSError:
+                return float("-inf")
+
         versions = sorted(
             (d for d in root.glob("sketch_v*")),
-            key=lambda d: (d.stat().st_mtime, vkey(d)),
+            key=lambda d: (mkey(d), vkey(d)),
         )
         for d in versions[:-keep]:
             if d.name not in protected:

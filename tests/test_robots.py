@@ -358,11 +358,7 @@ def test_spark_matches_reference_on_grid(spark):
     assert got == want
 
 
-def test_conflicting_host_fetches_raise(spark):
-    """r15 review pass 3: two fetches of one host with DIFFERING
-    non-empty rules must raise, not silently union -- a stale
-    longer-match Allow would outrank the live Disallow and
-    under-block."""
+def _conflicting_rules(spark):
     df = spark.createDataFrame(
         [
             ("example.com", "User-agent: *\nDisallow: /x\n"),
@@ -370,12 +366,66 @@ def test_conflicting_host_fetches_raise(spark):
         ],
         "host string, payload string",
     )
-    rules = R.robots_rules(df)
+    return R.robots_rules(df)
+
+
+def test_conflicting_host_fetches_raise_eagerly(spark):
+    """r15 review pass 3 + r15 ADVICE: two fetches of one host with
+    DIFFERING non-empty rules must raise, not silently union -- a
+    stale longer-match Allow would outrank the live Disallow and
+    under-block. With validation on (default) the failure surfaces at
+    PLAN-BUILD time from the host-count-sized rules side, before any
+    corpus job launches."""
     docs = spark.createDataFrame(
         [("https://example.com/x/page",)], "url string"
     )
+    with pytest.raises(ValueError, match="conflicting robots rules"):
+        R.apply_robots(docs, _conflicting_rules(spark))
+
+
+def test_conflicting_host_fetches_raise_lazily_when_unvalidated(spark):
+    """validate_rules=False skips the upfront rules-side job; the
+    conflict then still aborts the corpus job at execution (the
+    defense-in-depth backstop)."""
+    docs = spark.createDataFrame(
+        [("https://example.com/x/page",)], "url string"
+    )
+    out = R.apply_robots(
+        docs, _conflicting_rules(spark), validate_rules=False
+    )  # plan builds fine -- the check is in-plan now
     with pytest.raises(Exception, match="conflicting robots rules"):
-        R.apply_robots(docs, rules).collect()
+        out.collect()
+
+
+def test_empty_host_rules_row_cannot_gate_non_urls(spark):
+    """r15 ADVICE: _url_path_query maps unparseable URLs to path '/',
+    relying on the empty-host join MISS to allow them -- so a rules
+    row whose host normalizes to '' (malformed fetch metadata) must be
+    dropped from the join side, or it would gate every garbage URL in
+    the corpus under its rules."""
+    df = spark.createDataFrame(
+        [
+            ("", "User-agent: *\nDisallow: /\n"),
+            (".", "User-agent: *\nDisallow: /\n"),
+            (None, "User-agent: *\nDisallow: /\n"),
+            ("real.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, payload string",
+    )
+    rules = R.robots_rules(df)
+    docs = spark.createDataFrame(
+        [("not a url at all",), ("relative/link",), ("https://real.com/p",)],
+        "url string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in R.apply_robots(docs, rules).collect()
+    }
+    assert got == {
+        "not a url at all": True,
+        "relative/link": True,
+        "https://real.com/p": False,
+    }
 
 
 def test_apply_robots_runs_as_stream_static_join(spark, tmp_path):

@@ -266,3 +266,23 @@ def test_streaming_digit_hist_matches_batch(spark, tmp_path):
         for r in spark.table("dh_stream_test").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_kmv_fold_cleanup_tolerates_vanished_version_dir(spark, tmp_path):
+    """r15 ADVICE: cleanup's sort key stats each globbed dir; a version
+    dir deleted concurrently (manual cleanup, an external janitor)
+    between the glob and the stat must not fail the fold after the
+    pointer is already installed. A dangling symlink named like a
+    version dir makes glob see an entry whose stat raises — exactly
+    the vanished-dir race."""
+    root = tmp_path / "kmv"
+    fold = kmv_sketch_sink(str(root), ["k"], k=16, keep=2)
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    fold(df, 0)
+    (root / "sketch_v99").symlink_to(root / "no_such_dir")
+    fold(df, 1)  # must not raise; vanished entry sorts oldest, rmtree no-ops
+    assert (root / "CURRENT").read_text() == "sketch_v1"
+    want = sorted(
+        r["kmv_hash"] for r in SK.kmv_sketch(df, ["k"], k=16).collect()
+    )
+    assert _stored(spark, root) == want

@@ -699,11 +699,12 @@ def cmd_warc(args: argparse.Namespace) -> int:
         docs = filter_by_robots(docs, rules, url_col="uri")
     # hygiene and repair interleave (r15 review pass 4): the
     # pre-repair pass strips ONLY the non-latin1 invisibles
-    # (repair_safe — a raw ZWSP/BOM embedded inside mojibake blocks
-    # the whole-string re-encode, but C0/C1/soft-hyphen ARE the
-    # repair's input alphabet: stripping U+0080/U+0094 first turns
-    # the repairable latin-1-mangled em dash into a bare 'â'
-    # forever); the FULL clean — latin-1-range strip + newline
+    # (repair_safe — a raw ZWSP/BOM embedded inside mojibake splits
+    # the segment-wise repair's run mid-byte-sequence, but
+    # C0/C1/soft-hyphen ARE the repair's input alphabet: stripping
+    # U+0080/U+0094 first turns the repairable latin-1-mangled em
+    # dash into a bare 'â' forever); the FULL clean — latin-1-range
+    # strip + newline
     # conversion + NFC — runs after the repair, which can itself
     # decode mangled bytes into invisibles (the 'ï»¿' prefix becomes
     # a real BOM) or into decomposed sequences NFC must fold.

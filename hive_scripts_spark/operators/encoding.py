@@ -21,11 +21,15 @@ badness score — the count of lead-byte/continuation-byte character
 pairs (``Â``–``ô`` followed by a codepoint that cp1252/Latin-1 maps a
 UTF-8 continuation byte to) that essentially never occur in clean
 text but always occur in mangled UTF-8. Up to ``max_passes`` rounds
-unstack double-encoding; anything that fails to encode (CJK, emoji —
-text that cannot BE cp1252 mojibake as a whole), fails to decode, or
-doesn't improve is returned unchanged. Degrade, never damage: the
-accept-only-if-better rule makes the operator idempotent and safe to
-run on already-clean corpora.
+unstack double-encoding. Mixed documents repair SEGMENT-WISE (like
+ftfy): characters outside the cp1252/latin-1 alphabet (CJK, emoji —
+text that cannot BE mojibake) pass through verbatim and split the
+string into independently-repaired runs, so an emoji beside mangled
+text never blocks its repair; a run that fails to encode, fails to
+decode as UTF-8, or doesn't strictly improve is returned unchanged.
+Degrade, never damage: the accept-only-if-better rule (applied per
+run) makes the operator idempotent and safe to run on already-clean
+corpora.
 
 Scale posture: a pure per-row string transform behind ONE Arrow-
 batched ``pandas_udf`` projection — zero shuffle, zero join at any
@@ -89,28 +93,58 @@ def build_fix_fn():
             ch = chr(b_)  # the five holes pass through as C1
         rev[ch] = b_
 
-    def fix_text(s, max_passes: int = 3):
-        if not isinstance(s, str):
-            return s  # None (and pandas NaN inside the UDF) pass through
+    # maximal runs of RE-ENCODABLE characters: the latin-1 range plus
+    # the 27 cp1252 punctuation/letter decodings of bytes 80-9F —
+    # exactly rev's key set unioned with latin-1. Mixed documents
+    # (emoji or CJK beside mangled text — common in crawls) are
+    # repaired per run (r15 ADVICE; ftfy, the public reference,
+    # repairs segment-wise too): a character that cannot BE mojibake
+    # never blocks the repair of the mangled text around it, and it
+    # can never sit inside a mangled byte sequence (every mojibake
+    # char is in this class), so run boundaries cannot split one.
+    encodable_run = re.compile(
+        "[\\x00-\\xff"
+        + "".join(sorted(c for c in rev if ord(c) > 0xFF))
+        + "]+"
+    )
+
+    def fix_run(seg: str, max_passes: int) -> str:
         for _ in range(max_passes):
-            score = badness(s)
+            score = badness(seg)
             if score == 0:
-                return s
+                return seg
             try:
-                raw = bytes(rev[c] for c in s)
+                raw = bytes(rev[c] for c in seg)
             except KeyError:
+                # a C1 control (latin-1 mangling) and a cp1252
+                # punctuation char in ONE run means two different
+                # decoders touched the same span — ambiguous, keep it
                 try:
-                    raw = s.encode("latin-1")
+                    raw = seg.encode("latin-1")
                 except UnicodeEncodeError:
-                    return s  # not whole-string mojibake (CJK, emoji)
+                    return seg
             try:
                 cand = raw.decode("utf-8")
             except UnicodeDecodeError:
-                return s  # suspicious-looking but not valid UTF-8
+                return seg  # suspicious-looking but not valid UTF-8
             if badness(cand) >= score:
-                return s  # no strict improvement -> keep the original
-            s = cand
-        return s
+                return seg  # no strict improvement -> keep original
+            seg = cand
+        return seg
+
+    def fix_text(s, max_passes: int = 3):
+        if not isinstance(s, str):
+            return s  # None (and pandas NaN inside the UDF) pass through
+        if not badness(s):
+            return s  # fast path: clean text costs one regex scan
+        parts = []
+        pos = 0
+        for m in encodable_run.finditer(s):
+            parts.append(s[pos : m.start()])
+            parts.append(fix_run(m.group(), max_passes))
+            pos = m.end()
+        parts.append(s[pos:])
+        return "".join(parts)
 
     return fix_text
 

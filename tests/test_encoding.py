@@ -64,6 +64,30 @@ def test_none_and_non_text_pass_through():
     assert fix(None) is None
 
 
+@pytest.mark.parametrize(
+    "mangled,clean",
+    [
+        # r15 ADVICE: a single emoji/CJK char anywhere used to block
+        # the whole-string re-encode, silently keeping the mojibake;
+        # the repair is now segment-wise (the ftfy behavior)
+        ("🙂 cafÃ©", "🙂 café"),
+        ("cafÃ© 🙂 naÃ¯ve", "café 🙂 naïve"),
+        ("日本語 â€” and emâ€”dash", "日本語 — and em—dash"),
+        ("🙂Ã©🙂", "🙂é🙂"),  # no separator: runs split AT the emoji
+        ("clean 🙂 and â€œquotedâ€\x9d", "clean 🙂 and “quoted”"),
+        # double-encoded beside an emoji still unstacks both passes
+        ("🙂 cafÃƒÂ©", "🙂 café"),
+    ],
+)
+def test_mixed_docs_repair_segmentwise(mangled, clean):
+    assert fix(mangled) == clean
+
+
+def test_mixed_doc_repair_is_idempotent():
+    once = fix("🙂 cafÃƒÂ© â€” 日本語 end")
+    assert fix(once) == once
+
+
 def test_invalid_utf8_suspect_unchanged():
     # 'Ã' + continuation-class char that does NOT reassemble into
     # valid UTF-8 (lead byte with a non-continuation follower)

@@ -1,10 +1,12 @@
 """Queued r20 registration candidates (the ``test_queued_r15.py``
 pattern): body + oracle held as literals, parity-verified at sf0.001
 AND the driver's grading scale sf0.01, awaiting a future capacity
-swap. Grades the round-14 eval-contamination composition plus two
-sketch-algebra rows (``x_kmv_merge_groups``, ``x_digit_hist_merged``
-— with r19's ``x_countmin_merged``, every sketch family's MERGE path
-is value-graded):
+swap. Grades the round-14 eval-contamination composition, ONE
+sketch-algebra row (``x_kmv_merge_groups`` — the r15 VERDICT judged
+three merge rows redundant for one algebraic property, so the
+count-min and digit merge paths stay pytest-pinned and their queued
+slots were promoted to the r15 crawl-library surface), and the
+per-domain quota:
 
 ``x_split_leakage`` — near-duplicate pairs that STRADDLE the
 train/val/test boundary (``operators/curation.split_leakage_pairs``):
@@ -161,65 +163,80 @@ def kmv_merge_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# candidate 3: x_digit_hist_merged (the digit merge path, value-graded —
-# completes the merge-path grading triple: kmv / countmin / digit)
+# candidate 3: x_domain_cap (the per-registrable-domain quota, value-graded)
 # ---------------------------------------------------------------------------
 
-DIGIT_MERGE_NAME = "x_digit_hist_merged"
+DOMAIN_CAP_NAME = "x_domain_cap"
 
-DIGIT_MERGE_ORACLE = """
-    with halves as (
-      select cast(o_orderkey % 2 as int) as half,
-             cast(o_totalprice as decimal(38,6)) as vd
-      from orders
-      where o_totalprice is not null
-        and isfinite(o_totalprice) and abs(o_totalprice) < 1e31
-    ), parts as (
-      select half, vd,
-             regexp_replace(
-               regexp_replace(cast(abs(vd) as varchar), '[.]', ''),
-               '^0+', '') as stripped
-      from halves
-    ), grids as (
-      select half,
-             cast(case when vd < 0 then -1 when vd > 0 then 1
-                       else 0 end as int) as sign,
-             cast(length(stripped) as int) as decade,
-             cast(case when length(stripped) = 0 then 0
-                  else cast(rpad(substr(stripped, 1, 2), 2, '0') as int)
-                  end as int) as sub,
-             cast(count(*) as bigint) as cnt
-      from parts
-      group by 1, 2, 3, 4
+#: promoted over the former x_digit_hist_merged queued row (r15 VERDICT
+#: item 4: three queued rows graded the one sketch-MERGE algebraic
+#: property — x_kmv_merge_groups above keeps that grade; the digit
+#: merge stays pytest-pinned in test_sketches.py). The salted
+#: two-level top-k is bit-transparent, so the oracle is the plain
+#: single-window row_number over (md5(id), id) — the documented oracle
+#: idiom for everything built on topk_per_group — partitioned by the
+#: eTLD+1 the arms construct: www.big.example collapses to big.example,
+#: a./b.shared.example SHARE one quota, tiny.example (4 docs) passes
+#: through under-cap, and no-host URLs cap inside the '' bucket.
+DOMAIN_CAP_ORACLE = """
+    with armed as (
+      select doc_id, cast(doc_id % 10 as int) as arm,
+             cast(doc_id as varchar) as i
+      from documents
+    ), docs as (
+      select doc_id,
+             case
+               when arm = 9 and doc_id < 40
+                 then 'https://tiny.example/p' || i
+               when arm = 9 then 'doc ' || i || ' plain'
+               when arm = 7 then 'https://a.shared.example/p' || i
+               when arm = 8 then 'https://b.shared.example/p' || i
+               else 'https://www.big.example/p' || i
+             end as url,
+             case
+               when arm = 9 and doc_id < 40 then 'tiny.example'
+               when arm = 9 then ''
+               when arm in (7, 8) then 'shared.example'
+               else 'big.example'
+             end as domain
+      from armed
+    ), ranked as (
+      select doc_id, url,
+             cast(row_number() over (
+               partition by domain
+               order by md5(cast(doc_id as varchar)), doc_id) as int)
+               as pick_order
+      from docs
     )
-    select sign, decade, sub, cast(sum(cnt) as bigint) as cnt
-    from grids group by 1, 2, 3
+    select doc_id, url, pick_order from ranked where pick_order <= 25
 """
 
 
-def digit_merge_query(spark, sf_dir):
-    """The x_digit_hist_merged body (verbatim future registration):
-    per-half histograms merged counter-wise — the oracle restates the
-    split+sum construction, grading the merge path itself."""
+def domain_cap_query(spark, sf_dir):
+    """The x_domain_cap body (verbatim future registration): a skewed
+    four-domain URL mix (70 % one domain — the hot group the salted
+    top-k exists for) through the full cap_per_domain path, cap 25,
+    keep_rank for the graded pick_order audit column."""
     from pyspark.sql import functions as F
 
-    from hive_scripts_spark.operators.sketches import (
-        digit_hist,
-        digit_hist_merge,
-    )
+    from hive_scripts_spark.operators.curation import cap_per_domain
     from hive_scripts_spark.plans.registry import table
 
-    orders = table(spark, sf_dir, "orders")
-    halves = [
-        digit_hist(
-            orders.where(F.col("o_orderkey") % 2 == h),
-            "o_totalprice",
-            digits=2,
+    docs = table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    arm = F.pmod("doc_id", F.lit(10))
+    url = (
+        F.when(
+            (arm == 9) & (F.col("doc_id") < 40),
+            F.concat(F.lit("https://tiny.example/p"), i),
         )
-        for h in (0, 1)
-    ]
-    return digit_hist_merge(halves)
-
+        .when(arm == 9, F.concat(F.lit("doc "), i, F.lit(" plain")))
+        .when(arm == 7, F.concat(F.lit("https://a.shared.example/p"), i))
+        .when(arm == 8, F.concat(F.lit("https://b.shared.example/p"), i))
+        .otherwise(F.concat(F.lit("https://www.big.example/p"), i))
+    )
+    framed = docs.select("doc_id", url.alias("url"))
+    return cap_per_domain(framed, cap=25, salts=8, keep_rank=True)
 
 
 @pytest.mark.parametrize(
@@ -230,9 +247,9 @@ def digit_merge_query(spark, sf_dir):
     [
         (leakage_query, LEAKAGE_ORACLE),
         (kmv_merge_query, KMV_MERGE_ORACLE),
-        (digit_merge_query, DIGIT_MERGE_ORACLE),
+        (domain_cap_query, DOMAIN_CAP_ORACLE),
     ],
-    ids=[LEAKAGE_NAME, KMV_MERGE_NAME, DIGIT_MERGE_NAME],
+    ids=[LEAKAGE_NAME, KMV_MERGE_NAME, DOMAIN_CAP_NAME],
 )
 def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
     got = query(spark, sf_dir)

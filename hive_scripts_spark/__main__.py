@@ -697,6 +697,25 @@ def cmd_warc(args: argparse.Namespace) -> int:
 
         rules = spark.read.parquet(args.robots)
         docs = filter_by_robots(docs, rules, url_col="uri")
+    if args.html_to_text:
+        # extraction AFTER the politeness gate (dropped docs never pay
+        # the parse) and BEFORE the repair chain (the documented order,
+        # operators/encoding.py: warc_ingest_documents → html_to_text →
+        # fix_mojibake — entity decoding happens first, and the gates
+        # downstream score visible text, not markup). The r16 1M-doc
+        # e2e probe caught this step MISSING from the CLI chain: every
+        # downstream gate was scoring tag soup. keep_cols ride the
+        # crawl metadata through the same Arrow batch — a re-join on
+        # doc_id to recover uri/source would shuffle the corpus.
+        from hive_scripts_spark.operators.textstats import html_to_text
+
+        docs = html_to_text(
+            docs,
+            keep_cols=[
+                "source", "uri", "warc_date", "http_status",
+                "http_content_type", "truncated",
+            ],
+        )  # title/n_links fall out of the documents-shaped select below
     # hygiene and repair interleave (r15 review pass 4): the
     # pre-repair pass strips ONLY the non-latin1 invisibles
     # (repair_safe — a raw ZWSP/BOM embedded inside mojibake splits
@@ -1548,6 +1567,15 @@ def main(argv: list[str] | None = None) -> int:
         "--status-ok-only",
         action="store_true",
         help="keep only HTTP 200 responses",
+    )
+    wa.add_argument(
+        "--html-to-text",
+        action="store_true",
+        help="extract visible text from HTML bodies (drop script/style "
+        "subtrees, block tags to newlines, entities decoded — "
+        "operators/textstats.html_to_text; map-only). Without it the "
+        "documents table carries raw markup and every downstream gate "
+        "scores tag soup",
     )
     wa.add_argument(
         "--fix-mojibake",

@@ -520,6 +520,7 @@ def html_to_text(
     df: DataFrame,
     html_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document HTML→text extraction — the step between a crawl
     body (``sources/warc.split_http``) and the documents table the
@@ -537,13 +538,23 @@ def html_to_text(
       ``n_links`` counts anchors (a standard page-quality signal —
       link farms score high).
 
-    Returns ``(id_col, title, text, n_links)``; unparseable payloads
-    degrade to NULL text (the multimodal decode contract), never
-    fail the job. Map-only Arrow batches — zero shuffle at any corpus
-    size; helpers live inside the closure (vanilla-pickling rule).
+    Returns ``(id_col, *keep_cols, title, text, n_links)`` —
+    ``keep_cols`` ride through the same Arrow batch (the
+    ``language_id(keep_cols=…)`` rationale: a downstream re-join on id
+    to recover the crawl metadata a caller needs, uri/source/status,
+    would be a full corpus shuffle). Unparseable payloads degrade to
+    NULL text (the multimodal decode contract), never fail the job.
+    Map-only Arrow batches — zero shuffle at any corpus size; helpers
+    live inside the closure (vanilla-pickling rule).
     """
+    keep = list(keep_cols or [])
+    clash = {id_col, html_col} & set(keep)
+    if clash:
+        raise ValueError(f"html_to_text: keep_cols duplicate {clash}")
+    dtypes = dict(df.dtypes)
+    kept_schema = "".join(f", {c} {dtypes[c]}" for c in keep)
     out_schema = (
-        f"{id_col} {dict(df.dtypes)[id_col]}, title string, "
+        f"{id_col} {dtypes[id_col]}{kept_schema}, title string, "
         "text string, n_links int"
     )
 
@@ -649,6 +660,8 @@ def html_to_text(
         for pdf in batches:
             trip = [one(v) for v in pdf[html_col]]
             out = pd.DataFrame({id_col: pdf[id_col]})
+            for c in keep:
+                out[c] = pdf[c]
             out["title"] = [t[0] for t in trip]
             out["text"] = [t[1] for t in trip]
             out["n_links"] = pd.array(
@@ -656,7 +669,9 @@ def html_to_text(
             )
             yield out
 
-    return df.select(id_col, html_col).mapInPandas(extract, out_schema)
+    return df.select(id_col, *keep, html_col).mapInPandas(
+        extract, out_schema
+    )
 
 
 def bigram_logprob_score(

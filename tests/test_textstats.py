@@ -667,3 +667,26 @@ def test_html_empty_first_title_does_not_shadow(spark):
     )
     out = X.html_to_text(df).collect()[0]
     assert out["title"] == "Real Title"
+
+
+def test_html_to_text_keep_cols_ride_the_batch(spark):
+    """keep_cols pass crawl metadata through the extraction batch
+    (the warc CLI chain needs uri/source downstream; a re-join on
+    doc_id would shuffle the corpus); name clashes raise."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "<p>hi</p>", "https://a.example/x", 200)],
+        "doc_id long, text string, uri string, http_status int",
+    )
+    out = X.html_to_text(df, keep_cols=["uri", "http_status"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["text"], r["uri"], r["http_status"]) == (
+        "hi", "https://a.example/x", 200
+    )
+    assert set(out[0].asDict()) == {
+        "doc_id", "uri", "http_status", "title", "text", "n_links"
+    }
+    with pytest.raises(ValueError, match="keep_cols duplicate"):
+        X.html_to_text(df, keep_cols=["text"])

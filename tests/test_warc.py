@@ -330,3 +330,41 @@ def test_warc_cli_robots_and_mojibake_flags(spark, tmp_path, capsys):
     assert docs[0]["text"] == "café \u2014 page"  # repaired + cleaned
     assert docs[0]["n_chars"] == len("café \u2014 page")
     assert "1 docs" in capsys.readouterr().out
+
+
+def test_warc_cli_html_to_text_flag(spark, tmp_path):
+    """--html-to-text runs the HTML extraction step the documented
+    chain prescribes between ingest and repair (the r16 1M-doc e2e
+    probe caught it missing from the CLI: every downstream gate was
+    scoring tag soup). Markup and script subtrees drop, the mojibake
+    inside the extracted text still repairs, and the crawl metadata
+    columns survive the extraction batch (keep_cols, no re-join)."""
+    from hive_scripts_spark.__main__ import main
+
+    body = (
+        "<html><head><title>t</title><script>var x=1;</script></head>"
+        "<body><p>hello cafÃ© page</p><div>second line</div></body>"
+        "</html>"
+    ).encode("utf-8")
+    rec = _record(
+        "response", _http(body),
+        uri="https://example.org/page", rec_id="r1",
+    )
+    shard = tmp_path / "shard.warc"
+    shard.write_bytes(rec)
+
+    out = tmp_path / "db"
+    rc = main(
+        ["warc", str(shard), "--output", str(out),
+         "--html-to-text", "--fix-mojibake", "--clean-text"]
+    )
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "documents.parquet")).collect()
+    assert len(docs) == 1
+    row = docs[0]
+    assert row["text"] == "hello café page\nsecond line"
+    assert "<" not in row["text"] and "var x" not in row["text"]
+    assert row["uri"] == "https://example.org/page"
+    assert row["source"] == "example.org"
+    assert row["http_status"] == 200
+    assert row["n_chars"] == len(row["text"])

@@ -471,35 +471,50 @@ def scd2_apply(
     closed = dim.where(F.col(valid_to).isNotNull())
     open_rows = dim.where(F.col(valid_to).isNull())
 
+    # union FIRST, sequence AFTER: running the lead window on the
+    # changes branch before the union made Catalyst shuffle the
+    # changes TWICE (once for lead on key, once more because the
+    # union's dim branch voids the partitioning guarantee before the
+    # min window — the r16 plan audit caught two exchanges where the
+    # contract below promises one). Ordering by __src puts the single
+    # open dim row FIRST within its key, so a change row's lead is
+    # always the next CHANGE (or NULL for the newest) — the dim row
+    # can never become a lead target — and both windows now share one
+    # hashpartitioning(key) exchange.
+    stacked = open_rows.select(
+        *key_cols, *attr_cols, valid_from, valid_to,
+        F.lit(0).alias("__src"),
+    ).unionByName(
+        changes.select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias(valid_from),
+            F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
+            F.lit(1).alias("__src"),
+        )
+    )
     # sequence the incoming versions per key: each runs until the next.
     # The attr-hash tiebreak makes equal-ts batches reproducible (the
     # merge_upsert degradation contract).
-    chg = changes.select(
-        *key_cols, *attr_cols, F.col(ts_col).alias(valid_from)
-    ).withColumn(
+    next_version = F.lead(valid_from).over(
+        Window.partitionBy(*key_cols).orderBy(
+            F.col("__src"),
+            F.col(valid_from),
+            F.xxhash64(*[F.col(c) for c in attr_cols]),
+        )
+    )
+    stacked = stacked.withColumn(
         valid_to,
-        F.lead(valid_from).over(
-            Window.partitionBy(*key_cols).orderBy(
-                F.col(valid_from),
-                F.xxhash64(*[F.col(c) for c in attr_cols]),
-            )
+        F.when(F.col("__src") == 1, next_version).otherwise(
+            F.col(valid_to)
         ),
-    ).select(*key_cols, *attr_cols, valid_from, valid_to)
+    )
 
     # close each key's open row at its first incoming change (keys
     # with no change keep valid_to NULL via the min-over-empty = NULL)
     first_change = F.min(
         F.when(F.col("__src") == 1, F.col(valid_from))
     ).over(Window.partitionBy(*key_cols))
-    stacked = open_rows.select(
-        *key_cols, *attr_cols, valid_from, valid_to,
-        F.lit(0).alias("__src"),
-    ).unionByName(
-        chg.select(
-            *key_cols, *attr_cols, valid_from, valid_to,
-            F.lit(1).alias("__src"),
-        )
-    )
     # clamp: a late-arriving change (ts before the open row's
     # valid_from) must not invert the interval — see docstring. The
     # isNotNull guard matters: Spark's greatest() SKIPS nulls, so an

@@ -486,3 +486,40 @@ def test_merge_cli_e2e(spark, tmp_path, capsys):
             for r in spark.read.parquet(out).collect()}
     assert rows == {2: ("B", 20), 3: ("c", 20)}
     assert "2 rows" in capsys.readouterr().out
+
+
+def test_scd2_single_exchange_plan(spark):
+    """The scale contract: both windows (change sequencing + close-at-
+    first-change) share ONE key-partitioned exchange and there is no
+    join. The r16 plan audit caught the lead-before-union form
+    shuffling the changes twice; sequencing after the union fixed it —
+    this pins the shape."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.incremental import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None)],
+        "k int, attr string, valid_from long, valid_to long",
+    ).select("k", "attr", "valid_from", F.col("valid_to").cast("long"))
+    changes = spark.createDataFrame(
+        [(1, "a2", 5), (1, "a3", 9)],
+        "k int, attr string, effective_ts long",
+    )
+    out = scd2_apply(dim, changes, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # and the semantics the shared exchange must preserve
+    rows = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", 0, 5),
+        (1, "a2", 5, 9),
+        (1, "a3", 9, None),
+        (2, "b", 0, None),
+    ]

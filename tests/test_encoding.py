@@ -126,6 +126,49 @@ def test_latin1_mangle_roundtrip_property(s):
 
 
 @settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet=_ALPHABET, max_size=30),
+    st.lists(st.sampled_from("🙂🚀🎉中文한글"), min_size=1, max_size=4),
+    st.data(),
+)
+def test_mixed_doc_segmentwise_roundtrip_property(s, emo, data):
+    """r16 segment-wise repair: clean text with non-encodable chars
+    (emoji/CJK) interleaved, where only the encodable segments were
+    latin-1-mangled, must recover exactly — the blocked-whole-string
+    failure mode the r15 ADVICE flagged. Non-encodable insertions are
+    placed at arbitrary positions; they must pass through verbatim
+    while the mangled runs around them repair."""
+    if fix(s) != s:
+        return  # s itself mojibake-shaped: ambiguous by design
+    # splice the non-encodable chars into the MANGLED text at random
+    # byte-safe positions (between chars, so no mangled pair is split
+    # mid-sequence — a splice inside a pair is the documented
+    # unrepairable case, exercised separately)
+    parts, want_parts, pos0 = [], [], 0
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(s)), min_size=len(emo), max_size=len(emo)
+            )
+        )
+    )
+    # map clean-text cut positions to mangled-text positions
+    for cut, e in zip(cuts, emo):
+        parts.append(s[pos0:cut].encode("utf-8").decode("latin-1"))
+        parts.append(e)
+        want_parts.append(s[pos0:cut])
+        want_parts.append(e)
+        pos0 = cut
+    parts.append(s[pos0:].encode("utf-8").decode("latin-1"))
+    want_parts.append(s[pos0:])
+    mixed = "".join(parts)
+    want = "".join(want_parts)
+    if fix(want) != want:
+        return  # adjacency created a mojibake-shaped clean form
+    assert fix(mixed) == want
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=_ALPHABET, max_size=40))
 def test_cp1252_mangle_roundtrip_property(s):
     if fix(s) != s:

@@ -206,13 +206,24 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — telemetry must never fail a run
             return 0
 
+    # names allowed to resolve OUTSIDE the registry: retired-but-
+    # benchmarked rows only (HEADLINE continuity). Kept explicit so an
+    # ACCIDENTAL deregistration of any other benchmarked query fails
+    # loudly here instead of silently timing the module function.
+    RETIRED_BENCH = {"x_multimodal_decode_meta"}
+
     def _resolve(name: str):
-        """Registry first; retired-but-benchmarked names (HEADLINE
-        continuity) fall back to their unchanged plans-module function,
-        the same resolution tests/test_retired_queries.py uses."""
+        """Registry first; the explicit retired names fall back to
+        their unchanged plans-module function, the same resolution
+        tests/test_retired_queries.py uses."""
         fn = QUERIES.get(name)
         if fn is not None:
             return fn
+        if name not in RETIRED_BENCH:
+            raise KeyError(
+                f"{name} is benchmarked but not registered (and not a "
+                "declared retired-bench name)"
+            )
         from hive_scripts_spark.plans import (
             extension_queries,
             reference_queries,

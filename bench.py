@@ -134,11 +134,12 @@ EXTRA = [
     # graded query, so its container-walk + JPEG-decode cost had no
     # round-over-round series through r13)
     "x_multimodal_frames",
-    # r14 registry swap — timing series starts here: the chunk-and-
-    # stitch sessionize escalation (compare vs x_events_sessionize's
-    # single-window plan in the same run), the PNG palette decode
-    # (compare vs x_multimodal_resize_jpeg), and the audio FFT layer
-    "x_events_sessionize_chunked",
+    # r14 registry swap — timing series starts here: the PNG palette
+    # decode (compare vs x_multimodal_resize_jpeg) and the audio FFT
+    # layer. x_events_sessionize_chunked retired from the registry in
+    # the r17 capacity swap (slot funds x_countmin_heavy); its chunk-
+    # and-stitch composition stays value-pinned in
+    # tests/test_retired_queries.py and its timing series ends at r16
     "x_multimodal_resize_png",
     "x_audio_zero_crossings",
     # r15 registry swap — timing series starts here: the declarative
@@ -159,6 +160,16 @@ EXTRA = [
     "x_url_canonical",
     "x_merge_upsert",
     "x_scd2_apply",
+    # r17 registry swap — timing series starts here: the mergeable-
+    # sketch grading rows (KMV distinct / grouped KMV / count-min
+    # probe). The r17 retirees g_cube_order_status / g_rollup_pricing
+    # leave no EXTRA gap (neither was in a bench list; their Expand-
+    # operator cost is carried by no registered row — grouping-sets
+    # family timing was never benchmarked), and the chunked-sessionize
+    # series ends above.
+    "x_kmv_distinct",
+    "x_kmv_grouped",
+    "x_countmin_heavy",
 ]
 
 

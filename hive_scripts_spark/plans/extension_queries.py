@@ -1417,19 +1417,16 @@ def x_events_sessionize(spark, sf_dir):
     return sessionize_events(ev)
 
 
-@register(
-    "x_events_sessionize_chunked",
-    # SAME oracle as x_events_sessionize: the chunk-local merge ->
-    # boundary stitch -> renumber plan must reproduce the single-window
-    # rows bit-exactly
-    oracle=f"""{_DUCK_SESSIONIZE}
-    select user_id, session_id, count(*) as n_events,
-           min(ts) as session_start, max(ts) as session_end
-    from numbered group by user_id, session_id
-    """,
-)
 def x_events_sessionize_chunked(spark, sf_dir):
-    """The r13 time-chunked sessionize escalation
+    """[retired from the graded registry in the r17 capacity swap —
+    slot funds ``x_countmin_heavy``; a literal answer-twin of the
+    still-registered ``x_events_sessionize`` (it was graded against
+    the SAME oracle text — the physical-plan divergence is what the
+    pytest chunk/single bit-identity pin in ``test_properties.py``
+    proves, not the value surface), and this row stays value-pinned
+    against its frozen r14 oracle in ``tests/test_retired_queries.py``]
+
+    The r13 time-chunked sessionize escalation
     (``operators/sessions.sessionize_events(chunk_hours=6)``) graded
     against the SAME DuckDB oracle as ``x_events_sessionize``: per-
     (user, 6h-chunk) gap-merge, then only boundary sessions cross-
@@ -4881,3 +4878,167 @@ def x_scd2_apply(spark, sf_dir):
         F.col("o_orderkey").cast("bigint").alias("effective_ts"),
     )
     return scd2_apply(dim, changes, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# r17 registrations: mergeable-sketch grading rows (KMV distinct, grouped
+# KMV, count-min heavy hitters) — bodies verbatim from their
+# parity-verified queued forms in tests/test_queued_r17.py (sf0.001 AND
+# sf0.01)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of sketches._col_block (null-safe fixed-width pre-image
+#: slot: md5 of the value, '<null>' sentinel for NULL). A raw
+#: ``cast(x as varchar)`` twin would DIVERGE on nullable columns —
+#: Spark's concat_ws never returns null while SQL md5 propagates NULL;
+#: the block form is null-identical on both engines, pinned by
+#: ``test_sketches.py::test_kmv_null_parity_with_duckdb``.
+def _duck_sketch_block(col: str) -> str:
+    return (
+        f"case when {col} is null then '<null>' "
+        f"else md5(cast({col} as varchar)) end"
+    )
+
+
+@register(
+    "x_kmv_distinct",
+    oracle=f"""
+    with h as (
+      select distinct
+             {_duck_h60(_duck_sketch_block("o_custkey"))} as kmv_hash
+      from orders
+    ), topk as (
+      select kmv_hash from h order by kmv_hash limit 256
+    )
+    select cast(count(*) as bigint) as n_hashes,
+           max(kmv_hash) as kth_hash,
+           round(case when count(*) < 256 then cast(count(*) as double)
+                 else (cast(255 as double)
+                       * cast(1152921504606846976 as double))
+                      / cast(max(kmv_hash) as double) end, 4) as est_distinct
+    from topk
+    """,
+)
+def x_kmv_distinct(spark, sf_dir):
+    """The r14 KMV k-minimum-values distinct sketch
+    (:mod:`hive_scripts_spark.operators.sketches`) graded end-to-end
+    over ``orders.o_custkey`` (k=256): sf0.001 has 150 distinct
+    custkeys (< k, the exact under-full branch) while the driver's
+    grading scale sf0.01 has 1500 (> k, the ``(k-1)*2^60/h_k``
+    estimator branch) — one query grades BOTH estimator arms across
+    the two parity scales. The estimator constant ``(k-1) * 2^60`` is
+    exact in IEEE double on both engines, the division is a single
+    correctly-rounded op, and both sides round to 4 decimals (the
+    graded-jaccard float discipline). Registered in the r17 capacity
+    swap (retiring ``g_cube_order_status``) after sitting
+    parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r17.py`` through r16."""
+    from hive_scripts_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    orders = table(spark, sf_dir, "orders")
+    return kmv_estimate(kmv_sketch(orders, ["o_custkey"], k=256), k=256)
+
+
+@register(
+    "x_kmv_grouped",
+    oracle=f"""
+    with h as (
+      select distinct o_orderpriority,
+             {_duck_h60(_duck_sketch_block("o_custkey"))} as kmv_hash
+      from orders
+    ), ranked as (
+      select o_orderpriority, kmv_hash,
+             row_number() over (partition by o_orderpriority
+                                order by kmv_hash) as rn
+      from h
+    ), topk as (
+      select o_orderpriority, kmv_hash from ranked where rn <= 64
+    )
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_hashes,
+           round(case when count(*) < 64 then cast(count(*) as double)
+                 else (cast(63 as double)
+                       * cast(1152921504606846976 as double))
+                      / cast(max(kmv_hash) as double) end, 4) as est_distinct
+    from topk
+    group by o_orderpriority
+    """,
+)
+def x_kmv_grouped(spark, sf_dir):
+    """Per-``o_orderpriority`` KMV sketches (k=64) through the
+    two-level no-raw-shuffle plan (partial per-partition top-k, then a
+    k-bounded per-group merge — raw rows never shuffle), estimated per
+    group; the oracle restates the k-smallest-distinct-md5
+    construction as a row_number over distinct hashes. Registered in
+    the r17 capacity swap (retiring ``g_rollup_pricing``) after
+    sitting parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r17.py`` through r16."""
+    from hive_scripts_spark.operators.sketches import (
+        kmv_estimate_grouped,
+        kmv_sketch_grouped,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    sk = kmv_sketch_grouped(
+        orders, ["o_orderpriority"], ["o_custkey"], k=64
+    )
+    return kmv_estimate_grouped(sk, ["o_orderpriority"], k=64)
+
+
+#: DuckDB twin of sketches' count-min cell hash: row-salted 60-bit md5
+#: over the null-safe block pre-image
+def _duck_cm_hash(key: str) -> str:
+    return _duck_h60(
+        "cast(cm_row as varchar) || ':' || " + _duck_sketch_block(key)
+    )
+
+
+@register(
+    "x_countmin_heavy",
+    oracle=f"""
+    with rows_d as (select unnest([0, 1, 2, 3]) as cm_row),
+    sketch as (
+      select cm_row,
+             cast({_duck_cm_hash("l_suppkey")} % 256 as int)
+               as cm_bucket,
+             cast(count(*) as bigint) as cm_count
+      from lineitem, rows_d
+      group by 1, 2
+    ),
+    probes as (
+      select s_suppkey, cm_row,
+             cast({_duck_cm_hash("s_suppkey")} % 256 as int)
+               as cm_bucket
+      from supplier, rows_d
+    )
+    select p.s_suppkey,
+           min(coalesce(sk.cm_count, 0)) as est_count
+    from probes p
+    left join sketch sk using (cm_row, cm_bucket)
+    group by p.s_suppkey
+    """,
+)
+def x_countmin_heavy(spark, sf_dir):
+    """The r14 count-min frequency sketch (depth 4 × width 256) graded
+    end-to-end over ``lineitem.l_suppkey``: build the counter grid
+    (one groupBy over depth×rows salted cells), broadcast it, probe
+    every supplier key with the min-over-rows lookup. One-sided error
+    (estimate ≥ true count) and merge exactness are pytest-pinned in
+    ``test_sketches.py``; the oracle rebuilds the salted grid and the
+    min-lookup in SQL. Registered in the r17 capacity swap (retiring
+    ``x_events_sessionize_chunked``) after sitting parity-verified at
+    sf0.001 AND sf0.01 in ``tests/test_queued_r17.py`` through r16."""
+    from hive_scripts_spark.operators.sketches import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    keys = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    sk = countmin_build(li, "l_suppkey", depth=4, width=256)
+    out = countmin_lookup(sk, keys, "l_suppkey", depth=4, width=256)
+    return out.select(
+        F.col("l_suppkey").alias("s_suppkey"), "est_count"
+    )

@@ -26,7 +26,11 @@ TABLES = (
 ).split()
 
 NAMES = (
-    "x_events_sessionize_chunked",
+    # x_events_sessionize_chunked retired from the graded registry in
+    # the r17 capacity swap (slot funds x_countmin_heavy): its parity
+    # now runs in tests/test_retired_queries.py against the frozen r14
+    # oracle, and test_chunked_shares_the_sessionize_oracle below keeps
+    # the shared-oracle invariant against that frozen text
     "x_multimodal_resize_png",
     "x_audio_zero_crossings",
 )
@@ -64,11 +68,15 @@ def test_queued_png_literals():
 
 
 def test_chunked_shares_the_sessionize_oracle():
-    """The chunked escalation is graded against the SAME oracle text as
-    the single-window form — the whole point of the registration."""
+    """The chunked escalation was graded against the SAME oracle text
+    as the single-window form — the whole point of the r14
+    registration. Retired r17: the invariant now pins the FROZEN
+    oracle (tests/test_retired_queries.py) to the live sessionize
+    oracle, so neither side can drift without tripping this."""
     from hive_scripts_spark.plans.registry import ORACLES
+    from tests.test_retired_queries import RETIRED
 
-    assert ORACLES["x_events_sessionize_chunked"] == ORACLES[
+    assert RETIRED["x_events_sessionize_chunked"] == ORACLES[
         "x_events_sessionize"
     ]
 

@@ -1,25 +1,16 @@
-"""Queued r17 registration candidates (the ``test_queued_r15.py``
-pattern): body + oracle held here as literals, parity-verified at
-sf0.001 AND the driver's grading scale sf0.01, awaiting a future
-capacity swap. These grade the round-14 mergeable-sketch family
-(``operators/sketches.py`` — incremental distinct / frequency
-statistics, the persist-at-write-time pattern for 100 TB lakes):
+"""Registration parity checks for the three r17 capacity-swap queries.
 
-1. ``x_kmv_distinct`` — KMV k-minimum-values distinct sketch +
-   estimate over ``orders.o_custkey`` (k=256). sf0.001 has 150
-   distinct custkeys (< k → the exact under-full branch); sf0.01 has
-   1500 (> k → the ``(k-1)*2^60/h_k`` estimator branch) — one query
-   grades BOTH estimator arms across the two parity scales. The
-   oracle restates the k-smallest-distinct-md5 construction in pure
-   SQL.
-2. ``x_kmv_grouped`` — per-``o_orderpriority`` KMV sketches (k=64)
-   through the two-level no-raw-shuffle plan, estimated per group;
-   oracle = row_number over distinct hashes.
-3. ``x_countmin_heavy`` — count-min (depth 4 × width 256) over
-   ``lineitem.l_suppkey``, probed for every supplier key; the oracle
-   rebuilds the salted counter grid and the min-over-rows lookup in
-   SQL. One-sided-error and merge exactness are pytest-pinned in
-   ``test_sketches.py``.
+The queries were pre-verified (r16) with their bodies and oracle SQL
+held as literals in this file; the r17 swap moved all three verbatim
+into ``plans/extension_queries.py``, retiring ``g_cube_order_status``,
+``g_rollup_pricing``, and ``x_events_sessionize_chunked`` (the strict-
+rotation-safe retirees — every one drawn from the r17 stale set, the
+50 r14-green queries, per the r16 VERDICT's simulation; COVERAGE.md
+"Registry capacity"). These tests now pull the REGISTERED query +
+oracle from the registry and re-run the same order-insensitive digest
+comparison as ``tools/parity.py`` at BOTH sf0.001 and the driver's
+grading scale sf0.01, so any later edit to either side re-proves
+parity instead of trusting the r16 snapshot.
 
 Float parity note: the KMV estimator constant ``(k-1) * 2^60`` is
 exact in IEEE double on both engines (8 significant bits × a power of
@@ -28,10 +19,10 @@ round to 4 decimals — same discipline as the graded jaccard rows.
 
 Null parity note: the sketch pre-image is ``sketch_pre_image`` — a
 per-column md5 block with a ``'<null>'`` sentinel — restated verbatim
-in the oracles below. A raw ``cast(x as varchar)`` twin would DIVERGE
-on nullable columns (Spark's concat_ws never returns null; SQL md5
-propagates NULL); the block form is null-identical on both engines,
-pinned by ``test_sketches.py::test_kmv_null_parity_with_duckdb``.
+in the registered oracles. A raw ``cast(x as varchar)`` twin would
+DIVERGE on nullable columns (Spark's concat_ws never returns null;
+SQL md5 propagates NULL); the block form is null-identical on both
+engines, pinned by ``test_sketches.py::test_kmv_null_parity_with_duckdb``.
 """
 
 from __future__ import annotations
@@ -46,155 +37,11 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-#: DuckDB twin of dedup.portable_hash60 (single pre-image slot)
-_H60 = "cast(('0x' || substr(md5({pre}), 1, 15)) as bigint)"
-
-#: DuckDB twin of sketches._col_block (null-safe fixed-width block)
-_BLOCK = (
-    "case when {c} is null then '<null>' "
-    "else md5(cast({c} as varchar)) end"
+NAMES = (
+    "x_kmv_distinct",
+    "x_kmv_grouped",
+    "x_countmin_heavy",
 )
-
-# ---------------------------------------------------------------------------
-# candidate 1: x_kmv_distinct
-# ---------------------------------------------------------------------------
-
-KMV_NAME = "x_kmv_distinct"
-
-KMV_ORACLE = f"""
-    with h as (
-      select distinct
-             {_H60.format(pre=_BLOCK.format(c="o_custkey"))} as kmv_hash
-      from orders
-    ), topk as (
-      select kmv_hash from h order by kmv_hash limit 256
-    )
-    select cast(count(*) as bigint) as n_hashes,
-           max(kmv_hash) as kth_hash,
-           round(case when count(*) < 256 then cast(count(*) as double)
-                 else (cast(255 as double)
-                       * cast(1152921504606846976 as double))
-                      / cast(max(kmv_hash) as double) end, 4) as est_distinct
-    from topk
-"""
-
-
-def kmv_query(spark, sf_dir):
-    """The x_kmv_distinct body (verbatim future registration)."""
-    from hive_scripts_spark.operators.sketches import kmv_estimate, kmv_sketch
-    from hive_scripts_spark.plans.registry import table
-
-    orders = table(spark, sf_dir, "orders")
-    return kmv_estimate(kmv_sketch(orders, ["o_custkey"], k=256), k=256)
-
-
-# ---------------------------------------------------------------------------
-# candidate 2: x_kmv_grouped
-# ---------------------------------------------------------------------------
-
-KMV_GROUPED_NAME = "x_kmv_grouped"
-
-KMV_GROUPED_ORACLE = f"""
-    with h as (
-      select distinct o_orderpriority,
-             {_H60.format(pre=_BLOCK.format(c="o_custkey"))} as kmv_hash
-      from orders
-    ), ranked as (
-      select o_orderpriority, kmv_hash,
-             row_number() over (partition by o_orderpriority
-                                order by kmv_hash) as rn
-      from h
-    ), topk as (
-      select o_orderpriority, kmv_hash from ranked where rn <= 64
-    )
-    select o_orderpriority,
-           cast(count(*) as bigint) as n_hashes,
-           round(case when count(*) < 64 then cast(count(*) as double)
-                 else (cast(63 as double)
-                       * cast(1152921504606846976 as double))
-                      / cast(max(kmv_hash) as double) end, 4) as est_distinct
-    from topk
-    group by o_orderpriority
-"""
-
-
-def kmv_grouped_query(spark, sf_dir):
-    """The x_kmv_grouped body (verbatim future registration): the
-    two-level grouped sketch (raw rows never shuffle) + per-group
-    estimates."""
-    from hive_scripts_spark.operators.sketches import (
-        kmv_estimate_grouped,
-        kmv_sketch_grouped,
-    )
-    from hive_scripts_spark.plans.registry import table
-
-    orders = table(spark, sf_dir, "orders")
-    sk = kmv_sketch_grouped(
-        orders, ["o_orderpriority"], ["o_custkey"], k=64
-    )
-    return kmv_estimate_grouped(sk, ["o_orderpriority"], k=64)
-
-
-# ---------------------------------------------------------------------------
-# candidate 3: x_countmin_heavy
-# ---------------------------------------------------------------------------
-
-COUNTMIN_NAME = "x_countmin_heavy"
-
-_CM_HASH = _H60.format(
-    pre="cast(cm_row as varchar) || ':' || " + _BLOCK.format(c="{key}")
-)
-
-COUNTMIN_ORACLE = f"""
-    with rows_d as (select unnest([0, 1, 2, 3]) as cm_row),
-    sketch as (
-      select cm_row,
-             cast({_CM_HASH.format(key="l_suppkey")} % 256 as int)
-               as cm_bucket,
-             cast(count(*) as bigint) as cm_count
-      from lineitem, rows_d
-      group by 1, 2
-    ),
-    probes as (
-      select s_suppkey, cm_row,
-             cast({_CM_HASH.format(key="s_suppkey")} % 256 as int)
-               as cm_bucket
-      from supplier, rows_d
-    )
-    select p.s_suppkey,
-           min(coalesce(sk.cm_count, 0)) as est_count
-    from probes p
-    left join sketch sk using (cm_row, cm_bucket)
-    group by p.s_suppkey
-"""
-
-
-def countmin_query(spark, sf_dir):
-    """The x_countmin_heavy body (verbatim future registration):
-    build the counter grid over lineitem, broadcast it, probe every
-    supplier key."""
-    from pyspark.sql import functions as F
-
-    from hive_scripts_spark.operators.sketches import (
-        countmin_build,
-        countmin_lookup,
-    )
-    from hive_scripts_spark.plans.registry import table
-
-    li = table(spark, sf_dir, "lineitem")
-    keys = table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("l_suppkey")
-    )
-    sk = countmin_build(li, "l_suppkey", depth=4, width=256)
-    out = countmin_lookup(sk, keys, "l_suppkey", depth=4, width=256)
-    return out.select(
-        F.col("l_suppkey").alias("s_suppkey"), "est_count"
-    )
-
-
-# ---------------------------------------------------------------------------
-# parity harness (same order-insensitive digest as tools/parity.py)
-# ---------------------------------------------------------------------------
 
 
 def _norm(v):
@@ -210,30 +57,67 @@ def _digest(cols, rows):
     return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def test_kmv_grades_both_estimator_arms(spark):
+    """The registration's whole point: sf0.001 has 150 distinct
+    custkeys (< k=256 → the exact under-full branch returns the count
+    itself) while the driver's grading scale sf0.01 has 1500 (> k →
+    the (k-1)*2^60/h_k estimator branch fires). One query, both arms,
+    across the two parity scales — assert the branch split is real so
+    a testdata regeneration that collapses it fails loudly."""
+    from hive_scripts_spark.plans.registry import QUERIES
+
+    under = QUERIES["x_kmv_distinct"](spark, "/root/testdata/sf0.001").head()
+    over = QUERIES["x_kmv_distinct"](spark, "/root/testdata/sf0.01").head()
+    assert under["n_hashes"] < 256  # under-full: exact branch
+    assert under["est_distinct"] == float(under["n_hashes"])
+    assert over["n_hashes"] == 256  # saturated: estimator branch
+    assert over["est_distinct"] != float(over["n_hashes"])
+
+
+def test_countmin_one_sided_at_grading_sf(spark):
+    """Count-min's defining guarantee on the graded shape: every
+    supplier estimate ≥ its true lineitem frequency (width 256 over
+    ~100 keys at sf0.01 means collisions are plausible but
+    underestimates are impossible)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.plans.registry import QUERIES, table
+
+    sf_dir = "/root/testdata/sf0.01"
+    est = QUERIES["x_countmin_heavy"](spark, sf_dir)
+    true = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    joined = est.join(true, "s_suppkey", "left").select(
+        "est_count", F.coalesce("true_count", F.lit(0)).alias("true_count")
+    )
+    assert joined.where(F.col("est_count") < F.col("true_count")).count() == 0
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-@pytest.mark.parametrize(
-    "query,oracle",
-    [
-        (kmv_query, KMV_ORACLE),
-        (kmv_grouped_query, KMV_GROUPED_ORACLE),
-        (countmin_query, COUNTMIN_ORACLE),
-    ],
-    ids=[KMV_NAME, KMV_GROUPED_NAME, COUNTMIN_NAME],
-)
-def test_queued_query_matches_oracle(spark, sf_dir, query, oracle):
-    got = query(spark, sf_dir)
+@pytest.mark.parametrize("name", NAMES)
+def test_registered_r17_query_matches_its_oracle(spark, sf_dir, name):
+    from hive_scripts_spark.plans.registry import ORACLES, QUERIES
+
+    assert name in QUERIES and name in ORACLES
+
+    got = QUERIES[name](spark, sf_dir)
     spark_digest = _digest(got.columns, got.collect())
+
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
             )
-        rel = con.sql(oracle)
+        rel = con.sql(ORACLES[name])
         duck_digest = _digest(rel.columns, rel.fetchall())
     finally:
         con.close()
+
     assert len(spark_digest) == len(duck_digest) > 0
     assert spark_digest == duck_digest

@@ -424,6 +424,52 @@ RETIRED = {
                   / cast(strlen(text) as double)) end as rms_energy
     from documents
     """,
+    # retired r17 (slots fund x_kmv_distinct / x_kmv_grouped /
+    # x_countmin_heavy); frozen verbatim from the r14-graded registry
+    # text. CUBE and ROLLUP are grouping-sets sugar over the same
+    # Expand operator, so the family stays graded by the richer
+    # g_grouping_sets.
+    "g_cube_order_status": """
+    select o_orderstatus, o_orderpriority, count(*) as n_orders
+    from orders
+    group by cube(o_orderstatus, o_orderpriority)
+    """,
+    "g_rollup_pricing": """
+    select l_returnflag, l_linestatus,
+           count(*) as n_items,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+    from lineitem
+    group by rollup(l_returnflag, l_linestatus)
+    """,
+    # retired r17: the chunk-and-stitch sessionize escalation was
+    # graded against the SAME oracle text as the still-registered
+    # x_events_sessionize (a literal answer-twin — the physical-plan
+    # divergence is what test_properties.py's chunk/single bit-identity
+    # pin proves); frozen verbatim from the r14-graded registry
+    # (_DUCK_SESSIONIZE prefix expanded), and
+    # test_queued_r14.py::test_chunked_shares_the_sessionize_oracle
+    # asserts this text still equals the live sessionize oracle
+    "x_events_sessionize_chunked": """
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), numbered as (
+      select user_id, ts,
+             cast(sum(new_session) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row)
+                  as bigint) as session_id
+      from marked
+    )
+
+    select user_id, session_id, count(*) as n_events,
+           min(ts) as session_start, max(ts) as session_end
+    from numbered group by user_id, session_id
+    """,
 }
 
 
@@ -443,9 +489,13 @@ def _digest(cols, rows):
 
 
 def _load_fn(name):
-    from hive_scripts_spark.plans import extension_queries, reference_queries
+    from hive_scripts_spark.plans import (
+        analytics_queries,
+        extension_queries,
+        reference_queries,
+    )
 
-    for mod in (reference_queries, extension_queries):
+    for mod in (reference_queries, extension_queries, analytics_queries):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise AssertionError(f"retired function {name} vanished")

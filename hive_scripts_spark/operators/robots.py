@@ -210,13 +210,16 @@ def apply_robots(
     means crawl permitted); duplicate rows collapsing to one
     normalized host combine conservatively — identical refetches
     merge, an empty refetch defers, but DIFFERING non-empty rule sets
-    are an error (dedupe upstream by fetch time). With
-    ``validate_rules=True`` (default) that conflict check runs as an
-    EAGER job over the host-count-sized rules side at plan-build time,
-    so a bad rules table fails in seconds instead of aborting the
-    (possibly 100 TB, mid-write) corpus job at execution; pass
-    ``validate_rules=False`` to skip the extra rules-side job — the
-    conflict then raises lazily from inside the corpus-side join.
+    are an error (dedupe upstream by fetch time). The conflict raise
+    is IN-PLAN always — a conflicting host aborts at execution time
+    whatever the flags (r16 ADVICE: an uncached stream-static rules
+    side recompiles per micro-batch, so a plan-build-only check could
+    silently under-block a rules source that changed after it). With
+    ``validate_rules=True`` (default) the same check ADDITIONALLY runs
+    as an EAGER job over the host-count-sized rules side at plan-build
+    time, so a bad rules table fails in seconds instead of aborting
+    the (possibly 100 TB, mid-write) corpus job at execution; pass
+    ``validate_rules=False`` to skip that extra rules-side job.
     Streaming consumers (stream-static join) should ``.cache()`` the
     ``rules`` DataFrame — the static side re-executes its compile +
     merge every micro-batch otherwise (and, with validation on, once
@@ -271,6 +274,14 @@ def apply_robots(
         "latest fetch per host"
     )
     if validate_rules:
+        # eager pre-check: surface the conflict BEFORE any corpus job
+        # runs. This is an EXTRA early read of the rules side, not a
+        # replacement for the in-plan guard below (r16 ADVICE): an
+        # uncached stream-static rules side recompiles every
+        # micro-batch, and a rules source that changes between this
+        # check and corpus execution would otherwise silently resolve
+        # a late conflict to an arbitrary fetch — the under-block the
+        # in-plan raise exists to prevent.
         bad = [
             r["__robots_host"]
             for r in grouped.where(F.size("__robots_sets") > 1)
@@ -279,24 +290,27 @@ def apply_robots(
             .collect()
         ]
         if bad:
+            shown = ", ".join(bad)
+            if len(bad) == 5:  # limit(5) — there may be more conflicts
+                shown += ", … (first 5 shown)"
             raise ValueError(
-                "apply_robots: " + conflict_msg.format(", ".join(bad))
+                "apply_robots: " + conflict_msg.format(shown)
             )
-        # try_element_at: NULL (-> empty via the coalesce below) when
-        # every fetch for the host was empty-rules; plain element_at
-        # throws on the empty array under ANSI
-        merged = F.try_element_at("__robots_sets", F.lit(1))
-    else:
-        merged = F.when(
-            F.size("__robots_sets") > 1,
-            F.raise_error(
-                F.concat(
-                    F.lit("apply_robots: " + conflict_msg.split("{}")[0]),
-                    F.col("__robots_host"),
-                    F.lit(conflict_msg.split("{}")[1]),
-                )
-            ).cast(_RULES_ARRAY_T),
-        ).otherwise(F.try_element_at("__robots_sets", F.lit(1)))
+    # in-plan guard, active regardless of validate_rules: conflicting
+    # fetches for a host raise at execution time. try_element_at in
+    # the otherwise arm: NULL (-> empty via the coalesce below) when
+    # every fetch for the host was empty-rules; plain element_at
+    # throws on the empty array under ANSI.
+    merged = F.when(
+        F.size("__robots_sets") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("apply_robots: " + conflict_msg.split("{}")[0]),
+                F.col("__robots_host"),
+                F.lit(conflict_msg.split("{}")[1]),
+            )
+        ).cast(_RULES_ARRAY_T),
+    ).otherwise(F.try_element_at("__robots_sets", F.lit(1)))
     rules_side = grouped.select(
         "__robots_host",
         F.coalesce(merged, F.lit([]).cast(_RULES_ARRAY_T)).alias(

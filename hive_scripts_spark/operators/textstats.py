@@ -548,10 +548,22 @@ def html_to_text(
     live inside the closure (vanilla-pickling rule).
     """
     keep = list(keep_cols or [])
-    clash = {id_col, html_col} & set(keep)
+    clash = {id_col.lower(), html_col.lower()} & {c.lower() for c in keep}
     if clash:
         raise ValueError(f"html_to_text: keep_cols duplicate {clash}")
+    # resolve keep_cols against df case-insensitively (the
+    # spark.sql.caseSensitive=false default the rest of the module
+    # assumes) so a missing or miscased name raises a descriptive
+    # error instead of a raw KeyError from the dtypes lookup
     dtypes = dict(df.dtypes)
+    by_lower = {c.lower(): c for c in dtypes}
+    missing = [c for c in keep if c.lower() not in by_lower]
+    if missing:
+        raise ValueError(
+            f"html_to_text: keep_cols {missing} not in the input "
+            f"DataFrame (columns: {sorted(dtypes)})"
+        )
+    keep = [by_lower[c.lower()] for c in keep]
     kept_schema = "".join(f", {c} {dtypes[c]}" for c in keep)
     out_schema = (
         f"{id_col} {dtypes[id_col]}{kept_schema}, title string, "

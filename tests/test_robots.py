@@ -383,6 +383,44 @@ def test_conflicting_host_fetches_raise_eagerly(spark):
         R.apply_robots(docs, _conflicting_rules(spark))
 
 
+def test_in_plan_conflict_guard_survives_validation(spark):
+    """r16 ADVICE: validate_rules=True must KEEP the in-plan
+    raise_error branch — the eager check runs once at plan-build, but
+    an uncached stream-static rules side recompiles every micro-batch,
+    and a rules source that changes between the check and corpus
+    execution would otherwise silently resolve a late conflict to an
+    arbitrary fetch (the under-block the in-plan raise prevents). A
+    clean table builds fine; the executed plan still carries the
+    guard."""
+    docs = spark.createDataFrame([("https://ok.com/x",)], "url string")
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("ok.com", "User-agent: *\nDisallow: /y\n")],
+            "host string, payload string",
+        )
+    )
+    out = R.apply_robots(docs, rules)  # validate_rules defaults True
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" in plan
+    assert [r["robots_allowed"] for r in out.collect()] == [True]
+
+
+def test_conflict_error_marks_truncation_at_five_hosts(spark):
+    """r16 ADVICE: the eager conflict error joins at most 5 hosts
+    (limit(5)) — with more conflicting hosts the message must say the
+    list is truncated, so it cannot read as exhaustive."""
+    rows = []
+    for i in range(7):
+        rows.append((f"h{i}.com", "User-agent: *\nDisallow: /a\n"))
+        rows.append((f"H{i}.COM.", "User-agent: *\nAllow: /a/b\n"))
+    rules = R.robots_rules(
+        spark.createDataFrame(rows, "host string, payload string")
+    )
+    docs = spark.createDataFrame([("https://h0.com/a/b",)], "url string")
+    with pytest.raises(ValueError, match=r"first 5 shown"):
+        R.apply_robots(docs, rules)
+
+
 def test_conflicting_host_fetches_raise_lazily_when_unvalidated(spark):
     """validate_rules=False skips the upfront rules-side job; the
     conflict then still aborts the corpus job at execution (the

@@ -690,3 +690,13 @@ def test_html_to_text_keep_cols_ride_the_batch(spark):
     }
     with pytest.raises(ValueError, match="keep_cols duplicate"):
         X.html_to_text(df, keep_cols=["text"])
+    # r16 ADVICE: missing keep_cols raise a descriptive ValueError
+    # naming the column (not a raw KeyError from the dtypes lookup),
+    # and casing resolves like the rest of the module
+    # (spark.sql.caseSensitive=false)
+    with pytest.raises(ValueError, match=r"keep_cols \['nope'\] not in"):
+        X.html_to_text(df, keep_cols=["nope"])
+    with pytest.raises(ValueError, match="keep_cols duplicate"):
+        X.html_to_text(df, keep_cols=["TEXT"])  # clash check is ci too
+    miscased = X.html_to_text(df, keep_cols=["URI"]).collect()[0]
+    assert miscased["uri"] == "https://a.example/x"

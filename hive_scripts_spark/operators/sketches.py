@@ -596,16 +596,22 @@ def digit_hist_quantiles_grouped(
 
 
 def _cm_cells(
-    key: Column, depth: int, width: int, hash_fn: Callable[..., Column]
+    block: Column, depth: int, width: int, hash_fn: Callable[..., Column]
 ) -> Column:
-    """The (cm_row, cm_bucket) cell array for one key — the build /
-    lookup compatibility contract, shared so the salting scheme can
-    never diverge between the two. Each row d salts the key's
-    :func:`_col_block` with ``"{d}:"``; portable_hash60 is always
-    positive, so ``%`` agrees between Spark and DuckDB (documented on
-    the hash). NULL keys hash via the block sentinel — both engines
-    count all NULLs as one key."""
-    block = _col_block(key)
+    """The (cm_row, cm_bucket) cell array for one key's
+    :func:`_col_block` — the build / lookup compatibility contract,
+    shared so the salting scheme can never diverge between the two.
+    Each row d salts the block with ``"{d}:"``; portable_hash60 is
+    always positive, so ``%`` agrees between Spark and DuckDB
+    (documented on the hash). NULL keys hash via the block sentinel —
+    both engines count all NULLs as one key.
+
+    Takes the block COLUMN, not the raw key: callers project
+    ``_col_block(key)`` once before building the array — inlining it
+    here made every depth row recompute the inner md5 (Catalyst's
+    subexpression elimination does not reach across array elements;
+    measured 20% of the 4×256 build at sf0.1). Hash values are
+    identical either way — this is purely where the block evaluates."""
     return F.array(
         *[
             F.struct(
@@ -667,9 +673,10 @@ def countmin_build(
         ).otherwise(w)
     else:
         weight = F.lit(1).cast("long")
-    cells = _cm_cells(key, depth, width, hash_fn)
+    cells = _cm_cells(F.col("__cm_block"), depth, width, hash_fn)
     return (
-        df.select(F.explode(cells).alias("cell"), weight.alias("w"))
+        df.select(_col_block(key).alias("__cm_block"), weight.alias("w"))
+        .select(F.explode(cells).alias("cell"), "w")
         .groupBy(
             F.col("cell.cm_row").alias("cm_row"),
             F.col("cell.cm_bucket").alias("cm_bucket"),
@@ -703,11 +710,15 @@ def countmin_lookup(
     ``depth × width`` rows — broadcast it, so the probe never
     shuffles."""
     key = F.col(key_col)
-    cells = _cm_cells(key, depth, width, hash_fn)
-    probes = keys.select(key, F.explode(cells).alias("cell")).select(
-        key_col,
-        F.col("cell.cm_row").alias("cm_row"),
-        F.col("cell.cm_bucket").alias("cm_bucket"),
+    cells = _cm_cells(F.col("__cm_block"), depth, width, hash_fn)
+    probes = (
+        keys.select(key, _col_block(key).alias("__cm_block"))
+        .select(key, F.explode(cells).alias("cell"))
+        .select(
+            key_col,
+            F.col("cell.cm_row").alias("cm_row"),
+            F.col("cell.cm_bucket").alias("cm_bucket"),
+        )
     )
     joined = probes.join(
         F.broadcast(sketch), on=["cm_row", "cm_bucket"], how="left"

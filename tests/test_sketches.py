@@ -216,6 +216,22 @@ def test_countmin_sketch_bounded_and_partial_agg(spark):
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
 
 
+def test_countmin_build_shares_the_block_hash(spark):
+    """r17 perf pin: the key's _col_block md5 must evaluate ONCE per
+    input row, not once per depth row — Catalyst's subexpression
+    elimination does not reach across array elements, so the block is
+    projected before the cell array is built. depth+1 md5 calls in
+    the plan (1 block + depth salted), not 2·depth; measured 20–26%
+    of the build at sf0.1/10M when this regresses."""
+    df = spark.range(0, 100, 1, 2).select(
+        F.concat(F.lit("u"), F.col("id") % 7).alias("k")
+    )
+    for depth in (2, 4):
+        sk = SK.countmin_build(df, "k", depth=depth, width=32)
+        plan = _plan(sk)
+        assert plan.count("md5(") == depth + 1, plan
+
+
 def test_countmin_lookup_broadcasts_sketch(spark):
     df = spark.createDataFrame([("a",), ("b",)], "k string")
     sk = SK.countmin_build(df, "k", depth=2, width=16)

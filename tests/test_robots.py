@@ -506,3 +506,32 @@ def test_apply_robots_runs_as_stream_static_join(spark, tmp_path):
         "https://s.com/block/1": False,
         "https://s.com/ok": True,
     }
+
+
+def test_stream_static_conflict_aborts_the_micro_batch(spark, tmp_path):
+    """The r16 ADVICE mechanism proven on the streaming path: the
+    rules side re-executes every micro-batch, so if its state carries
+    a conflict at EXECUTION time the in-plan raise_error must abort
+    the micro-batch — resolving to an arbitrary fetch would be the
+    under-block. validate_rules=False here stands in for "the eager
+    plan-build check did not see the conflict" (a rules source that
+    changed after it); the batch twin of this raise is
+    test_conflicting_host_fetches_raise_lazily_when_unvalidated."""
+    src = tmp_path / "stream_conflict_docs"
+    spark.createDataFrame(
+        [("https://example.com/x/page",)], "url string"
+    ).write.parquet(str(src))
+    out = R.apply_robots(
+        spark.readStream.schema("url string").parquet(str(src)),
+        _conflicting_rules(spark),
+        validate_rules=False,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("robots_conflict_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="conflicting robots rules"):
+        q.awaitTermination(240)

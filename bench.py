@@ -170,6 +170,18 @@ EXTRA = [
     "x_kmv_distinct",
     "x_kmv_grouped",
     "x_countmin_heavy",
+    # r18 registry swap — timing series starts here: the digit-sketch
+    # quantile face (histogram build + cumulative-bucket picks; the
+    # quantile row's time INCLUDES its histogram build, so read the
+    # pair's delta as the quantile-selection cost) and the RFC 9309
+    # robots decision fold. The r18 retirees x_dedup_exact /
+    # x_doc_fingerprint / x_text_unigram_logprob leave no EXTRA gap
+    # (none was in a bench list; exact-dedup cost is carried by
+    # x_dedup_fingerprint, the md5 normalization by the fingerprint
+    # rows, and the LM-fold cost by x_text_bigram_logprob).
+    "x_digit_hist",
+    "x_digit_quantiles",
+    "x_robots_decisions",
 ]
 
 

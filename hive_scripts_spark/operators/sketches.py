@@ -709,6 +709,22 @@ def countmin_lookup(
     ``est_count >= true count`` always. The sketch side is ≤
     ``depth × width`` rows — broadcast it, so the probe never
     shuffles."""
+    # the probe plan projects these internal names NEXT TO the caller's
+    # key column (unlike countmin_build, which consumes the key into
+    # the block projection), so a key_col reusing one would yield
+    # duplicate/ambiguous columns and an opaque AnalysisException —
+    # fail descriptively instead, mirroring _check_group_cols
+    # (ADVICE r17)
+    reserved = frozenset(
+        {"__cm_block", "cell", "cm_row", "cm_bucket", "cm_count",
+         "est_count"}
+    )
+    if key_col in reserved:
+        raise ValueError(
+            f"countmin_lookup: key_col {key_col!r} collides with this "
+            f"sketch family's internal column names {sorted(reserved)} "
+            "— rename it before probing"
+        )
     key = F.col(key_col)
     cells = _cm_cells(F.col("__cm_block"), depth, width, hash_fn)
     probes = (

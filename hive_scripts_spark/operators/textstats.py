@@ -551,18 +551,41 @@ def html_to_text(
     clash = {id_col.lower(), html_col.lower()} & {c.lower() for c in keep}
     if clash:
         raise ValueError(f"html_to_text: keep_cols duplicate {clash}")
-    # resolve keep_cols against df case-insensitively (the
-    # spark.sql.caseSensitive=false default the rest of the module
+    # resolve id_col/html_col/keep_cols against df case-insensitively
+    # (the spark.sql.caseSensitive=false default the rest of the module
     # assumes) so a missing or miscased name raises a descriptive
-    # error instead of a raw KeyError from the dtypes lookup
+    # error instead of a raw KeyError from the dtypes lookup (ADVICE
+    # r17: keep_cols got this treatment in r16 while id_col/html_col
+    # kept the raw-KeyError path)
     dtypes = dict(df.dtypes)
-    by_lower = {c.lower(): c for c in dtypes}
+    by_lower: dict[str, str] = {}
+    for c in dtypes:
+        prev = by_lower.setdefault(c.lower(), c)
+        if prev != c:
+            # two columns differing only by case can coexist under
+            # spark.sql.caseSensitive=true; the lowercase mapping is
+            # then ambiguous — silently binding to either would route
+            # an arbitrary column through the Arrow batch (ADVICE r17)
+            raise ValueError(
+                "html_to_text: input schema has columns differing "
+                f"only by case ({prev!r} vs {c!r}) — the module's "
+                "case-insensitive name resolution is ambiguous; "
+                "rename one side upstream"
+            )
     missing = [c for c in keep if c.lower() not in by_lower]
     if missing:
         raise ValueError(
             f"html_to_text: keep_cols {missing} not in the input "
             f"DataFrame (columns: {sorted(dtypes)})"
         )
+    for role, name in (("id_col", id_col), ("html_col", html_col)):
+        if name.lower() not in by_lower:
+            raise ValueError(
+                f"html_to_text: {role} {name!r} not in the input "
+                f"DataFrame (columns: {sorted(dtypes)})"
+            )
+    id_col = by_lower[id_col.lower()]
+    html_col = by_lower[html_col.lower()]
     keep = [by_lower[c.lower()] for c in keep]
     kept_schema = "".join(f", {c} {dtypes[c]}" for c in keep)
     out_schema = (

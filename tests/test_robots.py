@@ -421,6 +421,27 @@ def test_conflict_error_marks_truncation_at_five_hosts(spark):
         R.apply_robots(docs, rules)
 
 
+def test_conflict_error_exhaustive_at_exactly_five_hosts(spark):
+    """r17 ADVICE: with EXACTLY 5 conflicting hosts the list is
+    exhaustive, so the truncation marker must NOT fire (the probe now
+    reads limit(6) and marks truncation only when a 6th row came
+    back); all five hosts appear in the message."""
+    rows = []
+    for i in range(5):
+        rows.append((f"h{i}.com", "User-agent: *\nDisallow: /a\n"))
+        rows.append((f"H{i}.COM.", "User-agent: *\nAllow: /a/b\n"))
+    rules = R.robots_rules(
+        spark.createDataFrame(rows, "host string, payload string")
+    )
+    docs = spark.createDataFrame([("https://h0.com/a/b",)], "url string")
+    with pytest.raises(ValueError) as exc:
+        R.apply_robots(docs, rules)
+    msg = str(exc.value)
+    assert "first 5 shown" not in msg
+    for i in range(5):
+        assert f"h{i}.com" in msg
+
+
 def test_conflicting_host_fetches_raise_lazily_when_unvalidated(spark):
     """validate_rules=False skips the upfront rules-side job; the
     conflict then still aborts the corpus job at execution (the

@@ -498,6 +498,22 @@ def test_group_cols_reserved_names_rejected(spark):
         SK.kmv_sketch_grouped(df2, ["kmv_hash"], ["k"])
 
 
+def test_countmin_lookup_reserved_key_col_rejected(spark):
+    """r17 ADVICE: countmin_lookup projects internal columns NEXT TO
+    the caller's key column (unlike countmin_build, which consumes the
+    key), so a key named after any of them used to fail with an opaque
+    duplicate-column AnalysisException — now a descriptive ValueError,
+    mirroring _check_group_cols."""
+    sk = SK.countmin_build(
+        spark.createDataFrame([("a",)], "k string"), "k", depth=2, width=8
+    )
+    for bad in ("__cm_block", "cell", "cm_row", "cm_bucket",
+                "cm_count", "est_count"):
+        keys = spark.createDataFrame([("a",)], f"`{bad}` string")
+        with pytest.raises(ValueError, match="collides"):
+            SK.countmin_lookup(sk, keys, bad, depth=2, width=8)
+
+
 def test_kmv_merge_refuses_grouped_input(spark, ids):
     grouped = ids.select((F.length("k") % 3).cast("int").alias("g"), "k")
     sk = SK.kmv_sketch_grouped(grouped, ["g"], ["k"], k=8)

@@ -700,3 +700,27 @@ def test_html_to_text_keep_cols_ride_the_batch(spark):
         X.html_to_text(df, keep_cols=["TEXT"])  # clash check is ci too
     miscased = X.html_to_text(df, keep_cols=["URI"]).collect()[0]
     assert miscased["uri"] == "https://a.example/x"
+    # r17 ADVICE: id_col/html_col resolve through the same
+    # case-insensitive map with the same descriptive error (a miscased
+    # id_col used to raise a raw KeyError from the dtypes lookup)
+    miscased_id = X.html_to_text(
+        df, html_col="TEXT", id_col="DOC_ID", keep_cols=["uri"]
+    ).collect()[0]
+    assert (miscased_id["doc_id"], miscased_id["text"]) == (1, "hi")
+    with pytest.raises(ValueError, match=r"id_col 'nope' not in"):
+        X.html_to_text(df, id_col="nope")
+    with pytest.raises(ValueError, match=r"html_col 'nah' not in"):
+        X.html_to_text(df, html_col="nah")
+
+
+def test_html_to_text_case_colliding_schema_rejected(spark):
+    """r17 ADVICE: two input columns differing only by case (possible
+    under spark.sql.caseSensitive=true) make the lowercase resolution
+    map ambiguous — raise instead of silently binding to the last
+    one."""
+    base = spark.createDataFrame(
+        [(1, "<p>hi</p>", "x")], "doc_id long, text string, uri string"
+    )
+    df = base.withColumnRenamed("uri", "TEXT")
+    with pytest.raises(ValueError, match="differing only by case"):
+        X.html_to_text(df)

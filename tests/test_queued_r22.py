@@ -274,3 +274,172 @@ def test_planted_arms_fire(spark):
         f"< 0.96) below the graded threshold; loose={n_loose}, "
         f"graded={len(got)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Same recipe, text side: the planted-twin row that value-grades the
+# xxhash64 minhash-LSH path (today `x_dedup_minhash_lsh` is rows-only —
+# its banding hash is engine-specific, so no DuckDB oracle can replay
+# it). Identical planted texts have identical shingle SETS, hence
+# identical minhash signatures and band buckets on ANY hash function —
+# guaranteed candidates — and the exact-Jaccard verify layer (which IS
+# engine-portable) pins everything below threshold, so the output is
+# the closed-form twin-pair list without restating the hash in SQL.
+#
+# Threshold choice is data-aware: the testdata corpus contains natural
+# near-dup pairs up to Jaccard 0.9894 (measured; pinned below with
+# margin) and ZERO distinct docs with identical shingle sets, so at
+# threshold 0.995 every natural pair dies at exact verify WHATEVER the
+# banding did (the kill arm — and at J≈0.989 they virtually all reach
+# it), while twin pairs (J = 1.0) pass. Margin to the natural max:
+# 0.0056, pinned at < 0.991 so a testdata regeneration that narrows it
+# fails the pin before it can flake the grade.
+# ---------------------------------------------------------------------------
+
+MINHASH_PLANTED_NAME = "x_dedup_minhash_planted"
+
+_MH_THRESHOLD = 0.995
+#: the engine's normalize_whitespace, restated (the _NORM macro idiom
+#: of plans/extension_queries.py)
+_MH_NORM = (
+    r"trim(regexp_replace(regexp_replace(text, chr(13), '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+MINHASH_PLANTED_ORACLE = f"""
+    with toks as (
+      select doc_id, string_split({_MH_NORM}, ' ') as ws from documents
+    )
+    select doc_id * 2 as a_id, doc_id * 2 + 1 as b_id,
+           cast(1.0 as double) as jaccard
+    from toks where len(ws) >= 3
+"""
+
+#: engine-faithful shingle sets (word 3-grams over the normalized
+#: token stream, distinct, sorted for set comparison) for the pins
+_MH_SETS = f"""
+    with toks as (
+      select doc_id, string_split({_MH_NORM}, ' ') as ws from documents
+    ), sets as (
+      select doc_id, list_sort(list_distinct([
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, greatest(len(ws) - 1, 1))
+             ])) as sh
+      from toks where len(ws) >= 3
+    )
+"""
+
+
+def minhash_planted_query(spark, sf_dir):
+    """The x_dedup_minhash_planted body (verbatim future registration):
+    two identical copies per doc through the production banded-LSH +
+    exact-verify chain; the graded output is exactly the twin pairs."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+    from hive_scripts_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    copies = docs.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("doc_id"),
+        "text",
+    )
+    return minhash_lsh_pairs(
+        copies,
+        threshold=_MH_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_minhash_queued_matches_oracle(spark, sf_dir):
+    got = minhash_planted_query(spark, sf_dir)
+    spark_digest = _digest(got.columns, got.collect())
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+            )
+        rel = con.sql(MINHASH_PLANTED_ORACLE)
+        duck_digest = _digest(rel.columns, rel.fetchall())
+    finally:
+        con.close()
+    assert len(spark_digest) == len(duck_digest) > 0
+    assert spark_digest == duck_digest
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_minhash_planted_margins(sf_dir):
+    """The two data properties the closed form leans on, with margin:
+    no two distinct docs share an identical shingle set (else their
+    cross-copy pairs would deterministically join the output and the
+    oracle would have to enumerate set-groups), and the max
+    non-identical-set pair Jaccard stays below 0.991 (threshold 0.995
+    minus margin), so natural near-dups always die at exact verify."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "create view documents as select * from "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        identical_groups = con.sql(
+            f"""{_MH_SETS}
+            select count(*) from (
+              select sh from sets group by sh having count(*) > 1)
+            """
+        ).fetchone()[0]
+        assert identical_groups == 0
+        max_natural = con.sql(
+            f"""{_MH_SETS}
+            select max(len(list_intersect(a.sh, b.sh)) * 1.0
+                       / len(list_distinct(list_concat(a.sh, b.sh))))
+            from sets a join sets b
+              on a.doc_id < b.doc_id and a.sh <> b.sh
+            """
+        ).fetchone()[0]
+        assert max_natural < 0.991, f"max natural jaccard: {max_natural}"
+    finally:
+        con.close()
+
+
+def test_minhash_planted_arms_fire(spark):
+    """Non-vacuous at the grading sf: one twin pair per eligible doc at
+    exactly 1.0, and the verify-kill arm really runs — a loose 0.5
+    threshold on the same corpus surfaces strictly more pairs (the
+    natural near-dups the 0.995 run verified away)."""
+    from pyspark.sql import functions as F
+
+    from hive_scripts_spark.operators.dedup import minhash_lsh_pairs
+    from hive_scripts_spark.plans.registry import table
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = minhash_planted_query(spark, sf_dir).collect()
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in rows}
+    assert len(got) > 0
+    assert all(v == 1.0 for v in got.values())
+    assert all(b == a + 1 and a % 2 == 0 for a, b in got)
+
+    docs = table(spark, sf_dir, "documents")
+    copies = docs.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("doc_id"),
+        "text",
+    )
+    loose = minhash_lsh_pairs(
+        copies,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    n_loose = loose.count()
+    assert n_loose > len(got), (
+        "expected sub-threshold natural near-dup candidates below the "
+        f"graded threshold; loose={n_loose}, graded={len(got)}"
+    )

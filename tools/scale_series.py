@@ -69,6 +69,11 @@ TOP10 = [
     "x_events_sliding",
 ]
 
+#: the rows the r18 capacity swap registered — new enough that their
+#: scale posture has no committed evidence yet, so the series carries
+#: them alongside the sweep top-10
+NEW_R18 = ["x_digit_hist", "x_digit_quantiles", "x_robots_decisions"]
+
 _CLK_TCK = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
 
 
@@ -118,8 +123,13 @@ def _measure(spark, build, reps):
         "exchanges": plan.count("Exchange "),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
-        "shuffle_write_mb": round((w1 - w0) / 1e6 / n, 1),
-        "shuffle_read_mb": round((r1 - r0) / 1e6 / n, 1),
+        # clamped at 0: the AppStatusStore retains a bounded stage list,
+        # so eviction of older stages can make the cumulative counter
+        # DECREASE across a window (observed as a -0.1 MB delta on a
+        # zero-shuffle query) — a negative delta means "nothing
+        # attributable", not negative traffic
+        "shuffle_write_mb": max(0.0, round((w1 - w0) / 1e6 / n, 1)),
+        "shuffle_read_mb": max(0.0, round((r1 - r0) / 1e6 / n, 1)),
     }
 
 
@@ -246,6 +256,25 @@ def _gen_lineitem_supplier(spark, n, n_supp, li_path, supp_path):
     ).write.mode("overwrite").parquet(li_path)
 
 
+def _gen_orders(spark, n, path):
+    h = lambda k, m: F.pmod(F.xxhash64(F.col("id") + k), F.lit(m))  # noqa: E731
+    prios = F.array(
+        *[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")]
+    )
+    spark.range(0, n, 1, 32).select(
+        F.col("id").alias("o_orderkey"),
+        h(1, 150_000).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F"), F.lit("P")), (h(3, 3) + 1).cast("int")
+        ).alias("o_orderstatus"),
+        (h(5, 50_000_000) / 100.0).alias("o_totalprice"),
+        F.timestamp_seconds(F.lit(788_918_400) + h(7, 2_400) * 86_400).alias(
+            "o_orderdate"
+        ),
+        F.element_at(prios, (h(9, 5) + 1).cast("int")).alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(path)
+
+
 #: sf0.1 testdata row counts × 10 (TESTDATA.md layout)
 _SF1_ROWS = {
     "documents": 50_000,
@@ -253,6 +282,7 @@ _SF1_ROWS = {
     "events": 1_000_000,
     "lineitem": 6_000_000,
     "supplier": 10_000,
+    "orders": 1_500_000,
 }
 
 
@@ -271,6 +301,7 @@ def build_sf1(spark, scratch: Path) -> str:
         str(sf1 / "lineitem.parquet"),
         str(sf1 / "supplier.parquet"),
     )
+    _gen_orders(spark, _SF1_ROWS["orders"], str(sf1 / "orders.parquet"))
     print(
         json.dumps(
             {
@@ -289,7 +320,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=None, help="write the summary JSON here")
     ap.add_argument("--scales", default="sf0.01,sf0.1,sf1")
-    ap.add_argument("--queries", default=",".join(TOP10))
+    ap.add_argument("--queries", default=",".join(TOP10 + NEW_R18))
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod

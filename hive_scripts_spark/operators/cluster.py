@@ -56,17 +56,21 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("u").alias("node"), "nbr_label")
         )
-        propagated = (
-            labels.join(neighbor_labels, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "mid_label"
-                ),
-                "label",
-            )
-            .localCheckpoint(eager=True)  # feeds both sides of the jump join
+        propagated = labels.join(neighbor_labels, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "mid_label"
+            ),
+            "label",
         )
+        # propagated feeds both sides of the jump join but is NOT
+        # checkpointed (r19): its inputs (labels, edges) are themselves
+        # checkpointed, so re-evaluating it on each join branch costs
+        # one extra join+groupBy of bounded depth INSIDE the round's
+        # single materializing job — cheaper than the extra sequential
+        # eager-checkpoint job the old form paid per round (3 driver-
+        # blocking jobs/round → 2; the label values are identical
+        # either way: min-propagation is deterministic).
         # pointer jumping: label ← label(label). Plain propagation moves
         # the min one hop per round (O(diameter) rounds); the jump halves
         # the remaining chain each round, so propagation+jump converges in

@@ -25,6 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_scripts_spark.functions.plan_literals import (
+    lit_doubles,
+    lit_struct_array,
+    sql_double,
+    sql_double_array,
+    sql_int,
+    sql_struct,
+)
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -129,18 +138,34 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # norms staged per SIDE before the pair join (r19, the fold-economy
+    # posture embedding_near_dup_pairs documents): join attributes are
+    # never inlined back into the consumer, so each row's norm folds
+    # once — scoring a pair costs ONE dot fold + a divide instead of
+    # the three folds of an inline cosine() re-evaluated per pair.
+    # sqrt-of-the-same-fold either way: values are bit-identical.
     q = _drop_invalid_vecs(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
+    q = q.select("query_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm"))
     c = _drop_invalid_vecs(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    c = c.select(
+        "neighbor_id", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                guarded_div(
+                    dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -495,9 +520,8 @@ def embedding_lsh_pairs_portable(
     def projection(h):
         if dim is not None:
             # hyperplane as a plan literal: pure arithmetic fold per row
-            plane = F.array(
-                *[F.lit(c).cast("double") for c in portable_hyperplane(h, dim)]
-            )
+            # (one-parser-call literal — see plan_literals)
+            plane = lit_doubles(portable_hyperplane(h, dim))
             zipped = F.zip_with(F.col("vec"), plane, lambda x, g: x * g)
         else:
             zipped = F.zip_with(
@@ -608,24 +632,20 @@ def ivf_assign(
         # centroid self-norms computed in PYTHON from the collected model
         # params (sequential sum == both engines' sequential folds, so
         # values stay oracle-exact) — the interpreted-HOF path has no
-        # CSE, so leaving l2_norm(s.c) in the lambda re-folds it per row
-        cells = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["centroid_id"])).alias("cid"),
-                    F.array(
-                        *[F.lit(float(x)).cast("double") for x in r["centroid"]]
-                    ).alias("c"),
-                    F.lit(
-                        math.sqrt(
-                            sum(float(x) * float(x) for x in r["centroid"])
-                        )
-                    )
-                    .cast("double")
-                    .alias("cnorm"),
-                )
-                for r in lits
-            ]
+        # CSE, so leaving l2_norm(s.c) in the lambda re-folds it per row.
+        # The literal array renders as ONE SQL string (plan_literals):
+        # per-element F.lit calls cost 2+ py4j round trips each — 8-14 s
+        # of pure driver time at 40 centroids × 64 dims (r19), vs ~10 ms
+        # for the parse; the parsed plan is bit-identical.
+        cells = lit_struct_array(
+            sql_struct(
+                cid=sql_int(int(r["centroid_id"])),
+                c=sql_double_array(float(x) for x in r["centroid"]),
+                cnorm=sql_double(
+                    math.sqrt(sum(float(x) * float(x) for x in r["centroid"]))
+                ),
+            )
+            for r in lits
         )
         # bind |vec| as a lambda VARIABLE (1-element transform) so it
         # folds once per row — a staged projection would be inlined back
@@ -1184,19 +1204,16 @@ def ivf_topk(
 
     from pyspark.sql import Window
 
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)).cast("double") for x in vec]).alias("c"),
-                # python-side sequential sum == the engines' sequential
-                # folds on the same doubles, so values stay oracle-exact
-                F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)))
-                .cast("double")
-                .alias("cnorm"),
-            )
-            for cid, vec in centroids
-        ]
+    # python-side sequential sum == the engines' sequential folds on the
+    # same doubles, so values stay oracle-exact; one-parser-call literal
+    # (plan_literals) — bit-identical plan, none of the py4j chatter
+    cells = lit_struct_array(
+        sql_struct(
+            cid=sql_int(int(cid)),
+            c=sql_double_array(float(x) for x in vec),
+            cnorm=sql_double(math.sqrt(sum(float(x) * float(x) for x in vec))),
+        )
+        for cid, vec in centroids
     )
 
     def cell_sims(vec, vnorm):
@@ -1453,16 +1470,14 @@ def pq_encode(
     )
     picks = []
     for s in range(m):
-        cells = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.array(
-                        *[F.lit(float(x)).cast("double") for x in codebooks[s][j]]
-                    ).alias("c"),
-                )
-                for j in range(len(codebooks[s]))
-            ]
+        # one-parser-call codebook literal (plan_literals): bit-identical
+        # plan, not m × k × d py4j round trips
+        cells = lit_struct_array(
+            sql_struct(
+                j=sql_int(j),
+                c=sql_double_array(float(x) for x in codebooks[s][j]),
+            )
+            for j in range(len(codebooks[s]))
         )
         sub = F.col(f"__s{s}")
         best = F.array_min(
@@ -1571,10 +1586,7 @@ def pq_search_codes(
             luts.append(row)
         dist = F.round(
             sum(
-                F.element_at(
-                    F.array(*[F.lit(v).cast("double") for v in luts[s]]),
-                    F.col(f"__c{s}") + 1,
-                )
+                F.element_at(lit_doubles(luts[s]), F.col(f"__c{s}") + 1)
                 for s in range(m)
             ),
             6,
@@ -1661,24 +1673,21 @@ def ivfpq_encode(
             raise ValueError(f"centroid ids must be positional, got {cid} at {i}")
 
     # --- per-row coarse assignment + residual, map-only ---------------
+    # literals render as one SQL string each (plan_literals): bit-
+    # identical plan, milliseconds of driver time instead of seconds
     base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)).cast("double") for x in c]).alias("c"),
-                F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
-                .cast("double")
-                .alias("cnorm"),
-            )
-            for cid, c in centroids
-        ]
+    cells = lit_struct_array(
+        sql_struct(
+            cid=sql_int(cid),
+            c=sql_double_array(float(x) for x in c),
+            cnorm=sql_double(math.sqrt(sum(float(x) * float(x) for x in c))),
+        )
+        for cid, c in centroids
     )
-    cent_by_pos = F.array(
-        *[
-            F.array(*[F.lit(float(x)).cast("double") for x in c])
-            for _, c in centroids
-        ]
+    cent_by_pos = F.expr(
+        "array("
+        + ",".join(sql_double_array(float(x) for x in c) for _, c in centroids)
+        + ")"
     )
     best = F.transform(
         F.array(l2_norm(F.col("vec"))),

@@ -296,6 +296,41 @@ def main() -> None:
             return False
         return steal_s > max(RETRY_STEAL_FRAC * elapsed, RETRY_STEAL_FLOOR_S)
 
+    # Wait-for-quiet gate (r19, VERDICT r18 item 4): bounded retries
+    # cannot outwait a persistently-stealing host (r18's capture kept
+    # 1.7-3.3 s steal in best reps after exhausting the budget at
+    # loadavg 6.98), so the timed region now STARTS only once the box
+    # looks quiet — 1-min loadavg under the limit AND a sub-threshold
+    # steal delta over a 10 s probe window — or after a bounded total
+    # wait, in which case the artifact carries started_loaded=true so
+    # the reader knows the numbers were taken under contention. The
+    # timing methodology inside the region is unchanged.
+    QUIET_LOAD_LIMIT = 4.0
+    QUIET_STEAL_CPUS_PER_S = 0.5  # CPU-seconds stolen per wall-second
+    QUIET_WINDOW_S = 10.0
+    QUIET_MAX_WAIT_S = 300.0
+
+    def _wait_for_quiet() -> tuple[bool, float]:
+        """Returns (started_loaded, waited_s)."""
+        t_start = time.monotonic()
+        while True:
+            waited = time.monotonic() - t_start
+            if waited >= QUIET_MAX_WAIT_S:
+                return True, round(waited, 1)
+            if os.getloadavg()[0] >= QUIET_LOAD_LIMIT:
+                time.sleep(5.0)
+                continue
+            s0 = time.monotonic()
+            st0 = _steal_ticks()
+            time.sleep(QUIET_WINDOW_S)
+            dt = time.monotonic() - s0
+            steal_rate = (_steal_ticks() - st0) / _clk_tck / dt
+            if (
+                steal_rate < QUIET_STEAL_CPUS_PER_S
+                and os.getloadavg()[0] < QUIET_LOAD_LIMIT
+            ):
+                return False, round(time.monotonic() - t_start, 1)
+
     def run(
         names: list[str],
     ) -> tuple[
@@ -335,10 +370,28 @@ def main() -> None:
 
         for name in names:
             budget = [RETRY_BUDGET_PER_QUERY]
-            r0, s0 = rep(name, budget)
+            # rep 0: the COMMITTED COLD VALUE IS ALWAYS THE FIRST
+            # ATTEMPT (r19, ADVICE r18 item 1) — a retried rep 0 runs
+            # after the query warmed JIT/page-cache/broadcast state, so
+            # recording the retry as "cold" silently mixed warm-ish
+            # numbers into the historical cold series. The steal-retry
+            # still runs (its quiet result feeds reps[0]/best, which ARE
+            # min-of-attempt series), but `queries`/`value` stay
+            # like-for-like first-execution numbers; a contaminated
+            # first attempt remains self-explaining via queries_steal_s
+            # + queries_rep_retries.
+            first0, firsts0 = run_once(name)
+            r0, s0 = first0, firsts0
+            while _contaminated(r0, s0) and budget[0] > 0:
+                budget[0] -= 1
+                retries.setdefault(name, []).append([r0, s0])
+                r0, s0 = run_once(name)
             r1, s1 = rep(name, budget) if r0 is not None else (None, 0.0)
             r2, s2 = rep(name, budget) if r1 is not None else (None, 0.0)
-            cold[name], warm[name] = r0, r1
+            cold[name], warm[name] = first0, r1
+            # reps[0]/steals[0] are the post-retry attempt (the best-
+            # series input); the first attempt is cold[name] and, when
+            # retried, its [elapsed, steal] pair sits in retries[name]
             reps[name] = [r0, r1, r2]
             steals[name] = [s0, s1, s2]
         return cold, warm, reps, steals, retries
@@ -370,6 +423,7 @@ def main() -> None:
     _jvm_probe()  # warm (first run pays codegen compile)
     jvm_probe_s = min(_jvm_probe() for _ in range(3))
 
+    started_loaded, waited_quiet_s = _wait_for_quiet()
     load_before = os.getloadavg()
     t_bench_start = time.perf_counter()
     timings, timings_warm, timings_reps, timings_steal, timings_retries = run(
@@ -450,6 +504,11 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in load_after],
         "cpu_probe_after_s": cpu_probe_after_s,
         "bench_wall_s": bench_wall_s,
+        # wait-for-quiet gate (r19): seconds spent waiting for the box
+        # to go quiet before the timed region; started_loaded=true means
+        # the bounded wait expired and the capture ran under contention
+        "wait_for_quiet_s": waited_quiet_s,
+        "started_loaded": started_loaded,
         # probe-normalized best series (r14, VERDICT r13 item 5): the
         # committed r13 capture read 1.25-1.31x raw vs r12 while its
         # own cpu_probe said the HOST ran 1.41x slower — every noisy
@@ -502,6 +561,9 @@ def main() -> None:
         "cpu_probe_after_s": cpu_probe_after_s,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        # r19 quiet gate: true = the bounded pre-bench wait expired on a
+        # loaded box and the timed region ran under contention anyway
+        "started_loaded": started_loaded,
         # probe-normalized totals (VERDICT r13 item 5): total_best and
         # total_warm divided by cpu_probe_s — the host-speed-free
         # series to compare round over round; per-query ratios live in

@@ -66,7 +66,7 @@ def partition_counts(
 
 
 def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataFrame:
-    """J1+J2 as one full-outer join on ``(table_name, partition_spec)``.
+    """J1+J2: full-outer alignment on ``(table_name, partition_spec)``.
 
     Returns one row per key with ``src_count``, ``tgt_count`` and a
     ``status`` column:
@@ -76,35 +76,43 @@ def count_reconcile(source_counts: DataFrame, target_counts: DataFrame) -> DataF
     * ``source_only`` / ``target_only`` — key missing on one side (the
       ``diff`` ``<``/``>`` rows)
 
-    Count frames are O(tables × partitions) — tiny — so the
-    full-outer join runs on trivially small inputs. Spark cannot
-    broadcast a full-outer join, so no broadcast hint is given: the
-    sort-merge join of O(partitions) rows IS the intended plan
-    (PLANS.md `j2_count_reconcile`).
+    **Contract**: both inputs are COUNT frames — one row per
+    ``(table_name, partition_spec)`` key, which every producer in this
+    codebase guarantees by construction (:func:`partition_counts` and
+    the manifest/streaming twins are all ``groupBy`` outputs). That
+    uniqueness is what lets the full-outer alignment run as a
+    **union + one grouped aggregation** instead of a join (r19): each
+    side contributes its count in its own slot, ``max`` collapses the
+    ≤ 2 rows per key, and a side with no row leaves a NULL — exactly
+    the full-outer result. Grouping treats NULL keys as equal, so the
+    unpartitioned branch's NULL ``partition_spec`` aligns without the
+    old form's ``eqNullSafe`` join keys. One exchange instead of the
+    sort-merge join's two sorted ones (full-outer cannot broadcast);
+    same O(tables × partitions) rows at any scale.
     """
     src = source_counts.select(
         "table_name",
         "partition_spec",
         F.col("row_count").alias("src_count"),
+        F.lit(None).cast(source_counts.schema["row_count"].dataType).alias(
+            "tgt_count"
+        ),
     )
     tgt = target_counts.select(
         "table_name",
         "partition_spec",
+        F.lit(None).cast(target_counts.schema["row_count"].dataType).alias(
+            "src_count"
+        ),
         F.col("row_count").alias("tgt_count"),
     )
-    # null-safe equality on partition_spec: unpartitioned tables carry a
-    # NULL spec, and plain `=` would turn their rows into source_only +
-    # target_only phantoms
-    cond = (src["table_name"] == tgt["table_name"]) & src["partition_spec"].eqNullSafe(
-        tgt["partition_spec"]
-    )
-    joined = src.join(tgt, cond, "full_outer").select(
-        F.coalesce(src["table_name"], tgt["table_name"]).alias("table_name"),
-        F.coalesce(src["partition_spec"], tgt["partition_spec"]).alias(
-            "partition_spec"
-        ),
-        "src_count",
-        "tgt_count",
+    joined = (
+        src.unionByName(tgt)
+        .groupBy("table_name", "partition_spec")
+        .agg(
+            F.max("src_count").alias("src_count"),
+            F.max("tgt_count").alias("tgt_count"),
+        )
     )
     status = (
         F.when(F.col("src_count").isNull(), F.lit("target_only"))

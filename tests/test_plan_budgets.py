@@ -29,7 +29,10 @@ BUDGETS = {
     "x_train_val_split": 1,
     "x_text_repetition": 0,  # the zero-exchange RLE fold (PLANS trap #4)
     "x_text_entropy": 0,
-    "j2_count_reconcile": 4,
+    # r19: union + one grouped agg replaces the full-outer SMJ (2 per-
+    # side count aggs + 1 alignment agg; the join's 2 sorted exchanges
+    # and the SMJ are gone — see reconcile.count_reconcile)
+    "j2_count_reconcile": 3,
     "a3_table_fingerprint": 2,  # 1 agg + 1 parallelism-knob repartition
     "x_doc_chunk": 0,  # map-only chunking
     "x_dedup_fingerprint": 1,

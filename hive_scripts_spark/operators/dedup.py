@@ -1059,31 +1059,29 @@ def simhash(
         F.col(id_col),
         F.transform(F.col("__toks"), lambda w: word_hash(w)).alias("__h"),
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
     # `h` is a lambda variable (cheap reference) — the unrolled shiftrights
     # read it, they don't recompute it. Shift amounts must be static ints.
-    sums_col = F.aggregate(
-        F.col("__h"),
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, bit: a + (bit * 2 - 1),
-        ),
+    # Both the per-bit fold and the sign-recombine chain render as ONE
+    # SQL string each (r19): the per-element Column form cost ~600 py4j
+    # round trips of pure driver time per call at bits=64; the parsed
+    # trees (shiftright/&/CASE/shiftleft, same left-assoc OR chain) are
+    # the identical expressions, so signatures are bit-identical.
+    bit_exprs = ",".join(
+        f"CAST((shiftright(h, {i}) & 1) AS BIGINT)" for i in range(bits)
+    )
+    sums_col = F.expr(
+        f"aggregate(__h, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, array({bit_exprs}), "
+        "(a, b) -> a + (b * 2 - 1)))"
     )
     staged = hashed.select(F.col(id_col), sums_col.alias("__sums"))
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.get(F.col("__sums"), i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    sig_terms = " | ".join(
+        f"(CASE WHEN get(__sums, {i}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    sig = F.expr(f"CAST(0 AS BIGINT) | {sig_terms}")
     return staged.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -242,13 +242,62 @@ def embedding_near_dup_pairs(
     )
     base = staged.select(id_col, "vec", l2_norm(F.col("vec")).alias("norm"))
     if use_lsh:
-        sigs = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _hyperplane_signature(
-                    F.col("vec"), bits=lsh_bits, seed_base=t * lsh_bits
-                ).alias("sig"),
+        # The hyperplane components g(h, i) are DATA-INDEPENDENT
+        # (seeded xxhash64 of the plane/dim indices), so evaluate them
+        # ONCE through the very same engine expressions on a one-row
+        # probe and embed the resulting doubles as plan literals (r19):
+        # signatures come out bit-identical (same g values, same
+        # multiply/fold order), while each row stops paying
+        # tables × bits × dim hash+mod evaluations — and the driver
+        # stops paying the 14 s py4j construction of that expression
+        # forest. The probe is one bounded job (tables × bits × dim
+        # doubles of model-parameter scale). Empty corpus: no probe row
+        # → fall back to the in-row expression form (result is empty
+        # either way; the fallback keeps the plan analyzable).
+        n_planes = lsh_tables * lsh_bits
+        probe = (
+            staged.limit(1)
+            .select(
+                *[
+                    _hyperplane_components(F.col("vec"), h).alias(f"g{h}")
+                    for h in range(n_planes)
+                ]
             )
+            .collect()
+        )
+        if probe:
+            planes = [lit_doubles(probe[0][f"g{h}"]) for h in range(n_planes)]
+        else:
+            planes = None
+
+        def table_sig(t):
+            if planes is None:
+                return _hyperplane_signature(
+                    F.col("vec"), bits=lsh_bits, seed_base=t * lsh_bits
+                )
+            bit_cols = []
+            for b in range(lsh_bits):
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        planes[t * lsh_bits + b],
+                        lambda x, g: x * g,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bit_cols.append(
+                    F.when(
+                        proj > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            sig = bit_cols[0]
+            for c in bit_cols[1:]:
+                sig = sig.bitwiseOR(c)
+            return sig
+
+        sigs = [
+            F.struct(F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
             for t in range(lsh_tables)
         ]
         # NARROW blocking (r10): emit (id, tbl, sig) only — no vectors.
@@ -422,6 +471,24 @@ def embedding_near_dup_pairs(
     )
 
 
+def _hyperplane_component(h: int, i):
+    """g(h, i) = ((xxhash64(h, i) % 1000003) / 1000003) − 0.5 — ONE
+    definition shared by the in-row signature expression and the r19
+    one-row probe that evaluates the planes into literals, so the two
+    routes cannot drift."""
+    u = (F.xxhash64(F.lit(h), i) % 1000003 + 1000003) % 1000003
+    return u.cast("double") / 1000003.0 - 0.5
+
+
+def _hyperplane_components(vec, h: int):
+    """Array of g(h, i) for i in 0..len(vec)-1 — evaluated on a one-row
+    probe to turn the data-independent hyperplane into plan literals."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda i: _hyperplane_component(h, i),
+    )
+
+
 def _hyperplane_signature(vec, bits: int, seed_base: int = 0):
     """Random-hyperplane LSH signature without rand(): hyperplane h's
     component for dimension i is a deterministic pseudo-uniform drawn
@@ -431,8 +498,7 @@ def _hyperplane_signature(vec, bits: int, seed_base: int = 0):
     g(h,i) = ((xxhash64(h,i) % 1000003) / 1000003) - 0.5 (symmetric).
     """
     def component(h, i):
-        u = (F.xxhash64(F.lit(h), i) % 1000003 + 1000003) % 1000003
-        return u.cast("double") / 1000003.0 - 0.5
+        return _hyperplane_component(h, i)
 
     def _weighted(h):
         # closure factory: keeps the lambda 2-ary (pyspark infers arity)

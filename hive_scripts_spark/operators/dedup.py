@@ -269,6 +269,7 @@ def remove_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span removal (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499):
@@ -321,6 +322,12 @@ def remove_repeated_spans(
     the minhash verify join). The final cut is a per-row positional
     ``filter`` — no exchange.
     """
+    # span hashing is md5-dense per row; single-row-group local inputs
+    # scan on one task, so a pre-repartition buys full-core parallelism
+    # (same knob + rationale as minhash_lsh_pairs / table_fingerprint).
+    # Leave None on a many-file lake — scans are already wide there.
+    if parallelism:
+        df = df.repartition(parallelism)
     staged = df.select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
@@ -1093,13 +1100,20 @@ def simhash_near_pairs(
     bits: int = 64,
     word_hash=None,
     max_hamming: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs whose SimHash shares one of
     ``bits // prefix_bits`` rotated prefixes (standard 64-bit /
     ≤3-Hamming blocking scheme); verified by exact Hamming distance
     ≤ ``max_hamming``. ``bits``/``word_hash`` thread through to
     :func:`simhash` (the portable twin narrows to 32-bit md5-family
-    signatures with 8-bit blocks)."""
+    signatures with 8-bit blocks). ``parallelism``: pre-repartition for
+    single-row-group local inputs whose scan would otherwise run the
+    whole tokenize+hash+fold signature stage on one task (same knob +
+    rationale as :func:`minhash_lsh_pairs`); leave ``None`` on a
+    many-file lake."""
+    if parallelism:
+        df = df.repartition(parallelism)
     sigs = simhash(df, text_col, id_col, bits=bits, word_hash=word_hash)
     blocks = sigs.select(
         id_col,
@@ -1148,6 +1162,7 @@ def simhash_near_pairs_portable(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """:func:`simhash_near_pairs` with the engine-portable md5 word-hash
     family on a 32-bit signature (8-bit rotated prefix blocks, Hamming
@@ -1167,6 +1182,7 @@ def simhash_near_pairs_portable(
         bits=32,
         word_hash=word_hash,
         max_hamming=1,
+        parallelism=parallelism,
     )
 
 

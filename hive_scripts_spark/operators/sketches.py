@@ -719,7 +719,11 @@ def countmin_lookup(
         {"__cm_block", "cell", "cm_row", "cm_bucket", "cm_count",
          "est_count"}
     )
-    if key_col in reserved:
+    # case-insensitive (ADVICE r18): the module assumes the
+    # spark.sql.caseSensitive=false default everywhere else, so an
+    # 'EST_COUNT' key would pass a sensitive check yet still collide
+    # with the est_count alias at resolution time
+    if key_col.lower() in reserved:
         raise ValueError(
             f"countmin_lookup: key_col {key_col!r} collides with this "
             f"sketch family's internal column names {sorted(reserved)} "

@@ -558,18 +558,25 @@ def html_to_text(
     # r17: keep_cols got this treatment in r16 while id_col/html_col
     # kept the raw-KeyError path)
     dtypes = dict(df.dtypes)
+    referenced = {id_col.lower(), html_col.lower()} | {
+        c.lower() for c in keep
+    }
     by_lower: dict[str, str] = {}
     for c in dtypes:
         prev = by_lower.setdefault(c.lower(), c)
-        if prev != c:
+        if prev != c and c.lower() in referenced:
             # two columns differing only by case can coexist under
             # spark.sql.caseSensitive=true; the lowercase mapping is
             # then ambiguous — silently binding to either would route
-            # an arbitrary column through the Arrow batch (ADVICE r17)
+            # an arbitrary column through the Arrow batch (ADVICE r17).
+            # Only REFERENCED names can be ambiguous here (ADVICE r18):
+            # an unrelated case-duplicate pair never enters the Arrow
+            # batch, so raising on it broke previously-working calls.
             raise ValueError(
                 "html_to_text: input schema has columns differing "
-                f"only by case ({prev!r} vs {c!r}) — the module's "
-                "case-insensitive name resolution is ambiguous; "
+                f"only by case ({prev!r} vs {c!r}) matching a "
+                "referenced id_col/html_col/keep_cols name — the "
+                "module's case-insensitive resolution is ambiguous; "
                 "rename one side upstream"
             )
     missing = [c for c in keep if c.lower() not in by_lower]

@@ -258,7 +258,11 @@ def x_dedup_repeated_spans(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return D.remove_repeated_spans(docs, k=8)
+    # parallelism: md5-per-span on a single-row-group local scan would
+    # otherwise run on one task (r19; same knob as a3/minhash)
+    return D.remove_repeated_spans(
+        docs, k=8, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 @register(
@@ -331,7 +335,11 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 @register("x_dedup_simhash")  # bit-level blocking — not SQL-expressible
 def x_dedup_simhash(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs)
+    # parallelism: the local single-row-group scan would run the whole
+    # signature stage on one task otherwise (r19; same knob as minhash)
+    return D.simhash_near_pairs(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 #: 60-bit md5 hash, identical in both engines (dedup.portable_hash60 twin)
@@ -382,7 +390,9 @@ def x_dedup_simhash_portable(spark, sf_dir):
     DuckDB oracle — the value-graded twin of the 64-bit xxhash64
     production path ``x_dedup_simhash`` (rows-only)."""
     docs = table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs_portable(docs)
+    return D.simhash_near_pairs_portable(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 def _duck_minhash_verified(bucket_cap: int | None = None) -> str:
@@ -5016,6 +5026,13 @@ def x_countmin_heavy(spark, sf_dir):
     keys = table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey")
     )
+    # project to the key column and pre-repartition (r19): the build is
+    # 5 md5s per row, and the local single-row-group scan would run all
+    # of them on one task; the shuffle moves one long per row. On a
+    # many-file lake pass the frame straight through instead.
+    li = li.select("l_suppkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sk = countmin_build(li, "l_suppkey", depth=4, width=256)
     out = countmin_lookup(sk, keys, "l_suppkey", depth=4, width=256)
     return out.select(
@@ -5241,4 +5258,8 @@ def x_robots_decisions(spark, sf_dir):
         ),
         agent="trainbot",
     )
-    return apply_robots(framed, rules, url_col="url")
+    # validate_rules=False (r19): the fixture rules table is conflict-
+    # free by construction, so the eager fail-fast pre-scan is a pure
+    # extra driver-blocking job here; the IN-PLAN conflict guard stays
+    # active regardless, so a conflicting table still aborts execution.
+    return apply_robots(framed, rules, url_col="url", validate_rules=False)

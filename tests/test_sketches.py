@@ -577,3 +577,15 @@ def test_kmv_grouped_nullable_bigint_groups_beyond_2_53(spark):
     got = {r["g"]: r["count"] for r in sk.groupBy("g").count().collect()}
     assert got == {big: 2, big + 1: 1, None: 1}
     assert dict(sk.dtypes)["g"] == "bigint"
+
+
+def test_countmin_lookup_reserved_key_col_case_insensitive(spark):
+    """r18 ADVICE: the reserved-name check must match the module's
+    case-insensitive resolution posture — 'EST_COUNT' collides with the
+    est_count alias just as surely as the lowercase form."""
+    sk = SK.countmin_build(
+        spark.createDataFrame([("a",)], "k string"), "k", depth=2, width=8
+    )
+    keys = spark.createDataFrame([("a",)], "EST_COUNT string")
+    with pytest.raises(ValueError, match="collides"):
+        SK.countmin_lookup(sk, keys, "EST_COUNT", depth=2, width=8)

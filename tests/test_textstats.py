@@ -724,3 +724,16 @@ def test_html_to_text_case_colliding_schema_rejected(spark):
     df = base.withColumnRenamed("uri", "TEXT")
     with pytest.raises(ValueError, match="differing only by case"):
         X.html_to_text(df)
+
+
+def test_html_to_text_unrelated_case_duplicate_allowed(spark):
+    """r18 ADVICE: a case-duplicate pair among columns NEVER referenced
+    by id_col/html_col/keep_cols never enters the Arrow batch — the
+    guard must not reject the call (it used to raise on ANY pair)."""
+    base = spark.createDataFrame(
+        [(1, "<p>hi</p>", "x", "y")],
+        "doc_id long, text string, extra string, other string",
+    )
+    df = base.withColumnRenamed("other", "EXTRA")
+    row = X.html_to_text(df).collect()[0]
+    assert (row["doc_id"], row["text"]) == (1, "hi")

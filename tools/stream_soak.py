@@ -131,7 +131,17 @@ def _run_phase(spark, scenario, phase, op, output_mode, src, ckpt, sink,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # fail loudly on a hung phase (ADVICE r18): awaitTermination(t)
+    # returns False on timeout with the query STILL RUNNING — letting
+    # the caller then delete its commit marker and restart turns a hang
+    # into a confusing concurrent-checkpoint failure instead of a clear
+    # timeout error
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_soak {scenario}/{phase}: availableNow query did "
+            f"not terminate within {timeout_s}s"
+        )
     rows = [
         _progress_row(scenario, phase, p)
         for p in q.recentProgress

@@ -782,6 +782,18 @@ def minhash_lsh_pairs(
         df = df.repartition(parallelism)
     banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
     banded = _cap_buckets(banded, max_bucket_size)
+    # shared shuffle before the self-join (r19 — the same posture as
+    # _lsh_routed_jaccard_pairs and simhash_near_pairs): without it the
+    # two join branches are independent subtrees and the whole
+    # shingle→minhash fold (the dominant per-row CPU) evaluates once
+    # PER BRANCH; repartitioning both branches on the join key makes
+    # their shuffle stages canonically identical, so AQE computes the
+    # fold once and reuses the stage. Rows are 3 narrow values — the
+    # exchange carries no payload at any corpus size. (When
+    # max_bucket_size is set, _cap_buckets' window already established
+    # this exact partitioning and the extra repartition is a no-op
+    # exchange AQE reuses.)
+    banded = banded.repartition("band", "bucket")
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (

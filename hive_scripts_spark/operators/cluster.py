@@ -37,9 +37,26 @@ def connected_components(
     unconverged labels are silently wrong (they disagree with the
     transitive closure), never return them.
     """
+    # both edge directions from ONE evaluation of `pairs` (r19): the
+    # union-of-two-selects form evaluated the whole upstream pair
+    # pipeline once per branch (for semantic dedup that is the Python
+    # cell-matmul stage, twice, inside the checkpoint job); a per-row
+    # explode emits (u,v) and (v,u) from a single pass — identical row
+    # set after the distinct.
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
         .localCheckpoint(eager=True)  # reused every round — scan once
     )

@@ -255,51 +255,63 @@ def embedding_near_dup_pairs(
         # → fall back to the in-row expression form (result is empty
         # either way; the fallback keeps the plan analyzable).
         n_planes = lsh_tables * lsh_bits
+        # the probe select and the per-table signatures render as SQL
+        # strings (one parser call each) — the Column-by-Column form of
+        # these 16-plane expression forests cost ~2 s of py4j per query
+        # build. The SQL trees are the identical expressions (same %
+        # chain, same CASE/shiftleft, same left-assoc OR), pinned by
+        # tests/test_plan_literals.py.
         probe = (
             staged.limit(1)
             .select(
                 *[
-                    _hyperplane_components(F.col("vec"), h).alias(f"g{h}")
+                    F.expr(_hyperplane_components_sql(h)).alias(f"g{h}")
                     for h in range(n_planes)
                 ]
             )
             .collect()
         )
         if probe:
-            planes = [lit_doubles(probe[0][f"g{h}"]) for h in range(n_planes)]
+            plane_sql = [
+                sql_double_array(probe[0][f"g{h}"]) for h in range(n_planes)
+            ]
+
+            def table_sig_sql(t):
+                bits_sql = []
+                for b in range(lsh_bits):
+                    proj = (
+                        f"aggregate(zip_with(vec, {plane_sql[t * lsh_bits + b]}, "
+                        "(x, g) -> x * g), 0.0D, (acc, v) -> acc + v)"
+                    )
+                    bits_sql.append(
+                        f"(CASE WHEN {proj} > 0 "
+                        f"THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+                        "ELSE CAST(0 AS BIGINT) END)"
+                    )
+                return " | ".join(bits_sql)
+
+            sigs_col = F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('tbl', {t}, 'sig', {table_sig_sql(t)})"
+                    for t in range(lsh_tables)
+                )
+                + ")"
+            )
         else:
-            planes = None
-
-        def table_sig(t):
-            if planes is None:
-                return _hyperplane_signature(
-                    F.col("vec"), bits=lsh_bits, seed_base=t * lsh_bits
-                )
-            bit_cols = []
-            for b in range(lsh_bits):
-                proj = F.aggregate(
-                    F.zip_with(
-                        F.col("vec"),
-                        planes[t * lsh_bits + b],
-                        lambda x, g: x * g,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bit_cols.append(
-                    F.when(
-                        proj > 0, F.shiftleft(F.lit(1).cast("long"), b)
-                    ).otherwise(F.lit(0).cast("long"))
-                )
-            sig = bit_cols[0]
-            for c in bit_cols[1:]:
-                sig = sig.bitwiseOR(c)
-            return sig
-
-        sigs = [
-            F.struct(F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
-            for t in range(lsh_tables)
-        ]
+            # empty corpus: no probe row — keep the in-row expression
+            # form (result is empty either way; plan stays analyzable)
+            sigs_col = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _hyperplane_signature(
+                            F.col("vec"), bits=lsh_bits, seed_base=t * lsh_bits
+                        ).alias("sig"),
+                    )
+                    for t in range(lsh_tables)
+                ]
+            )
         # NARROW blocking (r10): emit (id, tbl, sig) only — no vectors.
         # The previous shape carried (vec, norm) through the self-join
         # and the pair dedup, which (a) shuffles O(candidates x vec
@@ -314,7 +326,7 @@ def embedding_near_dup_pairs(
         # joins that AQE broadcasts (or shuffles once per side above
         # broadcast size) — the verify-join posture.
         blocked = base.select(
-            id_col, F.explode(F.array(*sigs)).alias("ts")
+            id_col, F.explode(sigs_col).alias("ts")
         ).select(
             id_col,
             F.col("ts.tbl").alias("tbl"),
@@ -480,12 +492,16 @@ def _hyperplane_component(h: int, i):
     return u.cast("double") / 1000003.0 - 0.5
 
 
-def _hyperplane_components(vec, h: int):
-    """Array of g(h, i) for i in 0..len(vec)-1 — evaluated on a one-row
-    probe to turn the data-independent hyperplane into plan literals."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(vec) - 1),
-        lambda i: _hyperplane_component(h, i),
+def _hyperplane_components_sql(h: int) -> str:
+    """SQL text for the array of g(h, i), i in 0..len(vec)-1 — evaluated
+    on a one-row probe to turn the data-independent hyperplane into plan
+    literals. The tree is the exact SQL rendering of
+    :func:`_hyperplane_component` (same `%` chain, cast, divide,
+    subtract), so probed values equal the in-row expression's."""
+    return (
+        "transform(sequence(0, size(vec) - 1), i -> "
+        f"CAST((xxhash64({h}, i) % 1000003 + 1000003) % 1000003 AS DOUBLE)"
+        " / 1000003.0D - 0.5D)"
     )
 
 

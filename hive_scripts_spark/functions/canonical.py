@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hive_scripts_spark.functions.skew import ensure_parallelism
+
 #: 2^61 - 1 (Mersenne prime) — fingerprint modulus.
 FINGERPRINT_MOD = 2305843009213693951
 
@@ -97,12 +99,11 @@ def table_fingerprint(
 
     Hashing is CPU-dense per row; when the source has fewer input splits
     than cores (single-row-group files — the local testdata case), pass
-    ``parallelism`` to pre-repartition. On a many-file lake leave it
-    ``None``: scans are already wide and the shuffle would only move
-    bytes.
+    ``parallelism`` to pre-repartition. Width-gated (r20): on a
+    many-file lake the scan is already wide and the repartition
+    self-disables instead of shuffling the payload.
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
     h = row_hash(df, cols, portable=portable)
     lane_mask = F.lit((1 << 20) - 1)
     projected = df.select(

@@ -23,6 +23,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Width-gated pre-repartition for CPU-dense map stages (guide
+    §2.5 input skew): repartition round-robin to ``parallelism`` ONLY
+    when the frame's current plan is narrower than that.
+
+    The single-row-group local testdata scans as ONE task, serializing
+    md5/decode/signature stages on one core while the rest idle — the
+    repartition buys full-core parallelism there. A many-file lake's
+    scan is already wide, and an unconditional repartition would
+    shuffle the full payload (text/blob columns) for nothing — the
+    exact trade the r19 ngram A/B measured as a 1.7× loss. Gating on
+    the observed width keeps the local win and deletes the lake
+    regression (VERDICT r19 item 4); ``None`` stays a no-op.
+
+    Width probe: ``df.rdd.getNumPartitions()`` plans the frame (no job
+    runs) and reads the physical scan's split count — file listing is
+    session-cached, so the probe costs milliseconds.
+    """
+    if not parallelism:
+        return df
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
+
 def salt_column(deterministic_from: Column | str, salts: int = 16) -> Column:
     """A stable salt in [0, salts) derived from an existing column."""
     c = F.col(deterministic_from) if isinstance(deterministic_from, str) else deterministic_from

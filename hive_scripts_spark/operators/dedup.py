@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_scripts_spark.functions.skew import ensure_parallelism
 from hive_scripts_spark.functions.strings import normalize_whitespace
 
 # ---------------------------------------------------------------------------
@@ -325,9 +326,9 @@ def remove_repeated_spans(
     # span hashing is md5-dense per row; single-row-group local inputs
     # scan on one task, so a pre-repartition buys full-core parallelism
     # (same knob + rationale as minhash_lsh_pairs / table_fingerprint).
-    # Leave None on a many-file lake — scans are already wide there.
-    if parallelism:
-        df = df.repartition(parallelism)
+    # Width-gated (r20): a many-file lake's scan is already wide, so the
+    # repartition self-disables there instead of shuffling the payload.
+    df = ensure_parallelism(df, parallelism)
     staged = df.select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
@@ -775,25 +776,23 @@ def minhash_lsh_pairs(
     """
     # signature computation is CPU-dense per row; when the source has
     # fewer input splits than cores (single-row-group files — the local
-    # testdata case), a pre-repartition buys full-core parallelism. On a
-    # real many-file lake leave parallelism=None: scans are already wide
-    # and the extra shuffle would only move bytes.
-    if parallelism:
-        df = df.repartition(parallelism)
+    # testdata case), a pre-repartition buys full-core parallelism.
+    # Width-gated (r20): on a many-file lake the scan is already wide
+    # and ensure_parallelism self-disables instead of moving the bytes.
+    df = ensure_parallelism(df, parallelism)
     banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, bands)
     banded = _cap_buckets(banded, max_bucket_size)
-    # shared shuffle before the self-join (r19 — the same posture as
-    # _lsh_routed_jaccard_pairs and simhash_near_pairs): without it the
-    # two join branches are independent subtrees and the whole
-    # shingle→minhash fold (the dominant per-row CPU) evaluates once
-    # PER BRANCH; repartitioning both branches on the join key makes
-    # their shuffle stages canonically identical, so AQE computes the
-    # fold once and reuses the stage. Rows are 3 narrow values — the
-    # exchange carries no payload at any corpus size. (When
-    # max_bucket_size is set, _cap_buckets' window already established
-    # this exact partitioning and the extra repartition is a no-op
-    # exchange AQE reuses.)
-    banded = banded.repartition("band", "bucket")
+    # NO explicit repartition before the self-join (r20, reverting the
+    # r19 "shared shuffle AQE reuses" bet — VERDICT r19 item 1): the
+    # runtime A/B (tools/minhash_ab_r20.py; plans/r20/minhash_ab_*)
+    # measured the repartitioned form SLOWER at sf0.1 (best 1.375 vs
+    # 1.138 s) AND at a 50k-doc synthetic 10× (2.426 vs 2.421 s, 14 vs
+    # 9 exchanges), because at broadcastable sizes AQE picks a BHJ for
+    # the candidate join — the forced exchange is pure overhead — while
+    # the raw-scan exchange is ALREADY ReusedExchange across branches in
+    # the executed plan either way. Above broadcast size the join plans
+    # one canonically-identical exchange per branch, which AQE's stage
+    # cache dedupes without any help from us.
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (
@@ -1119,13 +1118,12 @@ def simhash_near_pairs(
     ≤3-Hamming blocking scheme); verified by exact Hamming distance
     ≤ ``max_hamming``. ``bits``/``word_hash`` thread through to
     :func:`simhash` (the portable twin narrows to 32-bit md5-family
-    signatures with 8-bit blocks). ``parallelism``: pre-repartition for
-    single-row-group local inputs whose scan would otherwise run the
-    whole tokenize+hash+fold signature stage on one task (same knob +
-    rationale as :func:`minhash_lsh_pairs`); leave ``None`` on a
-    many-file lake."""
-    if parallelism:
-        df = df.repartition(parallelism)
+    signatures with 8-bit blocks). ``parallelism``: width-gated
+    pre-repartition for single-row-group local inputs whose scan would
+    otherwise run the whole tokenize+hash+fold signature stage on one
+    task (same knob + rationale as :func:`minhash_lsh_pairs`); on an
+    already-wide many-file lake it self-disables."""
+    df = ensure_parallelism(df, parallelism)
     sigs = simhash(df, text_col, id_col, bits=bits, word_hash=word_hash)
     blocks = sigs.select(
         id_col,

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hive_scripts_spark.functions.skew import ensure_parallelism
+
 #: pixel-decode ceiling (r13): a corrupt or adversarial header that
 #: declares more pixels than this degrades to a NULL row instead of
 #: materializing gigabytes per payload on an executor (a 1 KB "PNG"
@@ -117,11 +119,11 @@ def decode_image_meta(
     Decode is CPU-dense per payload and ``mapInPandas`` runs one Python
     worker per input split; when the source has fewer splits than cores
     (single-row-group files — the local testdata case) pass
-    ``parallelism`` to pre-repartition. Leave ``None`` on a many-file
-    lake: scans are already wide.
+    ``parallelism`` to pre-repartition. Width-gated (r20): on an
+    already-wide many-file lake it self-disables instead of shuffling
+    the payload bytes.
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: no references to module-level names
@@ -284,8 +286,7 @@ def resize_images(
     exercisable without real rasters. (``parallelism``: see
     :func:`decode_image_meta`.)
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     # captured into the closure BEFORE batches is defined so it pickles
     # by value (workers can't import repo modules in the driver's
@@ -1449,8 +1450,7 @@ def audio_features(
     (+sqrt) of exactly-representable ints — bit-identical on any engine,
     so the DuckDB oracle value-hashes without rounding fudge.
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -1597,8 +1597,7 @@ def audio_spectral_features(
     the shared degradation contract. Map-only ``mapInPandas``: the
     100 TB shape is pure partition parallelism, no shuffle.
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1765,8 +1764,7 @@ def video_meta(
     from the payload md5 — plumbing-exercisable and oracle-friendly,
     same contract as the other fake decoders.
     """
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -1974,8 +1972,7 @@ def extract_frames(
         )
     if not isinstance(id_type, LongType):
         df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
-    if parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_parallelism(df, parallelism)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl

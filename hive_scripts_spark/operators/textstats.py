@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hive_scripts_spark.functions.skew import ensure_parallelism
 from hive_scripts_spark.functions.strings import normalize_whitespace
 
 #: tiny per-language stopword anchors for the heuristic language-ID.
@@ -1049,8 +1050,7 @@ def compression_signal(
         "compression_ratio double"
     )
     src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
-    if parallelism:
-        src = src.repartition(parallelism)
+    src = ensure_parallelism(src, parallelism)
 
     def fold(batches):
         import zlib

@@ -159,3 +159,28 @@ def test_topk_per_group_matches_single_window(spark):
     # k larger than the cold group (50 rows): every cold row survives
     got = topk_per_group(df, ["grp"], order, 100, salt_from="id", salts=8)
     assert got.where("grp = 'cold'").count() == 50
+
+
+def test_ensure_parallelism_width_gate(spark, tmp_path):
+    """The r20 scale gate: narrow scans widen to the requested
+    parallelism, already-wide frames pass through UNCHANGED (no extra
+    exchange on a many-file lake), and None/0 stay no-ops."""
+    from hive_scripts_spark.functions.skew import ensure_parallelism
+
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one)
+    assert narrow.rdd.getNumPartitions() < 8
+    widened = ensure_parallelism(narrow, 8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert sorted(r["id"] for r in widened.collect()) == list(range(100))
+
+    wide = spark.range(0, 100, 1, 16)
+    assert wide.rdd.getNumPartitions() >= 8
+    gated = ensure_parallelism(wide, 8)
+    # identity: no repartition node added, plan object unchanged
+    assert gated is wide
+    assert "Exchange" not in gated._sc._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "simple"
+    )
+    assert ensure_parallelism(wide, None) is wide

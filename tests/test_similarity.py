@@ -94,6 +94,22 @@ def test_ivf_assign(vecs, spark):
     assert out[4] == 0
 
 
+def test_ivf_assign_prefetched_model_matches(vecs, spark):
+    """The r20 job-chain merge: ivf_assign(_model=precollected) must be
+    row-identical to the self-collecting form — semantic_dedup passes
+    the emptiness-ladder probe through to skip one driver job."""
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    model = centroids.limit(257).collect()
+    got = sorted(
+        map(tuple, S.ivf_assign(vecs, centroids, _model=model).collect())
+    )
+    want = sorted(map(tuple, S.ivf_assign(vecs, centroids).collect()))
+    assert got == want
+
+
 def test_ivf_topk_recall(spark):
     """IVF probe search finds a meaningful share of the true top-k, and
     never invents a neighbor outside the probed cells."""

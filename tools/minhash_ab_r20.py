@@ -70,6 +70,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--gen",
+        type=int,
+        default=0,
+        help="generate a synthetic documents table of N rows (the "
+        "scale_series sf1 generator) and probe that instead",
+    )
     args = ap.parse_args()
 
     from hive_scripts_spark.plans.registry import table
@@ -77,10 +84,19 @@ def main() -> None:
 
     spark = get_spark("minhash_ab_r20")
     spark.sparkContext.setLogLevel("ERROR")
+    scratch = None
+    if args.gen:
+        from tools.scale_series import _gen_documents
+
+        scratch = f"/tmp/minhash_ab_docs_{args.gen}"
+        _gen_documents(spark, args.gen, scratch)
+        args.sf = None
     # bench-identical warmup
-    table(spark, args.sf, "documents").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    (
+        spark.read.parquet(scratch)
+        if scratch
+        else table(spark, args.sf, "documents")
+    ).write.format("noop").mode("overwrite").save()
 
     variants = {
         "A_shared": dict(shared_shuffle=True, prefilter=False),
@@ -90,6 +106,8 @@ def main() -> None:
     }
 
     def docs():
+        if scratch:
+            return spark.read.parquet(scratch)  # already 32-wide
         d = table(spark, args.sf, "documents")
         return d.repartition(spark.sparkContext.defaultParallelism)
 
@@ -108,6 +126,7 @@ def main() -> None:
 
     out_dir = Path(__file__).resolve().parents[1] / "plans" / "r20"
     out_dir.mkdir(parents=True, exist_ok=True)
+    suffix = f"_gen{args.gen}" if args.gen else ""
 
     for name, kw in variants.items():
         reps, steals = [], []
@@ -122,7 +141,7 @@ def main() -> None:
         df = build(docs(), **kw)
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
-        (out_dir / f"minhash_ab_{name}_final.txt").write_text(final)
+        (out_dir / f"minhash_ab_{name}{suffix}_final.txt").write_text(final)
         n_ex = final.count("Exchange")
         n_reused = final.count("ReusedExchange")
         print(

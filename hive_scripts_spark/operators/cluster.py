@@ -15,7 +15,7 @@ chains are short). Driver loop is over *iterations*, never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -65,7 +65,7 @@ def connected_components(
         F.col("u").alias("node"), "label"
     )
     converged = False
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # propagate: new label = min(label(node), min over neighbors of label(neighbor))
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -73,43 +73,61 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("u").alias("node"), "nbr_label")
         )
-        propagated = labels.join(neighbor_labels, "node", "left").select(
+        cur = labels.join(neighbor_labels, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "mid_label"
             ),
             "label",
         )
-        # propagated feeds both sides of the jump join but is NOT
-        # checkpointed (r19): its inputs (labels, edges) are themselves
-        # checkpointed, so re-evaluating it on each join branch costs
-        # one extra join+groupBy of bounded depth INSIDE the round's
-        # single materializing job — cheaper than the extra sequential
-        # eager-checkpoint job the old form paid per round (3 driver-
-        # blocking jobs/round → 2; the label values are identical
+        # the intermediate frames feed both sides of each jump join but
+        # are NOT checkpointed (r19): their inputs (labels, edges) are
+        # themselves checkpointed, so re-evaluating them per join branch
+        # costs bounded extra work INSIDE the round's single
+        # materializing job — cheaper than an extra sequential
+        # eager-checkpoint job per round (the label values are identical
         # either way: min-propagation is deterministic).
         # pointer jumping: label ← label(label). Plain propagation moves
         # the min one hop per round (O(diameter) rounds); the jump halves
         # the remaining chain each round, so propagation+jump converges in
         # O(log diameter) — a path of 2^max_iterations still resolves.
-        parents = propagated.select(
-            F.col("node").alias("parent_key"), F.col("mid_label").alias("parent_label")
+        # A SECOND jump per round was probed in r20 and FALSIFIED on the
+        # real semantic-dedup graph (tools history: it halved rounds on a
+        # synthetic 400-node path, but on the real 1080-pair graph the
+        # round count stayed 9 at any jump count while per-round cost
+        # nearly doubled, 5.4 → 9.4 s — the deeper un-checkpointed plan
+        # re-evaluates the propagation once per jump branch). One jump
+        # stays.
+        parents = cur.select(
+            F.col("node").alias("parent_key"),
+            F.col("mid_label").alias("parent_label"),
         )
-        updated = (
-            propagated.join(
-                parents, propagated["mid_label"] == parents["parent_key"], "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("mid_label"), F.coalesce("parent_label", "mid_label")
-                ).alias("new_label"),
-                "label",
-            )
-            .localCheckpoint(eager=True)
+        cur = cur.join(
+            parents, cur["mid_label"] == parents["parent_key"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("mid_label"), F.coalesce("parent_label", "mid_label")
+            ).alias("mid_label"),
+            "label",
         )
-        # both reads below hit the checkpointed partitions, not the lineage
-        changed = updated.where(F.col("new_label") < F.col("label")).limit(1).count()
+        # convergence rides the SAME action as the checkpoint (r20): an
+        # Observation on the pre-checkpoint plan is populated by the
+        # eager checkpoint's internal materialization, so the old
+        # separate per-round `changed` count job disappears (2 driver-
+        # blocking jobs per round → 1; measured 8.9 → 5.7 s on the
+        # 400-node-path probe). max over an empty round reads NULL —
+        # coalesced to "converged", same as the old count()==0.
+        obs = Observation(f"cc_changed_{i}")
+        updated = cur.select(
+            "node", F.col("mid_label").alias("new_label"), "label"
+        ).observe(
+            obs,
+            F.max((F.col("new_label") < F.col("label")).cast("int")).alias(
+                "chg"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = obs.get["chg"] or 0
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True

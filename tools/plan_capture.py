@@ -15,7 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = Path(__file__).resolve().parents[1] / "plans" / "r19"
+OUT_DIR = Path(__file__).resolve().parents[1] / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r20")
 
 _CLK = float(os.sysconf("SC_CLK_TCK"))
 

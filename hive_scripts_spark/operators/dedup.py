@@ -567,10 +567,13 @@ def _lsh_routed_jaccard_pairs(
     exact Jaccard verify, identical output schema to the exhaustive path
     (``n_common``/``n_a``/``n_b`` from the shingle sets directly)."""
     banded = minhash_band_buckets(df, text_col, id_col, n)
-    # shared shuffle before the self-join (see simhash_near_pairs): no
-    # bucket-cap window here, so without it each branch re-runs the
-    # whole minhash signature fold. Narrow (id, band, bucket) rows.
-    banded = banded.repartition("band", "bucket")
+    # NO explicit repartition before the self-join (r20 — the same
+    # revert as minhash_lsh_pairs, whose A/B at sf0.1 AND a 50k-doc
+    # synthetic measured the forced exchange slower/flat with 3-5 more
+    # exchanges): this routed path only engages above max_docs (100k+),
+    # where the banded table outgrows broadcast range and the join's own
+    # per-branch exchanges are canonically identical — AQE's stage cache
+    # computes the signature fold once either way.
     lhs = banded.toDF("a_id", "band", "bucket")
     rhs = banded.toDF("b_id", "band", "bucket")
     candidates = (
@@ -1142,18 +1145,18 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
-    # Shared shuffle before the self-join: without it, each join branch
-    # re-evaluates the whole signature fold (64 HOF ops/token — the
-    # dominant cost), because a broadcast-hash self-join has no common
-    # exchange for AQE to reuse. Repartitioning BOTH branches on the
-    # join key makes the two shuffle stages canonically identical, so
-    # AQE computes the fold once and reuses the shuffle output for the
-    # other side (measured at sf0.1: warm 5.1 s -> 2.1 s). At scale the
-    # shuffled rows are fixed-width (id, sig, block, key) longs — 4
-    # rows/doc — vs re-hashing every token twice; the shuffle wins at
-    # any corpus size, and the join was going to shuffle both sides
-    # anyway the moment the blocks table outgrows broadcast range.
-    blocks = blocks.repartition("block", "key")
+    # NO explicit repartition before the self-join (r20, reverting the
+    # r10 shared-shuffle posture here): the r10 "5.1 -> 2.1 s" win
+    # predates the parallelism pre-repartition (whose round-robin
+    # exchange is now the ReusedExchange both branches read) and the
+    # re-measured trade flipped — the r20 alternating A/B
+    # (tools/selfjoin_repartition_ab_r20.py,
+    # plans/r20/selfjoin_simhash_{on,off}_final.txt) reads off FASTER:
+    # best 0.92 vs 1.99 s over 5 reps, and 0.868 vs 1.180 s on the
+    # quietest alternating pair (9 vs 12 exchanges). At broadcastable
+    # sizes the forced exchange is pure overhead; above broadcast range
+    # the join plans canonically-identical exchanges per branch that
+    # AQE's stage cache dedupes, so the fold still evaluates once.
     a = blocks.toDF("a_id", "a_sig", "block", "key")
     b = blocks.toDF("b_id", "b_sig", "block", "key")
     pairs = (

@@ -275,6 +275,30 @@ def _gen_orders(spark, n, path):
     ).write.mode("overwrite").parquet(path)
 
 
+def _gen_customer_dims(spark, n_cust, cust_path, nation_path, region_path):
+    # r20: q2_revenue_by_nation joined the series — it needs the three
+    # dim tables (sf0.1 schemas; nation/region stay TPC-H-fixed-size)
+    h = lambda k, m: F.pmod(F.xxhash64(F.col("id") + k), F.lit(m))  # noqa: E731
+    segs = F.array(*[F.lit(s) for s in (
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")])
+    spark.range(0, n_cust, 1, 8).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        h(1, 25).cast("int").alias("c_nationkey"),
+        (h(3, 1_999_999) / 100.0 - 999.99).alias("c_acctbal"),
+        F.element_at(segs, (h(5, 5) + 1).cast("int")).alias("c_mktsegment"),
+    ).write.mode("overwrite").parquet(cust_path)
+    spark.range(0, 25, 1, 1).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("n_regionkey"),
+    ).write.mode("overwrite").parquet(nation_path)
+    spark.range(0, 5, 1, 1).select(
+        F.col("id").cast("int").alias("r_regionkey"),
+        F.concat(F.lit("REGION_"), F.col("id")).alias("r_name"),
+    ).write.mode("overwrite").parquet(region_path)
+
+
 #: sf0.1 testdata row counts × 10 (TESTDATA.md layout)
 _SF1_ROWS = {
     "documents": 50_000,
@@ -283,6 +307,7 @@ _SF1_ROWS = {
     "lineitem": 6_000_000,
     "supplier": 10_000,
     "orders": 1_500_000,
+    "customer": 150_000,
 }
 
 
@@ -302,6 +327,13 @@ def build_sf1(spark, scratch: Path) -> str:
         str(sf1 / "supplier.parquet"),
     )
     _gen_orders(spark, _SF1_ROWS["orders"], str(sf1 / "orders.parquet"))
+    _gen_customer_dims(
+        spark,
+        _SF1_ROWS["customer"],
+        str(sf1 / "customer.parquet"),
+        str(sf1 / "nation.parquet"),
+        str(sf1 / "region.parquet"),
+    )
     print(
         json.dumps(
             {

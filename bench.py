@@ -365,7 +365,15 @@ def main() -> None:
             while _contaminated(r, s) and budget[0] > 0:
                 budget[0] -= 1
                 retries.setdefault(name, []).append([r, s])
-                r, s = run_once(name)
+                r2, s2 = run_once(name)
+                if r2 is None:
+                    # a flaky retry must not discard a VALID measurement
+                    # (ADVICE r19): keep the last successful attempt
+                    # (its contamination stays self-explaining via the
+                    # steal telemetry); the retry's failure is already
+                    # noted in errors[name]
+                    return r, s
+                r, s = r2, s2
             return r, s
 
         for name in names:
@@ -385,7 +393,13 @@ def main() -> None:
             while _contaminated(r0, s0) and budget[0] > 0:
                 budget[0] -= 1
                 retries.setdefault(name, []).append([r0, s0])
-                r0, s0 = run_once(name)
+                rn, sn = run_once(name)
+                if rn is None:
+                    # flaky retry after a successful first attempt: keep
+                    # the successful measurement (ADVICE r19) — reps 1-2
+                    # still run and the retry error stays in errors[]
+                    break
+                r0, s0 = rn, sn
             r1, s1 = rep(name, budget) if r0 is not None else (None, 0.0)
             r2, s2 = rep(name, budget) if r1 is not None else (None, 0.0)
             cold[name], warm[name] = first0, r1

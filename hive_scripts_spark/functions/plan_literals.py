@@ -56,10 +56,21 @@ def lit_doubles(xs: Iterable[float]) -> Column:
 def sql_int(i: int) -> str:
     """SQL text for an integral literal. Spark types the numeral INT
     when it fits 32 bits and BIGINT otherwise — the same typing
-    ``F.lit(python_int)`` produces."""
+    ``F.lit(python_int)`` produces.
+
+    The two signed minimums need special cases (ADVICE r19): SQL lexes
+    the NUMERAL before applying unary minus, so ``-9223372036854775808L``
+    overflows the BIGINT lexer despite being in range, and
+    ``-2147483648`` types BIGINT (its numeral overflows INT) where
+    ``F.lit`` gives IntegerType. Both render as a constant-folded
+    ``min+1 - 1`` expression of the right type instead."""
     v = int(i)
     if not (-(1 << 63) <= v < (1 << 63)):
         raise ValueError(f"integral literal out of BIGINT range: {v}")
+    if v == -(1 << 63):
+        return "(-9223372036854775807L - 1L)"
+    if v == -(1 << 31):
+        return "(-2147483647 - 1)"
     return f"{v}L" if not (-(1 << 31) <= v < (1 << 31)) else str(v)
 
 

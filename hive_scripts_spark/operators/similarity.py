@@ -276,6 +276,7 @@ def embedding_near_dup_pairs(
             plane_sql = [
                 sql_double_array(probe[0][f"g{h}"]) for h in range(n_planes)
             ]
+            dim = len(probe[0]["g0"])
 
             def table_sig_sql(t):
                 bits_sql = []
@@ -291,13 +292,26 @@ def embedding_near_dup_pairs(
                     )
                 return " | ".join(bits_sql)
 
+            # ragged-dimension guard (ADVICE r19): the plane literals
+            # are pinned to the PROBE row's dimension; a mismatched row
+            # would zip_with-null-pad, fold to NULL, and silently read
+            # all-zero signature bits (recall degradation that varies
+            # with whichever row limit(1) picked). Dimension uniformity
+            # is the table's schema contract (_drop_invalid_vecs
+            # docstring), so violation fails LOUDLY in-plan — one
+            # size() compare per row.
             sigs_col = F.expr(
-                "array("
+                f"CASE WHEN size(vec) = {dim} THEN array("
                 + ",".join(
                     f"named_struct('tbl', {t}, 'sig', {table_sig_sql(t)})"
                     for t in range(lsh_tables)
                 )
-                + ")"
+                + ") ELSE raise_error(concat("
+                "'embedding_near_dup_pairs: ragged embedding dimension ',"
+                " cast(size(vec) as string),"
+                f" ' != probe dimension {dim} (LSH hyperplane literals"
+                " require a dimension-uniform table; clean the input or"
+                " pass use_lsh=False)')) END"
             )
         else:
             # empty corpus: no probe row — keep the in-row expression

@@ -91,6 +91,25 @@ def test_sql_int_typing(spark):
     assert small.schema["x"].dataType.simpleString() == "int"
     assert big.schema["x"].dataType.simpleString() == "bigint"
     assert big.collect()[0]["x"] == 1 << 40
+    # signed boundaries (ADVICE r19): the lexer sees the numeral before
+    # the unary minus, so both minimums need the min+1-1 rendering to
+    # parse at all (LONG_MIN) / keep F.lit's IntegerType (INT_MIN)
+    for v, want in [
+        (-(1 << 63), "bigint"),
+        (-(1 << 31), "int"),
+        ((1 << 63) - 1, "bigint"),
+        ((1 << 31) - 1, "int"),
+        (-(1 << 31) - 1, "bigint"),
+    ]:
+        col = df.select(F.expr(sql_int(v)).alias("x"))
+        assert col.schema["x"].dataType.simpleString() == want, v
+        assert col.collect()[0]["x"] == v
+    import pytest
+
+    with pytest.raises(ValueError, match="BIGINT range"):
+        sql_int(1 << 63)
+    with pytest.raises(ValueError, match="BIGINT range"):
+        sql_int(-(1 << 63) - 1)
 
 
 def test_hyperplane_literal_probe_matches_in_row_signature(spark):

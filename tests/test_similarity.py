@@ -94,6 +94,23 @@ def test_ivf_assign(vecs, spark):
     assert out[4] == 0
 
 
+def test_lsh_ragged_dimension_fails_loudly(spark):
+    """ADVICE r19: the hyperplane literals pin the probe row's
+    dimension — a ragged table must raise in-plan, not silently emit
+    zero signature bits for the mismatched rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        S.embedding_near_dup_pairs(ragged, 0.5, use_lsh=True).collect()
+    assert "ragged embedding dimension" in str(exc.value)
+
+
 def test_ivf_assign_prefetched_model_matches(vecs, spark):
     """The r20 job-chain merge: ivf_assign(_model=precollected) must be
     row-identical to the self-collecting form — semantic_dedup passes

@@ -98,10 +98,21 @@ def main() -> None:
 
     spark = get_spark("stream_plans_r20")
     spark.sparkContext.setLogLevel("ERROR")
-    ev = lambda: read_event_stream(spark, f"{args.sf}/events.parquet")  # noqa: E731
-    docs = lambda: read_document_stream(  # noqa: E731
-        spark, f"{args.sf}/documents.parquet"
-    )
+
+    def _staged(table: str) -> str:
+        # file streams need a DIRECTORY source; the testdata ships
+        # single-file tables, so stage a copy under a tmp dir (the same
+        # shape tests/test_streaming.py uses)
+        d = Path(tempfile.mkdtemp(prefix=f"stream_{table}_"))
+        src = Path(args.sf) / f"{table}.parquet"
+        if src.is_dir():
+            return str(src)
+        shutil.copy(src, d / "part-0.parquet")
+        return str(d)
+
+    ev_dir, docs_dir = _staged("events"), _staged("documents")
+    ev = lambda: read_event_stream(spark, ev_dir)  # noqa: E731
+    docs = lambda: read_document_stream(spark, docs_dir)  # noqa: E731
 
     results = []
     results.append(run_stream(spark, hourly_event_counts(ev()), "hourly_event_counts"))
